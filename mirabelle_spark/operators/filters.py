@@ -1,0 +1,168 @@
+"""Filter / routing operators.
+
+Every operator here compiles to a plain Catalyst filter, so
+predicate pushdown and partition pruning apply automatically — the
+opposite of the reference's per-event interpreted closures
+(``action.clj:79-113`` and friends).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mirabelle_spark.conditions import compile_condition, field_col
+
+DEFAULT_TTL_S = 120.0  # event.clj:17 / time.clj:8
+
+
+def where(df: DataFrame, cond: Sequence | Column) -> DataFrame:
+    """Keep events matching a condition (action.clj:79-113)."""
+    c = cond if isinstance(cond, Column) else compile_condition(cond)
+    return df.filter(c)
+
+
+def over(df: DataFrame, n: float, metric_col: str = "metric") -> DataFrame:
+    """Keep events with metric > n (action.clj:1278-1301)."""
+    return df.filter(F.col(metric_col) > n)
+
+
+def under(df: DataFrame, n: float, metric_col: str = "metric") -> DataFrame:
+    """Keep events with metric < n (action.clj:1303-1327)."""
+    return df.filter(F.col(metric_col) < n)
+
+
+def tagged_all(df: DataFrame, tags: Sequence[str], tags_col: str = "tags") -> DataFrame:
+    """Keep events carrying ALL the given tags (action.clj:1005-1039).
+
+    ``size(array_except(wanted, tags)) == 0`` stays JVM-side and
+    null tags never match (event.clj:46-50: missing tags ⇒ false).
+    """
+    wanted = F.array(*[F.lit(t) for t in tags])
+    return df.filter(
+        F.col(tags_col).isNotNull() & (F.size(F.array_except(wanted, F.col(tags_col))) == 0)
+    )
+
+
+def _expired_col(
+    df: DataFrame,
+    time_col: str,
+    ttl_col: str | None,
+    state_col: str | None,
+    clock: Column,
+) -> Column:
+    """expired = state='expired' OR age > coalesce(ttl, 120) (event.clj:12-19)."""
+    ttl = (
+        F.coalesce(F.col(ttl_col), F.lit(DEFAULT_TTL_S))
+        if ttl_col and ttl_col in df.columns
+        else F.lit(DEFAULT_TTL_S)
+    )
+    age = clock - F.col(time_col).cast("double")
+    exp = age > ttl
+    if state_col and state_col in df.columns:
+        exp = (F.col(state_col) == "expired") | exp
+    return exp
+
+
+def with_clock(df: DataFrame, time_col: str = "time") -> tuple[DataFrame, Column]:
+    """Attach the stream clock = max event time seen (action.clj:432-433).
+
+    Batch realization: a global max aggregate broadcast back onto
+    every row. At cluster scale this is one cheap partial-agg pass +
+    a 1-row broadcast — no repartition of the main table.
+    """
+    mx = df.agg(F.max(F.col(time_col).cast("double")).alias("__clock__"))
+    return df.crossJoin(F.broadcast(mx)), F.col("__clock__")
+
+
+def expired(
+    df: DataFrame,
+    time_col: str = "time",
+    ttl_col: str | None = "ttl",
+    state_col: str | None = "state",
+) -> DataFrame:
+    """Keep expired events; clock = max observed time (action.clj:427-449)."""
+    dfc, clock = with_clock(df, time_col)
+    out = dfc.filter(_expired_col(df, time_col, ttl_col, state_col, clock))
+    return out.drop("__clock__")
+
+
+def not_expired(
+    df: DataFrame,
+    time_col: str = "time",
+    ttl_col: str | None = "ttl",
+    state_col: str | None = "state",
+) -> DataFrame:
+    """Keep non-expired events (action.clj:451-474)."""
+    dfc, clock = with_clock(df, time_col)
+    out = dfc.filter(~_expired_col(df, time_col, ttl_col, state_col, clock))
+    return out.drop("__clock__")
+
+
+def split(
+    df: DataFrame, branches: Sequence[tuple[Sequence | Column, str]], default: str | None = None
+) -> DataFrame:
+    """First-match multi-way routing (action.clj:1109-1161).
+
+    Returns the input with a ``__branch__`` column naming the branch
+    each event routes to (first condition that matches wins, like
+    the reference's ordered evaluation / SQL CASE short-circuit).
+    Branch DataFrames are then just ``.filter(col('__branch__') ==
+    name)`` — one scan, N cheap filters.
+    """
+    expr = None
+    for cond, name in branches:
+        c = cond if isinstance(cond, Column) else compile_condition(cond)
+        expr = F.when(c, F.lit(name)) if expr is None else expr.when(c, F.lit(name))
+    expr = F.lit(default) if expr is None else expr.otherwise(F.lit(default))
+    return df.withColumn("__branch__", expr)
+
+
+def split_branches(
+    df: DataFrame, branches: Sequence[tuple[Sequence | Column, str]], default: str | None = None
+) -> dict[str, DataFrame]:
+    """Materialize :func:`split` as one DataFrame per branch."""
+    routed = split(df, branches, default)
+    names = [name for _, name in branches] + ([default] if default else [])
+    return {n: routed.filter(F.col("__branch__") == n).drop("__branch__") for n in names}
+
+
+def coll_where(df: DataFrame, list_col: str, cond_sql: str) -> DataFrame:
+    """Filter inside a window's collected event list (action.clj:115-137).
+
+    ``cond_sql`` is a boolean lambda body over ``x`` (the struct
+    element), e.g. ``x.metric > 10`` — executed JVM-side via
+    ``F.filter``.
+    """
+    return df.withColumn(list_col, F.expr(f"filter({list_col}, x -> {cond_sql})"))
+
+
+def throttle_batch(
+    df: DataFrame,
+    count: int,
+    duration_s: float,
+    by: Sequence[str] = (),
+    time_col: str = "time",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Let ≤ `count` events pass per event-time window (action.clj:1163-1217).
+
+    Batch realization: row_number over (keys, window bucket) ordered
+    by event time; keep rn ≤ count. Deterministic given a total
+    order, so pass tie-breaker ``order_cols``.
+    """
+    from pyspark.sql import Window as W
+
+    from mirabelle_spark.timeutil import window_start_s
+
+    bucket = window_start_s(time_col, duration_s)
+    w = W.partitionBy(*[F.col(c) for c in by], bucket.alias("__w__")).orderBy(
+        F.col(time_col), *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= count)
+        .drop("__rn__")
+    )
