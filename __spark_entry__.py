@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (where → by → tumbling
+window → sum) at sf0.001. ``queries()``/``oracle_sql()`` expose
+every implemented operator from SURVEY.md §2 plus the pipeline ops;
+registries live in :mod:`mirabelle_spark.queries` and
+:mod:`mirabelle_spark.queries_pipeline`.
 """
 
 from __future__ import annotations
@@ -15,24 +15,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: per-user hourly sum
+    of 'click' values — where → by → fixed-time-window → sum."""
+    from mirabelle_spark.operators import aggregations as agg
+    from mirabelle_spark.operators import filters as flt
+    from mirabelle_spark.queries import events
+
+    df = events(spark, "/root/testdata/sf0.001")
+    clicks = flt.where(df, [":=", "event_type", "click"])
+    return agg.agg_sum(clicks, 3600.0, by=["user_id"], time_col="ts", metric_col="value")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mirabelle_spark import queries as qmod
+    from mirabelle_spark import queries_pipeline as pmod
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(qmod.QUERIES)
+    out.update(pmod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mirabelle_spark import queries as qmod
+    from mirabelle_spark import queries_pipeline as pmod
+
+    out: dict[str, str] = {}
+    out.update(qmod.ORACLES)
+    out.update(pmod.ORACLES)
+    return out

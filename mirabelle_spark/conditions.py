@@ -75,7 +75,10 @@ def compile_condition(cond: Sequence) -> Column:
             out = out | s
         return out
     if op == "not":
-        return ~compile_condition(cond[1])
+        # Clojure (not pred) on a missing/nil field is true; SQL 3VL
+        # would keep NULL (row dropped). Coalesce to false first so
+        # negation semantics match the reference mini-language.
+        return ~F.coalesce(compile_condition(cond[1]), F.lit(False))
     if op in ("always-true", "true") and len(cond) == 1:
         return F.lit(True)
 
@@ -138,7 +141,7 @@ def condition_to_sql(cond: Sequence) -> str:
     if op in ("and", "or"):
         return "(" + f" {op.upper()} ".join(condition_to_sql(c) for c in cond[1:]) + ")"
     if op == "not":
-        return f"(NOT {condition_to_sql(cond[1])})"
+        return f"(NOT coalesce({condition_to_sql(cond[1])}, FALSE))"
     if op in ("always-true", "true") and len(cond) == 1:
         return "TRUE"
 

@@ -18,3 +18,5 @@ from mirabelle_spark.operators import (  # noqa: F401
     transforms,
     windows,
 )
+
+__all__ = ["aggregations", "filters", "stateful", "transforms", "windows"]

@@ -40,6 +40,10 @@ def tagged_all(df: DataFrame, tags: Sequence[str], tags_col: str = "tags") -> Da
     ``size(array_except(wanted, tags)) == 0`` stays JVM-side and
     null tags never match (event.clj:46-50: missing tags ⇒ false).
     """
+    if not tags:
+        # set/subset? of an empty set is always true (event.clj:46-50),
+        # even when the event has no tags at all.
+        return df
     wanted = F.array(*[F.lit(t) for t in tags])
     return df.filter(
         F.col(tags_col).isNotNull() & (F.size(F.array_except(wanted, F.col(tags_col))) == 0)
@@ -66,15 +70,28 @@ def _expired_col(
     return exp
 
 
-def with_clock(df: DataFrame, time_col: str = "time") -> tuple[DataFrame, Column]:
-    """Attach the stream clock = max event time seen (action.clj:432-433).
+def with_clock(
+    df: DataFrame, time_col: str = "time", arrival_cols: Sequence[str] = ()
+) -> tuple[DataFrame, Column]:
+    """Attach the stream clock = running max event time seen at arrival
+    (action.clj:431-435: ``swap! time-state (max old-time time)``).
 
-    Batch realization: a global max aggregate broadcast back onto
-    every row. At cluster scale this is one cheap partial-agg pass +
-    a 1-row broadcast — no repartition of the main table.
+    ``arrival_cols`` define the arrival order of the batch (e.g. an
+    ingest sequence id). Batch realization: a prefix-max window over
+    arrival order. Without arrival columns we fall back to event-time
+    order, in which case the prefix max degenerates to the event time
+    itself — matching the reference when input arrives in time order.
+
+    Scale note: the prefix max is a running analytic; when the stream
+    is keyed (downstream of ``by``) partition it per key instead of a
+    single global ordering.
     """
-    mx = df.agg(F.max(F.col(time_col).cast("double")).alias("__clock__"))
-    return df.crossJoin(F.broadcast(mx)), F.col("__clock__")
+    from pyspark.sql import Window as W
+
+    order = [F.col(c) for c in arrival_cols] or [F.col(time_col)]
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    clock = F.max(F.col(time_col).cast("double")).over(w)
+    return df.withColumn("__clock__", clock), F.col("__clock__")
 
 
 def expired(
@@ -82,9 +99,11 @@ def expired(
     time_col: str = "time",
     ttl_col: str | None = "ttl",
     state_col: str | None = "state",
+    arrival_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Keep expired events; clock = max observed time (action.clj:427-449)."""
-    dfc, clock = with_clock(df, time_col)
+    """Keep expired events; clock = running max observed time
+    (action.clj:427-449, event.clj:12-19)."""
+    dfc, clock = with_clock(df, time_col, arrival_cols)
     out = dfc.filter(_expired_col(df, time_col, ttl_col, state_col, clock))
     return out.drop("__clock__")
 
@@ -94,9 +113,10 @@ def not_expired(
     time_col: str = "time",
     ttl_col: str | None = "ttl",
     state_col: str | None = "state",
+    arrival_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Keep non-expired events (action.clj:451-474)."""
-    dfc, clock = with_clock(df, time_col)
+    dfc, clock = with_clock(df, time_col, arrival_cols)
     out = dfc.filter(~_expired_col(df, time_col, ttl_col, state_col, clock))
     return out.drop("__clock__")
 
@@ -147,22 +167,55 @@ def throttle_batch(
     time_col: str = "time",
     order_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Let ≤ `count` events pass per event-time window (action.clj:1163-1217).
+    """Let ≤ `count` events pass per ANCHORED event-time window
+    (action.clj:1163-1217).
 
-    Batch realization: row_number over (keys, window bucket) ordered
-    by event time; keep rn ≤ count. Deterministic given a total
-    order, so pass tie-breaker ``order_cols``.
+    Reference semantics: the first passing event anchors the window;
+    a new window opens only when an event's time ≥ anchor + duration
+    (counter reset to 1). Events inside the open window pass while
+    the counter < count. Events with null time are dropped
+    (``when (:time event)``).
+
+    The anchored recurrence is a segmented scan — not expressible as
+    a closed-form window function — so this runs as an Arrow-batched
+    ``applyInPandas`` per key, sorted by (time, *order_cols). With
+    ``by`` keys this scales horizontally (one group per key); without
+    keys it degenerates to a single ordered scan, same as the
+    single-threaded reference.
     """
-    from pyspark.sql import Window as W
+    import pandas as pd
 
-    from mirabelle_spark.timeutil import window_start_s
+    schema = df.schema
+    key_cols = list(by) if by else ["__g__"]
+    src = df.filter(F.col(time_col).isNotNull())
+    if not by:
+        src = src.withColumn("__g__", F.lit(0))
+    sort_cols = [time_col, *order_cols]
 
-    bucket = window_start_s(time_col, duration_s)
-    w = W.partitionBy(*[F.col(c) for c in by], bucket.alias("__w__")).orderBy(
-        F.col(time_col), *[F.col(c) for c in order_cols]
-    )
-    return (
-        df.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") <= count)
-        .drop("__rn__")
-    )
+    dur_us = int(round(duration_s * 1_000_000))
+
+    def _throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        ts = pdf[time_col]
+        # exact integer µs so window-boundary comparisons can never
+        # drift from the integer-µs oracle (float seconds would)
+        if str(ts.dtype).startswith("datetime64"):
+            tvals = ts.astype("int64") // 1_000
+        else:
+            tvals = (ts.astype("float64") * 1_000_000).round().astype("int64")
+        anchor = None
+        n = 0
+        keep = []
+        for tv in tvals:
+            if anchor is None or tv >= anchor + dur_us:
+                anchor, n = tv, 1
+                keep.append(True)
+            elif n < count:
+                n += 1
+                keep.append(True)
+            else:
+                keep.append(False)
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        return out[[f.name for f in schema.fields]]
+
+    return src.groupBy(*key_cols).applyInPandas(_throttle, schema=schema)

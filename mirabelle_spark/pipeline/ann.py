@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- :func:`brute_force_topk` — exact cosine top-k. The query set is
+  broadcast (it is small by construction); the corpus is scanned
+  once, dot products run JVM-side via zip_with/aggregate, and top-k
+  is a per-query window rank. Cost: O(|corpus|·|queries|·d) FLOPs,
+  one broadcast, zero shuffles of the corpus.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+  signs bucket both sides; candidates come from an equi-join on the
+  bucket key, so the scan per query touches ~|corpus| / 2^planes.
+  Recall is tunable with multiple tables (hash repetitions).
+
+All arithmetic is double precision with a fixed fold order so the
+result is deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries`` needs (query_id_col, vec_col). Returns
+    (query_id, vec_id, cosine, rank). Self-matches (same id) are
+    kept — filter upstream if undesired.
+    """
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    )
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    joined = c.crossJoin(F.broadcast(q))
+    scored = joined.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(planes, dim).tolist()
+
+
+def bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = (vec · plane_i) >= 0."""
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        key = key + F.shiftleft(bit, i)
+    return key
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH buckets → equi-join →
+    exact cosine within candidates → per-query rank.
+
+    ``tables`` independent hash tables union their candidates to
+    boost recall. The corpus-side bucket keys are computed in one
+    projection; the join partitions by (table, bucket) — no
+    broadcast needed when queries are large, no all-pairs ever.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    )
+    cand = None
+    for t in range(tables):
+        ps = hyperplanes(dim, planes, seed=seed + t)
+        ck = c.withColumn("__b__", bucket_key(F.col("__cv__"), ps)).withColumn(
+            "__t__", F.lit(t)
+        )
+        qk = q.withColumn("__b__", bucket_key(F.col("__qv__"), ps)).withColumn(
+            "__t__", F.lit(t)
+        )
+        part = ck.join(qk, ["__t__", "__b__"]).select(
+            query_id_col, id_col, "__qv__", "__cv__"
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 10,
+    tables: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold)
+    via self-LSH bucketing — the embedding flavor of MinHash dedup."""
+    dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v__"))
+    cand = None
+    for t in range(tables):
+        ps = hyperplanes(dim, planes, seed=seed + t)
+        keyed = base.withColumn("__b__", bucket_key(F.col("__v__"), ps))
+        a, b = keyed.alias("a"), keyed.alias("b")
+        part = a.join(
+            b,
+            (F.col("a.__b__") == F.col("b.__b__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__v__").alias("__va__"),
+            F.col("b.__v__").alias("__vb__"),
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    scored = cand.withColumn("cosine", cosine(F.col("__va__"), F.col("__vb__")))
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,244 @@
+"""Deduplication operators for document corpora.
+
+Scale design (the point of these at 100 TB):
+
+- **exact**: group on a 64-bit+128-bit hash of normalized text, not
+  the text itself — the shuffle carries ~24 bytes/doc instead of the
+  document body. Collision probability at 10^12 docs with 192 bits
+  is negligible.
+- **MinHash-LSH**: shingle → k-minhash signature → b bands of r
+  rows; candidate pairs come from a hash-partitioned equi-join on
+  (band_id, band_hash) — never an all-pairs product. Verification
+  (exact Jaccard on shingle sets) runs only on candidates.
+- **SimHash**: 64-bit signature via Arrow-batched pandas UDF; exact
+  Hamming-ball lookup via banding the 64 bits into chunks (same
+  equi-join trick).
+
+Everything is a plain DataFrame op; the only Python is the SimHash
+bit-packing UDF (vectorized, Arrow-batched).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text: Column) -> Column:
+    """Canonical text form for hashing: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Exact dedup: keep one representative (lowest id) per distinct
+    normalized text. Returns the surviving rows' ids + dup counts.
+
+    Plan: project (id, hash) → hash-partition groupBy on the hash →
+    min(id). The document body never shuffles.
+    """
+    norm = normalized(F.col(text_col))
+    h = F.struct(F.xxhash64(norm).alias("h64"), F.md5(norm).alias("h128"))
+    agg = F.min(F.col(id_col)) if keep == "min" else F.max(F.col(id_col))
+    return (
+        df.select(F.col(id_col), h.alias("__h__"))
+        .groupBy("__h__")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (array<string>)."""
+    words = F.split(normalized(text), " ")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """k-minhash signature: for seed i, min over shingles of
+    xxhash64(shingle, i). Pure Catalyst (transform + array_min),
+    no UDF, no explode — the signature computes in one projection."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    rows-per-band r = num_hashes/bands; docs matching on ANY band's
+    full sub-signature become a candidate pair. The join is an
+    equi-join on (band_id, band_hash) — hash partitioned, broadcast
+    nothing, never all-pairs. Returns (id_a, id_b) with id_a < id_b.
+    """
+    r = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "__sig__"
+        ),
+    )
+    band_entries = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.element_at("__sig__", b * r + j + 1) for j in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band__"),
+    ).select(id_col, "__band__.band_id", "__band__.band_hash")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with EXACT n-gram Jaccard ≥ threshold,
+    pre-filtered by MinHash-LSH candidates (verify-after-bucket).
+
+    Jaccard on distinct shingle sets via array_intersect/union —
+    JVM-side, only on candidate pairs.
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh__")
+    )
+    j = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh__", "__sa__"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh__", "__sb__"), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sa__", "__sb__")).cast("double")
+    union = F.size(F.array_union("__sa__", "__sb__")).cast("double")
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        j.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens (Arrow-batched pandas UDF —
+    per-token bit unpacking is the one genuinely non-relational step;
+    everything downstream of the signature is relational again)."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            tokens = t.lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                # deterministic 64-bit hash (FNV-1a)
+                h = np.uint64(14695981039346656037)
+                for ch in tok.encode("utf-8"):
+                    h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+                bits = np.unpackbits(
+                    np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
+                )
+                acc += np.where(bits.astype(bool), 1, -1)
+            sig = np.uint64(0)
+            for b in range(64):
+                if acc[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit pieces;
+    any pair within ``chunks-1`` bit flips must agree on ≥1 piece →
+    equi-join per piece, then exact popcount verify. No all-pairs.
+    """
+    sh = simhash64(df, text_col).select(id_col, "simhash")
+    piece = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(F.lit(0xFFFF))
+    entries = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("pid"), piece("simhash", i).alias("pv")) for i in range(chunks)])
+        ).alias("__p__"),
+    ).select(id_col, "simhash", "__p__.pid", "__p__.pv")
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pid") == F.col("b.pid"))
+            & (F.col("a.pv") == F.col("b.pv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__ha__"),
+            F.col("b.simhash").alias("__hb__"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

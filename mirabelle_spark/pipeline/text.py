@@ -1,0 +1,116 @@
+"""Text analysis operators for document corpora.
+
+All pure Catalyst expressions (split/regexp/aggregate) — no Python
+in the hot path — so they pipeline into the same scan as dedup
+signatures at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small built-in stopword seed lists for the n-gram/stopword language
+# heuristic; good enough for routing, NOT a general lang-id model.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "pour", "dans", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "nicht"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "para", "con", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count."""
+    t = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(tokens(F.col(text_col))))
+    return df.withColumn(out, t)
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """Count of BPE-ish regex tokens (word pieces + digits + punct)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return df.withColumn(out, F.size(toks))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: combines length, punctuation
+    ratio, stopword presence, and mean word length — the classic
+    cheap pre-filter for training corpora.
+
+    Components (all deterministic, exact arithmetic):
+      len_score  = least(n_chars/500, 1)
+      punct_pen  = 1 - least(punct_chars/n_chars*5, 1)
+      stop_score = least(stopword_hits/n_tokens*5, 1)
+      wordlen_ok = 1 if 3 ≤ mean_word_len ≤ 12 else 0
+    quality = (len_score + punct_pen + stop_score + wordlen_ok) / 4
+    """
+    txt = F.col(text_col)
+    n_chars = F.length(txt).cast("double")
+    toks = tokens(txt)
+    n_tokens = F.size(toks).cast("double")
+    punct = F.length(F.regexp_replace(txt, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    en = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("double")
+    mean_wl = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(
+        F.when(n_chars > 0, punct / n_chars * 5.0).otherwise(F.lit(0.0)), F.lit(1.0)
+    )
+    stop_score = F.least(
+        F.when(n_tokens > 0, stop_hits / n_tokens * 5.0).otherwise(F.lit(0.0)),
+        F.lit(1.0),
+    )
+    wordlen_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    q = (len_score + punct_pen + stop_score + wordlen_ok) / F.lit(4.0)
+    return df.withColumn(out, q)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-overlap language heuristic: score each language by
+    fraction of its seed stopwords present in the token set; argmax
+    wins, 'und' (undetermined) when no stopword hits at all.
+    Deterministic tie-break: language name ascending."""
+    toks = tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(_STOPWORDS):
+        wl = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        hits = F.size(F.array_intersect(wl, toks)).cast("double")
+        scores.append(F.struct(hits.alias("s"), F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out, F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """128-bit content fingerprint of the normalized text (md5 hex).
+    Normalization: lowercase + whitespace collapse, so formatting
+    changes don't alter the fingerprint."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out, F.md5(norm))
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "rolling_fp", window: int = 8
+) -> DataFrame:
+    """Order-sensitive document fingerprint: min xxhash64 over
+    rolling word windows (a winnowing-style sketch) — robust to
+    local edits, order-sensitive unlike a bag-of-words hash."""
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    k = F.greatest(F.size(words) - (window - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), k)
+    grams = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i, window), " ")))
+    return df.withColumn(out, F.array_min(grams))

@@ -1,0 +1,245 @@
+"""Pipeline-operator queries over documents/embeddings + oracles.
+
+Same registry contract as :mod:`mirabelle_spark.queries`. Entries
+without an oracle (LSH candidate generation, hyperplane bucketing)
+are genuinely not SQL-expressible — the driver records a rows-only
+check for them; the deterministic verification of those paths lives
+in ``tests/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mirabelle_spark.pipeline import ann, dedup, multimodal, text
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+@q(
+    "dedup_exact_docs",
+    """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+""",
+)
+def dedup_exact_docs(spark, sf):
+    return dedup.dedup_exact(docs(spark, sf))
+
+
+@q("minhash_lsh_pairs")  # no SQL oracle: LSH banding; verified in tests/
+def minhash_lsh_pairs(spark, sf):
+    return dedup.minhash_lsh_candidates(docs(spark, sf), num_hashes=32, bands=16)
+
+
+@q("ngram_jaccard_pairs")  # candidates from LSH; exact-jaccard verify stage
+def ngram_jaccard_pairs_q(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        docs(spark, sf), threshold=0.2, num_hashes=32, bands=16
+    )
+
+
+@q("simhash_pairs")  # no SQL oracle: bit-level UDF; verified in tests/
+def simhash_pairs(spark, sf):
+    return dedup.simhash_near_dups(docs(spark, sf), max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), "
+    "(acc, v) -> acc + v)"
+)
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, v) -> acc + v))"
+
+
+@q(
+    "ann_bruteforce_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id,
+         {_DOT.format(a='qv', b='cv')} / ({_NORM.format(a='qv')} * {_NORM.format(a='cv')})
+           AS cosine
+  FROM c, q
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""",
+)
+def ann_bruteforce_topk(spark, sf):
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_topk(e, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@q("ann_lsh_topk")  # no SQL oracle: hyperplane buckets; recall tested in tests/
+def ann_lsh_topk(spark, sf):
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.lsh_bucketed_topk(e, queries, k=5, planes=6, tables=3)
+
+
+@q("embedding_near_dups")  # no SQL oracle (LSH); quality asserted in tests/
+def embedding_near_dups_q(spark, sf):
+    return ann.embedding_near_dups(embs(spark, sf), threshold=0.2, planes=6, tables=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+@q(
+    "text_token_count",
+    """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS INT)
+         AS n_tokens
+FROM documents
+""",
+)
+def text_token_count(spark, sf):
+    return text.token_count(docs(spark, sf)).select("doc_id", "n_tokens")
+
+
+@q(
+    "text_bpe_token_count",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INT)
+         AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_bpe_token_count(spark, sf):
+    return text.bpe_token_count(docs(spark, sf)).select("doc_id", "n_bpe_tokens")
+
+
+_QUALITY_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+           AS punct,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              t -> list_contains(['the','and','of','to','in','is','that','for','with','as'], t)))
+              AS DOUBLE) AS stop_hits
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         least(n_chars / 500.0, 1.0) AS len_score,
+         1.0 - least(CASE WHEN n_chars > 0 THEN punct / n_chars * 5.0 ELSE 0.0 END, 1.0)
+           AS punct_pen,
+         least(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens * 5.0 ELSE 0.0 END, 1.0)
+           AS stop_score,
+         CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END
+           AS mean_wl
+  FROM feats
+)
+SELECT doc_id,
+       (len_score + punct_pen + stop_score
+        + CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.0 END) / 4.0
+         AS quality
+FROM scored
+"""
+
+
+@q("text_quality", _QUALITY_SQL)
+def text_quality(spark, sf):
+    return text.quality_score(docs(spark, sf)).select("doc_id", "quality")
+
+
+_LANG_SQL = """
+SELECT doc_id,
+       CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred
+FROM (
+  SELECT doc_id, list_max([
+    {{'s': CAST(len(list_intersect(['der','die','das','und','ist','von','mit','für','auf','nicht'], toks)) AS DOUBLE), 'l': 'de'}},
+    {{'s': CAST(len(list_intersect(['the','and','of','to','in','is','that','for','with','as'], toks)) AS DOUBLE), 'l': 'en'}},
+    {{'s': CAST(len(list_intersect(['el','la','los','de','que','y','es','para','con','por'], toks)) AS DOUBLE), 'l': 'es'}},
+    {{'s': CAST(len(list_intersect(['le','la','les','de','des','et','est','pour','dans','que'], toks)) AS DOUBLE), 'l': 'fr'}}
+  ]) AS best
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+)
+""".replace("{{", "{").replace("}}", "}")
+
+
+@q("text_lang_id", _LANG_SQL)
+def text_lang_id(spark, sf):
+    return text.lang_id(docs(spark, sf)).select("doc_id", "lang_pred")
+
+
+@q(
+    "text_fingerprint",
+    """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark, sf):
+    return text.fingerprint(docs(spark, sf)).select("doc_id", "fingerprint")
+
+
+@q("text_rolling_fp")  # xxhash64-based sketch: no DuckDB twin; tests/ cover it
+def text_rolling_fp(spark, sf):
+    return text.rolling_fingerprint(docs(spark, sf)).select("doc_id", "rolling_fp")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+@q(
+    "multimodal_features",
+    """
+SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def multimodal_features(spark, sf):
+    media = multimodal.attach_media(
+        docs(spark, sf), payload_col="text", media_type="text/plain", id_col="doc_id"
+    )
+    feats = multimodal.extract_features(media, decoder="fake")
+    return feats.select("id", "n_bytes", "sha256")

@@ -8,9 +8,11 @@ duration)`` — clojure ``mod`` is a floored modulus).
 
 We do all bucket math in integer MICROseconds (both Spark and DuckDB
 store timestamps at µs precision), using ``pmod`` so negative times
-floor correctly, and emit ``window_start`` as epoch seconds
-(BIGINT) so oracle comparison is exact integer equality — never
-float or timestamp-precision dependent.
+floor correctly. ``window_start_us`` emits exact integer µs;
+``window_start_s`` emits epoch seconds as DOUBLE — both engines
+compute the identical ``int µs / 1e6`` double division, so the
+comparison is still bit-exact (and exact integers whenever the
+duration is a whole number of seconds).
 """
 
 from __future__ import annotations
