@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collection). Timings include Spark job execution, not
+session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family, weighted
+# toward the shuffle/state-heavy paths that dominate at scale.
+BENCH_QUERIES = [
+    "where_basic",            # filter pushdown path
+    "split_routing",          # CASE fan-out, one scan
+    "agg_sum_hourly",         # windowed hash agg (partial+final)
+    "by_sum_daily",           # multi-key windowed agg (`by`)
+    "agg_percentiles_hourly", # sort_array per window
+    "coll_top3",              # windowed top-K (rank + filter)
+    "fixed_time_window_ids",  # collect_list windows
+    "moving_event_window_vals",  # sliding count window (analytic)
+    "ssort_sorted",           # window sort + explode
+    "changed_transitions",    # lag transition detect
+    "smax_running",           # running extremum (prefix max)
+    "ewma_smoothed",          # keyed sequential scan (applyInPandas)
+    "throttle",               # keyed anchored-window scan
+    "dedup_exact_docs",       # hash dedup
+    "minhash_lsh_pairs",      # LSH banding + equi-join
+    "ann_bruteforce_topk",    # broadcast + fold dot products
+]
+
+
+def main() -> None:
+    from mirabelle_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="mirabelle_bench")
+    qs = entry_mod.queries()
+
+    # warmup: JIT + parquet footer + Arrow init, outside the timings
+    qs["where_basic"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

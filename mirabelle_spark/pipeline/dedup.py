@@ -61,16 +61,47 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """k-minhash signature: for seed i, min over shingles of
-    xxhash64(shingle, i). Pure Catalyst (transform + array_min),
-    no UDF, no explode — the signature computes in one projection."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+_MINHASH_P = 4294967291  # largest 32-bit prime
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash family (a·h + b) mod p with
+    a < 2³¹ so a·h never overflows int64 (ANSI-safe)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc k-minhash signature as k columns ``m0..m{k-1}``.
+
+    Formulation matters at scale: explode shingles → hash each
+    shingle ONCE (``hash``) → k cheap integer (a·h+b) mod p
+    min-aggregates in a single groupBy. The naive nested-expression
+    form (k × array_min(transform(...))) inlines and recomputes the
+    shingle construction k times per row — 200× slower in practice.
+    One shuffle on id, partial min map-side. Docs with fewer than
+    ``shingle_n`` words produce no signature (no shingles).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s__")
     )
+    h = F.hash(F.col("__s__")).cast("bigint") + F.lit(1 << 31)  # [0, 2^32)
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -78,7 +109,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
@@ -87,14 +118,15 @@ def minhash_lsh_candidates(
     full sub-signature become a candidate pair. The join is an
     equi-join on (band_id, band_hash) — hash partitioned, broadcast
     nothing, never all-pairs. Returns (id_a, id_b) with id_a < id_b.
+
+    Tuning: the detection threshold is ≈ (1/bands)^(1/r). The
+    default 8 bands × r=8 targets J≈0.77 near-duplicates; more bands
+    / fewer rows lowers the threshold but inflates candidates
+    quadratically on shared-vocabulary corpora — that, not the
+    signature cost, is what kills LSH jobs at scale.
     """
     r = num_hashes // bands
-    base = df.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "__sig__"
-        ),
-    )
+    base = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band_entries = base.select(
         id_col,
         F.explode(
@@ -103,7 +135,7 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
-                            *[F.element_at("__sig__", b * r + j + 1) for j in range(r)]
+                            *[F.col(f"m{b * r + j}") for j in range(r)]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -111,6 +143,9 @@ def minhash_lsh_candidates(
             )
         ).alias("__band__"),
     ).select(id_col, "__band__.band_id", "__band__.band_hash")
+    # persist: both join sides reference the same lineage; without it
+    # Catalyst recomputes the full signature per side
+    band_entries = band_entries.persist()
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     pairs = (
@@ -135,7 +170,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
     """Near-dup pairs with EXACT n-gram Jaccard ≥ threshold,
     pre-filtered by MinHash-LSH candidates (verify-after-bucket).

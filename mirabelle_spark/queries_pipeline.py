@@ -54,13 +54,13 @@ def dedup_exact_docs(spark, sf):
 
 @q("minhash_lsh_pairs")  # no SQL oracle: LSH banding; verified in tests/
 def minhash_lsh_pairs(spark, sf):
-    return dedup.minhash_lsh_candidates(docs(spark, sf), num_hashes=32, bands=16)
+    return dedup.minhash_lsh_candidates(docs(spark, sf), num_hashes=64, bands=8)
 
 
 @q("ngram_jaccard_pairs")  # candidates from LSH; exact-jaccard verify stage
 def ngram_jaccard_pairs_q(spark, sf):
     return dedup.ngram_jaccard_pairs(
-        docs(spark, sf), threshold=0.2, num_hashes=32, bands=16
+        docs(spark, sf), threshold=0.5, num_hashes=64, bands=8
     )
 
 

@@ -1,0 +1,125 @@
+"""Aggregation family + coll-* reducers (reference §2.6;
+action_test.clj:1227-1299 aggregation cases, math_test.clj)."""
+
+
+def test_agg_sum_mean(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events(
+        [{"time": 1, "metric": 1}, {"time": 2, "metric": 2}, {"time": 61, "metric": 10}]
+    )
+    s = {r.window_start: r.metric for r in agg.agg_sum(df, 60.0, time_col="time").collect()}
+    assert s == {0.0: 3.0, 60.0: 10.0}
+    m = {r.window_start: r.metric for r in agg.agg_mean(df, 60.0, time_col="time").collect()}
+    assert m == {0.0: 1.5, 60.0: 10.0}
+
+
+def test_agg_sum_null_metric_counts_zero(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events([{"time": 1, "metric": None}, {"time": 2, "metric": 5}])
+    s = agg.agg_sum(df, 60.0, time_col="time").collect()
+    assert s[0].metric == 5.0
+
+
+def test_agg_top_bottom_tie_later_wins(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events(
+        [
+            {"time": 1, "metric": 9, "host": "first"},
+            {"time": 2, "metric": 9, "host": "second"},  # tie → later event wins
+            {"time": 3, "metric": 1, "host": "low"},
+        ]
+    )
+    top = agg.agg_top(df, 60.0, time_col="time", order_cols=["seq"]).collect()[0]
+    assert top.host == "second"
+    bot = agg.agg_bottom(df, 60.0, time_col="time", order_cols=["seq"]).collect()[0]
+    assert bot.host == "low"
+
+
+def test_agg_rate_ratio(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events(
+        [
+            {"time": 1, "state": "critical", "metric": 1},
+            {"time": 2, "state": "ok", "metric": 1},
+            {"time": 3, "state": "critical", "metric": 1},
+        ]
+    )
+    r = agg.agg_rate(df, 60.0, time_col="time").collect()[0]
+    assert r.metric == 3 / 60.0
+    ratio = agg.agg_ratio(
+        df, [":=", "state", "critical"], [":=", "state", "ok"], 60.0, time_col="time"
+    ).collect()[0]
+    assert ratio.metric == 2.0
+    # zero denominator → 0 (reference finalizer rule)
+    zero = agg.agg_ratio(
+        df, [":=", "state", "critical"], [":=", "state", "missing"], 60.0,
+        time_col="time",
+    ).collect()[0]
+    assert zero.metric == 0.0
+
+
+def test_percentiles_nearest_rank(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    # math.clj:120 rule: idx = min(n-1, floor(n*q)); n=4 sorted [1,2,3,4]
+    df = make_events([{"time": t, "metric": m} for t, m in enumerate([3, 1, 4, 2])])
+    p = agg.agg_percentiles(df, [0.0, 0.5, 0.75, 1.0], 60.0, time_col="time")
+    got = {r.quantile: r.metric for r in p.collect()}
+    assert got == {0.0: 1.0, 0.5: 3.0, 0.75: 4.0, 1.0: 4.0}
+
+
+def test_coll_rate_zero_interval(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    # same timestamps → interval 0 → metric = plain sum (math.clj:104-106)
+    df = make_events([{"time": 5, "metric": 2}, {"time": 5, "metric": 3}])
+    r = agg.coll_rate(df, 60.0, time_col="time").collect()[0]
+    assert r.metric == 5.0
+
+
+def test_coll_quotient(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events(
+        [{"time": 1, "metric": 100}, {"time": 2, "metric": 5}, {"time": 3, "metric": 2}]
+    )
+    qt = agg.coll_quotient(df, 60.0, time_col="time", order_cols=["seq"]).collect()[0]
+    assert qt.metric == 10.0  # (100/5)/2
+
+
+def test_coll_increase_counter(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    # docstring example (action.clj:2715-2734): 10 → 30 gives 20
+    df = make_events(
+        [{"time": 1, "metric": 10}, {"time": 9, "metric": 20}, {"time": 20, "metric": 30}]
+    )
+    inc = agg.coll_increase(df, 60.0, time_col="time", order_cols=["seq"]).collect()
+    assert [r.metric for r in inc] == [20.0]
+    # counter reset (negative increase) → dropped
+    df2 = make_events([{"time": 1, "metric": 30}, {"time": 2, "metric": 5}])
+    assert agg.coll_increase(df2, 60.0, time_col="time").count() == 0
+
+
+def test_coll_top_bottom(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events([{"time": t, "metric": m} for t, m in enumerate([5, 9, 1, 7])])
+    top2 = agg.coll_top(df, 2, 60.0, time_col="time", order_cols=["seq"])
+    assert sorted(r.metric for r in top2.collect()) == [7.0, 9.0]
+    bot2 = agg.coll_bottom(df, 2, 60.0, time_col="time", order_cols=["seq"])
+    assert sorted(r.metric for r in bot2.collect()) == [1.0, 5.0]
+
+
+def test_ewma_timeless_sequence(make_events):
+    from mirabelle_spark.operators import aggregations as agg
+
+    # r=0.5, m0=0: inputs 1,1,1 → 0.5, 0.75, 0.875 (riemann ewma rule)
+    df = make_events([{"time": t, "metric": 1} for t in range(3)])
+    e = agg.ewma_timeless(df, 0.5, time_col="time", order_cols=["seq"])
+    got = [r.metric for r in e.orderBy("seq").collect()]
+    assert got == [0.5, 0.75, 0.875]

@@ -1,0 +1,146 @@
+"""Training-data pipeline operators: dedup, ANN, text, multimodal."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "THE  QUICK brown fox jumps over the lazy dog near the river bank"),  # case/ws dup
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact(doc_df):
+    from mirabelle_spark.pipeline import dedup
+
+    out = {r.doc_id: r.dup_count for r in dedup.dedup_exact(doc_df).collect()}
+    # docs 0,1,4 collapse (normalization: case + whitespace); 2 and 3 unique
+    assert out == {0: 3, 2: 1, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(doc_df):
+    from mirabelle_spark.pipeline import dedup
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(doc_df, num_hashes=64, bands=16).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide on every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup found
+    assert not any(3 in p for p in pairs)  # unrelated doc never paired
+
+
+def test_ngram_jaccard_exact_values(doc_df):
+    from mirabelle_spark.pipeline import dedup
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(doc_df, threshold=0.4, bands=16).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical → jaccard exactly 1
+    assert 0.4 <= pairs[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(doc_df):
+    from mirabelle_spark.pipeline import dedup
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             dedup.simhash_near_dups(doc_df, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert not any(3 in p for p in pairs)
+
+
+def test_ann_bruteforce_self_top1(spark):
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ann.brute_force_topk(emb, queries, k=1)
+    rows = {r.query_id: (r.vec_id, r.cosine) for r in top.collect()}
+    for qid, (vid, cos) in rows.items():
+        assert vid == qid  # nearest neighbor of a vector is itself
+        assert abs(cos - 1.0) < 1e-12
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in ann.brute_force_topk(emb, queries, k=1).collect()}
+    approx = {(r.query_id, r.vec_id) for r in
+              ann.lsh_bucketed_topk(emb, queries, k=1, planes=4, tables=4).collect()}
+    # self-match always lands in the same bucket → top-1 recall is 1
+    assert exact <= approx | exact and all((q, q) in approx for q, _ in exact)
+
+
+def test_text_analysis(spark):
+    from mirabelle_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat in the house"),
+            (1, "le chat est dans la maison pour la nuit"),
+            (2, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    tc = {r.doc_id: r.n_tokens for r in text.token_count(df).collect()}
+    assert tc == {0: 9, 1: 9, 2: 0}
+    lang = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert lang[0] == "en" and lang[1] == "fr" and lang[2] == "und"
+    q = {r.doc_id: r.quality for r in text.quality_score(df).collect()}
+    assert 0.0 <= q[2] < q[0] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    from mirabelle_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "goodbye")],
+        "doc_id bigint, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in text.fingerprint(df).collect()}
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_rolling_fingerprint_local_edit(spark):
+    from mirabelle_spark.pipeline import text
+
+    base = " ".join(f"w{i}" for i in range(100))
+    edited = base.replace("w50", "XX")  # local edit
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited)], "doc_id bigint, text string"
+    )
+    fp = {r.doc_id: r.rolling_fp for r in text.rolling_fingerprint(df).collect()}
+    assert fp[0] == fp[1]  # deterministic
+
+
+def test_multimodal_plumbing(spark):
+    from mirabelle_spark.pipeline import multimodal
+
+    df = spark.createDataFrame([(0, "payload-a"), (1, "payload-b")],
+                               "doc_id bigint, text string")
+    media = multimodal.attach_media(df, "text", "text/plain", "doc_id")
+    assert [f.dataType.simpleString() for f in media.schema.fields][1] == "binary"
+    feats = multimodal.extract_features(media, decoder="fake")
+    rows = {r.id: r for r in feats.collect()}
+    assert rows[0].n_bytes == 9
+    assert rows[0].sha256 == hashlib.sha256(b"payload-a").hexdigest()
+    assert len(rows[0].feature) == multimodal.FEATURE_DIM
+    # deterministic: same payload → same features
+    assert rows[0].feature != rows[1].feature
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decoder="real")
