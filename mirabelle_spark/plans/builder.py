@@ -1,0 +1,355 @@
+"""Compile an action tree into DataFrame lineage.
+
+The reference compiles an EDN tree ``{:action kw :params [...]
+:children (...)}`` into a tree of closures (``stream.clj:23-67``,
+registry ``action.clj:3037-3114``). Here the same tree folds into
+DataFrame transformations: each node applies its operator to the
+incoming DataFrame and passes the result to its children; fan-out
+children reuse one lineage (Catalyst dedupes the common prefix), and
+``tap`` leaves collect named result DataFrames — the golden-test
+surface (test.clj:41-82 semantics).
+
+Python trees use ``{"action": str, "params": list, "children":
+list}``. ``by`` is special-cased exactly like the reference
+(``stream.clj:38-44``): it doesn't transform rows, it threads
+grouping keys into every windowed/stateful descendant via the
+compile context.
+
+No optimizer pass lives here on purpose — the fold emits declarative
+DataFrame ops and Catalyst does the optimizing (predicate pushdown
+through our `where` nodes, projection pruning through `keep-keys`,
+etc.).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from mirabelle_spark.operators import aggregations as agg
+from mirabelle_spark.operators import filters as flt
+from mirabelle_spark.operators import stateful as st
+from mirabelle_spark.operators import transforms as tr
+from mirabelle_spark.operators import windows as win
+
+
+@dataclass
+class Ctx:
+    """Compile context threaded through the tree."""
+
+    by: tuple[str, ...] = ()
+    time_col: str = "time"
+    metric_col: str = "metric"
+    order_cols: tuple[str, ...] = ()
+    taps: dict[str, DataFrame] = field(default_factory=dict)
+    test_mode: bool = False
+
+
+def _tw(ctx: Ctx) -> dict:
+    return dict(by=list(ctx.by), time_col=ctx.time_col)
+
+
+# action name -> fn(df, ctx, *params) -> DataFrame (or None for sinks)
+_ACTIONS: dict[str, Callable] = {}
+
+
+def action(name: str):
+    def deco(fn):
+        _ACTIONS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_action(name: str, fn: Callable) -> None:
+    """User-supplied custom action (the reference's `custom`/
+    requiring-resolve surface, stream.clj:29-34)."""
+    _ACTIONS[name] = fn
+
+
+# -- filters ---------------------------------------------------------------
+
+action("where")(lambda df, ctx, cond: flt.where(df, cond))
+action("over")(lambda df, ctx, n: flt.over(df, n, ctx.metric_col))
+action("under")(lambda df, ctx, n: flt.under(df, n, ctx.metric_col))
+action("tagged-all")(lambda df, ctx, tags: flt.tagged_all(df, tags))
+action("expired")(
+    lambda df, ctx: flt.expired(df, ctx.time_col, arrival_cols=list(ctx.order_cols))
+)
+action("not-expired")(
+    lambda df, ctx: flt.not_expired(df, ctx.time_col, arrival_cols=list(ctx.order_cols))
+)
+action("throttle")(
+    lambda df, ctx, cfg: flt.throttle_batch(
+        df, cfg["count"], cfg["duration"], by=list(ctx.by), time_col=ctx.time_col,
+        order_cols=list(ctx.order_cols),
+    )
+)
+
+# -- transforms ------------------------------------------------------------
+
+action("with")(lambda df, ctx, fields: tr.with_fields(df, fields))
+action("default")(lambda df, ctx, fields: tr.default_fields(df, fields))
+action("sdissoc")(lambda df, ctx, keys: tr.sdissoc(df, keys))
+action("keep-keys")(lambda df, ctx, keys: tr.keep_keys(df, keys))
+action("rename-keys")(lambda df, ctx, m: tr.rename_keys(df, m))
+action("tag")(lambda df, ctx, tags: tr.tag(df, tags))
+action("untag")(lambda df, ctx, tags: tr.untag(df, tags))
+action("increment")(lambda df, ctx: tr.increment(df, ctx.metric_col))
+action("decrement")(lambda df, ctx: tr.decrement(df, ctx.metric_col))
+action("scale")(lambda df, ctx, f: tr.scale(df, f, ctx.metric_col))
+action("to-string")(lambda df, ctx, keys: tr.to_string(df, keys))
+action("sformat")(
+    lambda df, ctx, tmpl, target, fields: tr.sformat(df, tmpl, target, fields)
+)
+action("to-base64")(lambda df, ctx, keys: tr.to_base64(df, keys))
+action("from-base64")(lambda df, ctx, keys: tr.from_base64(df, keys))
+action("from-json")(
+    lambda df, ctx, key, schema, *t: tr.from_json(df, key, schema, *(t or ()))
+)
+action("extract")(lambda df, ctx, key: tr.extract(df, key))
+action("iterate-on")(lambda df, ctx, key: tr.iterate_on(df, key))
+action("sflatten")(lambda df, ctx, col="events": tr.sflatten(df, col))
+action("custom")(lambda df, ctx, name, *a: _ACTIONS[name](df, ctx, *a))
+
+# -- windows ---------------------------------------------------------------
+
+action("fixed-time-window")(
+    lambda df, ctx, cfg: win.fixed_time_window(df, cfg["duration"], **_tw(ctx))
+)
+action("fixed-event-window")(
+    lambda df, ctx, cfg: win.fixed_event_window(
+        df, cfg["size"], by=list(ctx.by), time_col=ctx.time_col,
+        order_cols=list(ctx.order_cols),
+    )
+)
+action("moving-event-window")(
+    lambda df, ctx, cfg: win.moving_event_window(
+        df, cfg["size"], by=list(ctx.by), time_col=ctx.time_col,
+        order_cols=list(ctx.order_cols),
+    )
+)
+action("moving-time-window")(
+    lambda df, ctx, cfg: win.moving_time_window(df, cfg["duration"], **_tw(ctx))
+)
+action("ssort")(
+    lambda df, ctx, cfg: win.ssort(df, cfg["duration"], cfg["field"], **_tw(ctx))
+)
+action("coalesce")(
+    lambda df, ctx, cfg: win.coalesce_op(
+        df, cfg["duration"], cfg["fields"], time_col=ctx.time_col,
+        order_cols=list(ctx.order_cols),
+    )
+)
+action("project")(
+    lambda df, ctx, conds, cfg=None: win.project(
+        df, conds, (cfg or {}).get("duration", 60.0), time_col=ctx.time_col,
+        metric_col=ctx.metric_col, order_cols=list(ctx.order_cols),
+    )
+)
+
+# -- aggregations ----------------------------------------------------------
+
+
+def _aggk(ctx: Ctx) -> dict:
+    return dict(by=list(ctx.by), time_col=ctx.time_col, metric_col=ctx.metric_col)
+
+
+action("sum")(lambda df, ctx, cfg: agg.agg_sum(df, cfg["duration"], **_aggk(ctx)))
+action("mean")(lambda df, ctx, cfg: agg.agg_mean(df, cfg["duration"], **_aggk(ctx)))
+action("top")(
+    lambda df, ctx, cfg: agg.agg_top(
+        df, cfg["duration"], **_aggk(ctx), order_cols=list(ctx.order_cols)
+    )
+)
+action("bottom")(
+    lambda df, ctx, cfg: agg.agg_bottom(
+        df, cfg["duration"], **_aggk(ctx), order_cols=list(ctx.order_cols)
+    )
+)
+action("rate")(
+    lambda df, ctx, cfg: agg.agg_rate(
+        df, cfg["duration"], by=list(ctx.by), time_col=ctx.time_col
+    )
+)
+action("ratio")(
+    lambda df, ctx, conds, cfg: agg.agg_ratio(
+        df, conds[0], conds[1], cfg["duration"], by=list(ctx.by),
+        time_col=ctx.time_col, metric_col=ctx.metric_col,
+        use_metric=cfg.get("metric", False),
+    )
+)
+action("percentiles")(
+    lambda df, ctx, cfg: agg.agg_percentiles(
+        df, cfg["quantiles"], cfg["duration"], **_aggk(ctx)
+    )
+)
+for _name, _fn in {
+    "coll-count": agg.coll_count,
+    "coll-sum": agg.coll_sum,
+    "coll-mean": agg.coll_mean,
+    "coll-max": agg.coll_max,
+    "coll-min": agg.coll_min,
+    "coll-rate": agg.coll_rate,
+}.items():
+    if _fn in (agg.coll_count,):
+        action(_name)(
+            lambda df, ctx, cfg, f=_fn: f(
+                df, cfg["duration"], by=list(ctx.by), time_col=ctx.time_col
+            )
+        )
+    else:
+        action(_name)(lambda df, ctx, cfg, f=_fn: f(df, cfg["duration"], **_aggk(ctx)))
+action("coll-quotient")(
+    lambda df, ctx, cfg: agg.coll_quotient(
+        df, cfg["duration"], **_aggk(ctx), order_cols=list(ctx.order_cols)
+    )
+)
+action("coll-percentiles")(
+    lambda df, ctx, cfg: agg.coll_percentiles(
+        df, cfg["quantiles"], cfg["duration"], **_aggk(ctx)
+    )
+)
+action("coll-top")(
+    lambda df, ctx, cfg: agg.coll_top(
+        df, cfg["nb"], cfg["duration"], **_aggk(ctx),
+        order_cols=list(ctx.order_cols),
+    )
+)
+action("coll-bottom")(
+    lambda df, ctx, cfg: agg.coll_bottom(
+        df, cfg["nb"], cfg["duration"], **_aggk(ctx),
+        order_cols=list(ctx.order_cols),
+    )
+)
+action("coll-increase")(
+    lambda df, ctx, cfg=None: agg.coll_increase(
+        df, (cfg or {}).get("duration", 60.0), **_aggk(ctx),
+        order_cols=list(ctx.order_cols),
+    )
+)
+action("coll-sort")(
+    lambda df, ctx, f: agg.coll_sort(df, f, 60.0, by=list(ctx.by), time_col=ctx.time_col)
+)
+action("ewma-timeless")(
+    lambda df, ctx, r: agg.ewma_timeless(
+        df, r, by=list(ctx.by), time_col=ctx.time_col, metric_col=ctx.metric_col,
+        order_cols=list(ctx.order_cols),
+    )
+)
+
+# -- stateful --------------------------------------------------------------
+
+
+def _stk(ctx: Ctx) -> dict:
+    return dict(by=list(ctx.by), time_col=ctx.time_col, order_cols=list(ctx.order_cols))
+
+
+action("changed")(
+    lambda df, ctx, cfg: st.changed(df, cfg["field"], cfg.get("init"), **_stk(ctx))
+)
+action("ddt")(lambda df, ctx: st.ddt(df, metric_col=ctx.metric_col, **_stk(ctx)))
+action("ddt-pos")(lambda df, ctx: st.ddt_pos(df, metric_col=ctx.metric_col, **_stk(ctx)))
+action("smax")(lambda df, ctx: st.smax(df, metric_col=ctx.metric_col, **_stk(ctx)))
+action("smin")(lambda df, ctx: st.smin(df, metric_col=ctx.metric_col, **_stk(ctx)))
+action("above-dt")(
+    lambda df, ctx, cfg: st.above_dt(
+        df, cfg["threshold"], cfg["duration"], metric_col=ctx.metric_col, **_stk(ctx)
+    )
+)
+action("below-dt")(
+    lambda df, ctx, cfg: st.below_dt(
+        df, cfg["threshold"], cfg["duration"], metric_col=ctx.metric_col, **_stk(ctx)
+    )
+)
+action("between-dt")(
+    lambda df, ctx, cfg: st.between_dt(
+        df, cfg["low"], cfg["high"], cfg["duration"], metric_col=ctx.metric_col,
+        **_stk(ctx),
+    )
+)
+action("outside-dt")(
+    lambda df, ctx, cfg: st.outside_dt(
+        df, cfg["low"], cfg["high"], cfg["duration"], metric_col=ctx.metric_col,
+        **_stk(ctx),
+    )
+)
+action("critical-dt")(
+    lambda df, ctx, cfg: st.critical_dt(df, cfg["duration"], **_stk(ctx))
+)
+action("stable")(
+    lambda df, ctx, dt, fieldname: st.stable(df, dt, fieldname, **_stk(ctx))
+)
+
+# -- structural / sinks ----------------------------------------------------
+
+action("sdo")(lambda df, ctx: df)
+action("io")(lambda df, ctx: df)
+action("async-queue!")(lambda df, ctx, *a: df)  # Spark parallelism replaces pools
+
+
+def compile_stream(
+    df: DataFrame,
+    tree: dict | list,
+    ctx: Ctx | None = None,
+) -> Ctx:
+    """Fold an action tree over a source DataFrame; returns the
+    context whose ``taps`` hold every named leaf DataFrame."""
+    ctx = ctx or Ctx()
+    _walk(df, tree, ctx)
+    return ctx
+
+
+def build_stream(df: DataFrame, tree: dict | list, **ctx_kw) -> dict[str, DataFrame]:
+    """Convenience: compile and return the taps dict."""
+    return compile_stream(df, tree, Ctx(**ctx_kw)).taps
+
+
+def _walk(df: DataFrame, node: dict | list, ctx: Ctx) -> None:
+    if isinstance(node, list):
+        for child in node:
+            _walk(df, child, ctx)
+        return
+    name = node["action"]
+    params = node.get("params", [])
+    children = node.get("children", [])
+
+    if name == "by":
+        # stream.clj:38-44: fork per key-tuple = thread grouping keys
+        # into every windowed/stateful descendant
+        sub = replace(ctx, by=ctx.by + tuple(params[0]["fields"]))
+        for child in children:
+            _walk(df, child, sub)
+        ctx.taps.update(sub.taps)
+        return
+    if name == "split":
+        # params: [[cond1, cond2, ...], default?] — children align with conds
+        conds = params[0]
+        branches = [(c, f"__b{i}__") for i, c in enumerate(conds)]
+        default_name = "__default__" if len(children) > len(conds) else None
+        routed = flt.split_branches(df, branches, default=default_name)
+        for i, child in enumerate(children):
+            key = f"__b{i}__" if i < len(conds) else "__default__"
+            _walk(routed[key], child, ctx)
+        return
+    if name == "tap":
+        tap_name = params[0]
+        ctx.taps[tap_name] = df
+        return
+    if name in ("debug", "info", "error"):
+        # log sinks: in batch/test mode they are taps named by level
+        ctx.taps.setdefault(f"__{name}__", df)
+        return
+    if name == "output!":
+        # outputs are discarded in test mode (action.clj:693-694)
+        if not ctx.test_mode:
+            ctx.taps[f"output:{params[0]}"] = df
+        return
+
+    if name not in _ACTIONS:
+        raise ValueError(f"unknown action {name!r}")
+    out = _ACTIONS[name](df, ctx, *params)
+    for child in children:
+        _walk(out, child, ctx)

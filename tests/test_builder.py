@@ -1,0 +1,135 @@
+"""DSL builder + golden harness (reference stream.clj compile path +
+test.clj golden format)."""
+
+
+def test_linear_pipeline(make_events):
+    from mirabelle_spark.plans import build_stream
+
+    df = make_events(
+        [
+            {"time": 1, "metric": 5, "service": "api"},
+            {"time": 2, "metric": 50, "service": "api"},
+            {"time": 3, "metric": 50, "service": "other"},
+        ]
+    )
+    tree = {
+        "action": "where",
+        "params": [[":=", "service", "api"]],
+        "children": [
+            {
+                "action": "scale",
+                "params": [2.0],
+                "children": [{"action": "tap", "params": ["out"]}],
+            }
+        ],
+    }
+    taps = build_stream(df, tree, order_cols=("seq",))
+    assert sorted(r.metric for r in taps["out"].collect()) == [10.0, 100.0]
+
+
+def test_by_threads_grouping_keys(make_events):
+    from mirabelle_spark.plans import build_stream
+
+    df = make_events(
+        [
+            {"time": 1, "metric": 1, "host": "a"},
+            {"time": 2, "metric": 2, "host": "a"},
+            {"time": 3, "metric": 10, "host": "b"},
+        ]
+    )
+    tree = {
+        "action": "by",
+        "params": [{"fields": ["host"]}],
+        "children": [
+            {
+                "action": "sum",
+                "params": [{"duration": 60.0}],
+                "children": [{"action": "tap", "params": ["sums"]}],
+            }
+        ],
+    }
+    taps = build_stream(df, tree, order_cols=("seq",))
+    got = {(r.host, r.metric) for r in taps["sums"].collect()}
+    assert got == {("a", 3.0), ("b", 10.0)}
+
+
+def test_split_fanout(make_events):
+    from mirabelle_spark.plans import build_stream
+
+    df = make_events([{"time": 1, "metric": 100}, {"time": 2, "metric": 1}])
+    tree = {
+        "action": "split",
+        "params": [[[":>", "metric", 50]]],
+        "children": [
+            {"action": "tap", "params": ["hi"]},
+            {"action": "tap", "params": ["rest"]},  # default branch
+        ],
+    }
+    taps = build_stream(df, tree, order_cols=("seq",))
+    assert [r.metric for r in taps["hi"].collect()] == [100.0]
+    assert [r.metric for r in taps["rest"].collect()] == [1.0]
+
+
+def test_fanout_shares_lineage(make_events):
+    from mirabelle_spark.plans import build_stream
+
+    df = make_events([{"time": 1, "metric": 5}])
+    tree = {
+        "action": "sdo",
+        "params": [],
+        "children": [
+            {"action": "increment", "params": [],
+             "children": [{"action": "tap", "params": ["plus"]}]},
+            {"action": "decrement", "params": [],
+             "children": [{"action": "tap", "params": ["minus"]}]},
+        ],
+    }
+    taps = build_stream(df, tree)
+    assert taps["plus"].collect()[0].metric == 6.0
+    assert taps["minus"].collect()[0].metric == 4.0
+
+
+def test_custom_action_registration(make_events):
+    from mirabelle_spark.plans import build_stream
+    from mirabelle_spark.plans.builder import register_action
+
+    register_action("halve", lambda df, ctx: df.withColumn("metric", df.metric / 2))
+    df = make_events([{"time": 1, "metric": 8}])
+    tree = {"action": "halve", "params": [],
+            "children": [{"action": "tap", "params": ["t"]}]}
+    assert build_stream(df, tree)["t"].collect()[0].metric == 4.0
+
+
+def test_golden_case(spark):
+    from mirabelle_spark.golden import assert_case
+
+    assert_case(
+        spark,
+        {
+            "input": [
+                {"time": 1, "metric": 120, "service": "http"},
+                {"time": 2, "metric": 10, "service": "http"},
+                {"time": 3, "metric": 200, "service": "other"},
+            ],
+            "tree": {
+                "action": "where",
+                "params": [[":=", "service", "http"]],
+                "children": [
+                    {
+                        "action": "over",
+                        "params": [100],
+                        "children": [
+                            {
+                                "action": "with",
+                                "params": [{"state": "critical"}],
+                                "children": [{"action": "tap", "params": ["alerts"]}],
+                            }
+                        ],
+                    }
+                ],
+            },
+            "taps": {
+                "alerts": [{"metric": 120.0, "service": "http", "state": "critical"}]
+            },
+        },
+    )

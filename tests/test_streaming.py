@@ -1,0 +1,103 @@
+"""Batch/streaming parity (SURVEY §2.8): the streaming twins produce
+the batch results over the same finite input via availableNow."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="mirabelle_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_input(path: str) -> list[dict]:
+    rows = [
+        {"time": "2024-01-01T00:00:01", "metric": 1.0, "host": "a"},
+        {"time": "2024-01-01T00:00:30", "metric": 2.0, "host": "a"},
+        {"time": "2024-01-01T00:01:10", "metric": 10.0, "host": "b"},
+    ]
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return rows
+
+
+def test_stream_agg_sum_parity(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "in")
+    _write_input(src_dir)
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    agg = stx.stream_agg(stream, "sum", 60.0, by=["host"], time_col="time")
+    q = stx.to_memory(agg, "sum_test", output_mode="complete")
+    q.awaitTermination(60)
+    got = {
+        (r.host, r.window_start): r.metric
+        for r in spark.sql("select * from sum_test").collect()
+    }
+    base = 1704067200.0  # 2024-01-01T00:00:00 UTC
+    assert got == {
+        ("a", base): 3.0,
+        ("b", base + 60): 10.0,
+    }
+
+
+def test_stream_fixed_time_window_parity(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "in2")
+    _write_input(src_dir)
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    win = stx.stream_fixed_time_window(stream, 60.0, delay_s=5.0, time_col="time")
+    q = stx.to_memory(win, "ftw_test", output_mode="complete")
+    q.awaitTermination(60)
+    rows = spark.sql("select * from ftw_test").collect()
+    got = {r.window_start: [e.metric for e in r.events] for r in rows}
+    base = 1704067200.0
+    assert got[base] == [1.0, 2.0]
+    assert got[base + 60] == [10.0]
+
+
+def test_stream_json_file_sink(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "in3")
+    _write_input(src_dir)
+    out_dir = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    q = stx.to_json_files(stream, out_dir, ckpt, partition_by=["host"])
+    q.awaitTermination(60)
+    written = spark.read.json(os.path.join(out_dir, "host=a"))
+    assert written.count() == 2
+
+
+def test_stream_dedup_within_watermark(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "in4")
+    os.makedirs(src_dir)
+    rows = [
+        {"time": "2024-01-01T00:00:01", "metric": 1.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": 1.0, "host": "a"},  # dup host
+        {"time": "2024-01-01T00:00:03", "metric": 2.0, "host": "b"},
+    ]
+    with open(os.path.join(src_dir, "p.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    deduped = stx.stream_dedup(stream, ["host"], within_s=3600)
+    q = stx.to_memory(deduped, "dedup_test")
+    q.awaitTermination(60)
+    assert spark.sql("select count(*) c from dedup_test").collect()[0].c == 2
