@@ -353,3 +353,35 @@ def _walk(df: DataFrame, node: dict | list, ctx: Ctx) -> None:
     out = _ACTIONS[name](df, ctx, *params)
     for child in children:
         _walk(out, child, ctx)
+
+
+def load_tree(path: str, variables: dict | None = None, profile: str | None = None):
+    """``include`` (action.clj:2230-2277): load an action tree from a
+    JSON file at DSL-compile time, substituting ``{"var": name}``
+    placeholders from ``variables`` (+ an optional profile overlay in
+    the file's "profiles" key). Pure config-layer templating — the
+    compiled tree is indistinguishable from an inline one."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    tree = doc["tree"] if isinstance(doc, dict) and "tree" in doc else doc
+    merged = dict(variables or {})
+    if profile and isinstance(doc, dict):
+        merged.update(doc.get("profiles", {}).get(profile, {}))
+
+    def subst(node):
+        if isinstance(node, dict):
+            if set(node) == {"var"}:
+                if node["var"] not in merged:
+                    raise KeyError(f"include: unbound variable {node['var']!r}")
+                return merged[node["var"]]
+            return {k: subst(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [subst(x) for x in node]
+        return node
+
+    return subst(tree)
+
+
+_ACTIONS["include"] = lambda df, ctx, path, vars=None: df  # resolved pre-compile

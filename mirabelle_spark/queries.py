@@ -1074,3 +1074,153 @@ def ewma_smoothed(spark, sf):
         order_cols=["event_id"],
     )
     return e.select("event_id", "value")
+
+
+@q(
+    "below_dt_alert",
+    _COND_DT_ORACLE.format(cond="(value < 200)", dt_us=2 * 3600 * 1_000_000),
+)
+def below_dt_alert(spark, sf):
+    return st.below_dt(
+        events(spark, sf),
+        threshold=200,
+        dt_s=2 * HOUR,
+        metric_col="value",
+        by=["user_id"],
+        time_col="ts",
+        order_cols=["event_id"],
+    ).select("event_id")
+
+
+@q(
+    "between_dt_alert",
+    _COND_DT_ORACLE.format(
+        cond="(value > 10 AND value < 300)", dt_us=2 * 3600 * 1_000_000
+    ),
+)
+def between_dt_alert(spark, sf):
+    return st.between_dt(
+        events(spark, sf),
+        low=10,
+        high=300,
+        dt_s=2 * HOUR,
+        metric_col="value",
+        by=["user_id"],
+        time_col="ts",
+        order_cols=["event_id"],
+    ).select("event_id")
+
+
+@q(
+    "critical_dt_alert",
+    _COND_DT_ORACLE.format(
+        cond="(CASE WHEN value > 100 THEN 'critical' ELSE 'ok' END = 'critical')",
+        dt_us=3600 * 1_000_000,
+    ),
+)
+def critical_dt_alert(spark, sf):
+    df = events(spark, sf).withColumn(
+        "state", F.when(F.col("value") > 100, "critical").otherwise("ok")
+    )
+    return st.critical_dt(
+        df, dt_s=HOUR, by=["user_id"], time_col="ts", order_cols=["event_id"]
+    ).select("event_id")
+
+
+@q(
+    "coll_where_inside_window",
+    f"""
+SELECT {WS_HOUR} AS window_start,
+       CAST(count(*) FILTER (WHERE value > 100) AS INT) AS n_kept
+FROM events GROUP BY 1
+""",
+)
+def coll_where_inside_window(spark, sf):
+    src = events(spark, sf).select("ts", "value")
+    w = win.fixed_time_window(src, HOUR, by=[], time_col="ts", event_cols=["value"])
+    filtered = flt.coll_where(w, "events", "x.value > 100")
+    return filtered.select("window_start", F.size("events").alias("n_kept"))
+
+
+@q(
+    "coll_sum_hourly",
+    f"SELECT user_id, {WS_HOUR} AS window_start, {_SUM_DEC} AS metric "
+    "FROM events GROUP BY user_id, 2",
+)
+def coll_sum_hourly(spark, sf):
+    return agg.coll_sum(
+        events(spark, sf), HOUR, by=["user_id"], time_col="ts", metric_col="value"
+    )
+
+
+@q(
+    "coll_mean_hourly",
+    f"SELECT user_id, {WS_HOUR} AS window_start, {_SUM_DEC} / count(*) AS metric "
+    "FROM events GROUP BY user_id, 2",
+)
+def coll_mean_hourly(spark, sf):
+    return agg.coll_mean(
+        events(spark, sf), HOUR, by=["user_id"], time_col="ts", metric_col="value"
+    )
+
+
+@q(
+    "coll_percentiles_hourly",
+    f"""
+WITH w AS (
+  SELECT {WS_HOUR} AS window_start, list(value ORDER BY value) AS m
+  FROM events GROUP BY 1
+), qs AS (SELECT unnest([0.25, 0.75]) AS quantile)
+SELECT window_start, quantile,
+       m[CAST(least(len(m) - 1, CAST(floor(len(m) * quantile) AS BIGINT)) AS BIGINT) + 1]
+         AS metric
+FROM w, qs
+""",
+)
+def coll_percentiles_hourly(spark, sf):
+    return agg.coll_percentiles(
+        events(spark, sf), [0.25, 0.75], HOUR, by=[], time_col="ts",
+        metric_col="value",
+    )
+
+
+@q(
+    "dsl_pipeline",
+    f"""
+SELECT user_id, {WS_DAY} AS window_start, {_SUM_DEC} AS metric
+FROM (SELECT user_id, ts, value * 2 AS value FROM events WHERE event_type = 'error')
+GROUP BY user_id, 2
+""",
+)
+def dsl_pipeline(spark, sf):
+    """End-to-end through the DSL compiler: where → scale → by → sum."""
+    from mirabelle_spark.plans import build_stream
+
+    src = events(spark, sf)
+    tree = {
+        "action": "where",
+        "params": [[":=", "event_type", "error"]],
+        "children": [
+            {
+                "action": "scale",
+                "params": [2.0],
+                "children": [
+                    {
+                        "action": "by",
+                        "params": [{"fields": ["user_id"]}],
+                        "children": [
+                            {
+                                "action": "sum",
+                                "params": [{"duration": DAY}],
+                                "children": [{"action": "tap", "params": ["out"]}],
+                            }
+                        ],
+                    }
+                ],
+            }
+        ],
+    }
+    taps = build_stream(
+        src, tree, time_col="ts", metric_col="value", order_cols=("event_id",)
+    )
+    return taps["out"]

@@ -133,3 +133,25 @@ def test_golden_case(spark):
             },
         },
     )
+
+
+def test_include_with_variables(make_events, tmp_path):
+    import json
+
+    from mirabelle_spark.plans import build_stream
+    from mirabelle_spark.plans.builder import load_tree
+
+    p = tmp_path / "stream.json"
+    p.write_text(json.dumps({
+        "tree": {
+            "action": "where",
+            "params": [[":>", "metric", {"var": "threshold"}]],
+            "children": [{"action": "tap", "params": ["out"]}],
+        },
+        "profiles": {"prod": {"threshold": 100}},
+    }))
+    df = make_events([{"time": 1, "metric": 50}, {"time": 2, "metric": 150}])
+    tree = load_tree(str(p), variables={"threshold": 10})
+    assert build_stream(df, tree)["out"].count() == 2
+    tree_prod = load_tree(str(p), profile="prod")
+    assert build_stream(df, tree_prod)["out"].count() == 1

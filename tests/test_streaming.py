@@ -101,3 +101,26 @@ def test_stream_dedup_within_watermark(spark, tmpdir):
     q = stx.to_memory(deduped, "dedup_test")
     q.awaitTermination(60)
     assert spark.sql("select count(*) c from dedup_test").collect()[0].c == 2
+
+
+def test_stream_changed_keyed_state(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "in5")
+    os.makedirs(src_dir)
+    rows = [
+        {"time": "2024-01-01T00:00:01", "state": "ok", "host": "a"},
+        {"time": "2024-01-01T00:00:02", "state": "ok", "host": "a"},
+        {"time": "2024-01-01T00:00:03", "state": "critical", "host": "a"},
+        {"time": "2024-01-01T00:00:04", "state": "ok", "host": "b"},
+    ]
+    with open(os.path.join(src_dir, "p.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "time timestamp, state string, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    changed = stx.stream_changed(stream, "state", by=["host"], time_col="time")
+    q = stx.to_memory(changed, "chg_test")
+    q.awaitTermination(60)
+    got = sorted((r.host, r.state) for r in spark.sql("select * from chg_test").collect())
+    assert got == [("a", "critical"), ("a", "ok"), ("b", "ok")]
