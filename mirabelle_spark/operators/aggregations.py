@@ -440,7 +440,8 @@ def ewma_timeless(
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         m = 0.0
         out = []
-        for x in pdf[metric_col]:
+        # .tolist(): plain-float loop is ~5x faster than Series iteration
+        for x in pdf[metric_col].tolist():
             if x is None or (isinstance(x, float) and x != x):
                 out.append(None)
             else:

@@ -206,7 +206,7 @@ def throttle_batch(
         anchor = None
         n = 0
         keep = []
-        for tv in tvals:
+        for tv in tvals.tolist():
             if anchor is None or tv >= anchor + dur_us:
                 anchor, n = tv, 1
                 keep.append(True)

@@ -182,3 +182,46 @@ def custom(df: DataFrame, name: str, *args, **kwargs) -> DataFrame:
     if name not in _CUSTOM_ACTIONS:
         raise KeyError(f"unknown custom action {name!r}")
     return _CUSTOM_ACTIONS[name](df, *args, **kwargs)
+
+
+def exception_stream(df: DataFrame, row_fn, error_cols: Sequence[str] = ()):
+    """``exception-stream`` (action.clj:1789-1827): run a risky
+    per-row transform; rows that raise become error events on a
+    second stream instead of failing the job.
+
+    The reference wraps a child action in per-event try/catch. The
+    Spark analog: an Arrow-batched mapInPandas that routes each row
+    to an ok or error channel; returns (ok_df, error_df) where the
+    error stream carries the original row plus an ``error`` message
+    column (the reference's exception→event conversion).
+
+    ``row_fn(dict) -> dict`` must return values matching the input
+    schema. This is the slow path by design — use it only around
+    genuinely fallible user logic (the reference says the same).
+    """
+    import pandas as pd
+
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+    out_schema = (
+        schema.simpleString()[7:-1]  # strip struct<...>
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            oks, errs = [], []
+            for rec in pdf.to_dict("records"):
+                try:
+                    out = row_fn(dict(rec))
+                    oks.append({**rec, **out, "__error__": None})
+                except Exception as e:  # noqa: BLE001
+                    errs.append({**rec, "__error__": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(oks + errs, columns=[*cols, "__error__"])
+
+    tagged_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    tagged = df.mapInPandas(_run, schema=f"{tagged_schema}, __error__ string")
+    ok_df = tagged.filter(F.col("__error__").isNull()).drop("__error__")
+    err_df = tagged.filter(F.col("__error__").isNotNull()).withColumnRenamed(
+        "__error__", "error"
+    )
+    return ok_df, err_df

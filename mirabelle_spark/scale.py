@@ -1,0 +1,79 @@
+"""Scale utilities: skew handling, co-location, partition sizing.
+
+Nothing here changes semantics — these are the knobs you reach for
+when a correct plan meets a 100 TB key distribution. Kept as a
+separate module so operators stay declarative and the scale policy
+is explicit at the call site.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    salt_buckets: int = 32,
+    out: str = "metric",
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys: partial sum on
+    (keys, salt) — spreading one hot key over ``salt_buckets``
+    reducers — then final sum on keys. Decimal-exact, so the result
+    is identical to the unsalted aggregate.
+
+    Use when one key holds a large share of rows (AQE's skew-join
+    handling covers joins, not aggregations). For uniform keys the
+    extra stage only costs a second small shuffle.
+    """
+    salt = (F.xxhash64(F.monotonically_increasing_id()) % salt_buckets).alias("__salt__")
+    partial = (
+        df.select(*[F.col(k) for k in keys], value.alias("__v__"), salt)
+        .groupBy(*keys, "__salt__")
+        .agg(F.sum(F.col("__v__").cast("decimal(38,9)")).alias("__p__"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("__p__").cast("double").alias(out))
+    )
+
+
+def colocate(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-partition both join sides on the same keys so the join
+    (and any subsequent groupBy on those keys) reuses one exchange.
+    On a real cluster prefer writing bucketed tables
+    (``bucketBy(n, *keys).sortBy(*keys)``) so the shuffle is paid
+    once at write time, not per query."""
+    if partitions:
+        return (
+            left.repartition(partitions, *keys),
+            right.repartition(partitions, *keys),
+        )
+    return left.repartition(*keys), right.repartition(*keys)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: Sequence[str], buckets: int = 256
+) -> None:
+    """Persist as a bucketed+sorted table: co-located, shuffle-free
+    joins/aggregations on ``keys`` for every later query."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
+def partition_count_for(total_bytes: int, target_mb: int = 256) -> int:
+    """Partitions sized so each holds ~target_mb (the shuffle-spill
+    sweet spot); clamp to at least 2x default parallelism."""
+    import math
+
+    return max(64, math.ceil(total_bytes / (target_mb * 1024 * 1024)))

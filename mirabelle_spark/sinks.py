@@ -147,3 +147,64 @@ def pagerduty_sink(
     )
     for row in shaped.toLocalIterator():
         transport("https://events.pagerduty.com/v2/enqueue", [row.asDict()])
+
+
+def prometheus_remote_write_shape(
+    df: DataFrame,
+    name_col: str = "name",
+    metric_col: str = "metric",
+    time_col: str = "time",
+    attrs_col: str = "attributes",
+) -> DataFrame:
+    """Prometheus remote-write OUTPUT shape (prometheus.clj:32-65 +
+    batcher output/batch.clj:12-68): group events into
+    WriteRequest-shaped rows — one timeseries per label set with its
+    samples (value, ms timestamp). The snappy+protobuf encode and
+    POST belong to the injected transport; in streaming the batcher
+    is `trigger(processingTime='5 seconds')` (Spark IS the batcher)."""
+    labels = F.map_concat(
+        F.create_map(F.lit("__name__"), F.col(name_col)),
+        F.coalesce(F.col(attrs_col), F.create_map().cast("map<string,string>")),
+    )
+    keyed = df.select(
+        labels.alias("__labels__"),
+        F.struct(
+            F.col(metric_col).alias("value"),
+            (F.unix_micros(F.col(time_col)) / F.lit(1000)).cast("bigint").alias(
+                "timestamp"
+            ),
+        ).alias("__sample__"),
+    )
+    return keyed.groupBy("__labels__").agg(
+        F.sort_array(F.collect_list("__sample__")).alias("samples")
+    ).select(
+        F.map_entries("__labels__").alias("labels"), "samples"
+    )
+
+
+# -- pub/sub (publish!, action.clj:1983-2005 + pubsub.clj:5-30) -------------
+
+_CHANNELS: dict[str, list] = {}
+
+
+def publish(df: DataFrame, channel: str, test_mode: bool = False) -> None:
+    """``publish!``: push the batch to an in-memory channel; no-op in
+    test mode (the reference discards publish in tests too). The
+    websocket layer of the reference is out of engine scope — a
+    subscriber here is any consumer of :func:`subscribe`."""
+    if test_mode:
+        return
+    _CHANNELS.setdefault(channel, []).append(df)
+
+
+def subscribe(channel: str, condition=None) -> list[DataFrame]:
+    """Read a channel's published batches, optionally filtered by a
+    condition vector (the `?query=<condition>` websocket filter,
+    transport/websocket.clj:47-60)."""
+    from mirabelle_spark.conditions import compile_condition
+
+    batches = _CHANNELS.get(channel, [])
+    if condition is None:
+        return list(batches)
+    c = compile_condition(condition)
+    return [b.filter(c) for b in batches]

@@ -1,0 +1,33 @@
+"""Scale utilities: salted aggregation equals the plain aggregate."""
+
+
+def test_salted_sum_matches_plain(spark, make_events):
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark import scale
+
+    # heavy skew: one hot key with 500 rows, one cold key with 3
+    rows = [{"time": i, "metric": 1.5, "host": "hot"} for i in range(500)]
+    rows += [{"time": i, "metric": 2.0, "host": "cold"} for i in range(3)]
+    df = make_events(rows)
+    salted = scale.salted_sum(df, ["host"], F.col("metric"), salt_buckets=8)
+    got = {r.host: r.metric for r in salted.collect()}
+    assert got == {"hot": 750.0, "cold": 6.0}
+
+
+def test_colocate_repartitions_both_sides(make_events):
+    from mirabelle_spark import scale
+
+    a = make_events([{"time": 1, "host": "x", "metric": 1}])
+    b = make_events([{"time": 1, "host": "x", "metric": 2}])
+    ra, rb = scale.colocate(a, b, ["host"], partitions=4)
+    assert ra.rdd.getNumPartitions() == 4 == rb.rdd.getNumPartitions()
+    joined = ra.join(rb.select("host"), "host")
+    assert joined.count() == 1
+
+
+def test_partition_count_for():
+    from mirabelle_spark import scale
+
+    assert scale.partition_count_for(100 * 1024**3, target_mb=256) == 400
+    assert scale.partition_count_for(1024) == 64  # clamped floor

@@ -58,3 +58,50 @@ def test_plan_dot_export(make_events):
     df = make_events([{"time": 1, "metric": 1}]).filter("metric > 0")
     dot = sinks.plan_dot(df)
     assert dot.startswith("digraph plan {") and "n0" in dot
+
+
+def test_prometheus_remote_write_shape(make_events):
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark import sinks
+
+    df = make_events(
+        [
+            {"time": 1, "metric": 1.5, "service": "cpu"},
+            {"time": 2, "metric": 2.5, "service": "cpu"},
+            {"time": 3, "metric": 9.0, "service": "mem"},
+        ]
+    ).withColumn("name", F.col("service")).withColumn(
+        "attributes", F.create_map(F.lit("host"), F.lit("h1"))
+    )
+    shaped = sinks.prometheus_remote_write_shape(df)
+    rows = {tuple(sorted((e.key, e.value) for e in r.labels)): r.samples
+            for r in shaped.collect()}
+    cpu = rows[(("__name__", "cpu"), ("host", "h1"))]
+    assert [s.value for s in cpu] == [1.5, 2.5]
+    assert cpu[0].timestamp == 1000  # ms
+
+
+def test_publish_subscribe(make_events):
+    from mirabelle_spark import sinks
+
+    df = make_events([{"time": 1, "metric": 5}, {"time": 2, "metric": 50}])
+    sinks.publish(df, "alerts", test_mode=True)
+    assert sinks.subscribe("alerts") == []  # discarded in test mode
+    sinks.publish(df, "alerts")
+    got = sinks.subscribe("alerts", condition=[":>", "metric", 10])
+    assert len(got) == 1 and got[0].count() == 1
+
+
+def test_exception_stream(make_events):
+    from mirabelle_spark.operators.transforms import exception_stream
+
+    df = make_events([{"time": 1, "metric": 4}, {"time": 2, "metric": 0}])
+
+    def risky(rec):
+        return {"metric": 10.0 / rec["metric"]}
+
+    ok, err = exception_stream(df, risky)
+    assert [r.metric for r in ok.collect()] == [2.5]
+    errs = err.collect()
+    assert len(errs) == 1 and "ZeroDivisionError" in errs[0].error
