@@ -28,19 +28,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mirabelle_spark import queries as qmod
+    from mirabelle_spark import queries_analytics as amod
     from mirabelle_spark import queries_pipeline as pmod
 
     out: dict[str, Callable] = {}
     out.update(qmod.QUERIES)
     out.update(pmod.QUERIES)
+    out.update(amod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from mirabelle_spark import queries as qmod
+    from mirabelle_spark import queries_analytics as amod
     from mirabelle_spark import queries_pipeline as pmod
 
     out: dict[str, str] = {}
     out.update(qmod.ORACLES)
     out.update(pmod.ORACLES)
+    out.update(amod.ORACLES)
     return out

@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_exact_docs",       # hash dedup
     "minhash_lsh_pairs",      # LSH banding + equi-join
     "ann_bruteforce_topk",    # broadcast + fold dot products
+    "tpch_pricing_summary",   # full-scan rollup (decimal-exact)
+    "revenue_by_nation",      # star join: 2 shuffle + 2 broadcast joins
 ]
 
 

@@ -1,0 +1,222 @@
+"""General-analytics queries over the TPC-H-ish star schema.
+
+The reference has no joins (SURVEY §2.5: correlation only via
+coalesce/project/by) — Spark gives the engine general joins for
+free. These queries prove that path end-to-end with oracle parity:
+broadcast joins for the small dimensions, decimal-exact money math,
+and group-by rollups shaped like the classic TPC-H pricing/revenue
+queries.
+
+Scale notes: nation/region/supplier are broadcast (dimension-sized);
+lineitem→orders is the one real shuffle join and AQE re-plans it at
+runtime. Sums accumulate in DECIMAL(38,9) so parallelism never
+changes a result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+DEC = "decimal(38,9)"
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table, normalizing TIMESTAMP(NANOS) columns to
+    µs exactly like DuckDB does (see queries.events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ts_cols = {"lineitem": ["l_shipdate"], "orders": ["o_orderdate"]}.get(name, [])
+    for c in ts_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def _dsum(col) -> F.Column:
+    """Exact sum → double. Accepts decimal or double input; decimal
+    products (price × (1−discount) with 2-dp inputs) are exact at
+    8 dp, so no rounding rule is ever exercised — the HALF_UP vs
+    HALF_EVEN divergence between engines only appears when a double
+    PRODUCT is cast to decimal."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+@q(
+    "tpch_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped pricing summary: one scan, partial+final agg."""
+    li = table(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc).alias("sum_disc_price"),
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+""",
+)
+def revenue_by_nation(spark, sf):
+    """TPC-H Q5-shaped star join: dimensions broadcast, one shuffle
+    join on orderkey, one on custkey; group on nation."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nation = table(spark, sf, "nation")
+    region = table(spark, sf, "region")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(_dsum(disc).alias("revenue"))
+
+
+@q(
+    "top_suppliers",
+    """
+SELECT s_name, revenue, rank FROM (
+  SELECT s_name, revenue,
+         CAST(row_number() OVER (ORDER BY revenue DESC, s_name) AS INT) AS rank
+  FROM (
+    SELECT s_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+  )
+) WHERE rank <= 10
+""",
+)
+def top_suppliers(spark, sf):
+    """Supplier revenue top-10: broadcast supplier dim, windowed rank."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(_dsum(disc).alias("revenue"))
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("s_name"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@q(
+    "order_priority_counts",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_counts(spark, sf):
+    """Q4-shaped semi-join: orders with a discounted lineitem,
+    counted per priority (left_semi — no row multiplication)."""
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
+    semi = orders.join(
+        li.select("l_orderkey").distinct(),
+        orders.o_orderkey == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "segment_top_orders",
+    """
+SELECT o_orderkey, revenue FROM (
+  SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+         row_number() OVER (
+           ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) DESC,
+                    o_orderkey) AS rn
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey
+) WHERE rn <= 20
+""",
+)
+def segment_top_orders(spark, sf):
+    """Q3-shaped: filter pushdown through two joins, top-20 orders by
+    revenue in one market segment."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(_dsum(disc).alias("revenue"))
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderkey", "revenue")
+    )
