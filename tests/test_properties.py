@@ -1,0 +1,143 @@
+"""Property-based tests: operators vs naive single-threaded
+simulations of the reference semantics (hypothesis).
+
+The reference engine is a sequential interpreter — the strongest
+correctness check for our distributed realizations is agreement with
+a literal Python transcription of the reference's per-event loops on
+random inputs (ties, negatives, duplicates included).
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),   # time seconds
+        st.integers(min_value=-50, max_value=50),        # metric
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(make_events, evs):
+    return make_events(
+        [{"time": t, "metric": float(m)} for t, m in evs]
+    )
+
+
+@given(evs=EVENTS, dur=st.sampled_from([7, 10, 60]))
+@SLOW
+def test_window_bucket_matches_reference_math(make_events, evs, dur):
+    """window index = floored division incl. negatives
+    (action.clj:2380-2385, epoch-aligned divergence documented)."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = _df(make_events, evs)
+    got = {
+        r.window_start: r.metric
+        for r in agg.coll_count(df, float(dur), time_col="time").collect()
+    }
+    expected = {}
+    for t, _ in evs:
+        ws = float(math.floor(t / dur) * dur)
+        expected[ws] = expected.get(ws, 0) + 1
+    assert {k: int(v) for k, v in got.items()} == expected
+
+
+@given(evs=EVENTS, count=st.integers(1, 3), dur=st.sampled_from([5, 20]))
+@SLOW
+def test_throttle_matches_reference_loop(make_events, evs, count, dur):
+    """Anchored-window throttle vs a literal transcription of
+    action.clj:1163-1195 run over time-sorted input."""
+    from mirabelle_spark.operators import filters as flt
+
+    df = _df(make_events, evs)
+    out = flt.throttle_batch(
+        df, count=count, duration_s=float(dur), time_col="time", order_cols=["seq"]
+    )
+    got = sorted(r.seq for r in out.collect())
+
+    order = sorted(range(len(evs)), key=lambda i: (evs[i][0], i))
+    anchor, n, keep = None, 0, []
+    for i in order:
+        t = evs[i][0]
+        if anchor is None or t >= anchor + dur:
+            anchor, n = t, 1
+            keep.append(i)
+        elif n < count:
+            n += 1
+            keep.append(i)
+    assert got == sorted(keep)
+
+
+@given(evs=EVENTS, dt=st.sampled_from([3, 15]), thr=st.integers(-20, 20))
+@SLOW
+def test_cond_dt_matches_reference_loop(make_events, evs, dt, thr):
+    """above-dt vs a literal transcription of cond-dt*
+    (action.clj:476-508) over time-sorted input."""
+    from mirabelle_spark.operators import stateful as stx
+
+    df = _df(make_events, evs)
+    out = stx.above_dt(
+        df, threshold=thr, dt_s=float(dt), time_col="time", order_cols=["seq"]
+    )
+    got = sorted(r.seq for r in out.collect())
+
+    order = sorted(range(len(evs)), key=lambda i: (evs[i][0], i))
+    ok, flip, keep = False, None, []
+    for i in order:
+        t, m = evs[i]
+        valid = m > thr
+        if valid and not ok:
+            ok, flip = True, t
+        elif not valid:
+            ok, flip = False, None
+        if valid and ok and t > flip + dt:
+            keep.append(i)
+    assert got == sorted(keep)
+
+
+@given(evs=EVENTS)
+@SLOW
+def test_smax_matches_reference_loop(make_events, evs):
+    """smax emits the best-so-far event per input; strict > means the
+    FIRST event keeps winning ties (action.clj:2753-2772)."""
+    from mirabelle_spark.operators import stateful as stx
+
+    df = _df(make_events, evs)
+    got = sorted(r.seq for r in stx.smax(df, time_col="time", order_cols=["seq"]).collect())
+
+    order = sorted(range(len(evs)), key=lambda i: (evs[i][0], i))
+    best, out = None, []
+    for i in order:
+        if best is None or evs[i][1] > evs[best][1]:
+            best = i
+        out.append(best)
+    assert got == sorted(out)
+
+
+@given(evs=EVENTS, r=st.sampled_from([0.25, 0.5, 0.75]))
+@SLOW
+def test_ewma_matches_reference_loop(make_events, evs, r):
+    """ewma m' = r·x + (1−r)·m, m0=0 (action.clj:1248-1276) — exact
+    float equality with the sequential loop."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = _df(make_events, evs)
+    out = agg.ewma_timeless(df, r, time_col="time", order_cols=["seq"])
+    got = {row.seq: row.metric for row in out.collect()}
+
+    order = sorted(range(len(evs)), key=lambda i: (evs[i][0], i))
+    m = 0.0
+    for i in order:
+        m = r * float(evs[i][1]) + (1.0 - r) * m
+        assert got[i] == m
