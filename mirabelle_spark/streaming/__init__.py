@@ -6,7 +6,10 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_agg,
     stream_changed,
     stream_dedup,
+    stream_ewma,
     stream_fixed_time_window,
+    stream_smax,
+    stream_throttle,
     to_console,
     to_json_files,
     to_memory,

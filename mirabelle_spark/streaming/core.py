@@ -192,3 +192,121 @@ def to_console(df: DataFrame):
     return df.writeStream.format("console").trigger(availableNow=True).start()
 
 
+
+
+def _keyed_state_scan(df: DataFrame, by, time_col, state_struct, init, step):
+    """Shared shell for order-dependent keyed-state twins: per key,
+    fold `step(state, row) -> (state, emit?)` over rows sorted by
+    event time within each micro-batch, persisting state across
+    batches. This is the streaming analog of the reference's
+    per-operator atoms (single-threaded per key, parallel across
+    keys)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+
+    def fn(key, pdf_iter, state: GroupState):
+        s = state.get if state.exists else init
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            for row in pdf.to_dict("records"):
+                s, emit = step(s, row)
+                if emit is not None:
+                    out.append(emit)
+        state.update(tuple(s))
+        if out:
+            yield pd.DataFrame(out)[cols]
+
+    return df.groupBy(*[F.col(c) for c in by]).applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType=state_struct,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_throttle(
+    df: DataFrame,
+    count: int,
+    duration_s: float,
+    by: Sequence[str],
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming anchored-window throttle (action.clj:1163-1217) —
+    keyed state (anchor_us, n); exact integer-µs window math like the
+    batch twin."""
+    dur_us = int(round(duration_s * 1_000_000))
+
+    def step(s, row):
+        anchor, n = s
+        t = row[time_col]
+        tv = int(t.value // 1_000) if hasattr(t, "value") else int(t * 1_000_000)
+        if anchor is None or tv >= anchor + dur_us:
+            return (tv, 1), row
+        if n < count:
+            return (anchor, n + 1), row
+        return (anchor, n), None
+
+    return _keyed_state_scan(
+        df, by, time_col, "anchor BIGINT, n INT", (None, 0), step
+    )
+
+
+def stream_ewma(
+    df: DataFrame,
+    r: float,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Streaming ewma-timeless (action.clj:1248-1276): keyed running
+    average, identical double recurrence as the batch twin."""
+
+    def step(s, row):
+        (m,) = s
+        x = row[metric_col]
+        if x is None or x != x:
+            return (m,), {**row, metric_col: None}
+        m2 = r * float(x) + (1.0 - r) * (m if m is not None else 0.0)
+        return (m2,), {**row, metric_col: m2}
+
+    return _keyed_state_scan(df, by, time_col, "m DOUBLE", (None,), step)
+
+
+def stream_smax(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Streaming smax (action.clj:2742-2772): per input event emit
+    the best-so-far event of its key; strict > keeps the first
+    winner on ties. State carries the best row as JSON."""
+    import json as _json
+
+    def step(s, row):
+        (best_json,) = s
+        best = _json.loads(best_json) if best_json else None
+        if best is None or (
+            row[metric_col] is not None and row[metric_col] > best[metric_col]
+        ):
+            best = {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in row.items()
+            }
+            emit = row
+        else:
+            import pandas as _pd
+
+                # re-emit the stored best; restore timestamp type
+            emit = {
+                k: (_pd.Timestamp(v) if k == time_col and isinstance(v, str) else v)
+                for k, v in best.items()
+            }
+        return (_json.dumps(best),), emit
+
+    return _keyed_state_scan(df, by, time_col, "best STRING", (None,), step)

@@ -124,3 +124,67 @@ def test_stream_changed_keyed_state(spark, tmpdir):
     q.awaitTermination(60)
     got = sorted((r.host, r.state) for r in spark.sql("select * from chg_test").collect())
     assert got == [("a", "critical"), ("a", "ok"), ("b", "ok")]
+
+
+def _write_rows(path, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "p.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_throttle_parity(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "thr")
+    rows = [
+        {"time": "2024-01-01T00:00:00", "metric": 1.0, "host": "a"},
+        {"time": "2024-01-01T00:00:01", "metric": 2.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": 3.0, "host": "a"},  # dropped
+        {"time": "2024-01-01T00:00:10", "metric": 4.0, "host": "a"},  # new window
+    ]
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_throttle(stream, count=2, duration_s=10.0, by=["host"])
+    q = stx.to_memory(out, "thr_test")
+    q.awaitTermination(60)
+    got = sorted(r.metric for r in spark.sql("select * from thr_test").collect())
+    assert got == [1.0, 2.0, 4.0]
+
+
+def test_stream_ewma_parity(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "ew")
+    rows = [
+        {"time": f"2024-01-01T00:00:0{i}", "metric": 1.0, "host": "a"}
+        for i in range(3)
+    ]
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_ewma(stream, 0.5, by=["host"])
+    q = stx.to_memory(out, "ew_test")
+    q.awaitTermination(60)
+    got = sorted(r.metric for r in spark.sql("select * from ew_test").collect())
+    assert got == [0.5, 0.75, 0.875]
+
+
+def test_stream_smax_parity(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "sm")
+    rows = [
+        {"time": "2024-01-01T00:00:01", "metric": 10.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": 3.0, "host": "a"},
+        {"time": "2024-01-01T00:00:03", "metric": 11.0, "host": "a"},
+    ]
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_smax(stream, by=["host"])
+    q = stx.to_memory(out, "sm_test")
+    q.awaitTermination(60)
+    got = sorted(r.metric for r in spark.sql("select * from sm_test").collect())
+    assert got == [10.0, 10.0, 11.0]  # smax docstring example
