@@ -106,11 +106,13 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "rolling_fp", window: int = 8
 ) -> DataFrame:
-    """Order-sensitive document fingerprint: min xxhash64 over
-    rolling word windows (a winnowing-style sketch) — robust to
-    local edits, order-sensitive unlike a bag-of-words hash."""
+    """Order-sensitive document fingerprint: minimum md5 over rolling
+    word windows (a winnowing-style sketch) — robust to local edits,
+    order-sensitive unlike a bag-of-words hash. md5 (not xxhash) so
+    the oracle can mirror it engine-for-engine; at 100 TB swap the
+    hash for xxhash64 — the plan shape is identical."""
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     k = F.greatest(F.size(words) - (window - 1), F.lit(1))
     idx = F.sequence(F.lit(1), k)
-    grams = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i, window), " ")))
+    grams = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(words, i, window), " ")))
     return df.withColumn(out, F.array_min(grams))

@@ -109,18 +109,115 @@ def ann_bruteforce_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@q("ann_lsh_topk")  # no SQL oracle: hyperplane buckets; recall tested in tests/
+
+
+def _planes_sql(dim: int, planes: int, seed: int) -> str:
+    """Plane matrix as a SQL list-of-lists literal (same seeded numpy
+    values as ann.hyperplanes — the whole LSH path is deterministic,
+    which is what makes it oracle-checkable)."""
+    ps = ann.hyperplanes(dim, planes, seed=seed)
+    rows = ", ".join("[" + ", ".join(repr(float(x)) for x in p) + "]" for p in ps)
+    return "[" + rows + "]"
+
+
+def _lsh_bucket_sql(vec: str, planes_expr: str, n_planes: int) -> str:
+    """bucket = sum over planes of (dot(vec, plane) >= 0) << i,
+    mirroring ann.bucket_key's fold-exact dot product."""
+    terms = []
+    for i in range(n_planes):
+        dot = (
+            f"list_reduce(list_transform(list_zip({vec}, {planes_expr}[{i + 1}]), "
+            "x -> x[1] * x[2]), (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_oracle(k: int, planes: int, tables: int, seed: int = 42) -> str:
+    dim = 64
+    table_sqls = []
+    for t in range(tables):
+        pexpr = f"p{t}.pl"
+        bucket_c = _lsh_bucket_sql("cv", pexpr, planes)
+        bucket_q = _lsh_bucket_sql("qv", pexpr, planes)
+        table_sqls.append(f"""
+  SELECT query_id, vec_id, qv, cv FROM
+    (SELECT vec_id, embedding::DOUBLE[] AS cv,
+            {bucket_c} AS b
+     FROM embeddings, (SELECT {_planes_sql(dim, planes, seed + t)} AS pl) p{t}) c
+    JOIN
+    (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+            {bucket_q} AS b
+     FROM embeddings, (SELECT {_planes_sql(dim, planes, seed + t)} AS pl) p{t}
+     WHERE vec_id < 10) q
+    USING (b)""")
+    union = " UNION ALL ".join(table_sqls)
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT ON (query_id, vec_id) query_id, vec_id, qv, cv FROM ({union})
+), scored AS (
+  SELECT query_id, vec_id,
+         {_DOT.format(a='qv', b='cv')} / ({_NORM.format(a='qv')} * {_NORM.format(a='cv')})
+           AS cosine
+  FROM cand
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+              AS INT) AS rank
+  FROM ranked_src
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+""".replace("ranked_src", "scored")
+
+
+@q("ann_lsh_topk")
 def ann_lsh_topk(spark, sf):
     e = embs(spark, sf)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann.lsh_bucketed_topk(e, queries, k=5, planes=6, tables=3)
+    out = ann.lsh_bucketed_topk(e, queries, k=5, planes=6, tables=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@q("embedding_near_dups")  # no SQL oracle (LSH); quality asserted in tests/
+ORACLES["ann_lsh_topk"] = _ann_lsh_oracle(k=5, planes=6, tables=3)
+
+
+
+
+def _near_dup_oracle(threshold: float, planes: int, tables: int, seed: int = 42) -> str:
+    dim = 64
+    table_sqls = []
+    for t in range(tables):
+        bucket = _lsh_bucket_sql("v", f"p{t}.pl", planes)
+        table_sqls.append(f"""
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb FROM
+    (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket.replace("(v,", "(v,")} AS bk
+     FROM embeddings, (SELECT {_planes_sql(dim, planes, seed + t)} AS pl) p{t}) a
+    JOIN
+    (SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bk
+     FROM embeddings, (SELECT {_planes_sql(dim, planes, seed + t)} AS pl) p{t}) b
+    ON a.bk = b.bk AND a.vec_id < b.vec_id""")
+    union = " UNION ALL ".join(table_sqls)
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT ON (id_a, id_b) id_a, id_b, va, vb FROM ({union})
+), scored AS (
+  SELECT id_a, id_b,
+         {_DOT.format(a='va', b='vb')} / ({_NORM.format(a='va')} * {_NORM.format(a='vb')})
+           AS cosine
+  FROM cand
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+@q("embedding_near_dups")
 def embedding_near_dups_q(spark, sf):
     return ann.embedding_near_dups(embs(spark, sf), threshold=0.2, planes=6, tables=3)
+
+
+ORACLES["embedding_near_dups"] = _near_dup_oracle(threshold=0.2, planes=6, tables=3)
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +317,18 @@ def text_fingerprint(spark, sf):
     return text.fingerprint(docs(spark, sf)).select("doc_id", "fingerprint")
 
 
-@q("text_rolling_fp")  # xxhash64-based sketch: no DuckDB twin; tests/ cover it
+@q(
+    "text_rolling_fp",
+    """
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 7, 1) + 1),
+         i -> md5(array_to_string(
+                list_slice(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), i, i + 7), ' '))))
+         AS rolling_fp
+FROM documents
+""",
+)
 def text_rolling_fp(spark, sf):
     return text.rolling_fingerprint(docs(spark, sf)).select("doc_id", "rolling_fp")
 
