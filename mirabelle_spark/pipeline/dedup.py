@@ -52,13 +52,19 @@ def dedup_exact(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text (array<string>)."""
+    """Distinct word n-gram shingles of normalized text
+    (array<string>); documents shorter than n words yield no
+    shingles. Guard matters: sequence(1, 0) in Spark is a DESCENDING
+    [1, 0], not empty."""
     words = F.split(normalized(text), " ")
     k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
     )
+    return F.when(k >= 1, shingles).otherwise(F.array().cast("array<string>"))
 
 
 _MINHASH_P = 4294967291  # largest 32-bit prime
