@@ -216,3 +216,63 @@ def project(
             )
         )
     return df.groupBy(bucket).agg(*aggs)
+
+
+def coalesce_ticks(
+    df: DataFrame,
+    duration_s: float,
+    fields: Sequence[str],
+    time_col: str = "time",
+    ttl_col: str | None = None,
+    default_ttl_s: float = 120.0,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Full-fidelity batch ``coalesce`` (action.clj:721-821): the
+    reference's buffer PERSISTS across ticks — every tick re-emits
+    each key's latest non-expired event, even when the key saw no
+    event in that interval.
+
+    Distributed realization with ZERO keyed state: each event covers
+    the tick range [first tick ≥ its time, until the key's next
+    event, expiry, or end of stream] — computed with one lead() and
+    exploded via sequence(). One shuffle on the keys; tick fan-out is
+    bounded by ttl/duration per event.
+
+    Divergence (same as coalesce_op): ticks are epoch-aligned
+    multiples of duration, not anchored at the first event.
+    Emits (fields…, tick, event columns).
+    """
+    dur_us = int(round(duration_s * 1_000_000))
+    ttl_us_col = (
+        (F.coalesce(F.col(ttl_col), F.lit(default_ttl_s)) * 1_000_000).cast("bigint")
+        if ttl_col and ttl_col in df.columns
+        else F.lit(int(default_ttl_s * 1_000_000))
+    )
+    t = F.unix_micros(F.col(time_col))
+    w = W.partitionBy(*_cols(fields)).orderBy(t, *_cols(order_cols))
+    # stream end: last tick ever emitted is at the global max time
+    gmax = df.agg(F.max(F.unix_micros(F.col(time_col))).alias("__gmax__"))
+    d = df.crossJoin(F.broadcast(gmax))
+    t_next = F.lead(t).over(w)
+    first_tick = F.expr(f"CAST(NULL AS BIGINT)") if False else ((t + dur_us - 1) - F.pmod(t + dur_us - 1, F.lit(dur_us)))  # ceil(t/d)*d in exact ints
+    # last tick: strictly before the next event's first tick; within ttl;
+    # within the stream horizon
+    nb = (t_next + dur_us - 1) - F.pmod(t_next + dur_us - 1, F.lit(dur_us))
+    next_bound = F.when(t_next.isNotNull(), nb - dur_us).otherwise(F.lit(None))
+    ttl_bound = (t + ttl_us_col) - F.pmod(t + ttl_us_col, F.lit(dur_us))  # floor
+    horizon = F.col("__gmax__") - F.pmod(F.col("__gmax__"), F.lit(dur_us))
+    last_tick = F.least(
+        F.coalesce(next_bound, F.lit(2**62)), ttl_bound, horizon
+    )
+    ticks = F.when(
+        last_tick >= first_tick,
+        F.sequence(first_tick, last_tick, F.lit(dur_us)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = (
+        d.withColumn("__ticks__", ticks)
+        .withColumn("__tick__", F.explode("__ticks__"))
+        .drop("__ticks__", "__gmax__")
+    )
+    return out.withColumn(
+        "tick", (F.col("__tick__") / F.lit(1_000_000)).cast("double")
+    ).drop("__tick__")

@@ -1224,3 +1224,47 @@ def dsl_pipeline(spark, sf):
         src, tree, time_col="ts", metric_col="value", order_cols=("event_id",)
     )
     return taps["out"]
+
+
+_COALESCE_FILL_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY epoch_us(ts), event_id) AS t_next
+  FROM events
+), g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+bounds AS (
+  SELECT event_type, event_id,
+         (t + 3599999999) - ((t + 3599999999) % 3600000000) AS first_tick,
+         least(
+           coalesce(CASE WHEN t_next IS NOT NULL
+                         THEN ((t_next + 3599999999) - ((t_next + 3599999999) % 3600000000))
+                              - 3600000000 END, 4611686018427387904),
+           (t + 7200000000) - ((t + 7200000000) % 3600000000),
+           gmax - (gmax % 3600000000)
+         ) AS last_tick
+  FROM base, g
+)
+SELECT event_type, tick_us / 1000000.0 AS tick, event_id
+FROM (
+  SELECT event_type, event_id,
+         unnest(generate_series(first_tick, last_tick, 3600000000)) AS tick_us
+  FROM bounds WHERE last_tick >= first_tick
+)
+"""
+
+
+@q("coalesce_fill", _COALESCE_FILL_ORACLE)
+def coalesce_fill(spark, sf):
+    """Full-fidelity coalesce: per-key buffer persists across ticks
+    (stateless tick-explosion realization)."""
+    c = win.coalesce_ticks(
+        events(spark, sf),
+        HOUR,
+        fields=["event_type"],
+        time_col="ts",
+        ttl_col=None,
+        default_ttl_s=7200.0,
+        order_cols=["event_id"],
+    )
+    return c.select("event_type", "tick", "event_id")

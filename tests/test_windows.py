@@ -107,3 +107,42 @@ def test_project_two_conditions(make_events):
     )
     row = p.collect()[0]
     assert (row.metric_1, row.metric_2) == (20.0, 4.0)
+
+
+def test_coalesce_ticks_fill_forward(make_events):
+    from mirabelle_spark.operators import windows as win
+
+    df = make_events(
+        [
+            {"time": 5, "host": "a", "metric": 1},
+            {"time": 33, "host": "a", "metric": 2},
+            {"time": 8, "host": "b", "metric": 3},
+        ]
+    )
+    c = win.coalesce_ticks(
+        df, 10.0, fields=["host"], time_col="time", default_ttl_s=25.0,
+        order_cols=["seq"],
+    )
+    got = sorted((r.host, r.tick, r.metric) for r in c.collect())
+    # buffer persists: a@5 re-emits at ticks 10/20/30 (next a event is
+    # at 33 > horizon 30); b@8 likewise — the key point vs plain
+    # per-bucket coalesce, which would emit each key once
+    assert got == [
+        ("a", 10.0, 1.0), ("a", 20.0, 1.0), ("a", 30.0, 1.0),
+        ("b", 10.0, 3.0), ("b", 20.0, 3.0), ("b", 30.0, 3.0),
+    ]
+
+
+def test_coalesce_ticks_expiry(make_events):
+    from mirabelle_spark.operators import windows as win
+
+    df = make_events(
+        [{"time": 5, "host": "a", "metric": 1}, {"time": 95, "host": "b", "metric": 2}]
+    )
+    c = win.coalesce_ticks(
+        df, 10.0, fields=["host"], time_col="time", default_ttl_s=12.0,
+        order_cols=["seq"],
+    )
+    got = sorted((r.host, r.tick) for r in c.collect())
+    # a@5 expires after t=17 → only tick 10; b@95 has horizon 90 → none
+    assert got == [("a", 10.0)]
