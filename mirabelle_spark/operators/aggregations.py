@@ -429,15 +429,14 @@ def ewma_timeless(
     transformWithState. The identical double recurrence is what the
     DuckDB oracle computes, so results match bit-for-bit.
     """
-    import pandas as pd
+    from mirabelle_spark.operators.stateful import ordered_keyed_scan
 
     schema = df.schema
     key_cols = list(by) if by else ["__g__"]
     src = df if by else df.withColumn("__g__", F.lit(0))
     sort_cols = [time_col, *order_cols]
 
-    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    def _ewma(pdf):
         m = 0.0
         out = []
         # .tolist(): plain-float loop is ~5x faster than Series iteration
@@ -447,7 +446,6 @@ def ewma_timeless(
             else:
                 m = r * float(x) + (1.0 - r) * m
                 out.append(m)
-        pdf = pdf.assign(**{metric_col: out})
-        return pdf[[f.name for f in schema.fields]]
+        return pdf.assign(**{metric_col: out})
 
-    return src.groupBy(*key_cols).applyInPandas(_ewma, schema=schema)
+    return ordered_keyed_scan(src, key_cols, sort_cols, _ewma, schema=schema)

@@ -185,6 +185,8 @@ def throttle_batch(
     """
     import pandas as pd
 
+    from mirabelle_spark.operators.stateful import ordered_keyed_scan
+
     schema = df.schema
     key_cols = list(by) if by else ["__g__"]
     src = df.filter(F.col(time_col).isNotNull())
@@ -195,7 +197,6 @@ def throttle_batch(
     dur_us = int(round(duration_s * 1_000_000))
 
     def _throttle(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         ts = pdf[time_col]
         # exact integer µs so window-boundary comparisons can never
         # drift from the integer-µs oracle (float seconds would)
@@ -215,7 +216,6 @@ def throttle_batch(
                 keep.append(True)
             else:
                 keep.append(False)
-        out = pdf[pd.Series(keep, index=pdf.index)]
-        return out[[f.name for f in schema.fields]]
+        return pdf[pd.Series(keep, index=pdf.index)]
 
-    return src.groupBy(*key_cols).applyInPandas(_throttle, schema=schema)
+    return ordered_keyed_scan(src, key_cols, sort_cols, _throttle, schema=schema)
