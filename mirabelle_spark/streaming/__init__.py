@@ -5,6 +5,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     rate_source,
     stream_agg,
     stream_changed,
+    stream_cond_dt,
     stream_dedup,
     stream_ewma,
     stream_fixed_time_window,

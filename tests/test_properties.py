@@ -141,3 +141,36 @@ def test_ewma_matches_reference_loop(make_events, evs, r):
     for i in order:
         m = r * float(evs[i][1]) + (1.0 - r) * m
         assert got[i] == m
+
+
+@given(evs=st.lists(st.tuples(st.integers(0, 100), st.sampled_from(["ok", "crit"])),
+                    min_size=1, max_size=25),
+       dt=st.sampled_from([5, 20]))
+@SLOW
+def test_stable_matches_reference_loop(make_events, evs, dt):
+    """stable vs a literal transcription of action.clj:2053-2138
+    (buffer until run exceeds dt, drop out-of-order)."""
+    from mirabelle_spark.operators import stateful as stx
+
+    df = make_events([{"time": t, "state": s} for t, s in evs])
+    out = stx.stable(df, float(dt), "state", time_col="time", order_cols=["seq"])
+    got = sorted(r.seq for r in out.collect())
+
+    order = sorted(range(len(evs)), key=lambda i: (evs[i][0], i))
+    last_state, buffer, flip, max_t, keep = None, [], None, -1, []
+    for i in order:
+        t, s = evs[i]
+        if t < max_t:
+            continue  # out-of-order dropped
+        if flip is None or s != last_state:
+            flip, last_state, buffer = t, s, [i]
+            max_t = t
+        elif t <= flip + dt:
+            buffer.append(i)
+            max_t = t
+        else:
+            keep.extend(buffer)
+            keep.append(i)
+            buffer = []
+            max_t = t
+    assert got == sorted(keep)

@@ -188,3 +188,76 @@ def test_stream_smax_parity(spark, tmpdir):
     q.awaitTermination(60)
     got = sorted(r.metric for r in spark.sql("select * from sm_test").collect())
     assert got == [10.0, 10.0, 11.0]  # smax docstring example
+
+
+def test_stream_cond_dt(spark, tmpdir):
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "cdt")
+    rows = [
+        {"time": "2024-01-01T00:00:00", "metric": 200.0, "host": "a"},  # flip
+        {"time": "2024-01-01T00:00:05", "metric": 200.0, "host": "a"},  # < dt
+        {"time": "2024-01-01T00:00:11", "metric": 200.0, "host": "a"},  # pass
+        {"time": "2024-01-01T00:00:12", "metric": 1.0, "host": "a"},    # reset
+        {"time": "2024-01-01T00:00:13", "metric": 200.0, "host": "a"},  # new flip
+        {"time": "2024-01-01T00:00:30", "metric": 200.0, "host": "a"},  # pass
+    ]
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_cond_dt(
+        stream, lambda r: r["metric"] > 100, dt_s=10.0, by=["host"]
+    )
+    q = stx.to_memory(out, "cdt_test")
+    q.awaitTermination(60)
+    got = sorted(r.time.second for r in spark.sql("select * from cdt_test").collect())
+    assert got == [11, 30]
+
+
+def test_watermark_drops_late_event(spark, tmpdir):
+    """The :delay -> watermark rule (action.clj:2420-2432): a second
+    micro-batch carrying an event older than watermark - delay is
+    dropped from append output."""
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "late_in")
+    out_dir = os.path.join(tmpdir, "late_out")
+    ckpt = os.path.join(tmpdir, "late_ckpt")
+    os.makedirs(src_dir)
+
+    def run_batch():
+        schema = "time timestamp, metric double, host string"
+        stream = stx.file_source(spark, src_dir, schema)
+        agg = stx.stream_agg(stream, "sum", 60.0, delay_s=30.0, by=["host"])
+        q = (
+            agg.writeStream.format("json").option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events up to 00:10 -> watermark advances to 00:10-30s
+    with open(os.path.join(src_dir, "b1.json"), "w") as f:
+        for m, t in [(1.0, "2024-01-01T00:05:00"), (2.0, "2024-01-01T00:10:00")]:
+            f.write(json.dumps({"time": t, "metric": m, "host": "a"}) + "\n")
+    run_batch()
+    # batch 2: one on-time event (advances watermark past window 1)
+    # and one LATE event for the already-sealed first window
+    with open(os.path.join(src_dir, "b2.json"), "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T00:20:00", "metric": 8.0, "host": "a"}) + "\n")
+        f.write(json.dumps({"time": "2024-01-01T00:04:00", "metric": 100.0, "host": "a"}) + "\n")
+    run_batch()
+    # batch 3: push watermark far ahead so remaining windows seal
+    with open(os.path.join(src_dir, "b3.json"), "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T01:00:00", "metric": 0.5, "host": "a"}) + "\n")
+    run_batch()
+    written = spark.read.json(out_dir)
+    got = {r.window_start: r.metric for r in written.collect()}
+    base = 1704067200.0
+    # 00:05 window sums only 1.0 (the late 100.0 was dropped); if the
+    # late event had been admitted this would read 101.0
+    assert got[base + 300] == 1.0
+    assert got[base + 600] == 2.0
+    assert got[base + 1200] == 8.0
