@@ -99,7 +99,9 @@ def minhash_signatures(
     One shuffle on id, partial min map-side. Docs with fewer than
     ``shingle_n`` words produce no signature (no shingles).
     """
-    sh = df.select(
+    from mirabelle_spark.scale import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s__")
     )
     h = F.hash(F.col("__s__")).cast("bigint") + F.lit(1 << 31)  # [0, 2^32)
@@ -212,31 +214,39 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
         import numpy as np
 
+        # token→±1 bit-vector cache: corpora vocabularies are tiny
+        # relative to token counts, and blake2b is C-speed +
+        # deterministic (unlike builtin hash under PYTHONHASHSEED)
+        cache: dict[str, np.ndarray] = {}
+
+        def bitvec(tok: str) -> np.ndarray:
+            v = cache.get(tok)
+            if v is None:
+                digest = blake2b(tok.encode("utf-8"), digest_size=8).digest()
+                bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                v = bits.astype(np.int64) * 2 - 1
+                cache[tok] = v
+            return v
+
         out = np.zeros(len(texts), dtype=np.int64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         for i, t in enumerate(texts):
             if not t:
                 continue
-            tokens = t.lower().split()
             acc = np.zeros(64, dtype=np.int64)
-            for tok in tokens:
-                # deterministic 64-bit hash (FNV-1a)
-                h = np.uint64(14695981039346656037)
-                for ch in tok.encode("utf-8"):
-                    h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-                bits = np.unpackbits(
-                    np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
-                )
-                acc += np.where(bits.astype(bool), 1, -1)
-            sig = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            for tok in t.lower().split():
+                acc += bitvec(tok)
+            sig = np.bitwise_or.reduce(weights[acc > 0]) if (acc > 0).any() else np.uint64(0)
+            out[i] = np.int64(sig.astype(np.uint64).view(np.int64))
         return pd.Series(out)
 
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
+    from mirabelle_spark.scale import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(out_col, _simhash(F.col(text_col)))
 
 
 def simhash_near_dups(

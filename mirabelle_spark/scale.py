@@ -77,3 +77,16 @@ def partition_count_for(total_bytes: int, target_mb: int = 256) -> int:
     import math
 
     return max(64, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition when the input has fewer partitions than cores —
+    a small parquet file arrives as ONE split, serializing any
+    expensive projection behind it (measured: the minhash shingle
+    explode ran 1-way on 32 cores). The shuffle this adds is tiny
+    compared to unlocking the cluster; no-op when the source is
+    already well-split (the 100 TB case)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
