@@ -105,8 +105,55 @@ def resize_images(df: DataFrame, width: int, height: int, media_col: str = "medi
     raise NotImplementedError("image resize requires PIL; container has none")
 
 
-def sample_frames(df: DataFrame, every_ms: int, media_col: str = "media") -> DataFrame:
-    """Video frame sampling — STUB: real implementation explodes one
-    row per sampled frame (id, frame_idx, frame BINARY) via
-    mapInPandas; pyav not available in this container."""
-    raise NotImplementedError("frame sampling requires pyav; container has none")
+FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame BINARY, frame_sha256 STRING"
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    media_col: str = "media",
+    id_col: str = "id",
+    decoder: str = "fake",
+    fake_duration_ms: int = 1000,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (id, frame_idx, frame BINARY, sha). The Spark plumbing — Arrow
+    batches in, row-explosion out, blobs never surviving past the
+    projection that consumes them — is real; the codec is a
+    deterministic fake (sha-derived 'frames') until pyav is
+    available (``decoder="real"`` raises, with the plug point being
+    the `_frames` generator)."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "frame decode requires pyav; plug a (bytes, every_ms) -> "
+            "iterator[bytes] generator into _frames"
+        )
+
+    n_frames = max(1, fake_duration_ms // max(1, every_ms))
+
+    def _frames(payload: bytes):
+        for i in range(n_frames):
+            yield hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                if blob is None:
+                    continue
+                for idx, frame in enumerate(_frames(bytes(blob))):
+                    rows.append(
+                        {
+                            "id": rid,
+                            "frame_idx": idx,
+                            "frame": frame,
+                            "frame_sha256": hashlib.sha256(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "frame", "frame_sha256"]
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -194,29 +194,48 @@ def to_console(df: DataFrame):
 
 
 
-def _keyed_state_scan(df: DataFrame, by, time_col, state_struct, init, step):
+def _keyed_state_scan(
+    df: DataFrame, by, time_col, state_struct, init, step, state_ttl_s=None
+):
     """Shared shell for order-dependent keyed-state twins: per key,
     fold `step(state, row) -> (state, emit?)` over rows sorted by
     event time within each micro-batch, persisting state across
     batches. This is the streaming analog of the reference's
     per-operator atoms (single-threaded per key, parallel across
-    keys)."""
+    keys).
+
+    ``state_ttl_s`` is the reference's `by` fork GC
+    (action.clj:1559-1582 :fork-ttl): keys idle past the ttl
+    (event time, watermark-driven) have their state evicted — the
+    next event starts fresh, and state size stays bounded by the
+    active-key set. Requires a watermark on ``df``.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = df.schema
     cols = [f.name for f in schema.fields]
+    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else None
 
     def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         s = state.get if state.exists else init
         out = []
+        max_ms = None
         for pdf in pdf_iter:
             pdf = pdf.sort_values(time_col, kind="mergesort")
             for row in pdf.to_dict("records"):
                 s, emit = step(s, row)
                 if emit is not None:
                     out.append(emit)
+                t = row[time_col]
+                tv = int(t.value // 1_000_000) if hasattr(t, "value") else int(t * 1000)
+                max_ms = tv if max_ms is None else max(max_ms, tv)
         state.update(tuple(s))
+        if ttl_ms and max_ms is not None:
+            state.setTimeoutTimestamp(max_ms + ttl_ms)
         if out:
             yield pd.DataFrame(out)[cols]
 
@@ -225,7 +244,11 @@ def _keyed_state_scan(df: DataFrame, by, time_col, state_struct, init, step):
         outputStructType=schema,
         stateStructType=state_struct,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if state_ttl_s
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -262,9 +285,12 @@ def stream_ewma(
     by: Sequence[str],
     time_col: str = "time",
     metric_col: str = "metric",
+    state_ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming ewma-timeless (action.clj:1248-1276): keyed running
-    average, identical double recurrence as the batch twin."""
+    average, identical double recurrence as the batch twin.
+    ``state_ttl_s`` evicts idle keys (fork GC) — pass a watermarked
+    input when set."""
 
     def step(s, row):
         (m,) = s
@@ -274,7 +300,9 @@ def stream_ewma(
         m2 = r * float(x) + (1.0 - r) * (m if m is not None else 0.0)
         return (m2,), {**row, metric_col: m2}
 
-    return _keyed_state_scan(df, by, time_col, "m DOUBLE", (None,), step)
+    return _keyed_state_scan(
+        df, by, time_col, "m DOUBLE", (None,), step, state_ttl_s=state_ttl_s
+    )
 
 
 def stream_smax(

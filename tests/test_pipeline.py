@@ -144,3 +144,23 @@ def test_multimodal_plumbing(spark):
     assert rows[0].feature != rows[1].feature
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decoder="real")
+
+
+def test_sample_frames_plumbing(spark):
+    import hashlib as hl
+
+    from mirabelle_spark.pipeline import multimodal
+
+    df = spark.createDataFrame([(0, "vid-a"), (1, "vid-b")],
+                               "doc_id bigint, text string")
+    media = multimodal.attach_media(df, "text", "video/mp4", "doc_id")
+    frames = multimodal.sample_frames(media, every_ms=250)
+    rows = frames.collect()
+    assert len(rows) == 8  # 4 frames per video
+    r0 = [r for r in rows if r.id == 0 and r.frame_idx == 0][0]
+    expected = hl.sha256(b"vid-a" + (0).to_bytes(4, "big")).digest()
+    assert bytes(r0.frame) == expected  # deterministic fake decode
+    assert r0.frame_sha256 == hl.sha256(expected).hexdigest()
+    import pytest as pt
+    with pt.raises(NotImplementedError):
+        multimodal.sample_frames(media, every_ms=250, decoder="real")

@@ -261,3 +261,40 @@ def test_watermark_drops_late_event(spark, tmpdir):
     assert got[base + 300] == 1.0
     assert got[base + 600] == 2.0
     assert got[base + 1200] == 8.0
+
+
+def test_state_ttl_evicts_idle_keys(spark, tmpdir):
+    """fork-ttl GC (action.clj:1559-1582): after a key idles past the
+    ttl (event time), its state is evicted and the recurrence
+    restarts from the initial value."""
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "ttl_in")
+    out_dir = os.path.join(tmpdir, "ttl_out")
+    ckpt = os.path.join(tmpdir, "ttl_ckpt")
+    os.makedirs(src_dir)
+
+    def run_batch():
+        schema = "time timestamp, metric double, host string"
+        stream = stx.file_source(spark, src_dir, schema).withWatermark("time", "0 seconds")
+        out = stx.stream_ewma(stream, 0.5, by=["host"], state_ttl_s=60.0)
+        q = (
+            out.writeStream.format("json").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    with open(os.path.join(src_dir, "b1.json"), "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T00:00:00", "metric": 1.0, "host": "a"}) + "\n")
+    run_batch()  # ewma = 0.5; timeout set at 00:01:00
+    # advance the watermark far past the ttl with another key
+    with open(os.path.join(src_dir, "b2.json"), "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T01:00:00", "metric": 1.0, "host": "zz"}) + "\n")
+    run_batch()  # key 'a' evicted during this batch
+    with open(os.path.join(src_dir, "b3.json"), "w") as f:
+        f.write(json.dumps({"time": "2024-01-01T01:00:01", "metric": 1.0, "host": "a"}) + "\n")
+    run_batch()  # 'a' restarts from m0=0 -> 0.5 again (not 0.75)
+    rows = spark.read.json(out_dir).collect()
+    a_vals = sorted(r.metric for r in rows if r.host == "a")
+    assert a_vals == [0.5, 0.5]  # state was reset between the two events
