@@ -26,6 +26,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg.agg_sum(clicks, 3600.0, by=["user_id"], time_col="ts", metric_col="value")
 
 
+# The driver's correctness gate samples the FIRST 50 registry entries
+# (r02 ran exactly 50 of 87), so ordering is coverage policy: one query
+# per SURVEY §2 operator row first — prioritizing families that had no
+# r02 gate row (ddt/ewma/smax/coll_* variants, all pipeline + analytics
+# queries) — then the remaining variants.
+GATE_PRIORITY = [
+    # previously GATE-ERR (array outputs, now serialized)
+    "tag_untag", "fixed_time_window_ids", "fixed_event_window_ids",
+    "moving_event_window_vals",
+    # families with no r02 gate row
+    "coll_where_inside_window",
+    "ddt_rate", "ewma_smoothed", "smax_running",
+    "coll_mean_hourly", "coll_sum_hourly", "coll_percentiles_hourly",
+    "coll_increase_daily", "coll_sort_ids",
+    "by_sum_daily", "dsl_pipeline",
+    # pipeline ops (none had a gate row)
+    "dedup_exact_docs", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "simhash_pairs", "ann_bruteforce_topk", "ann_lsh_topk",
+    "embedding_near_dups", "text_token_count", "text_bpe_token_count",
+    "text_quality", "text_lang_id", "text_fingerprint", "text_rolling_fp",
+    "multimodal_features",
+    # analytics (none had a gate row)
+    "tpch_pricing_summary", "revenue_by_nation", "top_suppliers",
+    "order_priority_counts", "segment_top_orders",
+    # one representative per remaining §2 row (gate-green in r02)
+    "where_basic", "over_filter", "tagged_all", "split_routing",
+    "expired_events", "throttle", "changed_transitions", "above_dt_alert",
+    "stable_states",
+    "moving_time_window_count", "ssort_sorted", "coalesce_latest",
+    "project_correlate",
+    "agg_sum_hourly", "agg_percentiles_hourly", "agg_ratio_error_click",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    out = {}
+    for name in GATE_PRIORITY:
+        if name in mapping:
+            out[name] = mapping[name]
+    for name, v in mapping.items():
+        if name not in out:
+            out[name] = v
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mirabelle_spark import queries as qmod
     from mirabelle_spark import queries_analytics as amod
@@ -35,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(qmod.QUERIES)
     out.update(pmod.QUERIES)
     out.update(amod.QUERIES)
-    return out
+    return _ordered(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -47,4 +92,4 @@ def oracle_sql() -> dict[str, str]:
     out.update(qmod.ORACLES)
     out.update(pmod.ORACLES)
     out.update(amod.ORACLES)
-    return out
+    return _ordered(out)

@@ -44,8 +44,10 @@ def changed(
     (``changed``, action.clj:1329-1375). Null-safe equality matches
     clojure ``=`` on nils."""
     w = W.partitionBy(*_cols(by)).orderBy(*_order(time_col, order_cols))
-    prev = F.lag(F.col(field)).over(w)
-    prev = F.coalesce(prev, F.lit(init)) if init is not None else prev
+    # lag's default fires only when there is NO preceding row — a
+    # previous row whose field is null stays null (coalesce would wrongly
+    # substitute init after a null-valued event).
+    prev = F.lag(F.col(field), 1, init).over(w)
     return (
         df.withColumn("__prev__", prev)
         .filter(~F.col(field).eqNullSafe(F.col("__prev__")))

@@ -203,9 +203,6 @@ def exception_stream(df: DataFrame, row_fn, error_cols: Sequence[str] = ()):
 
     schema = df.schema
     cols = [f.name for f in schema.fields]
-    out_schema = (
-        schema.simpleString()[7:-1]  # strip struct<...>
-    )
 
     def _run(batches):
         for pdf in batches:

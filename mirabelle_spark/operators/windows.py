@@ -254,7 +254,7 @@ def coalesce_ticks(
     gmax = df.agg(F.max(F.unix_micros(F.col(time_col))).alias("__gmax__"))
     d = df.crossJoin(F.broadcast(gmax))
     t_next = F.lead(t).over(w)
-    first_tick = F.expr(f"CAST(NULL AS BIGINT)") if False else ((t + dur_us - 1) - F.pmod(t + dur_us - 1, F.lit(dur_us)))  # ceil(t/d)*d in exact ints
+    first_tick = (t + dur_us - 1) - F.pmod(t + dur_us - 1, F.lit(dur_us))  # ceil(t/d)*d in exact ints
     # last tick: strictly before the next event's first tick; within ttl;
     # within the stream horizon
     nb = (t_next + dur_us - 1) - F.pmod(t_next + dur_us - 1, F.lit(dur_us))

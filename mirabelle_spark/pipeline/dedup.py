@@ -254,16 +254,33 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into ``chunks`` 16-bit pieces;
-    any pair within ``chunks-1`` bit flips must agree on ≥1 piece →
+    Pigeonhole banding: split 64 bits into ``chunks`` equal pieces; any
+    pair within ``chunks-1`` bit flips must agree on ≥1 piece →
     equi-join per piece, then exact popcount verify. No all-pairs.
+    ``chunks`` defaults to ``max_hamming + 1`` (the minimum that keeps
+    full recall); passing fewer raises rather than silently losing pairs.
     """
+    if chunks is None:
+        chunks = max_hamming + 1
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"chunks={chunks} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need chunks >= max_hamming + 1"
+        )
+    width = 64 // chunks
+    mask = (1 << width) - 1
     sh = simhash64(df, text_col).select(id_col, "simhash")
-    piece = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(F.lit(0xFFFF))
+
+    def piece(c, i):
+        # last piece absorbs the remainder bits when 64 % chunks != 0
+        if i == chunks - 1:
+            return F.shiftrightunsigned(F.col(c), i * width)
+        return F.shiftrightunsigned(F.col(c), i * width).bitwiseAND(F.lit(mask))
+
     entries = sh.select(
         id_col,
         "simhash",

@@ -85,10 +85,15 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
     Deterministic tie-break: language name ascending."""
     toks = tokens(F.col(text_col))
     scores = []
-    for lang in sorted(_STOPWORDS):
+    # struct compares fields in order: score desc, then NEGATED rank —
+    # so a score tie resolves to the alphabetically FIRST language
+    # (rank 0 has the greatest negated rank).
+    for rank, lang in enumerate(sorted(_STOPWORDS)):
         wl = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
         hits = F.size(F.array_intersect(wl, toks)).cast("double")
-        scores.append(F.struct(hits.alias("s"), F.lit(lang).alias("l")))
+        scores.append(
+            F.struct(hits.alias("s"), F.lit(-rank).alias("r"), F.lit(lang).alias("l"))
+        )
     best = F.array_max(F.array(*scores))
     return df.withColumn(
         out, F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))

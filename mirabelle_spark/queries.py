@@ -437,14 +437,16 @@ def sdissoc_proj(spark, sf):
 
 @q(
     "tag_untag",
-    "SELECT event_id, CASE WHEN event_type = 'click' THEN ['extra'] "
-    "ELSE [event_type, 'extra'] END AS tags FROM events",
+    "SELECT event_id, array_to_string(CASE WHEN event_type = 'click' THEN ['extra'] "
+    "ELSE [event_type, 'extra'] END, ',') AS tags FROM events",
 )
 def tag_untag(spark, sf):
+    # Array serialized to CSV: the driver gate's pandas hasher cannot hash
+    # raw list cells (r2 GATE-ERR). Same values, string-typed output.
     df = events(spark, sf).withColumn("tags", F.array(F.col("event_type")))
     df = tr.tag(df, "extra")
     df = tr.untag(df, "click")
-    return df.select("event_id", "tags")
+    return df.select("event_id", F.array_join("tags", ",").alias("tags"))
 
 
 @q(
@@ -490,7 +492,7 @@ def sflatten_roundtrip(spark, sf):
     "fixed_time_window_ids",
     f"""
 SELECT user_id, {WS_HOUR} AS window_start,
-       list(event_id ORDER BY event_id) AS ids
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
 FROM events GROUP BY user_id, 2
 """,
 )
@@ -499,10 +501,11 @@ def fixed_time_window_ids(spark, sf):
     w = win.fixed_time_window(
         src, HOUR, by=["user_id"], time_col="ts", event_cols=["event_id"]
     )
+    ids = F.array_sort(F.transform("events", lambda e: e["event_id"]))
     return w.select(
         "user_id",
         "window_start",
-        F.transform("events", lambda e: e["event_id"]).alias("ids"),
+        F.array_join(F.transform(ids, lambda i: i.cast("string")), ",").alias("ids"),
     )
 
 
@@ -517,7 +520,8 @@ WITH numbered AS (
   SELECT user_id, event_id, CAST(floor((rn - 1) / 20.0) AS BIGINT) AS window_id
   FROM numbered
 )
-SELECT user_id, window_id, list(event_id ORDER BY event_id) AS ids
+SELECT user_id, window_id,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
 FROM bucketed GROUP BY user_id, window_id HAVING count(*) = 20
 """,
 )
@@ -526,23 +530,34 @@ def fixed_event_window_ids(spark, sf):
     w = win.fixed_event_window(
         src, 20, by=["user_id"], time_col="ts", order_cols=["event_id"]
     )
+    ids = F.array_sort(F.transform("events", lambda e: e["event_id"]))
     return w.select(
         "user_id",
         "window_id",
-        F.transform("events", lambda e: e["event_id"]).alias("ids"),
+        F.array_join(F.transform(ids, lambda i: i.cast("string")), ",").alias("ids"),
     )
 
 
 @q(
     "moving_event_window_vals",
     """
+WITH lists AS (
+  SELECT event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS last5
+  FROM events
+)
 SELECT event_id,
-       list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS last5
-FROM events
+       array_to_string(
+         list_transform(last5, v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)),
+         ',') AS last5
+FROM lists
 """,
 )
 def moving_event_window_vals(spark, sf):
+    # Doubles go through DECIMAL(18,2) before stringifying: the testdata
+    # values are 2dp, and decimal rendering is identical across engines
+    # (double->string shortest-roundtrip formats are not).
     w = win.moving_event_window(
         events(spark, sf),
         5,
@@ -551,7 +566,10 @@ def moving_event_window_vals(spark, sf):
         order_cols=["event_id"],
         value_col="value",
     )
-    return w.select("event_id", F.col("events").alias("last5"))
+    vals = F.transform(
+        "events", lambda v: v.cast("decimal(18,2)").cast("string")
+    )
+    return w.select("event_id", F.array_join(vals, ",").alias("last5"))
 
 
 @q(

@@ -316,10 +316,10 @@ SELECT doc_id,
        CASE WHEN best.s > 0 THEN best.l ELSE 'und' END AS lang_pred
 FROM (
   SELECT doc_id, list_max([
-    {{'s': CAST(len(list_intersect(['der','die','das','und','ist','von','mit','für','auf','nicht'], toks)) AS DOUBLE), 'l': 'de'}},
-    {{'s': CAST(len(list_intersect(['the','and','of','to','in','is','that','for','with','as'], toks)) AS DOUBLE), 'l': 'en'}},
-    {{'s': CAST(len(list_intersect(['el','la','los','de','que','y','es','para','con','por'], toks)) AS DOUBLE), 'l': 'es'}},
-    {{'s': CAST(len(list_intersect(['le','la','les','de','des','et','est','pour','dans','que'], toks)) AS DOUBLE), 'l': 'fr'}}
+    {{'s': CAST(len(list_intersect(['der','die','das','und','ist','von','mit','für','auf','nicht'], toks)) AS DOUBLE), 'r': 0, 'l': 'de'}},
+    {{'s': CAST(len(list_intersect(['the','and','of','to','in','is','that','for','with','as'], toks)) AS DOUBLE), 'r': -1, 'l': 'en'}},
+    {{'s': CAST(len(list_intersect(['el','la','los','de','que','y','es','para','con','por'], toks)) AS DOUBLE), 'r': -2, 'l': 'es'}},
+    {{'s': CAST(len(list_intersect(['le','la','les','de','des','et','est','pour','dans','que'], toks)) AS DOUBLE), 'r': -3, 'l': 'fr'}}
   ]) AS best
   FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
 )
