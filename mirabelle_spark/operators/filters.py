@@ -71,27 +71,70 @@ def _expired_col(
 
 
 def with_clock(
-    df: DataFrame, time_col: str = "time", arrival_cols: Sequence[str] = ()
+    df: DataFrame,
+    time_col: str = "time",
+    arrival_cols: Sequence[str] = (),
+    by: Sequence[str] = (),
 ) -> tuple[DataFrame, Column]:
     """Attach the stream clock = running max event time seen at arrival
     (action.clj:431-435: ``swap! time-state (max old-time time)``).
 
     ``arrival_cols`` define the arrival order of the batch (e.g. an
-    ingest sequence id). Batch realization: a prefix-max window over
-    arrival order. Without arrival columns we fall back to event-time
-    order, in which case the prefix max degenerates to the event time
-    itself — matching the reference when input arrives in time order.
+    ingest sequence id). Three physical strategies, none of which is a
+    single-partition global sort:
 
-    Scale note: the prefix max is a running analytic; when the stream
-    is keyed (downstream of ``by``) partition it per key instead of a
-    single global ordering.
+    - no ``arrival_cols``: arrival order IS event-time order, so the
+      prefix max degenerates to the event time itself — a zero-cost
+      column, no window, no shuffle.
+    - ``by`` keys set (downstream of the reference's per-key fork):
+      each fork owns its clock (stream.clj fork state), so the prefix
+      max is a per-key window — parallel across keys.
+    - global arrival order: two-pass partition-boundary scan. Range-
+      partition on arrival order, compute each partition's max event
+      time (pass 1, tiny per-partition rollup collected to the
+      driver), broadcast the exclusive prefix max back, and combine
+      with the per-partition running max (pass 2). Every partition
+      scans in parallel; the only driver-side data is one double per
+      partition. Ranges from ``repartitionByRange`` are deterministic
+      for a given input, so both passes see identical boundaries.
     """
     from pyspark.sql import Window as W
 
-    order = [F.col(c) for c in arrival_cols] or [F.col(time_col)]
-    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
-    clock = F.max(F.col(time_col).cast("double")).over(w)
-    return df.withColumn("__clock__", clock), F.col("__clock__")
+    tcol = F.col(time_col).cast("double")
+    if not arrival_cols:
+        return df.withColumn("__clock__", tcol), F.col("__clock__")
+
+    order = [F.col(c) for c in arrival_cols]
+    if by:
+        w = (
+            W.partitionBy(*[F.col(c) for c in by])
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        clock = F.max(tcol).over(w)
+        return df.withColumn("__clock__", clock), F.col("__clock__")
+
+    spark = df.sparkSession
+    n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    d = df.repartitionByRange(n, *order).withColumn("__pid__", F.spark_partition_id())
+    per_part = d.groupBy("__pid__").agg(F.max(tcol).alias("__m__")).collect()
+    prefix, run = [], None
+    for row in sorted(per_part, key=lambda r: r["__pid__"]):
+        prefix.append((row["__pid__"], run))
+        if row["__m__"] is not None:
+            run = row["__m__"] if run is None else max(run, row["__m__"])
+    pref_df = spark.createDataFrame(prefix, schema="__pid__ int, __pref__ double")
+    d = d.join(F.broadcast(pref_df), "__pid__", "left")
+    w = (
+        W.partitionBy("__pid__")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    clock = F.greatest(
+        F.max(tcol).over(w), F.coalesce(F.col("__pref__"), F.lit(float("-inf")))
+    )
+    d = d.withColumn("__clock__", clock).drop("__pid__", "__pref__")
+    return d, F.col("__clock__")
 
 
 def expired(
@@ -100,10 +143,11 @@ def expired(
     ttl_col: str | None = "ttl",
     state_col: str | None = "state",
     arrival_cols: Sequence[str] = (),
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Keep expired events; clock = running max observed time
     (action.clj:427-449, event.clj:12-19)."""
-    dfc, clock = with_clock(df, time_col, arrival_cols)
+    dfc, clock = with_clock(df, time_col, arrival_cols, by=by)
     out = dfc.filter(_expired_col(df, time_col, ttl_col, state_col, clock))
     return out.drop("__clock__")
 
@@ -114,9 +158,10 @@ def not_expired(
     ttl_col: str | None = "ttl",
     state_col: str | None = "state",
     arrival_cols: Sequence[str] = (),
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Keep non-expired events (action.clj:451-474)."""
-    dfc, clock = with_clock(df, time_col, arrival_cols)
+    dfc, clock = with_clock(df, time_col, arrival_cols, by=by)
     out = dfc.filter(~_expired_col(df, time_col, ttl_col, state_col, clock))
     return out.drop("__clock__")
 

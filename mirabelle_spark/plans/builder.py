@@ -76,10 +76,14 @@ action("over")(lambda df, ctx, n: flt.over(df, n, ctx.metric_col))
 action("under")(lambda df, ctx, n: flt.under(df, n, ctx.metric_col))
 action("tagged-all")(lambda df, ctx, tags: flt.tagged_all(df, tags))
 action("expired")(
-    lambda df, ctx: flt.expired(df, ctx.time_col, arrival_cols=list(ctx.order_cols))
+    lambda df, ctx: flt.expired(
+        df, ctx.time_col, arrival_cols=list(ctx.order_cols), by=list(ctx.by)
+    )
 )
 action("not-expired")(
-    lambda df, ctx: flt.not_expired(df, ctx.time_col, arrival_cols=list(ctx.order_cols))
+    lambda df, ctx: flt.not_expired(
+        df, ctx.time_col, arrival_cols=list(ctx.order_cols), by=list(ctx.by)
+    )
 )
 action("throttle")(
     lambda df, ctx, cfg: flt.throttle_batch(

@@ -58,6 +58,37 @@ def test_expired_running_clock(make_events, collect_sorted):
     assert [r[0] for r in collect_sorted(ok, "seq")] == [0, 1, 3]
 
 
+def test_expired_keyed_clock(make_events, collect_sorted):
+    """Downstream of `by`, each key owns its clock (per-fork state)."""
+    from mirabelle_spark.operators import filters as flt
+
+    rows = [
+        {"time": 100, "metric": 1, "host": "a"},
+        {"time": 500, "metric": 1, "host": "a"},
+        {"time": 10, "metric": 1, "host": "a"},   # expired vs a's clock (500)
+        {"time": 10, "metric": 1, "host": "b"},   # b's clock is only 10 → fine
+    ]
+    df = make_events(rows)
+    exp = flt.expired(df, time_col="time", ttl_col=None, state_col=None,
+                      arrival_cols=["seq"], by=["host"])
+    assert [r[0] for r in collect_sorted(exp, "seq")] == [2]
+
+
+def test_expired_plan_has_no_single_partition_window(make_events):
+    """The scale contract: neither the keyed clock nor the global
+    two-pass clock may plan an Exchange SinglePartition (one task
+    sorting the world)."""
+    from mirabelle_spark.operators import filters as flt
+
+    rows = [{"time": float(i), "metric": 1, "host": f"h{i % 3}"} for i in range(20)]
+    df = make_events(rows)
+    for kwargs in ({"by": ["host"]}, {}):
+        out = flt.expired(df, time_col="time", ttl_col=None, state_col=None,
+                          arrival_cols=["seq"], **kwargs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+
+
 def test_throttle_anchored(make_events, collect_sorted):
     from mirabelle_spark.operators import filters as flt
 
