@@ -101,43 +101,53 @@ def stream_agg(
     )
 
 
+def _series_us(ts) -> "object":
+    """pandas time Series → int64 numpy µs (exact integer time math,
+    same rule as the batch twins)."""
+    if str(ts.dtype).startswith("datetime64"):
+        return ts.astype("int64").to_numpy() // 1_000
+    return (ts.astype("float64") * 1_000_000).round().astype("int64").to_numpy()
+
+
+def _native(v):
+    """numpy scalar → python native for GroupState round-trips."""
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v.item() if hasattr(v, "item") else v
+
+
 def stream_changed(
     df: DataFrame,
     fieldname: str,
     by: Sequence[str],
     time_col: str = "time",
 ) -> DataFrame:
-    """Streaming ``changed`` via dropDuplicates-style keyed state:
-    emits rows whose ``field`` differs from the previous row of the
-    same key. Implemented with flatMapGroupsWithState semantics
-    through applyInPandasWithState-compatible grouping; for
-    micro-batch parity tests use availableNow over sorted input."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    """Streaming ``changed`` via keyed state: emits rows whose
+    ``field`` differs (null-safe, matching the batch twin's
+    eqNullSafe) from the previous row of the same key. The
+    micro-batch compare is one vectorized shift — no per-row Python.
+    """
 
-    schema = df.schema
-    cols = [f.name for f in schema.fields]
+    def batch_fn(s, pdf):
+        (last,) = s
+        vals = pdf[fieldname]
+        prev = vals.shift(1)
+        if len(pdf):
+            prev.iloc[0] = last
+        same = (vals == prev) | (vals.isna() & prev.isna())
+        out = pdf[~same.to_numpy(dtype=bool)]
+        new_last = _native(vals.iloc[-1]) if len(pdf) else last
+        return (new_last,), out
 
-    def fn(key, pdf_iter, state: GroupState):
-        last = state.get[0] if state.exists else None
-        out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(time_col, kind="mergesort")
-            for _, row in pdf.iterrows():
-                cur = row[fieldname]
-                if cur != last:
-                    out.append(row)
-                    last = cur
-        state.update((last,))
-        if out:
-            yield pd.DataFrame(out)[cols]
-
-    return df.groupBy(*[F.col(c) for c in by]).applyInPandasWithState(
-        fn,
-        outputStructType=schema,
-        stateStructType=f"last {dict(df.dtypes)[fieldname]}",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _keyed_batch_scan(
+        df, by, time_col, f"last {dict(df.dtypes)[fieldname]}", (None,), batch_fn
     )
 
 
@@ -194,15 +204,18 @@ def to_console(df: DataFrame):
 
 
 
-def _keyed_state_scan(
-    df: DataFrame, by, time_col, state_struct, init, step, state_ttl_s=None
+def _keyed_batch_scan(
+    df: DataFrame, by, time_col, state_struct, init, batch_fn, state_ttl_s=None
 ):
     """Shared shell for order-dependent keyed-state twins: per key,
-    fold `step(state, row) -> (state, emit?)` over rows sorted by
-    event time within each micro-batch, persisting state across
+    run ``batch_fn(state, pdf_sorted) -> (state, out_pdf)`` over each
+    micro-batch sorted by event time, persisting state across
     batches. This is the streaming analog of the reference's
     per-operator atoms (single-threaded per key, parallel across
-    keys).
+    keys) — but each operator's fold is vectorized over the whole
+    micro-batch (numpy scans / pandas shifts), never a per-row
+    ``iterrows``/``to_dict`` loop (r2 perf finding: a hot key melts
+    on per-row Python).
 
     ``state_ttl_s`` is the reference's `by` fork GC
     (action.clj:1559-1582 :fork-ttl): keys idle past the ttl
@@ -222,22 +235,27 @@ def _keyed_state_scan(
             state.remove()
             return
         s = state.get if state.exists else init
-        out = []
+        outs = []
         max_ms = None
         for pdf in pdf_iter:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(time_col, kind="mergesort")
-            for row in pdf.to_dict("records"):
-                s, emit = step(s, row)
-                if emit is not None:
-                    out.append(emit)
-                t = row[time_col]
-                tv = int(t.value // 1_000_000) if hasattr(t, "value") else int(t * 1000)
-                max_ms = tv if max_ms is None else max(max_ms, tv)
+            s, out = batch_fn(s, pdf)
+            if out is not None and len(out):
+                outs.append(out[cols])
+            t = pdf[time_col]
+            mx = (
+                int(t.max().value // 1_000_000)
+                if str(t.dtype).startswith("datetime64")
+                else int(float(t.max()) * 1000)
+            )
+            max_ms = mx if max_ms is None else max(max_ms, mx)
         state.update(tuple(s))
         if ttl_ms and max_ms is not None:
             state.setTimeoutTimestamp(max_ms + ttl_ms)
-        if out:
-            yield pd.DataFrame(out)[cols]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return df.groupBy(*[F.col(c) for c in by]).applyInPandasWithState(
         fn,
@@ -261,21 +279,30 @@ def stream_throttle(
 ) -> DataFrame:
     """Streaming anchored-window throttle (action.clj:1163-1217) —
     keyed state (anchor_us, n); exact integer-µs window math like the
-    batch twin."""
+    batch twin. The scan loops over a primitive int64 array (the
+    anchored recurrence is inherently sequential) but never builds
+    per-row dicts/Series."""
+    import numpy as np
+
     dur_us = int(round(duration_s * 1_000_000))
 
-    def step(s, row):
+    def batch_fn(s, pdf):
         anchor, n = s
-        t = row[time_col]
-        tv = int(t.value // 1_000) if hasattr(t, "value") else int(t * 1_000_000)
-        if anchor is None or tv >= anchor + dur_us:
-            return (tv, 1), row
-        if n < count:
-            return (anchor, n + 1), row
-        return (anchor, n), None
+        tv = _series_us(pdf[time_col])
+        keep = np.empty(len(tv), dtype=bool)
+        for i, t in enumerate(tv.tolist()):
+            if anchor is None or t >= anchor + dur_us:
+                anchor, n = t, 1
+                keep[i] = True
+            elif n < count:
+                n += 1
+                keep[i] = True
+            else:
+                keep[i] = False
+        return (anchor, n), pdf[keep]
 
-    return _keyed_state_scan(
-        df, by, time_col, "anchor BIGINT, n INT", (None, 0), step
+    return _keyed_batch_scan(
+        df, by, time_col, "anchor BIGINT, n INT", (None, 0), batch_fn
     )
 
 
@@ -288,20 +315,31 @@ def stream_ewma(
     state_ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming ewma-timeless (action.clj:1248-1276): keyed running
-    average, identical double recurrence as the batch twin.
-    ``state_ttl_s`` evicts idle keys (fork GC) — pass a watermarked
-    input when set."""
+    average, identical double recurrence (same fold order) as the
+    batch twin. ``state_ttl_s`` evicts idle keys (fork GC) — pass a
+    watermarked input when set. The fold runs over a primitive
+    float64 array; null metrics pass through as null without
+    touching the state."""
+    import numpy as np
+    import pandas as pd
 
-    def step(s, row):
+    def batch_fn(s, pdf):
         (m,) = s
-        x = row[metric_col]
-        if x is None or x != x:
-            return (m,), {**row, metric_col: None}
-        m2 = r * float(x) + (1.0 - r) * (m if m is not None else 0.0)
-        return (m2,), {**row, metric_col: m2}
+        x = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
+        out = np.empty(len(x))
+        for i, v in enumerate(x.tolist()):
+            if v != v:  # null/NaN input → emit null, keep state
+                out[i] = np.nan
+            else:
+                m = r * v + (1.0 - r) * (m if m is not None else 0.0)
+                out[i] = m
+        res = pdf.copy()
+        # NaN in a float64 column round-trips to SQL NULL via Arrow
+        res[metric_col] = pd.array(out, dtype="float64")
+        return (m,), res
 
-    return _keyed_state_scan(
-        df, by, time_col, "m DOUBLE", (None,), step, state_ttl_s=state_ttl_s
+    return _keyed_batch_scan(
+        df, by, time_col, "m DOUBLE", (None,), batch_fn, state_ttl_s=state_ttl_s
     )
 
 
@@ -313,31 +351,52 @@ def stream_smax(
 ) -> DataFrame:
     """Streaming smax (action.clj:2742-2772): per input event emit
     the best-so-far event of its key; strict > keeps the first
-    winner on ties. State carries the best row as JSON."""
+    winner on ties. State carries the best row as JSON (one
+    encode/decode per micro-batch, not per event). The winner scan
+    runs over a primitive float64 array; output rows materialize as
+    one positional gather, plus at most one stored-best prefix
+    (once a batch row wins, the stored best never re-emits)."""
     import json as _json
 
-    def step(s, row):
+    import numpy as np
+    import pandas as pd
+
+    def batch_fn(s, pdf):
         (best_json,) = s
         best = _json.loads(best_json) if best_json else None
-        if best is None or (
-            row[metric_col] is not None and row[metric_col] > best[metric_col]
-        ):
+        v = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
+        n = len(v)
+        best_v = -np.inf
+        if best is not None and best.get(metric_col) is not None:
+            best_v = float(best[metric_col])
+        have = best is not None
+        src = np.empty(n, dtype=np.int64)  # -1 = stored best row
+        cur = -1
+        for i, x in enumerate(v.tolist()):
+            if not have or (x == x and x > best_v):
+                cur = i
+                have = True
+                if x == x:
+                    best_v = x
+            src[i] = cur
+        out = pdf.iloc[np.where(src >= 0, src, 0)].reset_index(drop=True)
+        k = int((src < 0).sum())  # contiguous prefix re-emitting stored best
+        if k:
+            stored = {
+                key: (pd.Timestamp(val) if key == time_col and isinstance(val, str) else val)
+                for key, val in best.items()
+            }
+            for col_name, val in stored.items():
+                out.loc[: k - 1, col_name] = val
+        if cur >= 0:
+            row = pdf.iloc[cur]
             best = {
-                k: (v.isoformat() if hasattr(v, "isoformat") else v)
-                for k, v in row.items()
+                key: _native(val.isoformat() if hasattr(val, "isoformat") else val)
+                for key, val in row.items()
             }
-            emit = row
-        else:
-            import pandas as _pd
+        return (_json.dumps(best),), out
 
-                # re-emit the stored best; restore timestamp type
-            emit = {
-                k: (_pd.Timestamp(v) if k == time_col and isinstance(v, str) else v)
-                for k, v in best.items()
-            }
-        return (_json.dumps(best),), emit
-
-    return _keyed_state_scan(df, by, time_col, "best STRING", (None,), step)
+    return _keyed_batch_scan(df, by, time_col, "best STRING", (None,), batch_fn)
 
 
 def stream_cond_dt(
@@ -349,33 +408,40 @@ def stream_cond_dt(
 ) -> DataFrame:
     """Streaming cond-dt family (action.clj:476-508): keyed state
     (ok, flip_us); valid events pass once the condition has held
-    continuously for more than dt seconds. ``cond`` is a condition
-    vector or a python row-predicate."""
+    continuously for more than dt seconds.
+
+    ``cond`` accepts the SAME condition vectors as the batch twins
+    (``[":>", "metric", 100]`` — compiled per micro-batch by
+    :func:`mirabelle_spark.conditions.compile_condition_pandas`,
+    fully vectorized) or a python row-predicate for custom logic
+    (applied row-wise, the slow path)."""
+    import numpy as np
+
     dt_us = int(round(dt_s * 1_000_000))
     if callable(cond):
-        pred = cond
+        def valid_series(pdf):
+            return pdf.apply(cond, axis=1).to_numpy(dtype=bool)
     else:
-        # compile the condition vector to a row predicate mirroring
-        # conditions.compile_condition semantics for scalar ops
-        from mirabelle_spark.conditions import compile_condition  # noqa: F401
+        from mirabelle_spark.conditions import compile_condition_pandas
 
-        raise ValueError(
-            "pass a python row-predicate; Column conditions can't run "
-            "inside keyed state — e.g. lambda r: r['metric'] > 100"
-        )
+        _pred = compile_condition_pandas(cond)
 
-    def step(s, row):
+        def valid_series(pdf):
+            return _pred(pdf).to_numpy(dtype=bool)
+
+    def batch_fn(s, pdf):
         ok, flip = s
-        t = row[time_col]
-        tv = int(t.value // 1_000) if hasattr(t, "value") else int(t * 1_000_000)
-        valid = bool(pred(row))
-        if valid and not ok:
-            ok, flip = True, tv
-        elif not valid:
-            ok, flip = False, None
-        emit = row if (valid and ok and tv > flip + dt_us) else None
-        return (ok, flip), emit
+        tv = _series_us(pdf[time_col])
+        valid = valid_series(pdf)
+        keep = np.empty(len(tv), dtype=bool)
+        for i, (t, va) in enumerate(zip(tv.tolist(), valid.tolist())):
+            if va and not ok:
+                ok, flip = True, t
+            elif not va:
+                ok, flip = False, None
+            keep[i] = va and ok and t > flip + dt_us
+        return (ok, flip), pdf[keep]
 
-    return _keyed_state_scan(
-        df, by, time_col, "ok BOOLEAN, flip BIGINT", (False, None), step
+    return _keyed_batch_scan(
+        df, by, time_col, "ok BOOLEAN, flip BIGINT", (False, None), batch_fn
     )

@@ -7,6 +7,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture()
@@ -212,6 +213,89 @@ def test_stream_cond_dt(spark, tmpdir):
     q.awaitTermination(60)
     got = sorted(r.time.second for r in spark.sql("select * from cdt_test").collect())
     assert got == [11, 30]
+
+
+def test_stream_cond_dt_condition_vector(spark, tmpdir):
+    """The streaming twin accepts the SAME condition vector as batch
+    cond-dt — parity with batch above_dt over identical input."""
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.operators import stateful as st
+
+    src_dir = os.path.join(tmpdir, "cdtv")
+    rows = [
+        {"time": "2024-01-01T00:00:00", "metric": 200.0, "host": "a"},  # flip
+        {"time": "2024-01-01T00:00:05", "metric": 200.0, "host": "a"},  # < dt
+        {"time": "2024-01-01T00:00:11", "metric": 200.0, "host": "a"},  # pass
+        {"time": "2024-01-01T00:00:12", "metric": 1.0, "host": "a"},    # reset
+        {"time": "2024-01-01T00:00:13", "metric": 200.0, "host": "a"},  # new flip
+        {"time": "2024-01-01T00:00:30", "metric": 200.0, "host": "a"},  # pass
+        {"time": "2024-01-01T00:00:02", "metric": 200.0, "host": "b"},  # flip
+        {"time": "2024-01-01T00:00:20", "metric": 200.0, "host": "b"},  # pass
+    ]
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+    cond = [":>", "metric", 100]
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_cond_dt(stream, cond, dt_s=10.0, by=["host"])
+    q = stx.to_memory(out, "cdtv_test")
+    q.awaitTermination(60)
+    got = sorted(
+        (r.host, r.time.second)
+        for r in spark.sql("select * from cdtv_test").collect()
+    )
+    batch_df = spark.createDataFrame(
+        [(__import__("datetime").datetime.fromisoformat(r["time"]), r["metric"], r["host"]) for r in rows],
+        schema,
+    )
+    batch_out = st.cond_dt(batch_df, cond, 10.0, by=["host"], time_col="time")
+    want = sorted((r.host, r.time.second) for r in batch_out.collect())
+    assert got == want == [("a", 11), ("a", 30), ("b", 20)]
+
+
+def test_compile_condition_pandas_matches_column_backend(spark):
+    """The pandas backend of the condition mini-language agrees with
+    the Catalyst backend on every op, including null handling."""
+    import pandas as pd
+
+    from mirabelle_spark.conditions import compile_condition, compile_condition_pandas
+
+    rows = [
+        {"m": 5.0, "s": "ok", "tags": ["a", "b"]},
+        {"m": -3.0, "s": "critical", "tags": ["b"]},
+        {"m": None, "s": None, "tags": None},
+        {"m": 0.0, "s": "warn", "tags": []},
+    ]
+    sdf = spark.createDataFrame(
+        rows, "m double, s string, tags array<string>"
+    )
+    pdf = pd.DataFrame(rows)
+    conds = [
+        [":>", "m", 0],
+        [":<=", "m", 0],
+        [":=", "s", "ok"],
+        [":not=", "s", "ok"],
+        [":pos?", "m"],
+        [":neg?", "m"],
+        [":zero?", "m"],
+        [":nil?", "s"],
+        [":not-nil?", "m"],
+        [":regex", "s", "crit.*"],
+        [":contains", "tags", "a"],
+        [":absent", "tags", "a"],
+        [":not", [":>", "m", 0]],
+        [":and", [":>", "m", -10], [":=", "s", "critical"]],
+        [":or", [":nil?", "m"], [":>", "m", 4]],
+        [":always-true"],
+    ]
+    for cond in conds:
+        want = [
+            bool(r[0])
+            for r in sdf.withColumn(
+                "__c__", F.coalesce(compile_condition(cond), F.lit(False))
+            ).select("__c__").collect()
+        ]
+        got = compile_condition_pandas(cond)(pdf).tolist()
+        assert got == want, f"{cond}: pandas={got} column={want}"
 
 
 def test_watermark_drops_late_event(spark, tmpdir):
