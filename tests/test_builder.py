@@ -135,6 +135,35 @@ def test_golden_case(spark):
     )
 
 
+def test_unkeyed_stateful_warns(make_events, caplog):
+    """Compiling an order-dependent op without `by` keys logs a loud
+    single-task warning; the keyed form stays silent."""
+    import logging
+
+    from mirabelle_spark.plans import build_stream
+
+    df = make_events([{"time": 1, "metric": 1}, {"time": 2, "metric": 2}])
+    tree = {
+        "action": "throttle",
+        "params": [{"count": 1, "duration": 10}],
+        "children": [{"action": "tap", "params": ["out"]}],
+    }
+    with caplog.at_level(logging.WARNING, logger="mirabelle_spark.plans"):
+        build_stream(df, tree)
+    assert any("no `by` keys" in r.message for r in caplog.records)
+
+    caplog.clear()
+    keyed = {
+        "action": "by",
+        "params": [{"fields": ["service"]}],
+        "children": [tree],
+    }
+    df2 = make_events([{"time": 1, "metric": 1, "service": "a"}])
+    with caplog.at_level(logging.WARNING, logger="mirabelle_spark.plans"):
+        build_stream(df2, keyed)
+    assert not any("no `by` keys" in r.message for r in caplog.records)
+
+
 def test_include_with_variables(make_events, tmp_path):
     import json
 
