@@ -28,6 +28,89 @@ def test_riemann_decode_metric_union(spark):
     assert out["db"].time.year >= 2023  # time_s fallback applied
 
 
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_key(fnum: int, wtype: int) -> bytes:
+    return _pb_varint((fnum << 3) | wtype)
+
+
+def _pb_str(fnum: int, s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _pb_key(fnum, 2) + _pb_varint(len(b)) + b
+
+
+def _pb_nested(fnum: int, payload: bytes) -> bytes:
+    return _pb_key(fnum, 2) + _pb_varint(len(payload)) + payload
+
+
+def test_riemann_wire_decode_real_bytes(spark):
+    """End-to-end over REAL proto2 wire bytes (encoder below follows
+    the public protobuf encoding spec; schema = the reference's
+    src/java/proto/riemann/proto.proto field numbers). Covers the
+    metric union (sint64 zigzag / double fixed64 / float fixed32),
+    repeated tags, nested attributes, and the µs-over-s time rule —
+    the full codec.clj:40-63 mapping."""
+    import struct
+
+    from mirabelle_spark.riemann_wire import decode_msg, riemann_wire_events
+
+    # Event 1: sint64 metric (negative, exercises zigzag), µs time,
+    # tags + attributes + host
+    ev1 = (
+        _pb_key(10, 0) + _pb_varint(1_700_000_000_000_000)      # time_micros
+        + _pb_str(2, "critical")                                 # state
+        + _pb_str(3, "api")                                      # service
+        + _pb_str(4, "h1")                                       # host
+        + _pb_str(7, "prod") + _pb_str(7, "edge")                # tags ×2
+        + _pb_key(8, 5) + struct.pack("<f", 60.0)                # ttl
+        + _pb_nested(9, _pb_str(1, "dc") + _pb_str(2, "eu"))     # attribute
+        + _pb_key(13, 0) + _pb_varint(9)                         # metric_sint64: zigzag(-5)=9
+    )
+    # Event 2: double metric, seconds time
+    ev2 = (
+        _pb_key(1, 0) + _pb_varint(1_700_000_000)                # time (s)
+        + _pb_str(3, "db")
+        + _pb_key(14, 1) + struct.pack("<d", 9.25)               # metric_d
+    )
+    # Event 3: float metric only
+    ev3 = _pb_str(3, "cache") + _pb_key(15, 5) + struct.pack("<f", 2.5)
+    msg = _pb_nested(6, ev1) + _pb_nested(6, ev2) + _pb_nested(6, ev3)
+
+    # pure-python decode
+    events = decode_msg(msg)
+    assert [e["service"] for e in events] == ["api", "db", "cache"]
+    assert events[0]["metric_sint64"] == -5
+    assert events[0]["tags"] == ["prod", "edge"]
+    assert events[0]["attributes"] == [{"key": "dc", "value": "eu"}]
+    assert events[1]["metric_d"] == 9.25
+
+    # distributed decode + reference field mapping
+    df = spark.createDataFrame([(msg,), (msg,)], "value binary")
+    out = riemann_wire_events(df)
+    rows = {(r.service, r.time): r for r in out.collect()}
+    assert len(rows) == 3  # two identical msgs → same keys; 6 rows collected
+    assert out.count() == 6
+    api = next(r for (svc, _), r in rows.items() if svc == "api")
+    assert api.metric == -5.0          # sint64 wins the union
+    assert api.attributes == {"host": "h1", "dc": "eu"}
+    assert api.ttl == 60.0
+    assert api.time.year == 2023       # µs field
+    db = next(r for (svc, _), r in rows.items() if svc == "db")
+    assert db.metric == 9.25 and db.time.year == 2023  # s fallback
+    cache = next(r for (svc, _), r in rows.items() if svc == "cache")
+    assert cache.metric == 2.5
+
+
 def test_prometheus_remote_write_flatten(spark):
     from mirabelle_spark import sources
 
