@@ -15,3 +15,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     to_json_files,
     to_memory,
 )
+from mirabelle_spark.streaming.lifecycle import (  # noqa: F401
+    StreamHandler,
+    diff_config,
+)

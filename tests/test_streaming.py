@@ -298,6 +298,76 @@ def test_compile_condition_pandas_matches_column_backend(spark):
         assert got == want, f"{cond}: pandas={got} column={want}"
 
 
+def test_lifecycle_reload_preserves_state(spark, tmpdir):
+    """stream.clj:128-143,227-296 semantics on Spark: reloading a
+    2-stream config where only one stream changed must (a) not touch
+    the unchanged stream's running query (state survives trivially),
+    (b) restart the changed stream from ITS checkpoint — source
+    offsets + aggregation state restore, already-read input is not
+    re-read."""
+    from mirabelle_spark.streaming import StreamHandler, diff_config
+
+    src_dir = os.path.join(tmpdir, "lc_in")
+    ckpt = os.path.join(tmpdir, "lc_ckpt")
+    os.makedirs(src_dir)
+    schema = "time timestamp, metric double, host string"
+
+    def compile_fn(sp, name, config):
+        from mirabelle_spark import streaming as stx
+
+        src = stx.file_source(sp, src_dir, schema)
+        return (
+            src.filter(F.col("metric") > config["threshold"])
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    handler = StreamHandler(spark, ckpt, compile_fn, output_mode="complete")
+    cfg1 = {
+        "s1": {"threshold": 0},
+        "s2": {"threshold": 100},
+    }
+    handler.reload(cfg1)
+    assert handler.list_streams() == ["s1", "s2"]
+
+    _write_rows(src_dir, [
+        {"time": "2024-01-01T00:00:01", "metric": 60.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": 150.0, "host": "a"},
+        {"time": "2024-01-01T00:00:03", "metric": 200.0, "host": "a"},
+    ])
+    handler.process_all()
+    assert spark.sql("select n from s1").collect()[0].n == 3
+    assert spark.sql("select n from s2").collect()[0].n == 2  # >100
+
+    # pure diff check (new-config, stream.clj:128-143)
+    cfg2 = {"s1": {"threshold": 0}, "s2": {"threshold": 50}}
+    assert diff_config(cfg1, cfg2) == {
+        "to_remove": set(), "to_add": set(), "to_reload": {"s2"},
+    }
+
+    s1_query_id = handler.get_stream("s1").id
+    actions = handler.reload(cfg2)
+    assert actions["to_reload"] == {"s2"}
+    # s1 was never restarted — same live query object
+    assert handler.get_stream("s1").id == s1_query_id
+
+    with open(os.path.join(src_dir, "p2.json"), "w") as f:
+        for r in [
+            {"time": "2024-01-01T00:01:01", "metric": 60.0, "host": "a"},
+            {"time": "2024-01-01T00:01:02", "metric": 70.0, "host": "a"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    handler.process_all()
+    try:
+        # untouched stream: running state accumulated across the reload
+        assert spark.sql("select n from s1").collect()[0].n == 5
+        # reloaded stream: checkpoint restored (2 from old state, not
+        # re-reading file 1) + 2 new rows passing the NEW threshold
+        assert spark.sql("select n from s2").collect()[0].n == 4
+    finally:
+        handler.stop_all()
+
+
 def test_watermark_drops_late_event(spark, tmpdir):
     """The :delay -> watermark rule (action.clj:2420-2432): a second
     micro-batch carrying an event older than watermark - delay is
