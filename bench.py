@@ -6,6 +6,15 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collection). Timings include Spark job execution, not
 session startup.
+
+Measurement hygiene (r2 verdict: recorded times were contention
+noise, not plan cost):
+- each query runs BENCH_RUNS times (default 3) and reports the MIN —
+  the plan's cost, not the machine's mood.
+- input splits: small local parquet arrives as 1-3 splits, starving
+  32 cores, so the bench profile lowers
+  ``spark.sql.files.maxPartitionBytes``/``openCostInBytes``. A real
+  100 TB table has thousands of row groups and never needs this.
 """
 
 from __future__ import annotations
@@ -48,7 +57,17 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(app_name="mirabelle_bench")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    spark = get_spark(
+        app_name="mirabelle_bench",
+        extra_conf={
+            # local-data split sizing: a 10 MB parquet file must not
+            # arrive as one input split on a 32-core box (no-op at
+            # real scale where files are many)
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "131072",
+        },
+    )
     qs = entry_mod.queries()
 
     # warmup: JIT + parquet footer + Arrow init, outside the timings
@@ -59,12 +78,16 @@ def main() -> None:
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(runs, 1)):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s (best of {runs})", file=sys.stderr)
 
     print(
         json.dumps(
