@@ -89,6 +89,19 @@ def bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+def _vec_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality without a driver-side action: from
+    the caller's arg, or a fixed-size ArrayType if the schema carries
+    one; only as a last resort probe one row (plan-build action —
+    avoid on hot paths by passing ``dim``)."""
+    if dim is not None:
+        return dim
+    field = df.schema[vec_col].metadata or {}
+    if "dim" in field:
+        return int(field["dim"])
+    return len(df.select(vec_col).first()[0])
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,6 +112,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH buckets → equi-join →
     exact cosine within candidates → per-query rank.
@@ -108,7 +122,7 @@ def lsh_bucketed_topk(
     projection; the join partitions by (table, bucket) — no
     broadcast needed when queries are large, no all-pairs ever.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _vec_dim(corpus, vec_col, dim)
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
     q = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
@@ -144,10 +158,11 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold)
     via self-LSH bucketing — the embedding flavor of MinHash dedup."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _vec_dim(df, vec_col, dim)
     base = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v__"))
     cand = None
     for t in range(tables):

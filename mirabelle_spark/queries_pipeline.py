@@ -201,7 +201,7 @@ def ann_lsh_topk(spark, sf):
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann.lsh_bucketed_topk(e, queries, k=5, planes=6, tables=3)
+    out = ann.lsh_bucketed_topk(e, queries, k=5, planes=6, tables=3, dim=64)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -239,7 +239,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 
 @q("embedding_near_dups")
 def embedding_near_dups_q(spark, sf):
-    return ann.embedding_near_dups(embs(spark, sf), threshold=0.2, planes=6, tables=3)
+    return ann.embedding_near_dups(embs(spark, sf), threshold=0.2, planes=6, tables=3, dim=64)
 
 
 ORACLES["embedding_near_dups"] = _near_dup_oracle(threshold=0.2, planes=6, tables=3)

@@ -187,6 +187,60 @@ def prometheus_remote_write_shape(
 _CHANNELS: dict[str, list] = {}
 
 
+class PubSubBridge:
+    """Websocket pub/sub edge (transport/websocket.clj:47-119), minus
+    the socket: subscribers register a CHANNEL + a condition vector
+    (the reference's base64-EDN ``?query=`` param) + a ``send``
+    callable (the injected transport — a real deployment passes the
+    websocket write; tests pass a list appender). Published batches
+    are filtered per subscriber with the same condition compiler as
+    ``where`` and delivered as JSON strings.
+
+    Streaming: :meth:`stream_sink` attaches the dispatch as a
+    ``foreachBatch`` sink. The per-subscriber collect is driver-side
+    BY DESIGN — this is the egress edge (alert-rate traffic), not a
+    data-plane operator; the filter itself still runs distributed
+    before anything reaches the driver.
+    """
+
+    def __init__(self):
+        self._subs: dict[int, tuple[str, object, Callable[[str], None]]] = {}
+        self._next = 0
+
+    def add(self, channel: str, condition, send: Callable[[str], None]) -> int:
+        """pubsub/add: returns a subscription id (websocket.clj:66-77)."""
+        from mirabelle_spark.conditions import compile_condition
+
+        col = compile_condition(condition) if condition is not None else None
+        sub_id = self._next
+        self._next += 1
+        self._subs[sub_id] = (channel, col, send)
+        log.info("New websocket subscription %s %s", channel, sub_id)
+        return sub_id
+
+    def rm(self, sub_id: int) -> None:
+        """pubsub/rm (the on-close action, websocket.clj:73-77)."""
+        self._subs.pop(sub_id, None)
+
+    def dispatch(self, df: DataFrame, channel: str) -> None:
+        """Publish one batch to every subscriber of ``channel``."""
+        for channel_s, cond, send in list(self._subs.values()):
+            if channel_s != channel:
+                continue
+            part = df.filter(cond) if cond is not None else df
+            for line in part.toJSON().collect():
+                send(line)
+
+    def stream_sink(self, df: DataFrame, channel: str, checkpoint: str | None = None):
+        """Attach the bridge to a streaming DataFrame (foreachBatch)."""
+        w = df.writeStream.foreachBatch(
+            lambda batch, _epoch: self.dispatch(batch, channel)
+        )
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        return w.trigger(availableNow=True).start()
+
+
 def publish(df: DataFrame, channel: str, test_mode: bool = False) -> None:
     """``publish!``: push the batch to an in-memory channel; no-op in
     test mode (the reference discards publish in tests too). The

@@ -11,6 +11,8 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_fixed_time_window,
     stream_smax,
     stream_throttle,
+    reinject_sink,
+    reinject_source,
     to_console,
     to_json_files,
     to_memory,

@@ -202,6 +202,35 @@ def to_console(df: DataFrame):
     return df.writeStream.format("console").trigger(availableNow=True).start()
 
 
+def reinject_sink(
+    df: DataFrame, topic_dir: str, checkpoint: str, trigger_available_now: bool = True
+):
+    """``reinject!`` streaming loopback, write half
+    (action.clj:1643-1678): emit events onto a named loopback topic.
+    Locally the topic is a JSON directory; on a cluster it is a Kafka
+    topic (same one-line writeStream swap). A Spark query DAG is
+    acyclic, so the reinjection cycle lives at the TOPIC level: the
+    destination stream reads the topic via :func:`reinject_source` —
+    including the emitting stream itself (union its input with the
+    loopback source for a self-cycle; bound it with a condition or
+    the loop never drains, exactly like the reference's runaway
+    reinject)."""
+    w = (
+        df.writeStream.format("json")
+        .option("path", topic_dir)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def reinject_source(spark: SparkSession, topic_dir: str, schema: str) -> DataFrame:
+    """``reinject!`` read half: subscribe a (destination) stream to a
+    loopback topic."""
+    return file_source(spark, topic_dir, schema)
+
+
 
 
 def _keyed_batch_scan(

@@ -105,3 +105,42 @@ def test_exception_stream(make_events):
     assert [r.metric for r in ok.collect()] == [2.5]
     errs = err.collect()
     assert len(errs) == 1 and "ZeroDivisionError" in errs[0].error
+
+
+def test_pubsub_bridge_per_subscriber_conditions(make_events, spark, tmp_path):
+    """websocket.clj:47-119 semantics: each subscriber's condition
+    filters the published events; remove stops delivery; the
+    streaming edge dispatches via foreachBatch."""
+    import json as _json
+    import os
+
+    from mirabelle_spark import sinks
+    from mirabelle_spark import streaming as stx
+
+    bridge = sinks.PubSubBridge()
+    hi, lo = [], []
+    sub_hi = bridge.add("alerts", [":>", "metric", 100], hi.append)
+    bridge.add("alerts", [":<=", "metric", 100], lo.append)
+    bridge.add("other", None, lambda line: (_ for _ in ()).throw(AssertionError))
+
+    df = make_events([{"time": 1, "metric": 50}, {"time": 2, "metric": 150}])
+    bridge.dispatch(df, "alerts")
+    assert len(hi) == 1 and _json.loads(hi[0])["metric"] == 150
+    assert len(lo) == 1 and _json.loads(lo[0])["metric"] == 50
+
+    bridge.rm(sub_hi)
+    bridge.dispatch(df, "alerts")
+    assert len(hi) == 1 and len(lo) == 2  # removed sub got nothing more
+
+    # streaming edge
+    src_dir = tmp_path / "ps_in"
+    src_dir.mkdir()
+    (src_dir / "p.json").write_text(
+        '{"time": "2024-01-01T00:00:01", "metric": 200.0, "host": "a"}\n'
+        '{"time": "2024-01-01T00:00:02", "metric": 10.0, "host": "a"}\n'
+    )
+    stream = stx.file_source(spark, str(src_dir), "time timestamp, metric double, host string")
+    lo.clear()
+    q = bridge.stream_sink(stream, "alerts", checkpoint=str(tmp_path / "ps_ckpt"))
+    q.awaitTermination(60)
+    assert len(lo) == 1 and _json.loads(lo[0])["metric"] == 10.0

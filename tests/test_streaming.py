@@ -298,6 +298,40 @@ def test_compile_condition_pandas_matches_column_backend(spark):
         assert got == want, f"{cond}: pandas={got} column={want}"
 
 
+def test_reinject_streaming_loopback(spark, tmpdir):
+    """reinject! as a real streaming cycle (action.clj:1643-1678):
+    the stream's source is union(input, loopback-topic) and its sink
+    writes back onto the topic, bounded by a condition — each pump
+    doubles the metric until the bound stops the cycle. The Spark
+    DAG stays acyclic; the cycle lives at the topic level (Kafka on
+    a cluster, a JSON dir here)."""
+    from mirabelle_spark import streaming as stx
+
+    in_dir = os.path.join(tmpdir, "rj_in")
+    topic = os.path.join(tmpdir, "rj_topic")
+    ckpt = os.path.join(tmpdir, "rj_ckpt")
+    os.makedirs(topic)
+    _write_rows(in_dir, [{"time": "2024-01-01T00:00:01", "metric": 1.0, "host": "a"}])
+    schema = "time timestamp, metric double, host string"
+
+    def pump():
+        src = stx.file_source(spark, in_dir, schema).unionByName(
+            stx.reinject_source(spark, topic, schema)
+        )
+        doubled = src.withColumn("metric", F.col("metric") * 2)
+        bounded = doubled.filter(F.col("metric") < 8)  # reinject condition
+        q = stx.reinject_sink(bounded, topic, ckpt)
+        q.awaitTermination(60)
+
+    for _ in range(4):  # pump until the cycle drains (2 live rounds)
+        pump()
+
+    looped = sorted(
+        r.metric for r in spark.read.schema(schema).json(topic).collect()
+    )
+    assert looped == [2.0, 4.0]  # 1→2→4, then 8 fails the bound
+
+
 def test_lifecycle_reload_preserves_state(spark, tmpdir):
     """stream.clj:128-143,227-296 semantics on Spark: reloading a
     2-stream config where only one stream changed must (a) not touch
