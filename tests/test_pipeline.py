@@ -164,3 +164,37 @@ def test_sample_frames_plumbing(spark):
     import pytest as pt
     with pt.raises(NotImplementedError):
         multimodal.sample_frames(media, every_ms=250, decoder="real")
+
+
+def test_resize_images_raw_nearest_neighbor(spark):
+    """Raw-buffer resize is real image math (nearest-neighbor index
+    gather), verified against the exact expected pixels; only the
+    compressed-codec path is import-gated."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import multimodal
+
+    # 4x4 gradient 0..15
+    img = bytes(range(16))
+    df = spark.createDataFrame([(1, img)], "doc_id bigint, payload binary")
+    media = multimodal.attach_media(df, "payload", "image/raw", "doc_id")
+    # declare source dims in meta
+    from pyspark.sql import functions as F
+
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.media_type"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.col("meta.duration_ms"),
+            F.col("meta.codec"),
+        ),
+    )
+    out = multimodal.resize_images(media, width=2, height=2).collect()
+    assert len(out) == 1
+    row = out[0]
+    # nearest-neighbor picks rows/cols 0 and 2 -> pixels 0,2,8,10
+    assert np.frombuffer(bytes(row.media), dtype=np.uint8).tolist() == [0, 2, 8, 10]
+    assert row.meta.width == 2 and row.meta.height == 2
+    assert row.meta.media_type == "image/raw"
