@@ -12,6 +12,7 @@ Usage: python tools/check_correctness.py [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -48,9 +49,25 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 def main(names: list[str] | None = None) -> int:
     import __spark_entry__ as entry_mod
-    from mirabelle_spark.session import get_spark
 
-    spark = get_spark(cpus=8)
+    if os.environ.get("HOSTILE"):
+        # driver-like session: vanilla confs (ANSI on by default in
+        # Spark 4), 200 shuffle partitions, non-UTC timezone — catches
+        # any query that silently depends on our tuned session
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("mirabelle_check_hostile")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from mirabelle_spark.session import get_spark
+
+        spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
