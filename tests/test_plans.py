@@ -1,0 +1,93 @@
+"""Plan-shape regression tests (SURVEY §4, PERF.md audits).
+
+Correctness tests pin WHAT each operator computes; these pin HOW —
+the physical plan properties that make the same code survive a 100×
+scale-up. A regression here (a lost pushdown, an extra exchange, a
+surprise single-partition sort) is a perf bug even though every
+value stays right.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def test_where_pushes_filters_to_scan(spark, qs):
+    """Condition vectors compile to Catalyst columns, so predicate
+    pushdown + column pruning must reach the parquet scan."""
+    plan = _plan(qs["where_basic"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # non-trivial pushdown, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_agg_sum_single_exchange(spark, qs):
+    """Windowed sum = partial aggregate → ONE shuffle → final
+    aggregate. A second exchange would double the shuffle cost of
+    every aggregation at scale."""
+    plan = _plan(qs["agg_sum_hourly"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_revenue_join_broadcasts_small_dims(spark, qs):
+    """The nation/region dimensions must broadcast; shuffling a
+    25-row table's join side would shuffle the fact table twice."""
+    plan = _plan(qs["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, qs):
+    """The query side is broadcast by construction: the corpus is
+    scanned once and never shuffled."""
+    plan = _plan(qs["ann_bruteforce_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_keyed_stateful_ops_have_no_single_partition(spark, qs):
+    """Keyed scans (ewma, throttle, smax) and the expired clock must
+    never plan an Exchange SinglePartition."""
+    for name in ["ewma_smoothed", "throttle", "smax_running", "expired_events"]:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "SinglePartition" not in plan, f"{name}:\n{plan}"
+
+
+def test_projection_prunes_scan_columns(spark, qs):
+    """A 2-column projection must not read all 6 event columns."""
+    plan = _plan(qs["keep_keys_proj"](spark, SF_DIR))
+    scan_line = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "value" not in scan_line and "props" not in scan_line
+
+
+def test_gate_priority_covers_first_fifty():
+    """The driver gate samples the first 50 registry entries; the
+    priority list must be exactly 50 unique, registered names and
+    must lead the iteration order."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    assert len(entry.GATE_PRIORITY) == 50
+    assert len(set(entry.GATE_PRIORITY)) == 50
+    assert list(qs)[:50] == entry.GATE_PRIORITY
+    oracles = entry.oracle_sql()
+    # every priority entry is oracle-backed except the two
+    # LSH rows-only entries (not SQL-expressible by design)
+    missing = [n for n in entry.GATE_PRIORITY if n not in oracles]
+    assert missing == ["minhash_lsh_pairs", "simhash_pairs"]
