@@ -52,12 +52,17 @@ def keep_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
 
 
 def rename_keys(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
-    """Rename keys; target overwritten if present (action.clj:2140-2194)."""
+    """Rename keys (action.clj:2140-2194, clojure.set/rename-keys
+    semantics): a row whose SOURCE key is absent (null) keeps the
+    existing target value — per-row that is ``coalesce(src, dst)``
+    when the target column already exists; the source key is removed
+    either way."""
     out = df
     for old, new in mapping.items():
         if new in out.columns and old in out.columns:
-            out = out.drop(new)
-        out = out.withColumnRenamed(old, new)
+            out = out.withColumn(new, F.coalesce(F.col(old), F.col(new))).drop(old)
+        else:
+            out = out.withColumnRenamed(old, new)
     return out
 
 
@@ -93,9 +98,12 @@ def scale(df: DataFrame, factor: float, metric_col: str = "metric") -> DataFrame
 
 
 def to_string(df: DataFrame, keys: str | Sequence[str]) -> DataFrame:
-    """Stringify values at keys (action.clj:2931-2965)."""
+    """Stringify values at keys (action.clj:2931-2965); clojure
+    ``(str nil)`` is ``""``, so null → empty string."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    return df.withColumns({k: F.col(k).cast("string") for k in keys})
+    return df.withColumns(
+        {k: F.coalesce(F.col(k).cast("string"), F.lit("")) for k in keys}
+    )
 
 
 def sformat(

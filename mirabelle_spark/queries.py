@@ -384,7 +384,7 @@ def sformat_label(spark, sf):
 
 @q(
     "to_string_field",
-    "SELECT event_id, CAST(user_id AS VARCHAR) AS user_id FROM events",
+    "SELECT event_id, coalesce(CAST(user_id AS VARCHAR), '') AS user_id FROM events",
 )
 def to_string_field(spark, sf):
     return tr.to_string(events(spark, sf), "user_id").select("event_id", "user_id")
@@ -413,6 +413,7 @@ def from_json_props(spark, sf):
 
 @q(
     "rename_keys_proj",
+    # coalesce mirrors clojure rename-keys: absent source keeps target
     "SELECT event_id, value AS metric, event_type AS service FROM events",
 )
 def rename_keys_proj(spark, sf):

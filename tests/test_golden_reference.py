@@ -1,0 +1,307 @@
+"""Reference-test parity: golden cases ported verbatim from the
+reference's own suite (test/mirabelle/action_test.clj), run through
+the DSL builder + golden harness. Input events and expected outputs
+are copied from the cited deftest bodies (values only — the harness
+re-expresses them as dicts); each case cites its source lines.
+
+Cases whose inputs need nested structs or arrive out of time order
+(the reference is arrival-ordered; our batch ops are event-time
+ordered) are covered by the operator unit tests instead.
+"""
+
+import pytest
+
+from mirabelle_spark.golden import assert_case
+
+
+def _case(spark, tree, inp, expected, tap="out"):
+    assert_case(
+        spark,
+        {
+            "input": inp,
+            "tree": {**tree, "children": [{"action": "tap", "params": [tap]}]},
+            "taps": {tap: expected},
+        },
+    )
+
+
+def test_where_golden(spark):
+    """action_test.clj:21-60 (pos?, >, and, or vectors)."""
+    _case(spark, {"action": "where", "params": [[":pos?", "metric"]]},
+          [{"metric": 10}, {"metric": -1}],
+          [{"metric": 10}])
+    _case(spark, {"action": "where", "params": [[":>", "metric", 20]]},
+          [{"metric": -1}, {"metric": 30}, {"metric": 0}],
+          [{"metric": 30}])
+    _case(spark, {"action": "where",
+                  "params": [[":and", [":>", "metric", 20], [":<", "metric", 40]]]},
+          [{"metric": -1}, {"metric": 30}, {"metric": 31}, {"metric": 50}],
+          [{"metric": 30}, {"metric": 31}])
+    _case(spark, {"action": "where",
+                  "params": [[":or", [":<", "metric", 20], [":>", "metric", 40]]]},
+          [{"metric": -1}, {"metric": 30}, {"metric": 31}, {"metric": 50}],
+          [{"metric": -1}, {"metric": 50}])
+
+
+def test_increment_decrement_golden(spark):
+    """action_test.clj:127-140."""
+    _case(spark, {"action": "increment", "params": []},
+          [{"metric": 10}, {"metric": 11}],
+          [{"metric": 11}, {"metric": 12}])
+    _case(spark, {"action": "decrement", "params": []},
+          [{"metric": 10}, {"metric": 11}],
+          [{"metric": 9}, {"metric": 10}])
+
+
+def test_default_golden(spark):
+    """action_test.clj:228-246 (flat field case)."""
+    _case(spark, {"action": "default", "params": [{"state": "ok"}]},
+          [{"metric": 1},
+           {"state": "critical", "metric": 2},
+           {"state": "critical", "metric": 3},
+           {"state": "ok", "metric": 4},
+           {"metric": 5},
+           {"state": "critical", "metric": 6}],
+          [{"state": "ok", "metric": 1},
+           {"state": "critical", "metric": 2},
+           {"state": "critical", "metric": 3},
+           {"state": "ok", "metric": 4},
+           {"state": "ok", "metric": 5},
+           {"state": "critical", "metric": 6}])
+
+
+def test_with_golden(spark):
+    """action_test.clj:310-326 (flat field case)."""
+    _case(spark, {"action": "with", "params": [{"state": "ok"}]},
+          [{"metric": 1},
+           {"state": "critical", "metric": 2},
+           {"state": "ok", "metric": 4},
+           {"metric": 5}],
+          [{"state": "ok", "metric": 1},
+           {"state": "ok", "metric": 2},
+           {"state": "ok", "metric": 4},
+           {"state": "ok", "metric": 5}])
+
+
+def test_above_dt_golden(spark):
+    """cond-dt*-test, action_test.clj:211-227: [:> :metric 10] held
+    10s; null-time events are skipped entirely."""
+    _case(spark, {"action": "above-dt",
+                  "params": [{"threshold": 10, "duration": 10}]},
+          [{"time": 1, "metric": 12},
+           {"time": 4, "metric": 12},
+           {"metric": 12},
+           {"time": 12, "metric": 12},
+           {"time": 22, "metric": 13},
+           {"time": 23, "metric": 1},
+           {"metric": 1},
+           {"time": 25, "metric": 11},
+           {"time": 36, "metric": 12}],
+          [{"time": 12.0, "metric": 12},
+           {"time": 22.0, "metric": 13},
+           {"time": 36.0, "metric": 12}])
+
+
+def test_ddt_golden(spark):
+    """dtt*-test, action_test.clj:466-488 (rate = Δmetric/Δtime;
+    ddt-pos drops negative rates and skips null metrics)."""
+    _case(spark, {"action": "ddt", "params": []},
+          [{"metric": 1, "time": 1},
+           {"metric": 10, "time": 4},
+           {"metric": 11, "time": 7},
+           {"metric": 8, "time": 10}],
+          [{"metric": 3.0, "time": 4.0},
+           {"metric": 1 / 3, "time": 7.0},
+           {"metric": -1.0, "time": 10.0}])
+    _case(spark, {"action": "ddt-pos", "params": []},
+          [{"metric": 1, "time": 1},
+           {"metric": 10, "time": 4},
+           {"metric": 11, "time": 7},
+           {"metric": 0, "time": 10},
+           {"time": 12},
+           {"metric": 4, "time": 12}],
+          [{"metric": 3.0, "time": 4.0},
+           {"metric": 1 / 3, "time": 7.0},
+           {"metric": 2.0, "time": 12.0}])
+
+
+def test_scale_golden(spark):
+    """action_test.clj:489-498."""
+    _case(spark, {"action": "scale", "params": [10]},
+          [{"metric": 1, "time": 1}, {"metric": 10, "time": 4}],
+          [{"metric": 10, "time": 1.0}, {"metric": 100, "time": 4.0}])
+
+
+def test_split_golden(spark):
+    """split*-test, action_test.clj:499-527: first-match routing with
+    two branches."""
+    from mirabelle_spark.golden import run_case
+
+    case = {
+        "input": [
+            {"metric": 1, "time": 1, "state": "ok"},
+            {"metric": 1, "time": 1, "state": "warning"},
+            {"metric": 1, "time": 1},
+            {"metric": 10, "time": 4, "state": "critical"},
+            {"metric": 1, "time": 1, "state": "foo"},
+            {"metric": 100, "time": 1, "state": "ok"},
+        ],
+        "tree": {
+            "action": "split",
+            "params": [[[":=", "state", "critical"], [":=", "state", "ok"]]],
+            "children": [
+                {"action": "tap", "params": ["crit"]},
+                {"action": "tap", "params": ["ok"]},
+            ],
+        },
+        "taps": {
+            "crit": [{"metric": 10, "time": 4.0, "state": "critical"}],
+            "ok": [{"metric": 1, "time": 1.0, "state": "ok"},
+                   {"metric": 100, "time": 1.0, "state": "ok"}],
+        },
+    }
+    failures = run_case(spark, case)
+    assert not any(failures.values()), failures
+
+
+def test_throttle_golden(spark):
+    """throttle*-test, action_test.clj:528-568 (both counts; the
+    out-of-order time-3 event is dropped either way)."""
+    inp = [{"metric": 1, "time": t, "state": "ok"}
+           for t in [0, 1, 5, 7, 3, 12, 14, 16, 18]]
+    _case(spark, {"action": "throttle",
+                  "params": [{"count": 1, "duration": 5}]},
+          inp,
+          [{"metric": 1, "time": t} for t in [0.0, 5.0, 12.0, 18.0]])
+    _case(spark, {"action": "throttle",
+                  "params": [{"count": 2, "duration": 5}]},
+          inp,
+          [{"metric": 1, "time": t} for t in [0.0, 1.0, 5.0, 7.0, 12.0, 14.0, 18.0]])
+
+
+def test_ewma_golden(spark):
+    """ewma-timeless*-test, action_test.clj:649-683 (r = 0, 1, 0.5)."""
+    inp135 = [{"metric": 1, "time": 0}, {"metric": 3, "time": 1},
+              {"metric": 5, "time": 2}]
+    _case(spark, {"action": "ewma-timeless", "params": [0]},
+          inp135, [{"metric": 0.0, "time": t} for t in [0.0, 1.0, 2.0]])
+    _case(spark, {"action": "ewma-timeless", "params": [1]},
+          inp135,
+          [{"metric": 1.0, "time": 0.0}, {"metric": 3.0, "time": 1.0},
+           {"metric": 5.0, "time": 2.0}])
+    _case(spark, {"action": "ewma-timeless", "params": [0.5]},
+          [{"metric": 1, "time": t} for t in [0, 1, 2]],
+          [{"metric": 0.5, "time": 0.0}, {"metric": 0.75, "time": 1.0},
+           {"metric": 0.875, "time": 2.0}])
+
+
+def test_over_under_golden(spark):
+    """action_test.clj:684-716."""
+    inp = [{"metric": m} for m in [10, 1, 4, 12, 11, 1, 9, 14]]
+    _case(spark, {"action": "over", "params": [10]},
+          inp, [{"metric": m} for m in [12, 11, 14]])
+    _case(spark, {"action": "under", "params": [10]},
+          inp, [{"metric": m} for m in [1, 4, 1, 9]])
+
+
+def test_changed_golden(spark):
+    """changed*-test, action_test.clj:717-731 (flat field, init ok)."""
+    _case(spark, {"action": "changed", "params": [{"field": "state", "init": "ok"}]},
+          [{"metric": 1, "state": "ok"},
+           {"metric": 2, "state": "ok"},
+           {"metric": 3, "state": "critical"},
+           {"metric": 4, "state": "critical"},
+           {"metric": 4.5, "state": "critical"},
+           {"metric": 5, "state": "ok"},
+           {"metric": 6, "state": "critical"}],
+          [{"metric": 3, "state": "critical"},
+           {"metric": 5, "state": "ok"},
+           {"metric": 6, "state": "critical"}])
+
+
+def test_stable_golden(spark):
+    """stable*-test second case, action_test.clj:1117-1137: a run
+    stable past dt flushes ALL its buffered events, including the
+    ones that arrived before dt elapsed."""
+    _case(spark, {"action": "stable", "params": [10, "state"]},
+          [{"state": "critical", "time": 1},
+           {"state": "critical", "time": 9},
+           {"state": "critical", "time": 12},
+           {"state": "critical", "time": 13}],
+          [{"state": "critical", "time": 1.0},
+           {"state": "critical", "time": 9.0},
+           {"state": "critical", "time": 12.0},
+           {"state": "critical", "time": 13.0}])
+
+
+def test_sdissoc_golden(spark):
+    """sdissoc*-test flat cases, action_test.clj:808-836 (drop
+    host+service; rows keep remaining fields)."""
+    _case(spark, {"action": "sdissoc", "params": [["host", "service"]]},
+          [{"host": "h1", "service": "s1", "metric": 1},
+           {"host": "h2", "metric": 2}],
+          [{"metric": 1}, {"metric": 2}])
+
+
+def test_tagged_all_golden(spark):
+    """tagged-all*-test, action_test.clj:868-885."""
+    _case(spark, {"action": "tagged-all", "params": [["foo"]]},
+          [{"metric": 3}, {"metric": 1, "tags": ["a"]},
+           {"metric": 2, "tags": ["foo"]}],
+          [{"metric": 2, "tags": ["foo"]}])
+    _case(spark, {"action": "tagged-all", "params": [["foo", "bar"]]},
+          [{"metric": 3},
+           {"metric": 1, "tags": ["a"]},
+           {"metric": 2, "tags": ["foo"]},
+           {"metric": 3.5, "tags": ["foo", "bar"]}],
+          [{"metric": 3.5, "tags": ["foo", "bar"]}])
+
+
+def test_tag_untag_golden(spark):
+    """tag*/untag*-test, action_test.clj:419-465 (add keeps order and
+    dedups; untag removes)."""
+    _case(spark, {"action": "tag", "params": [["foo"]]},
+          [{"metric": 1}, {"metric": 2, "tags": ["foo"]},
+           {"metric": 3, "tags": ["a"]}],
+          [{"metric": 1, "tags": ["foo"]},
+           {"metric": 2, "tags": ["foo"]},
+           {"metric": 3, "tags": ["a", "foo"]}])
+    _case(spark, {"action": "untag", "params": [["foo"]]},
+          [{"metric": 1, "tags": ["foo"]}, {"metric": 2, "tags": ["a", "foo"]}],
+          [{"metric": 1, "tags": []}, {"metric": 2, "tags": ["a"]}])
+
+
+def test_sformat_golden(spark):
+    """sformat*-test second case, action_test.clj:1031-1040:
+    template into an existing field."""
+    _case(spark, {"action": "sformat", "params": ["%s-cc", "service", ["host"]]},
+          [{"host": "aa", "service": "bb"}],
+          [{"host": "aa", "service": "aa-cc"}])
+
+
+def test_rename_keys_golden(spark):
+    """rename-keys*-test flat case, action_test.clj:1138-1151: a row
+    whose source key is absent keeps its existing target value."""
+    _case(spark, {"action": "rename-keys", "params": [{"host": "service"}]},
+          [{"host": "foo", "service": "bar", "metric": 1},
+           {"service": "bar", "metric": 2}],
+          [{"service": "foo", "metric": 1},
+           {"service": "bar", "metric": 2}])
+
+
+def test_keep_keys_golden(spark):
+    """keep-keys*-test flat case, action_test.clj:1180-1192."""
+    _case(spark, {"action": "keep-keys", "params": [["host", "service", "metric"]]},
+          [{"host": "foo", "service": "bar", "state": "ok", "metric": 10},
+           {"host": "foo", "service": "baz", "time": 4},
+           {"service": "bar"}],
+          [{"host": "foo", "service": "bar", "metric": 10},
+           {"host": "foo", "service": "baz"},
+           {"service": "bar"}])
+
+
+def test_to_string_golden(spark):
+    """to-string-test, action_test.clj:1525-1535: str(nil) = ''."""
+    _case(spark, {"action": "to-string", "params": [["state"]]},
+          [{"metric": 1}, {"metric": 2, "state": "ok"}],
+          [{"metric": 1, "state": ""}, {"metric": 2, "state": "ok"}])
