@@ -123,3 +123,48 @@ def test_ewma_timeless_sequence(make_events):
     e = agg.ewma_timeless(df, 0.5, time_col="time", order_cols=["seq"])
     got = [r.metric for r in e.orderBy("seq").collect()]
     assert got == [0.5, 0.75, 0.875]
+
+
+def test_coll_max_min_skip_null_metrics(make_events):
+    """math_test.clj:5-17: max/min-event ignore null-metric events
+    (a null never wins; an all-null window emits nothing... the
+    reference returns nil)."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events(
+        [{"time": 1, "metric": 1}, {"time": 2, "metric": None},
+         {"time": 3}, {"time": 4, "metric": 4}]
+    )
+    mx = agg.coll_max(df, 60.0, time_col="time").collect()
+    assert [r.metric for r in mx] == [4.0]
+    mn = agg.coll_min(df, 60.0, time_col="time").collect()
+    assert [r.metric for r in mn] == [1.0]
+    # min with only one non-null: that one wins even if larger values
+    # are "absent" (math_test.clj:17)
+    df2 = make_events([{"time": 1, "metric": None}, {"time": 2, "metric": 4}])
+    assert [r.metric for r in agg.coll_min(df2, 60.0, time_col="time").collect()] == [4.0]
+
+
+def test_rate_same_timestamp_sums(make_events):
+    """math_test.clj:19-29: rate over a zero-length interval is the
+    metric sum; 3 events of metric 1 across 9s → 1/3."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events([{"time": 10, "metric": 1}, {"time": 10, "metric": 10}])
+    assert [r.metric for r in agg.coll_rate(df, 60.0, time_col="time").collect()] == [11.0]
+    df2 = make_events(
+        [{"time": 2, "metric": 1}, {"time": 1, "metric": 1}, {"time": 10, "metric": 1}]
+    )
+    got = [r.metric for r in agg.coll_rate(df2, 60.0, time_col="time").collect()]
+    assert got == [3.0 / 9.0]
+
+
+def test_percentiles_riemann_sample(make_events):
+    """math_test.clj sorted-sample: [6,1,2,1,1] at [0, 0.5, 1] →
+    [1, 1, 6]."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events([{"time": t, "metric": m} for t, m in enumerate([6, 1, 2, 1, 1])])
+    p = agg.agg_percentiles(df, [0.0, 0.5, 1.0], 60.0, time_col="time")
+    got = {r.quantile: r.metric for r in p.collect()}
+    assert got == {0.0: 1.0, 0.5: 1.0, 1.0: 6.0}
