@@ -305,3 +305,48 @@ def test_to_string_golden(spark):
     _case(spark, {"action": "to-string", "params": [["state"]]},
           [{"metric": 1}, {"metric": 2, "state": "ok"}],
           [{"metric": 1, "state": ""}, {"metric": 2, "state": "ok"}])
+
+
+def test_by_fixed_event_window_golden(spark):
+    """by-test 'simple example', stream_test.clj:279-309: per-host
+    forks each fill their own size-2 windows."""
+    from mirabelle_spark.plans import build_stream
+    from mirabelle_spark.golden import _df_from_events
+
+    rows = [
+        {"host": "foo", "metric": 1, "time": 1},
+        {"host": "foo", "metric": 2, "time": 1},
+        {"host": "bar", "metric": 3, "time": 1},
+        {"host": "bar", "metric": 4, "time": 1},
+        {"host": "bar", "metric": 5, "time": 2},
+        {"host": "bar", "metric": 6, "time": 2},
+        {"host": "baz", "metric": 4, "time": 1},
+        {"host": "baz", "metric": 7, "time": 4},
+    ]
+    df = _df_from_events(spark, rows)
+    taps = build_stream(
+        df,
+        {
+            "action": "by",
+            "params": [{"fields": ["host"]}],
+            "children": [
+                {
+                    "action": "fixed-event-window",
+                    "params": [{"size": 2}],
+                    "children": [{"action": "tap", "params": ["win"]}],
+                }
+            ],
+        },
+        order_cols=("seq",),
+        test_mode=True,
+    )
+    got = sorted(
+        (r.host, tuple(sorted(e.metric for e in r.events)))
+        for r in taps["win"].collect()
+    )
+    assert got == [
+        ("bar", (3.0, 4.0)),
+        ("bar", (5.0, 6.0)),
+        ("baz", (4.0, 7.0)),
+        ("foo", (1.0, 2.0)),
+    ]
