@@ -48,8 +48,12 @@ def field_col(field: FieldRef) -> Column:
 
 
 def _norm_op(op: Any) -> str:
-    s = str(op)
-    return s[1:] if s.startswith(":") else s
+    if not isinstance(op, str):
+        raise ValueError(
+            f"condition op must be a keyword string, got {op!r} "
+            "(is the vector nested one level too deep?)"
+        )
+    return op[1:] if op.startswith(":") else op
 
 
 def compile_condition(cond: Sequence) -> Column:
@@ -82,6 +86,8 @@ def compile_condition(cond: Sequence) -> Column:
     if op in ("always-true", "true") and len(cond) == 1:
         return F.lit(True)
 
+    if len(cond) < 2:
+        raise ValueError(f"condition {cond!r} is missing its field")
     field = cond[1]
     col = field_col(field)
     args = list(cond[2:])

@@ -180,6 +180,64 @@ def order_priority_counts(spark, sf):
 
 
 @q(
+    "priority_conditional_counts",
+    """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_disc,
+       CAST(sum(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_disc
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def priority_conditional_counts(spark, sf):
+    """TPC-H Q12-shaped conditional rollup: one shuffle join, two
+    conditional counts in ONE aggregate pass (no self-join, no second
+    scan — the CASE-in-sum pattern every monitoring rollup needs)."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    hi = F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(hi).cast("bigint").alias("high_disc"),
+            F.sum(1 - hi).cast("bigint").alias("low_disc"),
+        )
+    )
+
+
+@q(
+    "brand_part_revenue",
+    """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def brand_part_revenue(spark, sf):
+    """Brand rollup with a distinct-count: part dim broadcast, revenue
+    decimal-exact, countDistinct partial-aggregated by Catalyst."""
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(disc).alias("revenue"),
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        )
+    )
+
+
+@q(
     "segment_top_orders",
     """
 SELECT o_orderkey, revenue FROM (

@@ -60,3 +60,26 @@ def test_not_eq_null_safe(make_events, collect_sorted):
     rows = [{"time": 1, "state": None}, {"time": 2, "state": "ok"}]
     # clojure not=: nil differs from "ok" → event 0 passes
     assert _ids(make_events, collect_sorted, rows, [":not=", "state", "ok"]) == [0]
+
+
+def test_invalid_conditions_raise():
+    """condition_test.clj:28-37: malformed vectors are rejected at
+    compile time, not silently mis-evaluated."""
+    import pytest
+
+    from mirabelle_spark.conditions import compile_condition, compile_condition_pandas
+
+    bad = [
+        [[":>", "metric", 10]],          # nested instead of op-first
+        [":??", "metric", 10],            # unknown op
+        [":foo", "metric"],               # unknown op
+        [],                                # empty
+        "not-a-vector",                   # wrong type
+    ]
+    for cond in bad:
+        with pytest.raises((ValueError, TypeError)):
+            compile_condition(cond)
+        with pytest.raises((ValueError, TypeError)):
+            import pandas as pd
+
+            compile_condition_pandas(cond)(pd.DataFrame({"metric": [1.0]}))
