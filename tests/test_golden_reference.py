@@ -350,3 +350,36 @@ def test_by_fixed_event_window_golden(spark):
         ("baz", (4.0, 7.0)),
         ("foo", (1.0, 2.0)),
     ]
+
+
+def test_new_config_diff_golden():
+    """new-config-test, stream_test.clj:487-512: the reload diff."""
+    from mirabelle_spark.streaming.lifecycle import diff_config
+
+    same = diff_config({"foo": {}, "bar": {}}, {"foo": {}, "bar": {}})
+    assert same == {"to_remove": set(), "to_add": set(), "to_reload": set()}
+
+    add = diff_config({"foo": {}, "bar": {}}, {"foo": {}, "bar": {}, "baz": {}})
+    assert add == {"to_remove": set(), "to_add": {"baz"}, "to_reload": set()}
+
+    reload_ = diff_config(
+        {"foo": {}, "bar": {}}, {"foo": {}, "bar": {"foo": 1}, "baz": {}}
+    )
+    assert reload_ == {"to_remove": set(), "to_add": {"baz"}, "to_reload": {"bar"}}
+
+    remove = diff_config({"foo": {}, "bar": {}}, {"foo": {}})
+    assert remove == {"to_remove": {"bar"}, "to_add": set(), "to_reload": set()}
+
+
+def test_custom_action_golden(spark):
+    """custom-action-test, stream_test.clj:30-67: a registered custom
+    action compiles inside a stream like a built-in."""
+    from mirabelle_spark.operators import filters as flt
+    from mirabelle_spark.plans.builder import register_action
+
+    register_action(
+        "my-custom-action", lambda df, ctx, cond: flt.where(df, cond)
+    )
+    _case(spark, {"action": "my-custom-action", "params": [[":>", "metric", 10]]},
+          [{"metric": 12}, {"metric": 9}, {"metric": 13}],
+          [{"metric": 12}, {"metric": 13}])
