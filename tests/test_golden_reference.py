@@ -383,3 +383,17 @@ def test_custom_action_golden(spark):
     _case(spark, {"action": "my-custom-action", "params": [[":>", "metric", 10]]},
           [{"metric": 12}, {"metric": 9}, {"metric": 13}],
           [{"metric": 12}, {"metric": 13}])
+
+
+def test_base64_golden(spark):
+    """to/from-base64*-test flat cases, action_test.clj:979-1016."""
+    _case(spark, {"action": "to-base64", "params": [["host"]]},
+          [{"host": "aa", "service": "bb"},
+           {"host": "bb", "service": "aa", "state": "critical"}],
+          [{"host": "YWE=", "service": "bb"},
+           {"host": "YmI=", "service": "aa", "state": "critical"}])
+    _case(spark, {"action": "from-base64", "params": [["host"]]},
+          [{"host": "YWE=", "service": "YmI="},
+           {"host": "YmI=", "service": "YWE=", "state": "critical"}],
+          [{"host": "aa", "service": "YmI="},
+           {"host": "bb", "service": "YWE=", "state": "critical"}])
