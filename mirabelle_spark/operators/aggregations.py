@@ -64,6 +64,74 @@ def agg_sum(
     )
 
 
+def aggregation_delayed(
+    df: DataFrame,
+    duration_s: float,
+    delay_s: float,
+    aggr: str = "sum",
+    by: Sequence[str] = (),
+    time_col: str = "time",
+    metric_col: str = "metric",
+    arrival_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The FULL push-mode ``aggregation*`` semantics
+    (action.clj:2387-2454) in batch, including ``:delay``:
+
+    - stream clock = running max arrival time (:func:`filters.with_clock`
+      — scale-safe, never a single-partition sort);
+    - an event with ``time < clock - delay`` at arrival is DROPPED
+      (too old, action.clj:2421-2426);
+    - a window flushes only once ``clock - delay`` passes its end
+      (action.clj:2436-2441) — windows still open when the stream
+      ends never emit (the batch analog: window_end + delay must be
+      ≤ the final clock);
+    - the emitted event carries the window's max accepted event time
+      (the reference accumulates :time per window).
+
+    Without ``arrival_cols`` arrival order is event-time order, where
+    the late-drop never fires and this reduces to the plain windowed
+    aggregate minus the unflushed tail windows. Output:
+    (by…, window_start, time, metric).
+    """
+    from mirabelle_spark.operators.filters import with_clock
+
+    exprs = {
+        "sum": lambda m: exact_sum(F.coalesce(m, F.lit(0.0))),
+        "mean": lambda m: exact_sum(F.coalesce(m, F.lit(0.0))) / F.count(F.lit(1)),
+        "max": lambda m: F.max(m),
+        "min": lambda m: F.min(m),
+        "count": lambda m: F.count(F.lit(1)).cast("double"),
+    }
+    if aggr not in exprs:
+        raise ValueError(f"invalid aggregation function {aggr!r}")
+
+    dfc, clock = with_clock(df, time_col, arrival_cols, by=by)
+    t = F.col(time_col).cast("double")
+    accepted = dfc.filter((clock - t) <= F.lit(float(delay_s)))
+
+    if by:
+        fc = dfc.groupBy(*_cols(by)).agg(F.max(clock).alias("__fc__"))
+        accepted = accepted.drop("__clock__").join(F.broadcast(fc), list(by))
+    else:
+        fc = dfc.agg(F.max(clock).alias("__fc__"))
+        accepted = accepted.drop("__clock__").crossJoin(F.broadcast(fc))
+
+    bucket = window_start_s(time_col, duration_s).alias("window_start")
+    out = (
+        accepted.groupBy(*_cols(by), bucket)
+        .agg(
+            exprs[aggr](F.col(metric_col)).alias("metric"),
+            F.max(t).alias("time"),
+            F.max(F.col("__fc__")).alias("__fc__"),
+        )
+        .filter(
+            F.col("window_start") + F.lit(float(duration_s) + float(delay_s))
+            <= F.col("__fc__")
+        )
+    )
+    return out.drop("__fc__")
+
+
 def agg_mean(
     df: DataFrame,
     duration_s: float,

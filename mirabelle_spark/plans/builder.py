@@ -176,6 +176,12 @@ def _aggk(ctx: Ctx) -> dict:
 
 
 action("sum")(lambda df, ctx, cfg: agg.agg_sum(df, cfg["duration"], **_aggk(ctx)))
+action("aggregation")(
+    lambda df, ctx, cfg: agg.aggregation_delayed(
+        df, cfg["duration"], cfg.get("delay", 0), aggr=cfg.get("aggr-fn", "sum"),
+        **_aggk(ctx), arrival_cols=list(ctx.order_cols),
+    )
+)
 action("mean")(lambda df, ctx, cfg: agg.agg_mean(df, cfg["duration"], **_aggk(ctx)))
 action("top")(
     lambda df, ctx, cfg: agg.agg_top(

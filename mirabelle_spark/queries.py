@@ -674,6 +674,36 @@ def agg_sum_hourly(spark, sf):
 
 
 @q(
+    "agg_sum_delayed_hourly",
+    f"""
+WITH clocked AS (
+  SELECT user_id, value, ts, {T_S} AS t_s,
+         max({T_S}) OVER (ORDER BY user_id, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clk
+  FROM events
+)
+SELECT {WS_HOUR} AS window_start,
+       CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(38,9))) AS DOUBLE) AS metric,
+       max(t_s) AS time
+FROM clocked
+WHERE clk - t_s <= 1800.0
+GROUP BY 1
+HAVING window_start + {HOUR} + 1800.0 <= (SELECT max(clk) FROM clocked)
+""",
+)
+def agg_sum_delayed_hourly(spark, sf):
+    """Full push-mode aggregation with :delay late-drop and the
+    flush-on-clock rule — arrival order (user_id, event_id), so
+    events genuinely arrive out of time order and both the too-old
+    drop and the unflushed-tail rule fire."""
+    return agg.aggregation_delayed(
+        events(spark, sf), HOUR, 1800.0, aggr="sum",
+        time_col="ts", metric_col="value",
+        arrival_cols=["user_id", "event_id"],
+    ).select("window_start", "metric", "time")
+
+
+@q(
     "agg_mean_hourly",
     f"SELECT user_id, {WS_HOUR} AS window_start, {_SUM_DEC} / count(*) AS metric "
     "FROM events GROUP BY user_id, 2",

@@ -397,3 +397,42 @@ def test_base64_golden(spark):
            {"host": "YmI=", "service": "YWE=", "state": "critical"}],
           [{"host": "aa", "service": "YmI="},
            {"host": "bb", "service": "YWE=", "state": "critical"}])
+
+
+def test_aggregation_delay_golden(spark):
+    """aggregation*-test, stream_test.clj:1227-1300: all three cases
+    — no delay (final open window never flushes), delay toleration
+    (late-but-tolerated events fold in, too-old events drop), and
+    negative event times."""
+    # no delay
+    _case(spark, {"action": "aggregation",
+                  "params": [{"duration": 10, "aggr-fn": "sum", "delay": 0}]},
+          [{"time": 0, "metric": 10}, {"time": 7, "metric": 1},
+           {"time": 11, "metric": 3}, {"time": 14, "metric": 8},
+           {"time": 19, "metric": 1}, {"time": 20, "metric": 2},
+           {"time": 23, "metric": 4}, {"time": 60, "metric": 1},
+           {"time": 64, "metric": 4}, {"time": 70, "metric": 3}],
+          [{"time": 7.0, "metric": 11.0}, {"time": 19.0, "metric": 12.0},
+           {"time": 23.0, "metric": 6.0}, {"time": 64.0, "metric": 5.0}])
+    # delay: late-but-tolerated 8,9 fold into [0,10); too-old 1 drops
+    _case(spark, {"action": "aggregation",
+                  "params": [{"duration": 10, "aggr-fn": "sum", "delay": 5}]},
+          [{"time": 0, "metric": 10}, {"time": 7, "metric": 1},
+           {"time": 11, "metric": 3}, {"time": 8, "metric": 2},
+           {"time": 9, "metric": 2}, {"time": 1, "metric": 2},
+           {"time": 14, "metric": 8}, {"time": 19, "metric": 1},
+           {"time": 20, "metric": 2}, {"time": 23, "metric": 4},
+           {"time": 25, "metric": 4}],
+          [{"time": 9.0, "metric": 15.0}, {"time": 19.0, "metric": 12.0}])
+    # negative event times
+    _case(spark, {"action": "aggregation",
+                  "params": [{"duration": 10, "aggr-fn": "sum", "delay": 5}]},
+          [{"time": 0, "metric": 10}, {"time": -3, "metric": 10},
+           {"time": -2, "metric": 1}, {"time": 3, "metric": 1},
+           {"time": 11, "metric": 3}, {"time": 8, "metric": 2},
+           {"time": 9, "metric": 2}, {"time": 1, "metric": 2},
+           {"time": 14, "metric": 8}, {"time": 19, "metric": 1},
+           {"time": 20, "metric": 2}, {"time": 23, "metric": 4},
+           {"time": 25, "metric": 4}],
+          [{"time": -2.0, "metric": 11.0}, {"time": 9.0, "metric": 15.0},
+           {"time": 19.0, "metric": 12.0}])
