@@ -303,6 +303,12 @@ action("outside-dt")(
 action("critical-dt")(
     lambda df, ctx, cfg: st.critical_dt(df, cfg["duration"], **_stk(ctx))
 )
+action("cond-dt")(
+    lambda df, ctx, cond, cfg: st.cond_dt(df, cond, cfg["duration"], **_stk(ctx))
+)
+action("coll-where")(
+    lambda df, ctx, cond_sql, col="events": flt.coll_where(df, col, cond_sql)
+)
 action("stable")(
     lambda df, ctx, dt, fieldname: st.stable(df, dt, fieldname, **_stk(ctx))
 )
@@ -358,9 +364,34 @@ def _walk(df: DataFrame, node: dict | list, ctx: Ctx) -> None:
             key = f"__b{i}__" if i < len(conds) else "__default__"
             _walk(routed[key], child, ctx)
         return
-    if name == "tap":
+    if name in ("tap", "test-action"):
         tap_name = params[0]
         ctx.taps[tap_name] = df
+        return
+    if name == "exception-stream":
+        # action.clj:1801-1807: two children — success stream, error
+        # stream (rows whose row_fn raised, as error events)
+        row_fn = params[0]
+        ok_df, err_df = tr.exception_stream(df, row_fn)
+        if children:
+            _walk(ok_df, children[0], ctx)
+        if len(children) > 1:
+            _walk(err_df, children[1], ctx)
+        return
+    if name == "publish!":
+        # channel publish (action.clj:1983-2005); discarded in test
+        # mode like every output
+        from mirabelle_spark import sinks as _sinks
+
+        _sinks.publish(df, params[0], test_mode=ctx.test_mode)
+        return
+    if name == "reinject!":
+        # batch form of the topic loopback: capture the stream to a
+        # named reinjection tap; the runner feeds it back bounded
+        # (sources.reinject_batch) or via the streaming topic
+        # (streaming.reinject_sink/source)
+        dest = params[0] if params else "default"
+        ctx.taps[f"__reinject__:{dest}"] = df
         return
     if name in ("debug", "info", "error"):
         # log sinks: in batch/test mode they are taps named by level

@@ -184,3 +184,75 @@ def test_include_with_variables(make_events, tmp_path):
     assert build_stream(df, tree)["out"].count() == 2
     tree_prod = load_tree(str(p), profile="prod")
     assert build_stream(df, tree_prod)["out"].count() == 1
+
+
+def test_full_action_registry_compilable(make_events):
+    """Every name in the reference's action->fn registry
+    (action.clj:3037-3114) compiles through the builder — no DSL tree
+    a reference user writes can hit 'unknown action'."""
+    from mirabelle_spark.plans import builder
+
+    ref_registry = """above-dt sum async-queue! below-dt between-dt bottom
+    changed coalesce coll-bottom coll-count coll-increase coll-max coll-mean
+    coll-min coll-percentiles coll-quotient coll-rate coll-sort coll-sum
+    coll-top coll-where cond-dt debug default decrement ddt ddt-pos info
+    iterate-on error extract ewma-timeless exception-stream expired
+    fixed-event-window fixed-time-window from-base64 increment io from-json
+    keep-keys mean moving-event-window moving-time-window not-expired
+    outside-dt over percentiles project publish! output! rate ratio reinject!
+    rename-keys scale sdissoc sdo sflatten sformat smax smin split ssort
+    stable tag tagged-all tap test-action throttle to-base64 to-string top
+    under untag where with""".split()
+    special = {"by", "split", "tap", "test-action", "debug", "info", "error",
+               "output!", "exception-stream", "publish!", "reinject!"}
+    missing = [a for a in ref_registry if a not in builder._ACTIONS and a not in special]
+    assert missing == [], f"unregistered reference actions: {missing}"
+
+
+def test_exception_stream_and_reinject_actions(make_events):
+    from mirabelle_spark.plans import build_stream
+
+    df = make_events([{"time": 1, "metric": 4}, {"time": 2, "metric": 0}])
+
+    def risky(rec):
+        return {"metric": 10.0 / rec["metric"]}
+
+    taps = build_stream(
+        df,
+        {
+            "action": "exception-stream",
+            "params": [risky],
+            "children": [
+                {"action": "tap", "params": ["ok"]},
+                {"action": "tap", "params": ["err"]},
+            ],
+        },
+        test_mode=True,
+    )
+    assert [r.metric for r in taps["ok"].collect()] == [2.5]
+    assert taps["err"].count() == 1
+
+    taps2 = build_stream(
+        df,
+        {"action": "where", "params": [[":>", "metric", 1]],
+         "children": [{"action": "reinject!", "params": ["foo"]}]},
+        test_mode=True,
+    )
+    assert taps2["__reinject__:foo"].count() == 1
+
+
+def test_cond_dt_and_coll_where_actions(make_events):
+    from mirabelle_spark.plans import build_stream
+
+    df = make_events(
+        [{"time": 0, "metric": 200}, {"time": 5, "metric": 200},
+         {"time": 11, "metric": 200}, {"time": 12, "metric": 1}]
+    )
+    taps = build_stream(
+        df,
+        {"action": "cond-dt",
+         "params": [[":>", "metric", 100], {"duration": 10}],
+         "children": [{"action": "tap", "params": ["alerts"]}]},
+        test_mode=True,
+    )
+    assert [r.time.timestamp() for r in taps["alerts"].collect()] == [11.0]
