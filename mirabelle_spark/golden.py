@@ -86,3 +86,78 @@ def _norm(v: Any) -> Any:
     if isinstance(v, float) and v.is_integer():
         return v
     return v
+
+
+def launch_tests(
+    spark: SparkSession, stream_dirs: list[str], test_dirs: list[str]
+) -> str:
+    """The reference's product test runner (test.clj:41-90 /
+    ``mirabelle test``): stream configs and test cases load from
+    directories; each test pushes its input into the target stream
+    (or every ``default: true`` stream) and diffs each tap against
+    the expectation. Returns the same human-readable verdict string
+    ("All tests successful" / "N errors" + per-test detail).
+
+    File format is the JSON mirror of the EDN dirs: stream files hold
+    ``{name: {"default": bool, "actions": tree}}``, test files hold
+    ``{name: {"input": [events], "target": name?, "taps": {...}}}``.
+    Taps share one namespace across streams (pushing to two default
+    streams that both tap "foo" unions into one tap), matching the
+    reference's global tap atom.
+    """
+    import json
+    import os
+
+    def read_dirs(dirs: list[str]) -> dict:
+        out: dict = {}
+        for d in dirs:
+            for fname in sorted(os.listdir(d)):
+                path = os.path.join(d, fname)
+                if os.path.isfile(path):
+                    with open(path) as f:
+                        out.update(json.load(f))
+        return out
+
+    streams = read_dirs(stream_dirs)
+    tests = read_dirs(test_dirs)
+    errors: list[str] = []
+    for test_name, cfg in tests.items():
+        try:
+            df = _df_from_events(spark, cfg["input"])
+            target = cfg.get("target")
+            if target:
+                run = {target: streams[target]}
+            else:
+                run = {n: s for n, s in streams.items() if s.get("default")}
+            taps: dict[str, Any] = {}
+            for _, stream_cfg in run.items():
+                ctx = compile_stream(
+                    df, stream_cfg["actions"], Ctx(order_cols=("seq",), test_mode=True)
+                )
+                for tap_name, tap_df in ctx.taps.items():
+                    taps[tap_name] = (
+                        taps[tap_name].unionByName(tap_df)
+                        if tap_name in taps
+                        else tap_df
+                    )
+            for tap_name, expected in cfg.get("taps", {}).items():
+                got_rows = taps[tap_name].collect() if tap_name in taps else []
+                got = [
+                    {k: _norm(v) for k, v in r.asDict().items() if v is not None}
+                    for r in got_rows
+                ]
+                exp = [{k: _norm(v) for k, v in e.items()} for e in expected]
+                matched = len(got) == len(exp) and all(
+                    any(all(g.get(k) == v for k, v in e.items()) for g in got)
+                    for e in exp
+                )
+                if not matched:
+                    errors.append(
+                        f"Error in test :{test_name}\nInvalid result for tap "
+                        f"{tap_name}\nExpected:\n\n{exp}\n\nActual:\n\n{got}"
+                    )
+        except Exception as e:  # noqa: BLE001 - mirror :type :exception
+            errors.append(f"Error in test :{test_name}\nException during test\n{e}")
+    if not errors:
+        return "All tests successful"
+    return f"{len(errors)} errors\n" + "\n\n----\n\n".join(errors)
