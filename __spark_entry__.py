@@ -26,37 +26,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return agg.agg_sum(clicks, 3600.0, by=["user_id"], time_col="ts", metric_col="value")
 
 
-# The driver's correctness gate samples the FIRST 50 registry entries
-# (r02 ran exactly 50 of 87), so ordering is coverage policy: one query
-# per SURVEY §2 operator row first — prioritizing families that had no
-# r02 gate row (ddt/ewma/smax/coll_* variants, all pipeline + analytics
-# queries) — then the remaining variants.
+# The driver's correctness gate samples the FIRST 50 registry entries,
+# so ordering is coverage policy. Round-4 rotation: (a) the 10 queries
+# that never had a driver gate row in r2/r3, (b) everything changed
+# this round (coll_sort_ids array fix; minhash/simhash md5 oracles;
+# ngram_jaccard shares the new shingle hash; the two top-k plan
+# rewrites), (c) the 30 queries last gated in r2, (d) four
+# integration/flagship representatives. Every remaining registry entry
+# is twice-green or r3-green and rotates below the fold.
 GATE_PRIORITY = [
-    # previously GATE-ERR (array outputs, now serialized)
-    "tag_untag", "fixed_time_window_ids", "fixed_event_window_ids",
-    "moving_event_window_vals",
-    # families with no r02 gate row
-    "coll_where_inside_window",
-    "ddt_rate", "ewma_smoothed", "smax_running",
-    "coll_mean_hourly", "coll_sum_hourly", "coll_percentiles_hourly",
-    "coll_increase_daily", "coll_sort_ids",
-    "by_sum_daily", "dsl_pipeline",
-    # pipeline ops (none had a gate row)
-    "dedup_exact_docs", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash_pairs", "ann_bruteforce_topk", "ann_lsh_topk",
-    "embedding_near_dups", "text_token_count", "text_bpe_token_count",
-    "text_quality", "text_lang_id", "text_fingerprint", "text_rolling_fp",
-    "multimodal_features",
-    # analytics (none had a gate row)
-    "tpch_pricing_summary", "revenue_by_nation", "top_suppliers",
-    "order_priority_counts", "segment_top_orders",
-    # one representative per remaining §2 row (gate-green in r02)
-    "where_basic", "over_filter", "tagged_all", "split_routing",
-    "expired_events", "throttle", "changed_transitions", "above_dt_alert",
-    "stable_states",
-    "moving_time_window_count", "ssort_sorted", "coalesce_latest",
-    "project_correlate",
-    "agg_sum_hourly", "agg_percentiles_hourly", "agg_ratio_error_click",
+    # (a) never driver-gated before r4
+    "agg_sum_delayed_hourly", "below_dt_alert", "between_dt_alert",
+    "critical_dt_alert", "smin_running", "ddt_pos_rate", "coll_bottom3",
+    "coalesce_fill", "brand_part_revenue", "priority_conditional_counts",
+    # (b) changed in r4
+    "coll_sort_ids", "minhash_lsh_pairs", "simhash_pairs",
+    "ngram_jaccard_pairs", "top_suppliers", "segment_top_orders",
+    # (c) last gated in r2
+    "where_not", "where_regex", "under_filter", "not_expired_events",
+    "outside_dt_alert", "with_const", "default_missing", "scale_metric",
+    "increment_metric", "decrement_metric", "sformat_label",
+    "to_string_field", "base64_roundtrip", "from_json_props",
+    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj",
+    "iterate_on_explode", "extract_nested", "sflatten_roundtrip",
+    "agg_mean_hourly", "agg_top_event", "agg_bottom_event",
+    "agg_rate_hourly", "coll_count_hourly", "coll_max_hourly",
+    "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
+    "coll_top3",
+    # (d) integration / flagship representatives
+    "dsl_pipeline", "dedup_exact_docs", "where_basic", "agg_sum_hourly",
 ]
 
 

@@ -44,6 +44,32 @@ def _df_from_events(spark: SparkSession, rows: list[dict]):
     return df.withColumn("time", F.timestamp_seconds("time_s")).drop("time_s")
 
 
+def _multiset_mismatches(got: list[dict], exp: list[dict]) -> list[str]:
+    """Multiset compare: each expected event CONSUMES one matching
+    actual row (subset match on the expected keys). Matching without
+    removal lets duplicate expectations all satisfy themselves on a
+    single row while an unexpected actual slips through unchecked —
+    the reference runner compares exactly (test.clj:41-82)."""
+    msgs: list[str] = []
+    remaining = list(got)
+    for e in exp:
+        hit = next(
+            (
+                i
+                for i, g in enumerate(remaining)
+                if all(g.get(k) == v for k, v in e.items())
+            ),
+            None,
+        )
+        if hit is None:
+            msgs.append(f"expected event not captured: {e}")
+        else:
+            remaining.pop(hit)
+    if len(got) != len(exp):
+        msgs.append(f"count mismatch: got {len(got)}, expected {len(exp)}")
+    return msgs
+
+
 def run_case(spark: SparkSession, case: dict) -> dict[str, list[str]]:
     """Run one golden case; returns {tap: list of mismatch messages}
     (empty lists everywhere = pass)."""
@@ -53,7 +79,6 @@ def run_case(spark: SparkSession, case: dict) -> dict[str, list[str]]:
     )
     failures: dict[str, list[str]] = {}
     for tap_name, expected in case.get("taps", {}).items():
-        msgs: list[str] = []
         if tap_name not in ctx.taps:
             failures[tap_name] = [f"tap {tap_name!r} never captured"]
             continue
@@ -63,12 +88,7 @@ def run_case(spark: SparkSession, case: dict) -> dict[str, list[str]]:
             for r in got_rows
         ]
         exp = [{k: _norm(v) for k, v in e.items()} for e in expected]
-        for e in exp:
-            if not any(all(g.get(k) == v for k, v in e.items()) for g in got):
-                msgs.append(f"expected event not captured: {e}")
-        if len(got) != len(exp):
-            msgs.append(f"count mismatch: got {len(got)}, expected {len(exp)}")
-        failures[tap_name] = msgs
+        failures[tap_name] = _multiset_mismatches(got, exp)
     return failures
 
 
@@ -147,10 +167,7 @@ def launch_tests(
                     for r in got_rows
                 ]
                 exp = [{k: _norm(v) for k, v in e.items()} for e in expected]
-                matched = len(got) == len(exp) and all(
-                    any(all(g.get(k) == v for k, v in e.items()) for g in got)
-                    for e in exp
-                )
+                matched = not _multiset_mismatches(got, exp)
                 if not matched:
                     errors.append(
                         f"Error in test :{test_name}\nInvalid result for tap "

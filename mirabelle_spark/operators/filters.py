@@ -95,8 +95,14 @@ def with_clock(
       driver), broadcast the exclusive prefix max back, and combine
       with the per-partition running max (pass 2). Every partition
       scans in parallel; the only driver-side data is one double per
-      partition. Ranges from ``repartitionByRange`` are deterministic
-      for a given input, so both passes see identical boundaries.
+      partition. The ranged DataFrame is localCheckpoint-ed before
+      pass 1: RangePartitioner re-samples its boundaries per job
+      (seeded from the freshly-assigned RDD id), so without pinning
+      the materialized partitioning, pass 2 could assign rows to a
+      different ``__pid__`` than the one whose prefix max they join —
+      a silently wrong clock. Checkpointing trades one distributed
+      materialization (MEMORY_AND_DISK, spillable) for boundary
+      determinism.
     """
     from pyspark.sql import Window as W
 
@@ -117,6 +123,9 @@ def with_clock(
     spark = df.sparkSession
     n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     d = df.repartitionByRange(n, *order).withColumn("__pid__", F.spark_partition_id())
+    # pin the partitioning: the pass-1 collect below and every later
+    # job on the returned plan must see the SAME range boundaries
+    d = d.localCheckpoint(eager=False)
     per_part = d.groupBy("__pid__").agg(F.max(tcol).alias("__m__")).collect()
     prefix, run = [], None
     for row in sorted(per_part, key=lambda r: r["__pid__"]):

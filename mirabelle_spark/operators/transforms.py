@@ -206,6 +206,12 @@ def exception_stream(df: DataFrame, row_fn, error_cols: Sequence[str] = ()):
     ``row_fn(dict) -> dict`` must return values matching the input
     schema. This is the slow path by design — use it only around
     genuinely fallible user logic (the reference says the same).
+
+    .. warning:: per-row Python. The try/except routing is the
+       operator's *semantics* (each row must fail independently), so
+       rows run through a Python loop inside the Arrow batch —
+       10-100× slower than JVM expressions. Wrap the narrowest
+       possible transform; never put a whole pipeline inside.
     """
     import pandas as pd
 

@@ -104,7 +104,13 @@ def minhash_signatures(
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s__")
     )
-    h = F.hash(F.col("__s__")).cast("bigint") + F.lit(1 << 31)  # [0, 2^32)
+    # md5-derived 32-bit shingle hash (first 60 bits of the hex digest
+    # mod 2^32): engine-portable, so a SQL oracle (DuckDB
+    # ('0x'||substr(md5,1,15))::BIGINT) reproduces signatures exactly.
+    h = (
+        F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
+        % F.lit(4294967296)
+    )  # [0, 2^32)
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
@@ -214,19 +220,21 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
 
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        from hashlib import blake2b
+        from hashlib import md5
 
         import numpy as np
 
         # token→±1 bit-vector cache: corpora vocabularies are tiny
-        # relative to token counts, and blake2b is C-speed +
-        # deterministic (unlike builtin hash under PYTHONHASHSEED)
+        # relative to token counts. md5 (first 8 digest bytes,
+        # MSB-first bit order == np.unpackbits == hex-nibble bits) is
+        # C-speed, deterministic, AND engine-portable: a DuckDB SQL
+        # oracle can reproduce every signature bit from md5(token).
         cache: dict[str, np.ndarray] = {}
 
         def bitvec(tok: str) -> np.ndarray:
             v = cache.get(tok)
             if v is None:
-                digest = blake2b(tok.encode("utf-8"), digest_size=8).digest()
+                digest = md5(tok.encode("utf-8")).digest()[:8]
                 bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
                 v = bits.astype(np.int64) * 2 - 1
                 cache[tok] = v

@@ -430,10 +430,15 @@ def keep_keys_proj(spark, sf):
 
 @q(
     "sdissoc_proj",
-    "SELECT event_id, ts, user_id, event_type FROM events",
+    "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events",
 )
 def sdissoc_proj(spark, sf):
-    return tr.sdissoc(events(spark, sf), ["value", "props"])
+    # ts serialized to epoch-µs: a raw TIMESTAMP column renders as
+    # session-timezone wall clock on collect, so a non-UTC driver
+    # session would shift it against DuckDB's naive reading
+    return tr.sdissoc(events(spark, sf), ["value", "props"]).withColumn(
+        "ts_us", F.unix_micros("ts")
+    ).drop("ts")
 
 
 @q(
@@ -963,18 +968,19 @@ def coll_increase_daily(spark, sf):
     "coll_sort_ids",
     f"""
 SELECT {WS_HOUR} AS window_start,
-       list(event_id ORDER BY value, event_id) AS ids
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY value, event_id) AS ids
 FROM events GROUP BY 1
 """,
 )
 def coll_sort_ids(spark, sf):
+    # array output serialized to a CSV string: the driver's hasher cannot
+    # hash raw array<bigint> cells (same fix as fixed_time_window_ids).
     src = events(spark, sf).select("event_id", "ts", "value")
     s = agg.coll_sort(
         src, "value", HOUR, by=[], time_col="ts", payload_cols=["event_id"]
     )
-    return s.select(
-        "window_start", F.transform("events", lambda e: e["event_id"]).alias("ids")
-    )
+    ids = F.transform("events", lambda e: e["event_id"].cast("string"))
+    return s.select("window_start", F.array_join(ids, ",").alias("ids"))
 
 
 @q(

@@ -137,7 +137,12 @@ SELECT s_name, revenue, rank FROM (
 """,
 )
 def top_suppliers(spark, sf):
-    """Supplier revenue top-10: broadcast supplier dim, windowed rank."""
+    """Supplier revenue top-10: broadcast supplier dim, then
+    orderBy+limit → TakeOrderedAndProject (distributed per-partition
+    top-k + driver merge of 10-row candidates), NOT a global
+    row_number() window — that would sort the whole aggregate on one
+    task at scale. rank is attached after the limit, a window over
+    ≤10 rows."""
     from pyspark.sql import Window as W
 
     li = table(spark, sf, "lineitem")
@@ -150,11 +155,9 @@ def top_suppliers(spark, sf):
         .groupBy("s_name")
         .agg(_dsum(disc).alias("revenue"))
     )
+    top = rev.orderBy(F.col("revenue").desc(), F.col("s_name")).limit(10)
     w = W.orderBy(F.col("revenue").desc(), F.col("s_name"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 @q(
@@ -257,9 +260,11 @@ SELECT o_orderkey, revenue FROM (
 )
 def segment_top_orders(spark, sf):
     """Q3-shaped: filter pushdown through two joins, top-20 orders by
-    revenue in one market segment."""
-    from pyspark.sql import Window as W
-
+    revenue in one market segment. orderBy+limit →
+    TakeOrderedAndProject: at sf100 the orders-grain aggregate is
+    ~10⁸ rows, and a global row_number() window would sort all of it
+    on a single task; per-partition top-k + driver merge is spill-free
+    and distributed."""
     li = table(spark, sf, "lineitem")
     orders = table(spark, sf, "orders")
     cust = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -272,9 +277,8 @@ def segment_top_orders(spark, sf):
         .groupBy("o_orderkey")
         .agg(_dsum(disc).alias("revenue"))
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
         .select("o_orderkey", "revenue")
     )

@@ -52,7 +52,56 @@ def dedup_exact_docs(spark, sf):
     return dedup.dedup_exact(docs(spark, sf))
 
 
-@q("minhash_lsh_pairs")  # no SQL oracle: LSH banding; verified in tests/
+def _minhash_lsh_oracle(num_hashes: int = 64, bands: int = 8, shingle_n: int = 3) -> str:
+    """Full MinHash-LSH pipeline as DuckDB SQL: shingle → md5-derived
+    32-bit hash → k universal-hash min-aggregates (same (a,b) family
+    as the Spark side) → banded self-join on exact sub-signatures.
+
+    Portable because the Spark side hashes shingles with
+    conv(substr(md5,1,15),16,10) % 2^32 — DuckDB mirrors it as
+    ('0x'||substr(md5,1,15))::BIGINT % 2^32. The oracle joins bands on
+    the exact r-tuple (as a string key) where Spark joins on
+    xxhash64(r-tuple); identical output barring a 2^-64 hash collision.
+    """
+    r = num_hashes // bands
+    p = dedup._MINHASH_P
+    params = dedup._minhash_params(num_hashes)
+    sig_aggs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, concat_ws(',', {cols}) AS band_key FROM sig".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {shingle_n - 1}, 0) + 1),
+           i -> array_to_string(list_slice(w, i, i + {shingle_n - 1}), ' ')))) AS s
+  FROM words
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 4294967296 AS h FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_aggs}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@q("minhash_lsh_pairs", _minhash_lsh_oracle(num_hashes=64, bands=8))
 def minhash_lsh_pairs(spark, sf):
     return dedup.minhash_lsh_candidates(docs(spark, sf), num_hashes=64, bands=8)
 
@@ -89,9 +138,45 @@ def ngram_jaccard_pairs_q(spark, sf):
     )
 
 
-@q("simhash_pairs")  # no SQL oracle: bit-level UDF; verified in tests/
+# SimHash, bit-for-bit in SQL: token bit j == bit (3 - j%4) of md5
+# hex nibble j//4 — exactly np.unpackbits over the first 8 digest
+# bytes, which is what the Spark-side pandas UDF computes. Per-doc
+# signature = sum of (1 << j) over bits whose +/-1 vote is positive
+# (bit 63 contributes INT64_MIN in two's complement). The 64×-token
+# cross join is the oracle's cost, not the engine's.
+_SIMHASH_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), (j // 4) + 1, 1)) - 1)
+                        >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM toks, unnest(range(0, 64)) t(j)
+  GROUP BY doc_id, j
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN
+                CASE WHEN j = 63 THEN -9223372036854775808 ELSE CAST(1 AS BIGINT) << j END
+              ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), allsig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@q("simhash_pairs", _SIMHASH_PAIRS_ORACLE)
 def simhash_pairs(spark, sf):
-    return dedup.simhash_near_dups(docs(spark, sf), max_hamming=8)
+    return (
+        dedup.simhash_near_dups(docs(spark, sf), max_hamming=8)
+        .withColumn("hamming", F.col("hamming").cast("bigint"))
+    )
 
 
 # ---------------------------------------------------------------------------

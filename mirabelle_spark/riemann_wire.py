@@ -53,6 +53,14 @@ def _zigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
+def _signed64(n: int) -> int:
+    """Two's-complement view of an unsigned varint: proto2 int64
+    fields (Event.time=1, time_micros=10) encode negatives as
+    10-byte varints; without the wrap they surface as ~2^64 and
+    overflow the BIGINT column downstream."""
+    return n - (1 << 64) if n >= 1 << 63 else n
+
+
 def _fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
     """Yield (field_number, wire_type, raw_value) triples."""
     i = 0
@@ -63,13 +71,19 @@ def _fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
         if wtype == 0:  # varint
             val, i = _read_varint(buf, i)
         elif wtype == 1:  # fixed64
+            if i + 8 > n:
+                raise ValueError("truncated fixed64")
             val = bytes(buf[i : i + 8])
             i += 8
         elif wtype == 2:  # length-delimited
             ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError("truncated length-delimited field")
             val = buf[i : i + ln]
             i += ln
         elif wtype == 5:  # fixed32
+            if i + 4 > n:
+                raise ValueError("truncated fixed32")
             val = bytes(buf[i : i + 4])
             i += 4
         else:
@@ -98,7 +112,7 @@ def _decode_event(buf: memoryview) -> dict:
     attrs: list[dict] = []
     for fnum, _, val in _fields(buf):
         if fnum == 1:
-            ev["time_s"] = val
+            ev["time_s"] = _signed64(val)
         elif fnum == 2:
             ev["state"] = bytes(val).decode("utf-8")
         elif fnum == 3:
@@ -114,7 +128,7 @@ def _decode_event(buf: memoryview) -> dict:
         elif fnum == 9:
             attrs.append(_decode_attribute(val))
         elif fnum == 10:
-            ev["time_micros"] = val
+            ev["time_micros"] = _signed64(val)
         elif fnum == 13:
             ev["metric_sint64"] = _zigzag(val)
         elif fnum == 14:

@@ -110,11 +110,17 @@ def _series_us(ts) -> "object":
 
 
 def _native(v):
-    """numpy scalar → python native for GroupState round-trips."""
+    """numpy scalar/array → python native for GroupState round-trips.
+
+    Array-typed event columns (tags) arrive as ndarrays: ``.item()``
+    only works on size-1 arrays, so sequences convert elementwise."""
+    import numpy as np
     import pandas as pd
 
     if v is None or (isinstance(v, float) and v != v):
         return None
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return [_native(x) for x in v]
     try:
         if pd.isna(v):
             return None
@@ -416,7 +422,19 @@ def stream_smax(
                 for key, val in best.items()
             }
             for col_name, val in stored.items():
-                out.loc[: k - 1, col_name] = val
+                if col_name not in out.columns:
+                    continue
+                if isinstance(val, (list, tuple, np.ndarray)):
+                    # array-typed columns (e.g. tags): a .loc set with
+                    # a list value is an elementwise broadcast —
+                    # ValueError when len(val) != k, silent scatter
+                    # when equal. Assign cell-by-cell as objects.
+                    out[col_name] = out[col_name].astype(object)
+                    idx = out.columns.get_loc(col_name)
+                    for i in range(k):
+                        out.iat[i, idx] = list(val)
+                else:
+                    out.loc[: k - 1, col_name] = val
         if cur >= 0:
             row = pdf.iloc[cur]
             best = {

@@ -114,9 +114,20 @@ class StreamHandler:
     def get_stream(self, name: str):
         return self.queries[name]
 
-    def reload(self, new_configs: dict[str, dict]) -> dict[str, set]:
+    def reload(self, new_configs: dict[str, dict], probe_s: float = 2.0) -> dict:
         """reload (stream.clj:227-296): diff against the running
-        config, mutate only what changed, return the diff."""
+        config, mutate only what changed, return the diff.
+
+        The returned dict carries a ``failed`` map (name → error):
+        Structured Streaming rejects incompatible checkpoint changes
+        (state schema, number/type of stateful operators)
+        *asynchronously after* ``start()`` returns, so a reload can
+        look successful while the restarted query is already dead.
+        Every (re)started query is probed for up to ``probe_s``
+        seconds via ``q.exception()`` before reload reports back.
+        """
+        import time
+
         diff = diff_config(self.configs, new_configs)
         if diff["to_remove"]:
             _LOG.info("Removing streams %s", ", ".join(sorted(diff["to_remove"])))
@@ -126,11 +137,37 @@ class StreamHandler:
             _LOG.info("Adding new streams %s", ", ".join(sorted(diff["to_add"])))
         for name in diff["to_remove"]:
             self.remove_stream(name)
-        for name in diff["to_reload"]:
+        failed: dict[str, str] = {}
+        for name in sorted(diff["to_reload"]):
             self._stop(name)
-            self._start(name, new_configs[name])
-        for name in diff["to_add"]:
-            self._start(name, new_configs[name])
+            try:
+                self._start(name, new_configs[name])
+            except Exception as e:  # noqa: BLE001 - report, don't abort the batch
+                failed[name] = f"start failed: {e}"
+        for name in sorted(diff["to_add"]):
+            try:
+                self._start(name, new_configs[name])
+            except Exception as e:  # noqa: BLE001
+                failed[name] = f"start failed: {e}"
+        pending = [
+            n for n in sorted(diff["to_reload"] | diff["to_add"]) if n not in failed
+        ]
+        deadline = time.monotonic() + probe_s
+        while pending and time.monotonic() < deadline:
+            for name in list(pending):
+                q = self.queries.get(name)
+                exc = None if q is None else q.exception()
+                if exc is not None:
+                    failed[name] = str(exc)
+                    pending.remove(name)
+                elif q is not None and not q.isActive:
+                    failed[name] = "terminated without exception"
+                    pending.remove(name)
+            if pending:
+                time.sleep(0.1)
+        for name, err in failed.items():
+            _LOG.error("Stream %s failed after reload: %s", name, err.splitlines()[0])
+        diff["failed"] = failed
         return diff
 
     def process_all(self):

@@ -436,3 +436,24 @@ def test_aggregation_delay_golden(spark):
            {"time": 25, "metric": 4}],
           [{"time": -2.0, "metric": 11.0}, {"time": 9.0, "metric": 15.0},
            {"time": 19.0, "metric": 12.0}])
+
+
+def test_multiset_matcher_consumes_rows():
+    """Duplicate expectations must not all satisfy themselves on one
+    actual row while an unexpected row slips through (lengths equal):
+    the matcher consumes each matched actual (test.clj:41-82 compares
+    exactly)."""
+    from mirabelle_spark.golden import _multiset_mismatches
+
+    got = [{"metric": 1.0}, {"metric": 99.0}]
+    exp = [{"metric": 1.0}, {"metric": 1.0}]
+    assert _multiset_mismatches(got, exp)  # second {1.0} has no row left
+
+    # exact multiset → clean
+    assert not _multiset_mismatches(
+        [{"metric": 1.0}, {"metric": 1.0}], [{"metric": 1.0}, {"metric": 1.0}]
+    )
+    # subset semantics per-event still hold (expected keys only)
+    assert not _multiset_mismatches(
+        [{"metric": 1.0, "host": "a"}], [{"metric": 1.0}]
+    )

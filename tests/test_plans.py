@@ -87,7 +87,7 @@ def test_gate_priority_covers_first_fifty():
     assert len(set(entry.GATE_PRIORITY)) == 50
     assert list(qs)[:50] == entry.GATE_PRIORITY
     oracles = entry.oracle_sql()
-    # every priority entry is oracle-backed except the two
-    # LSH rows-only entries (not SQL-expressible by design)
+    # every priority entry is oracle-backed (r4 gave the two former
+    # rows-only LSH entries md5-derived exact-value oracles)
     missing = [n for n in entry.GATE_PRIORITY if n not in oracles]
-    assert missing == ["minhash_lsh_pairs", "simhash_pairs"]
+    assert missing == []

@@ -173,3 +173,32 @@ def test_reinject_batch(make_events):
     df = make_events([{"time": 1, "metric": 1}])
     out = sources.reinject_batch(df, lambda d: tr.scale(d, 10.0), iterations=2)
     assert sorted(r.metric for r in out.collect()) == [1.0, 10.0, 100.0]
+
+
+def test_riemann_wire_negative_int64_and_truncation():
+    """proto2 int64 fields encode negatives as 10-byte varints: the
+    unsigned decode surfaces them as ~2^64 and overflows the BIGINT
+    column. Truncated payloads must raise, not parse silently."""
+    import pytest
+
+    from mirabelle_spark.riemann_wire import decode_msg
+
+    # time = -5 (two's complement unsigned varint encoding)
+    ev = _pb_key(1, 0) + _pb_varint((-5) & ((1 << 64) - 1)) + _pb_str(3, "svc")
+    events = decode_msg(_pb_nested(6, ev))
+    assert events[0]["time_s"] == -5
+    assert events[0]["service"] == "svc"
+
+    # time_micros negative
+    ev2 = _pb_key(10, 0) + _pb_varint((-1_000_000) & ((1 << 64) - 1))
+    assert decode_msg(_pb_nested(6, ev2))[0]["time_micros"] == -1_000_000
+
+    # truncated length-delimited: declared 10 bytes, 3 present
+    bad = _pb_key(6, 2) + _pb_varint(10) + b"abc"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_msg(bad)
+
+    # truncated fixed64 inside an event
+    bad_ev = _pb_key(14, 1) + b"\x00\x01"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_msg(_pb_nested(6, bad_ev))

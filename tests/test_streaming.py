@@ -486,3 +486,75 @@ def test_state_ttl_evicts_idle_keys(spark, tmpdir):
     rows = spark.read.json(out_dir).collect()
     a_vals = sorted(r.metric for r in rows if r.host == "a")
     assert a_vals == [0.5, 0.5]  # state was reset between the two events
+
+
+def test_stream_smax_array_column(spark, tmpdir):
+    """Re-emitting the stored best across a batch must handle
+    array-typed columns (tags): a scalar .loc assignment with a list
+    value is an elementwise broadcast — ValueError when the list
+    length differs from the row count, silent scatter when equal."""
+    from mirabelle_spark import streaming as stx
+
+    src_dir = os.path.join(tmpdir, "smarr")
+    schema = "time timestamp, metric double, host string, tags array<string>"
+    # batch 1: establishes the best (tags of length 3 != later k=2)
+    _write_rows(src_dir, [
+        {"time": "2024-01-01T00:00:01", "metric": 10.0, "host": "a",
+         "tags": ["x", "y", "z"]},
+    ])
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_smax(stream, by=["host"])
+    # continuous trigger: availableNow terminates after draining
+    # batch 1, and the stored-best re-emission only happens across
+    # micro-batch boundaries
+    q = stx.to_memory(out, "smarr_test", trigger_available_now=False)
+    q.processAllAvailable()
+    # batch 2: two rows below the stored best → both re-emit it
+    with open(os.path.join(src_dir, "p2.json"), "w") as f:
+        for r in [
+            {"time": "2024-01-01T00:00:02", "metric": 3.0, "host": "a",
+             "tags": ["only"]},
+            {"time": "2024-01-01T00:00:03", "metric": 5.0, "host": "a",
+             "tags": ["two"]},
+        ]:
+            f.write(json.dumps(r) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from smarr_test order by time").collect()
+    assert [r.metric for r in rows] == [10.0, 10.0, 10.0]
+    assert [list(r.tags) for r in rows] == [["x", "y", "z"]] * 3
+
+
+def test_lifecycle_reload_surfaces_failure(spark, tmpdir):
+    """Structured Streaming rejects incompatible checkpoint changes
+    (here: dropping the stateful aggregation) asynchronously after
+    start() returns — reload must probe and report the dead stream
+    instead of claiming success."""
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.streaming import StreamHandler
+
+    src_dir = os.path.join(tmpdir, "lf_in")
+    ckpt = os.path.join(tmpdir, "lf_ckpt")
+    os.makedirs(src_dir)
+    schema = "time timestamp, metric double, host string"
+
+    def compile_fn(sp, name, config):
+        src = stx.file_source(sp, src_dir, schema)
+        if config["mode"] == "agg":
+            return src.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+        return src.select("host", "metric")
+
+    handler = StreamHandler(spark, ckpt, compile_fn)
+    cfg1 = {"s": {"mode": "agg", "output_mode": "complete"}}
+    diff = handler.reload(cfg1)
+    assert diff["failed"] == {}
+    _write_rows(src_dir, [
+        {"time": "2024-01-01T00:00:01", "metric": 1.0, "host": "a"},
+    ])
+    handler.process_all()
+
+    # incompatible restart: same checkpoint, stateful operator removed
+    cfg2 = {"s": {"mode": "plain", "output_mode": "append"}}
+    diff = handler.reload(cfg2, probe_s=30.0)
+    assert "s" in diff["failed"], diff
+    handler.stop_all()
