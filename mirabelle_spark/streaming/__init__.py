@@ -17,6 +17,11 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     to_json_files,
     to_memory,
 )
+from mirabelle_spark.streaming.http_api import (  # noqa: F401
+    StreamApi,
+    config_from_b64,
+    config_to_b64,
+)
 from mirabelle_spark.streaming.lifecycle import (  # noqa: F401
     StreamHandler,
     diff_config,

@@ -61,12 +61,16 @@ class StreamHandler:
         compile_fn: Callable[[SparkSession, str, dict], DataFrame],
         sink: str = "memory",
         output_mode: str = "append",
+        streams_dir: str | None = None,
+        ingest_root: str | None = None,
     ):
         self.spark = spark
         self.checkpoint_root = checkpoint_root
         self.compile_fn = compile_fn
         self.sink = sink
         self.output_mode = output_mode
+        self.streams_dir = streams_dir
+        self.ingest_root = ingest_root
         self.configs: dict[str, dict] = {}
         self.queries: dict[str, object] = {}  # name -> StreamingQuery
 
@@ -93,20 +97,89 @@ class StreamHandler:
             q.stop()
             q.awaitTermination(30)
 
+    def _persist_path(self, name: str) -> str:
+        if not self.streams_dir:
+            raise ValueError(
+                "The stream cannot be saved. No directory configured for streams"
+            )
+        return os.path.join(self.streams_dir, f"api-{name}.json")
+
     # -- IStreamHandler surface ---------------------------------------------
 
-    def add_stream(self, name: str, config: dict):
-        """add-stream (stream.clj:296-320): compile + start one
-        stream; replaces a running stream of the same name."""
+    def add_stream(self, name: str, config: dict, persist: bool = False):
+        """add-stream (stream.clj:276-296): compile + start one
+        stream; replaces a running stream of the same name. With
+        ``persist``, the config is written to ``streams_dir`` first
+        (JSON mirror of the reference's persisted-stream EDN file) so
+        it survives a restart / is picked up by ``load_persisted``."""
         _LOG.info("Adding stream %s", name)
+        if persist:
+            import json
+
+            _LOG.info("The stream %s will be persisted", name)
+            os.makedirs(self.streams_dir, exist_ok=True)
+            with open(self._persist_path(name), "w") as f:
+                json.dump({name: config}, f)
         self._stop(name)
         self._start(name, config)
 
     def remove_stream(self, name: str):
-        """remove-stream: stop the query; checkpoint stays on disk."""
+        """remove-stream (stream.clj:297-310): stop the query and
+        delete its persisted config file if one exists; the
+        checkpoint stays on disk (re-adding the name resumes it)."""
         _LOG.info("Removing stream %s", name)
+        if self.streams_dir:
+            path = os.path.join(self.streams_dir, f"api-{name}.json")
+            if os.path.exists(path):
+                _LOG.info("The stream %s will be removed from the filesystem", name)
+                os.remove(path)
         self._stop(name)
         self.configs.pop(name, None)
+
+    def load_persisted(self, probe_s: float = 2.0) -> dict:
+        """Boot-time restore: reload from every ``streams_dir``
+        config file (the reference reads streams-directories on
+        start and after persisted add/remove)."""
+        import json
+
+        configs: dict[str, dict] = {}
+        if self.streams_dir and os.path.isdir(self.streams_dir):
+            for fname in sorted(os.listdir(self.streams_dir)):
+                if fname.endswith(".json"):
+                    with open(os.path.join(self.streams_dir, fname)) as f:
+                        configs.update(json.load(f))
+        return self.reload(configs, probe_s=probe_s)
+
+    def ingest_dir(self, name: str) -> str:
+        """Per-stream file-drop ingest directory (the Spark analog of
+        the reference's push!/PUT event endpoint: new files become
+        micro-batches of the stream's file source)."""
+        if not self.ingest_root:
+            raise ValueError("no ingest_root configured")
+        d = os.path.join(self.ingest_root, name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def push_events(self, name: str, events: list[dict]) -> int:
+        """push! (stream.clj:261-275): route events into a named
+        stream. Spark realization: append one JSON-lines file to the
+        stream's ingest dir — the running file source picks it up as
+        the next micro-batch."""
+        import json
+        import uuid
+
+        if name not in self.queries:
+            raise KeyError(f"Stream {name} not found")
+        d = self.ingest_dir(name)
+        fname = f"push-{uuid.uuid4().hex}.json"
+        # stage OUTSIDE the watched dir (the file source globs every
+        # file under it, including half-written ones), rename in
+        stage = os.path.join(self.ingest_root, f".staging-{fname}")
+        with open(stage, "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+        os.rename(stage, os.path.join(d, fname))
+        return len(events)
 
     def list_streams(self) -> list[str]:
         return sorted(self.queries)

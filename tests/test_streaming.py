@@ -558,3 +558,116 @@ def test_lifecycle_reload_surfaces_failure(spark, tmpdir):
     diff = handler.reload(cfg2, probe_s=30.0)
     assert "s" in diff["failed"], diff
     handler.stop_all()
+
+
+def test_http_api_full_lifecycle(spark, tmpdir):
+    """handler.clj:117-135 route table over a live StreamHandler:
+    add (with and without persist) → list → get → push events →
+    results flow → remove deletes the persisted file; an untouched
+    stream's running query survives a POST to a different name."""
+    import urllib.request
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.streaming import StreamApi, StreamHandler, config_to_b64
+
+    ckpt = os.path.join(tmpdir, "api_ckpt")
+    ingest = os.path.join(tmpdir, "api_in")
+    streams_dir = os.path.join(tmpdir, "api_streams")
+    schema = "time timestamp, metric double, host string"
+
+    def compile_fn(sp, name, config):
+        src = stx.file_source(sp, handler.ingest_dir(name), schema)
+        return (
+            src.filter(F.col("metric") > config["threshold"])
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    handler = StreamHandler(
+        spark, ckpt, compile_fn, output_mode="complete",
+        streams_dir=streams_dir, ingest_root=ingest,
+    )
+    api = StreamApi(handler).start()
+    base = f"http://127.0.0.1:{api.port}"
+
+    def call(method, path, body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(base + path, data=data, method=method)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        assert call("GET", "/healthz") == (200, {"message": "ok"})
+        assert call("GET", "/api/v1/stream")[1] == {"streams": []}
+
+        st, body = call("POST", "/api/v1/stream/s1",
+                        {"config": config_to_b64({"threshold": 0})})
+        assert (st, body["message"]) == (200, "stream added")
+        st, _ = call("POST", "/api/v1/stream/s2",
+                     {"config": config_to_b64({"threshold": 100}),
+                      "persist": True})
+        assert st == 200
+        assert os.path.exists(os.path.join(streams_dir, "api-s2.json"))
+        assert call("GET", "/api/v1/stream")[1] == {"streams": ["s1", "s2"]}
+
+        # get-stream round-trips the config via base64
+        from mirabelle_spark.streaming import config_from_b64
+        st, body = call("GET", "/api/v1/stream/s2")
+        assert st == 200 and config_from_b64(body["config"]) == {"threshold": 100}
+        assert call("GET", "/api/v1/stream/nope")[0] == 404
+
+        s1_query_id = handler.get_stream("s1").id
+        st, body = call("PUT", "/api/v1/stream/s1", {"events": [
+            {"time": "2024-01-01T00:00:01", "metric": 50.0, "host": "a"},
+            {"time": "2024-01-01T00:00:02", "metric": 150.0, "host": "a"},
+        ]})
+        assert (st, body["events"]) == (200, 2)
+        call("PUT", "/api/v1/stream/s2", {"events": [
+            {"time": "2024-01-01T00:00:03", "metric": 150.0, "host": "b"},
+        ]})
+        assert call("PUT", "/api/v1/stream/ghost", {"events": []})[0] == 404
+        handler.process_all()
+        assert spark.sql("select n from s1").collect()[0].n == 2
+        assert spark.sql("select n from s2").collect()[0].n == 1
+        # adding s2 never restarted s1 (untouched stream keeps its query)
+        assert handler.get_stream("s1").id == s1_query_id
+
+        st, body = call("DELETE", "/api/v1/stream/s2")
+        assert (st, body["message"]) == (200, "stream removed")
+        assert not os.path.exists(os.path.join(streams_dir, "api-s2.json"))
+        assert call("GET", "/api/v1/stream")[1] == {"streams": ["s1"]}
+    finally:
+        api.stop()
+        handler.stop_all()
+
+
+def test_load_persisted_restores_streams(spark, tmpdir):
+    """Boot-time restore: a handler pointed at a streams_dir with
+    persisted configs starts them on load_persisted() (the reference
+    reads streams-directories on start)."""
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.streaming import StreamHandler
+
+    streams_dir = os.path.join(tmpdir, "pers_streams")
+    ingest = os.path.join(tmpdir, "pers_in")
+    os.makedirs(streams_dir)
+
+    with open(os.path.join(streams_dir, "api-p1.json"), "w") as f:
+        json.dump({"p1": {"threshold": 1, "output_mode": "complete"}}, f)
+
+    def compile_fn(sp, name, config):
+        src = stx.file_source(sp, h2.ingest_dir(name),
+                              "time timestamp, metric double, host string")
+        return src.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+
+    h2 = StreamHandler(
+        spark, os.path.join(tmpdir, "pers_ckpt"), compile_fn,
+        output_mode="complete", streams_dir=streams_dir, ingest_root=ingest,
+    )
+    diff = h2.load_persisted()
+    assert diff["to_add"] == {"p1"} and diff["failed"] == {}
+    assert h2.list_streams() == ["p1"]
+    h2.stop_all()
