@@ -10,6 +10,8 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ewma,
     stream_fixed_time_window,
     stream_smax,
+    stream_ssort,
+    stream_stable,
     stream_throttle,
     reinject_sink,
     reinject_source,

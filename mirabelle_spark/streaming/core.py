@@ -492,3 +492,131 @@ def stream_cond_dt(
     return _keyed_batch_scan(
         df, by, time_col, "ok BOOLEAN, flip BIGINT", (False, None), batch_fn
     )
+
+
+def stream_ssort(
+    df: DataFrame,
+    duration_s: float,
+    field: str,
+    by: Sequence[str] = (),
+    delay_s: float = 0.0,
+    time_col: str = "time",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Streaming ``ssort`` (action.clj:2641-2691): buffer ``duration``
+    seconds, re-emit each sealed bucket sorted by ``field``.
+
+    Pure windowed aggregation — watermark(:delay) + tumbling window +
+    sort_array(collect_list) + posexplode; no Python state at all.
+    Output matches the batch twin column-for-column
+    (by…, window_start, seq, payload…)."""
+    payload_cols = list(payload_cols or df.columns)
+    src = df.withWatermark(time_col, f"{delay_s} seconds")
+    w = F.window(F.col(time_col), f"{int(duration_s)} seconds")
+    ev = F.struct(F.col(field).alias("__k__"), *[F.col(c) for c in payload_cols])
+    agg = (
+        src.groupBy(*[F.col(c) for c in by], w.alias("__w__"))
+        .agg(F.sort_array(F.collect_list(ev)).alias("__evs__"))
+        .withColumn("window_start", F.col("__w__.start").cast("double"))
+        .drop("__w__")
+    )
+    exploded = agg.select(
+        *[F.col(c) for c in by],
+        "window_start",
+        F.posexplode("__evs__").alias("seq", "__e__"),
+    )
+    return exploded.select(
+        *[F.col(c) for c in by], "window_start", "seq", "__e__.*"
+    ).drop("__k__")
+
+
+def stream_stable(
+    df: DataFrame,
+    dt_s: float,
+    field: str,
+    by: Sequence[str],
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming ``stable`` (action.clj:2053-2138): keyed value-run
+    state; events pass once their run's ``field`` value has stayed
+    identical for more than ``dt`` seconds. The run's early events
+    buffer in state and flush at confirmation; a value change drops
+    an unconfirmed buffer (flap suppression). Out-of-order events
+    (time < running max) are dropped, like the reference.
+    """
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    dt_us = int(round(dt_s * 1_000_000))
+
+    def _row_ser(pdf, i):
+        return {
+            k: _native(v.isoformat() if hasattr(v, "isoformat") else v)
+            for k, v in pdf.iloc[i].items()
+        }
+
+    def batch_fn(st, pdf):
+        (blob,) = st
+        s = (
+            _json.loads(blob)
+            if blob
+            else {"max": None, "has": False, "value": None, "flip": None,
+                  "confirmed": False, "buffer": []}
+        )
+        t = _series_us(pdf[time_col])
+        n = len(t)
+        # drop out-of-order rows: time < running max (incl. state max)
+        run_max = np.maximum.accumulate(t)
+        prior = np.concatenate(([s["max"] if s["max"] is not None else -(1 << 62)],
+                                run_max[:-1]))
+        keep = t >= prior
+        s["max"] = int(max(run_max[-1], s["max"] or -(1 << 62))) if n else s["max"]
+        pdf = pdf[keep].reset_index(drop=True)
+        t = t[keep]
+        n = len(t)
+        emit: list[pd.DataFrame] = []
+        vals = pdf[field].tolist()
+
+        def _eq(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+                return True
+            return a == b
+
+        i = 0
+        while i < n:
+            v = vals[i]
+            j = i + 1
+            while j < n and _eq(vals[j], v):
+                j += 1
+            if not (s["has"] and _eq(v, s["value"])):
+                # value changed: unconfirmed buffer is dropped
+                s.update(value=v, has=True, flip=int(t[i]),
+                         confirmed=False, buffer=[])
+            if not s["confirmed"]:
+                thresh = s["flip"] + dt_us
+                k = i
+                while k < j and t[k] <= thresh:
+                    k += 1
+                if k == j:  # run not yet stable: buffer the segment
+                    s["buffer"].extend(_row_ser(pdf, x) for x in range(i, j))
+                else:  # confirmed at row k: flush buffer + segment prefix
+                    s["confirmed"] = True
+                    buf = s["buffer"] + [_row_ser(pdf, x) for x in range(i, k)]
+                    s["buffer"] = []
+                    if buf:
+                        bdf = pd.DataFrame(buf, columns=list(pdf.columns))
+                        if str(pdf[time_col].dtype).startswith("datetime64"):
+                            bdf[time_col] = pd.to_datetime(bdf[time_col])
+                        emit.append(bdf)
+                    emit.append(pdf.iloc[k:j])
+            else:
+                emit.append(pdf.iloc[i:j])
+            i = j
+        out = pd.concat(emit, ignore_index=True) if emit else None
+        return (_json.dumps(s),), out
+
+    return _keyed_batch_scan(df, by, time_col, "state STRING", (None,), batch_fn)

@@ -671,3 +671,99 @@ def test_load_persisted_restores_streams(spark, tmpdir):
     assert diff["to_add"] == {"p1"} and diff["failed"] == {}
     assert h2.list_streams() == ["p1"]
     h2.stop_all()
+
+
+def test_stream_ssort_parity(spark, tmpdir):
+    """ssort streaming twin == batch twin over the same finite input
+    (sorted re-emission per sealed bucket)."""
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.operators import windows as win
+
+    src_dir = os.path.join(tmpdir, "sso")
+    rows = [
+        {"time": "2024-01-01T00:00:01", "metric": 3.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": 1.0, "host": "a"},
+        {"time": "2024-01-01T00:00:03", "metric": 2.0, "host": "a"},
+        {"time": "2024-01-01T00:01:05", "metric": 9.0, "host": "a"},
+    ]
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_ssort(
+        stream, 60.0, "metric", by=["host"], payload_cols=["metric"]
+    )
+    q = stx.to_memory(out, "sso_test", output_mode="complete")
+    q.awaitTermination(60)
+    got = [
+        (r.host, r.window_start, r.seq, r.metric)
+        for r in spark.sql(
+            "select * from sso_test order by window_start, seq"
+        ).collect()
+    ]
+    from datetime import datetime
+
+    batch_df = spark.createDataFrame(
+        [(datetime.fromisoformat(r["time"]), r["metric"], r["host"]) for r in rows],
+        schema,
+    )
+    expect = [
+        (r.host, r.window_start, r.seq, r.metric)
+        for r in win.ssort(
+            batch_df, 60.0, "metric", by=["host"], payload_cols=["metric"]
+        ).orderBy("window_start", "seq").collect()
+    ]
+    assert got == expect
+    assert [g[3] for g in got] == [1.0, 2.0, 3.0, 9.0]
+
+
+def test_stream_stable_parity(spark, tmpdir):
+    """stable streaming twin: value-run buffer confirms across
+    micro-batch boundaries; unconfirmed runs (flaps) never emit —
+    same rows as the batch twin over the full input."""
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.operators import stateful as stf
+
+    src_dir = os.path.join(tmpdir, "stb")
+    schema = "time timestamp, state string, host string"
+    batch1 = [
+        {"time": "2024-01-01T00:00:00", "state": "ok", "host": "a"},
+        {"time": "2024-01-01T00:00:01", "state": "ok", "host": "a"},
+        {"time": "2024-01-01T00:00:02", "state": "crit", "host": "a"},
+    ]
+    batch2 = [
+        {"time": "2024-01-01T00:00:05", "state": "crit", "host": "a"},
+        {"time": "2024-01-01T00:00:06", "state": "ok", "host": "a"},
+    ]
+    _write_rows(src_dir, batch1)
+    stream = stx.file_source(spark, src_dir, schema)
+    out = stx.stream_stable(stream, 2.0, "state", by=["host"])
+    q = stx.to_memory(out, "stb_test", trigger_available_now=False)
+    q.processAllAvailable()
+    with open(os.path.join(src_dir, "p2.json"), "w") as f:
+        for r in batch2:
+            f.write(json.dumps(r) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.state, r.time.isoformat())
+        for r in spark.sql("select * from stb_test").collect()
+    )
+    # crit run: flip=2, confirmed by t=5 > 2+2 → crit@2 (buffered in
+    # batch 1, flushed in batch 2) + crit@5. Both ok runs flap out.
+    assert got == [
+        ("crit", "2024-01-01T00:00:02"),
+        ("crit", "2024-01-01T00:00:05"),
+    ]
+    # batch twin agreement over the same finite input
+    rows = batch1 + batch2
+    from datetime import datetime
+
+    batch_df = spark.createDataFrame(
+        [(datetime.fromisoformat(r["time"]), r["state"], r["host"]) for r in rows],
+        schema,
+    )
+    expect = sorted(
+        (r.state, r.time.isoformat())
+        for r in stf.stable(batch_df, 2.0, "state", by=["host"]).collect()
+    )
+    assert got == expect
