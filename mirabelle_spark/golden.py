@@ -109,7 +109,10 @@ def _norm(v: Any) -> Any:
 
 
 def launch_tests(
-    spark: SparkSession, stream_dirs: list[str], test_dirs: list[str]
+    spark: SparkSession,
+    stream_dirs: list[str],
+    test_dirs: list[str],
+    custom_actions: dict | None = None,
 ) -> str:
     """The reference's product test runner (test.clj:41-90 /
     ``mirabelle test``): stream configs and test cases load from
@@ -124,9 +127,22 @@ def launch_tests(
     Taps share one namespace across streams (pushing to two default
     streams that both tap "foo" unions into one tap), matching the
     reference's global tap atom.
+
+    ``custom_actions`` maps action names to
+    ``fn(df, ctx, *params) -> DataFrame`` — the reference's
+    ``:custom-actions`` config (test.clj:52-54 wires e.g.
+    ``{:custom where*}``); entries shadow built-in actions for the
+    duration of the run.
     """
     import json
     import os
+
+    from mirabelle_spark.plans.builder import _ACTIONS
+
+    shadowed: dict = {}
+    for cname, cfn in (custom_actions or {}).items():
+        shadowed[cname] = _ACTIONS.get(cname)
+        _ACTIONS[cname] = cfn
 
     def read_dirs(dirs: list[str]) -> dict:
         out: dict = {}
@@ -141,6 +157,20 @@ def launch_tests(
     streams = read_dirs(stream_dirs)
     tests = read_dirs(test_dirs)
     errors: list[str] = []
+    try:
+        _run_tests(spark, streams, tests, errors)
+    finally:
+        for cname, old in shadowed.items():
+            if old is None:
+                _ACTIONS.pop(cname, None)
+            else:
+                _ACTIONS[cname] = old
+    if not errors:
+        return "All tests successful"
+    return f"{len(errors)} errors\n" + "\n\n----\n\n".join(errors)
+
+
+def _run_tests(spark, streams: dict, tests: dict, errors: list[str]) -> None:
     for test_name, cfg in tests.items():
         try:
             df = _df_from_events(spark, cfg["input"])
@@ -175,6 +205,3 @@ def launch_tests(
                     )
         except Exception as e:  # noqa: BLE001 - mirror :type :exception
             errors.append(f"Error in test :{test_name}\nException during test\n{e}")
-    if not errors:
-        return "All tests successful"
-    return f"{len(errors)} errors\n" + "\n\n----\n\n".join(errors)

@@ -39,7 +39,11 @@ def tagged_all(df: DataFrame, tags: Sequence[str], tags_col: str = "tags") -> Da
 
     ``size(array_except(wanted, tags)) == 0`` stays JVM-side and
     null tags never match (event.clj:46-50: missing tags ⇒ false).
+    A bare string means one tag (action_test.clj:869-875 passes
+    "foo" scalar), not an iterable of characters.
     """
+    if isinstance(tags, str):
+        tags = [tags]
     if not tags:
         # set/subset? of an empty set is always true (event.clj:46-50),
         # even when the event has no tags at all.
