@@ -44,8 +44,10 @@ BENCH_QUERIES = [
     "smax_running",           # running extremum (prefix max)
     "ewma_smoothed",          # keyed sequential scan (applyInPandas)
     "throttle",               # keyed anchored-window scan
+    "coalesce_fill",          # per-bucket tick explosion (buffer persists)
     "dedup_exact_docs",       # hash dedup
-    "minhash_lsh_pairs",      # LSH banding + equi-join
+    "minhash_lsh_pairs",      # LSH banding + equi-join (md5 signatures)
+    "simhash_pairs",          # pandas-UDF signature + pigeonhole join
     "ann_bruteforce_topk",    # broadcast + fold dot products
     "tpch_pricing_summary",   # full-scan rollup (decimal-exact)
     "revenue_by_nation",      # star join: 2 shuffle + 2 broadcast joins

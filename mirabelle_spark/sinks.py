@@ -7,10 +7,13 @@ The reference dispatches events to named output components
 the same callables through ``foreachBatch``.
 
 Network outputs (elasticsearch `_bulk`, pagerduty events API,
-prometheus remote-write) are STUBS with the real batching/shaping
-logic but a pluggable transport, since this container has no
-network: pass ``transport=`` a callable receiving (url, payload
-rows) to wire a real HTTP client.
+prometheus remote-write) shape their payloads fully distributed
+(JVM ``to_json``) and deliver executor-side over real HTTP
+(stdlib urllib via ``http_transport`` — N partitions post in
+parallel, the scale path). ``transport=`` stays injectable for
+tests and for exotic clients; external-network egress is still
+unavailable in this container, so the pytest coverage drives the
+sinks against a local fake endpoint.
 """
 
 from __future__ import annotations
@@ -102,51 +105,152 @@ def plan_dot(df: DataFrame) -> str:
     return "digraph plan {\n" + "\n".join(nodes + edges) + "\n}\n"
 
 
-# -- network output shapes (transport-pluggable stubs) ----------------------
+# -- network outputs (JVM shaping + executor-side HTTP delivery) -----------
+
+
+def http_transport(
+    url: str, headers: dict | None = None, timeout_s: float = 5.0
+) -> Callable[[bytes, str], int]:
+    """POST bytes to a fixed URL (stdlib urllib). The returned
+    closure is cloudpickle-safe, so it ships to executors — each
+    partition opens its own connections (the reference's single
+    RestClient is the single-node analog of this fan-out)."""
+
+    def post(body: bytes, content_type: str = "application/json") -> int:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=body,
+            method="POST",
+            headers={"Content-Type": content_type, **(headers or {})},
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.status
+
+    return post
 
 
 def elasticsearch_sink(
     df: DataFrame,
     index_prefix: str,
-    transport: Callable[[str, list[dict]], None] | None = None,
+    url: str | None = None,
+    transport: Callable[[bytes, str], int] | None = None,
     time_col: str = "time",
     batch_size: int = 1000,
-) -> int:
-    """ES bulk output shape (output/elasticsearch.clj:125-177):
-    daily index pattern ``{prefix}-yyyy-MM-dd`` + @timestamp field.
-    Rows are shaped distributed-side; only the final transport call
-    is driver-side per partition batch."""
-    shaped = df.withColumn(
-        "_index", F.concat(F.lit(index_prefix + "-"), F.date_format(F.col(time_col), "yyyy-MM-dd"))
-    ).withColumn("@timestamp", F.col(time_col).cast("string"))
-    if transport is None:
-        raise NotImplementedError(
-            "no HTTP client in this container; pass transport=(url, rows)->None"
+    date_pattern: str = "yyyy-MM-dd",
+    headers: dict | None = None,
+) -> None:
+    """ES bulk output (output/elasticsearch.clj:125-177).
+
+    Each row becomes the bulk action/doc ndjson pair —
+    ``{"index":{"_index":"prefix-yyyy-MM-dd"}}\\n{doc}`` with the
+    reference's field rules (daily index from event time, ``time``
+    dropped, ``@timestamp`` added) — built entirely JVM-side with
+    ``to_json``. Delivery is ``foreachPartition``: every partition
+    posts its own ndjson chunks of ``batch_size`` docs to
+    ``{url}/_bulk``, in parallel across executors. ``headers``
+    carries auth (the reference's Bearer/ApiKey defaults)."""
+    index = F.concat(
+        F.lit(index_prefix + "-"), F.date_format(F.col(time_col), date_pattern)
+    )
+    action = F.to_json(
+        F.struct(F.struct(F.col("__index__").alias("_index")).alias("index"))
+    )
+    doc_cols = [c for c in df.columns if c != time_col]
+    doc = F.to_json(
+        F.struct(
+            *[F.col(c) for c in doc_cols],
+            F.date_format(
+                F.col(time_col), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+            ).alias("@timestamp"),
         )
-    sent = 0
-    for row in shaped.toLocalIterator():
-        # real impl batches; kept minimal since transport is injected
-        transport(row["_index"], [row.asDict()])
-        sent += 1
-    return sent
+    )
+    lines = df.withColumn("__index__", index).select(
+        F.concat_ws("\n", action, doc).alias("line")
+    )
+    if transport is None:
+        if url is None:
+            raise NotImplementedError(
+                "pass url= (posts to {url}/_bulk) or transport=(body, ctype)->status"
+            )
+        transport = http_transport(url.rstrip("/") + "/_bulk", headers)
+
+    def send_partition(rows):
+        batch: list[str] = []
+
+        def flush():
+            if batch:
+                transport(
+                    ("\n".join(batch) + "\n").encode("utf-8"),
+                    "application/x-ndjson",
+                )
+                batch.clear()
+
+        for r in rows:
+            batch.append(r["line"])
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    lines.foreachPartition(send_partition)
 
 
 def pagerduty_sink(
     df: DataFrame,
     routing_key: str,
-    transport: Callable[[str, list[dict]], None] | None = None,
+    url: str = "https://events.pagerduty.com/v2/enqueue",
+    transport: Callable[[bytes, str], int] | None = None,
+    source_key: str = "host",
+    summary_keys: Sequence[str] = ("host", "service", "state"),
+    dedup_keys: Sequence[str] = ("host", "service"),
     state_col: str = "state",
+    time_col: str = "time",
+    headers: dict | None = None,
 ) -> None:
-    """PagerDuty Events-v2 shape (output/pagerduty.clj:44-111):
-    critical → trigger, ok → resolve, dedup key from host/service."""
-    if transport is None:
-        raise NotImplementedError("pass transport=")
-    shaped = df.withColumn(
-        "event_action",
-        F.when(F.col(state_col) == "critical", "trigger").otherwise("resolve"),
+    """PagerDuty Events-v2 output (output/pagerduty.clj:44-111).
+
+    The full request body is built JVM-side per alert: event_action
+    from state (critical → trigger, ok → resolve, else trigger,
+    pagerduty.clj:103-110), severity (ok → info, else the state or
+    "critical"), summary = summary-keys joined " - ", dedup_key =
+    dedup-keys joined "-", custom_details = the whole event.
+    Delivery is one POST per alert from ``foreachPartition`` — the
+    v2 enqueue API is per-event and alert volume is human-scale."""
+    action = (
+        F.when(F.col(state_col) == "critical", "trigger")
+        .when(F.col(state_col) == "ok", "resolve")
+        .otherwise("trigger")
     )
-    for row in shaped.toLocalIterator():
-        transport("https://events.pagerduty.com/v2/enqueue", [row.asDict()])
+    severity = F.when(F.col(state_col) == "ok", "info").otherwise(
+        F.coalesce(F.col(state_col), F.lit("critical"))
+    )
+    payload = F.struct(
+        F.concat_ws(" - ", *[F.col(k) for k in summary_keys]).alias("summary"),
+        F.col(source_key).alias("source"),
+        severity.alias("severity"),
+        F.date_format(F.col(time_col), "yyyy-MM-dd'T'HH:mm:ssXXX").alias(
+            "timestamp"
+        ),
+        F.struct(*[F.col(c) for c in df.columns]).alias("custom_details"),
+    )
+    body = F.to_json(
+        F.struct(
+            F.lit(routing_key).alias("routing_key"),
+            action.alias("event_action"),
+            F.concat_ws("-", *[F.col(k) for k in dedup_keys]).alias("dedup_key"),
+            payload.alias("payload"),
+        )
+    )
+    shaped = df.select(body.alias("body"))
+    if transport is None:
+        transport = http_transport(url, headers)
+
+    def send_partition(rows):
+        for r in rows:
+            transport(r["body"].encode("utf-8"), "application/json")
+
+    shaped.foreachPartition(send_partition)
 
 
 def prometheus_remote_write_shape(
