@@ -8,6 +8,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_cond_dt,
     stream_dedup,
     stream_ewma,
+    stream_fixed_event_window,
     stream_fixed_time_window,
     stream_smax,
     stream_ssort,

@@ -240,7 +240,15 @@ def reinject_source(spark: SparkSession, topic_dir: str, schema: str) -> DataFra
 
 
 def _keyed_batch_scan(
-    df: DataFrame, by, time_col, state_struct, init, batch_fn, state_ttl_s=None
+    df: DataFrame,
+    by,
+    time_col,
+    state_struct,
+    init,
+    batch_fn,
+    state_ttl_s=None,
+    out_schema=None,
+    ttl_clock="event",
 ):
     """Shared shell for order-dependent keyed-state twins: per key,
     run ``batch_fn(state, pdf_sorted) -> (state, out_pdf)`` over each
@@ -253,16 +261,29 @@ def _keyed_batch_scan(
     on per-row Python).
 
     ``state_ttl_s`` is the reference's `by` fork GC
-    (action.clj:1559-1582 :fork-ttl): keys idle past the ttl
-    (event time, watermark-driven) have their state evicted — the
-    next event starts fresh, and state size stays bounded by the
-    active-key set. Requires a watermark on ``df``.
+    (action.clj:1559-1582 :fork-ttl): keys idle past the ttl have
+    their state evicted — the next event starts fresh, and state
+    size stays bounded by the active-key set. ``ttl_clock`` picks
+    the timeout clock: ``"event"`` (watermark-driven; requires a
+    watermark on ``df``, and Spark then drops late rows before the
+    operator) or ``"processing"`` (wall-clock, the reference's
+    :gc-interval timer in Spark form — no watermark, late rows
+    still delivered, right for operators that must keep the
+    reference's out-of-order behavior).
+
+    ``out_schema`` (StructType or DDL string) lets an operator emit
+    rows shaped differently from its input (e.g. window rows with an
+    events array); ``batch_fn`` must then return exactly those
+    columns.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = df.schema
-    cols = [f.name for f in schema.fields]
+    out_struct = out_schema if out_schema is not None else schema
+    cols = (
+        [f.name for f in schema.fields] if out_schema is None else None
+    )  # None → trust batch_fn's column set
     ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else None
 
     def fn(key, pdf_iter, state: GroupState):
@@ -278,7 +299,7 @@ def _keyed_batch_scan(
             pdf = pdf.sort_values(time_col, kind="mergesort")
             s, out = batch_fn(s, pdf)
             if out is not None and len(out):
-                outs.append(out[cols])
+                outs.append(out[cols] if cols is not None else out)
             t = pdf[time_col]
             mx = (
                 int(t.max().value // 1_000_000)
@@ -287,20 +308,28 @@ def _keyed_batch_scan(
             )
             max_ms = mx if max_ms is None else max(max_ms, mx)
         state.update(tuple(s))
-        if ttl_ms and max_ms is not None:
-            state.setTimeoutTimestamp(max_ms + ttl_ms)
+        if ttl_ms and ttl_clock == "processing":
+            state.setTimeoutDuration(ttl_ms)
+        elif ttl_ms and max_ms is not None:
+            # clamp above the watermark: an out-of-order tail event can
+            # put last-event + ttl BEHIND the watermark, which Spark
+            # rejects; the key then just times out at the next bound
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ms + ttl_ms, wm + 1))
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
     return df.groupBy(*[F.col(c) for c in by]).applyInPandasWithState(
         fn,
-        outputStructType=schema,
+        outputStructType=out_struct,
         stateStructType=state_struct,
         outputMode="append",
         timeoutConf=(
-            GroupStateTimeout.EventTimeTimeout
-            if state_ttl_s
-            else GroupStateTimeout.NoTimeout
+            GroupStateTimeout.NoTimeout
+            if not state_ttl_s
+            else GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_clock == "processing"
+            else GroupStateTimeout.EventTimeTimeout
         ),
     )
 
@@ -620,3 +649,114 @@ def stream_stable(
         return (_json.dumps(s),), out
 
     return _keyed_batch_scan(df, by, time_col, "state STRING", (None,), batch_fn)
+
+
+def stream_fixed_event_window(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    time_col: str = "time",
+    fork_ttl_s: float | None = None,
+    gc_wall_s: float | None = None,
+) -> DataFrame:
+    """Streaming ``fixed-event-window`` (action.clj:233-262) with the
+    reference's ``:fork-ttl`` semantics (stream_test.clj:331-408):
+    per-key buffer in state; every ``n`` buffered events flush as one
+    window row ``(by…, window_start, events)``.
+
+    Eviction is two-layered, matching the reference's by-fork GC:
+
+    - **gap eviction** (the reference's timer GC in its continuous
+      limit): an event arriving more than ``fork_ttl_s`` after the
+      key's previous event drops the stale partial buffer — the
+      window restarts from the newcomer.
+    - **gap eviction** uses the EVENT clock, exactly like the
+      reference (action.clj:1575-1600 compares fork times against
+      the incoming event's ``:time``). The reference's GC can also
+      sweep OTHER keys' idle forks when one key's event advances the
+      clock; per-key state can't see across keys, so that sweep maps
+      to the optional ``gc_wall_s`` **wall-clock timeout** — a
+      memory-bound backstop for keys that never speak again (a push
+      engine's wall clock tracks its event clock). It is NOT the
+      event-time watermark: a watermark makes Spark drop late rows
+      before the operator, which would break the reference's
+      out-of-order behavior.
+
+    Events are processed in event-time order within a micro-batch
+    (per-event batches degrade gracefully to the reference's arrival
+    order, which its out-of-order deftest relies on).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    ttl_us = int(round(fork_ttl_s * 1_000_000)) if fork_ttl_s else None
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+
+    def _row_ser(pdf, i):
+        return {
+            k: _native(v.isoformat() if hasattr(v, "isoformat") else v)
+            for k, v in pdf.iloc[i].items()
+        }
+
+    ev_struct = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    by_struct = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in by
+    )
+    out_schema = f"{by_struct}, window_start double, events array<struct<{ev_struct}>>"
+
+    def batch_fn(st, pdf):
+        last_us, buf_json = st
+        buf = _json.loads(buf_json) if buf_json else []
+        t = _series_us(pdf[time_col])
+        windows = []
+        for i in range(len(pdf)):
+            ti = int(t[i])
+            if (
+                ttl_us is not None
+                and last_us is not None
+                and ti - last_us > ttl_us
+            ):
+                buf = []  # stale fork: GC dropped it before this event
+            buf.append(_row_ser(pdf, i))
+            last_us = ti
+            if len(buf) == n:
+                windows.append(buf)
+                buf = []
+        if not windows:
+            return (last_us, _json.dumps(buf)), None
+        keyvals = {c: pdf.iloc[0][c] for c in by}
+        rows = []
+        for w in windows:
+            evs = [
+                {
+                    **e,
+                    **(
+                        {time_col: pd.Timestamp(e[time_col])}
+                        if is_ts and e.get(time_col) is not None
+                        else {}
+                    ),
+                }
+                for e in w
+            ]
+            first = evs[0][time_col]
+            start = (
+                first.timestamp()
+                if hasattr(first, "timestamp")
+                else float(first)
+            )
+            rows.append({**keyvals, "window_start": start, "events": evs})
+        out = pd.DataFrame(rows)
+        return (last_us, _json.dumps(buf)), out
+
+    return _keyed_batch_scan(
+        df,
+        by,
+        time_col,
+        "last_us BIGINT, buf STRING",
+        (None, None),
+        batch_fn,
+        state_ttl_s=gc_wall_s,
+        out_schema=out_schema,
+        ttl_clock="processing",
+    )

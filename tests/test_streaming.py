@@ -767,3 +767,106 @@ def test_stream_stable_parity(spark, tmpdir):
         for r in stf.stable(batch_df, 2.0, "state", by=["host"]).collect()
     )
     assert got == expect
+
+
+def _feed_batches(spark, tmpdir, name, batches, stream_fn):
+    """Drive a keyed-state stream with controlled micro-batches: one
+    availableNow run per batch against a SHARED checkpoint — state
+    restores from the checkpoint between runs, which both sequences
+    the batches deterministically and re-proves state recovery.
+    (processAllAvailable never quiesces under processing-time
+    timeouts: the engine keeps scheduling timeout-check batches.)
+    Returns every output row collected across the runs."""
+    src_dir = os.path.join(tmpdir, name)
+    ckpt = os.path.join(tmpdir, name + "_ck")
+    out_dir = os.path.join(tmpdir, name + "_out")
+    os.makedirs(src_dir)
+    schema = "time timestamp, metric double, host string"
+    out_schema = None
+    for i, batch in enumerate(batches):
+        with open(os.path.join(src_dir, f"b{i}.json"), "w") as f:
+            for r in batch:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.format("json").schema(schema).load(src_dir)
+        out = stream_fn(stream)
+        out_schema = out.schema
+        q = (
+            out.writeStream.format("json")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    try:
+        return spark.read.schema(out_schema).json(out_dir).collect()
+    except Exception:
+        return []
+
+
+def _ev(t, m):
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    return {"time": iso, "metric": float(m), "host": "foo"}
+
+
+def _windows(rows):
+    return [
+        [(e.metric, e.time.timestamp()) for e in r.events]
+        for r in sorted(rows, key=lambda r: r.window_start)
+    ]
+
+
+def test_stream_fixed_event_window_fork_ttl(spark, tmpdir):
+    """stream_test.clj:331-377 ('no expiration' + 'expiration'):
+    :fork-ttl 10 evicts a stale partial buffer when the key's
+    event-time gap exceeds the ttl; windows restart from the
+    newcomer. State crosses micro-batch boundaries."""
+    from mirabelle_spark import streaming as stx
+
+    # no expiration: gaps never exceed ttl; 5th event stays buffered
+    rows = _feed_batches(
+        spark, tmpdir, "few1",
+        [[_ev(1, 1), _ev(4, 2), _ev(10, 3)], [_ev(15, 4), _ev(21, 5)]],
+        lambda s: stx.stream_fixed_event_window(s, 2, by=["host"], fork_ttl_s=10),
+    )
+    assert _windows(rows) == [
+        [(1.0, 1.0), (2.0, 4.0)], [(3.0, 10.0), (4.0, 15.0)],
+    ]
+
+    # expiration: gaps 1→15, 32→50, 50→89, 89→110 all exceed ttl 10
+    rows = _feed_batches(
+        spark, tmpdir, "few2",
+        [[_ev(1, 1)], [_ev(15, 4), _ev(21, 5), _ev(23, 5), _ev(31, 5), _ev(32, 5)],
+         [_ev(50, 5), _ev(89, 5)], [_ev(110, 5), _ev(111, 5)]],
+        lambda s: stx.stream_fixed_event_window(s, 2, by=["host"], fork_ttl_s=10),
+    )
+    assert _windows(rows) == [
+        [(4.0, 15.0), (5.0, 21.0)],
+        [(5.0, 23.0), (5.0, 31.0)],
+        [(5.0, 110.0), (5.0, 111.0)],
+    ]
+
+
+def test_stream_fixed_event_window_fork_ttl_out_of_order(spark, tmpdir):
+    """stream_test.clj:378-408: per-event micro-batches reproduce the
+    reference's arrival order; out-of-order events join the buffer
+    (negative gaps never evict) and windows pair them as they came."""
+    from mirabelle_spark import streaming as stx
+
+    arrivals = [(1, 1), (15, 4), (13, 5), (23, 5), (31, 5), (10, 5),
+                (11, 5), (50, 5), (89, 5), (110, 5), (10, 5)]
+    rows = _feed_batches(
+        spark, tmpdir, "fewo",
+        [[_ev(t, m)] for t, m in arrivals],
+        lambda s: stx.stream_fixed_event_window(s, 2, by=["host"], fork_ttl_s=10),
+    )
+    got = sorted([[(e.metric, e.time.timestamp()) for e in r.events] for r in rows])
+    assert got == sorted([
+        [(4.0, 15.0), (5.0, 13.0)],
+        [(5.0, 23.0), (5.0, 31.0)],
+        [(5.0, 10.0), (5.0, 11.0)],
+        [(5.0, 110.0), (5.0, 10.0)],
+    ])
