@@ -10,6 +10,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ewma,
     stream_fixed_event_window,
     stream_fixed_time_window,
+    stream_moving_event_window,
     stream_smax,
     stream_ssort,
     stream_stable,

@@ -760,3 +760,65 @@ def stream_fixed_event_window(
         out_schema=out_schema,
         ttl_clock="processing",
     )
+
+
+def stream_moving_event_window(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    time_col: str = "time",
+    gc_wall_s: float | None = None,
+) -> DataFrame:
+    """Streaming ``moving-event-window`` (action.clj:1219-1246): on
+    every event, emit the trailing ``n`` events of its key as an
+    ``events`` array — the keyed-state sliding buffer, emitted
+    per-row like the batch twin's collect_list window. ``gc_wall_s``
+    bounds state for silent keys (wall-clock backstop)."""
+    import json as _json
+
+    import pandas as pd
+
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+
+    def _row_ser(pdf, i):
+        return {
+            k: _native(v.isoformat() if hasattr(v, "isoformat") else v)
+            for k, v in pdf.iloc[i].items()
+        }
+
+    ev_struct = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", events array<struct<{ev_struct}>>"
+    )
+
+    def _revive(e):
+        if is_ts and e.get(time_col) is not None:
+            return {**e, time_col: pd.Timestamp(e[time_col])}
+        return e
+
+    def batch_fn(st, pdf):
+        (buf_json,) = st
+        buf = _json.loads(buf_json) if buf_json else []
+        events_col = []
+        for i in range(len(pdf)):
+            buf.append(_row_ser(pdf, i))
+            buf = buf[-n:]
+            events_col.append([_revive(e) for e in buf])
+        out = pdf.copy()
+        out["events"] = events_col
+        return (_json.dumps(buf),), out
+
+    return _keyed_batch_scan(
+        df,
+        by,
+        time_col,
+        "buf STRING",
+        (None,),
+        batch_fn,
+        state_ttl_s=gc_wall_s,
+        out_schema=out_schema,
+        ttl_clock="processing",
+    )

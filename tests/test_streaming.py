@@ -870,3 +870,20 @@ def test_stream_fixed_event_window_fork_ttl_out_of_order(spark, tmpdir):
         [(5.0, 10.0), (5.0, 11.0)],
         [(5.0, 110.0), (5.0, 10.0)],
     ])
+
+
+def test_stream_moving_event_window_parity(spark, tmpdir):
+    """moving-event-window streaming twin == batch twin: trailing-n
+    buffer carried across micro-batches per key."""
+    from mirabelle_spark import streaming as stx
+
+    rows = _feed_batches(
+        spark, tmpdir, "mew",
+        [[_ev(1, 1), _ev(2, 2)], [_ev(3, 3)]],
+        lambda s: stx.stream_moving_event_window(s, 2, by=["host"]),
+    )
+    got = sorted(
+        (r.metric, tuple(e.metric for e in r.events)) for r in rows
+    )
+    # action.clj:1219-1246 semantics: window grows to n then slides
+    assert got == [(1.0, (1.0,)), (2.0, (1.0, 2.0)), (3.0, (2.0, 3.0))]
