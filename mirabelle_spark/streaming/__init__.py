@@ -30,3 +30,6 @@ from mirabelle_spark.streaming.lifecycle import (  # noqa: F401
     StreamHandler,
     diff_config,
 )
+from mirabelle_spark.streaming.websocket import (  # noqa: F401
+    WebSocketPubSub,
+)

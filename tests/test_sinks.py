@@ -258,3 +258,87 @@ def test_pagerduty_sink_real_http(make_events):
         assert bodies[0]["payload"]["severity"] == "info"
     finally:
         srv.stop()
+
+
+def test_websocket_pubsub_end_to_end(make_events):
+    """transport/websocket.clj:40-119 over a REAL RFC 6455 socket: a
+    hand-rolled client performs the handshake (accept key verified),
+    subscribes to /channel/alerts with a base64 condition query, and
+    receives only matching events as JSON text frames; close
+    unsubscribes."""
+    import base64 as _b64
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    import socket as _socket
+    import time as _time
+    from urllib.parse import quote
+
+    from mirabelle_spark.sinks import PubSubBridge
+    from mirabelle_spark.streaming import WebSocketPubSub
+
+    bridge = PubSubBridge()
+    ws = WebSocketPubSub(bridge).start()
+    try:
+        key = _b64.b64encode(_os.urandom(16)).decode()
+        q = quote(_b64.b64encode(
+            _json.dumps([":>", "metric", 10]).encode()).decode())
+        s = _socket.create_connection(("127.0.0.1", ws.port), timeout=10)
+        s.sendall((
+            f"GET /channel/alerts?query={q} HTTP/1.1\r\n"
+            "Host: localhost\r\nUpgrade: websocket\r\n"
+            "Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode())
+        head = b""
+        while b"\r\n\r\n" not in head:
+            head += s.recv(4096)
+        assert b"101 Switching Protocols" in head
+        guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+        expect = _b64.b64encode(
+            _hashlib.sha1((key + guid).encode()).digest()).decode()
+        assert f"Sec-WebSocket-Accept: {expect}".encode() in head
+
+        # wait for the subscription to register, then publish a batch
+        deadline = _time.time() + 10
+        while not bridge._subs and _time.time() < deadline:
+            _time.sleep(0.05)
+        df = make_events([
+            {"time": 1, "metric": 5.0, "host": "low"},
+            {"time": 2, "metric": 50.0, "host": "high"},
+        ])
+        bridge.dispatch(df, "alerts")
+        bridge.dispatch(df, "other-channel")  # different channel: ignored
+
+        def read_frame(sock):
+            hdr = b""
+            while len(hdr) < 2:
+                hdr += sock.recv(2 - len(hdr))
+            assert hdr[0] == 0x81  # FIN + text
+            ln = hdr[1] & 0x7F
+            assert ln < 126
+            payload = b""
+            while len(payload) < ln:
+                payload += sock.recv(ln - len(payload))
+            return _json.loads(payload)
+
+        ev = read_frame(s)
+        assert ev["host"] == "high" and ev["metric"] == 50.0
+        s.settimeout(1.0)
+        try:
+            extra = s.recv(1)
+            assert not extra, "unexpected extra frame"
+        except TimeoutError:
+            pass  # nothing else arrived: the metric<=10 event filtered out
+
+        # masked close frame → server unsubscribes
+        mask = _os.urandom(4)
+        s.sendall(bytes([0x88, 0x80]) + mask)
+        deadline = _time.time() + 10
+        while bridge._subs and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert not bridge._subs
+        s.close()
+    finally:
+        ws.stop()
