@@ -174,3 +174,73 @@ def test_stable_matches_reference_loop(make_events, evs, dt):
             buffer = []
             max_t = t
     assert got == sorted(keep)
+
+
+@given(n=st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+@settings(max_examples=200, deadline=None)
+def test_riemann_varint_int64_roundtrip(n):
+    """proto2 int64 varint: encode (two's-complement unsigned, the
+    wire rule) → decode returns the original signed value for the
+    full int64 range."""
+    from mirabelle_spark.riemann_wire import _read_varint, _signed64
+
+    enc = bytearray()
+    u = n & ((1 << 64) - 1)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            enc.append(b | 0x80)
+        else:
+            enc.append(b)
+            break
+    val, i = _read_varint(memoryview(bytes(enc)), 0)
+    assert i == len(enc)
+    assert _signed64(val) == n
+
+
+@given(payload=st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_websocket_text_frame_roundtrip(payload):
+    """RFC 6455 text frame: server encode → parse (as if masked with
+    a zero-effect key path) recovers the payload for 7-bit and
+    16-bit length forms."""
+    from mirabelle_spark.streaming.websocket import _parse_client_frame, text_frame
+
+    frame = bytearray(text_frame(payload))
+    # convert to a client-style frame: set the mask bit, zero mask key
+    frame[1] |= 0x80
+    i = 2
+    ln = frame[1] & 0x7F
+    if ln == 126:
+        i = 4
+    elif ln == 127:
+        i = 10
+    frame[i:i] = b"\x00\x00\x00\x00"  # zero mask = identity
+    opcode, got, rest = _parse_client_frame(bytes(frame))
+    assert opcode == 0x1 and rest == b""
+    assert got.decode("utf-8") == payload
+
+
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries({"metric": st.integers(0, 5)}), max_size=8
+    ),
+    perm_seed=st.integers(0, 1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_multiset_matcher_permutation_invariant(rows, perm_seed):
+    """The golden multiset matcher accepts exactly the permutations
+    of the expected multiset and rejects any multiset with different
+    counts."""
+    import random
+
+    from mirabelle_spark.golden import _multiset_mismatches
+
+    shuffled = list(rows)
+    random.Random(perm_seed).shuffle(shuffled)
+    assert not _multiset_mismatches(shuffled, rows)
+    if rows:
+        # removing one occurrence breaks the match in both directions
+        assert _multiset_mismatches(shuffled[1:], rows)
+        assert _multiset_mismatches(shuffled, rows[1:])
