@@ -661,3 +661,57 @@ def test_golden_batch_and_streaming(spark, tmp_path, name, tree, inp, expected):
     ]
     exp = [{k: _norm(v) for k, v in e.items()} for e in expected]
     assert not _multiset_mismatches(got, exp), (got, exp)
+
+
+def test_moving_event_window_golden_reference_case(spark):
+    """action_test.clj:616-645: after each event, the trailing ≤5
+    events form the window."""
+    from mirabelle_spark.golden import _df_from_events
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    times = [0, 1, 3, 9, 10, 29]
+    events = [{"metric": 1, "time": t, "state": "ok"} for t in times]
+    tree = {
+        "action": "moving-event-window", "params": [{"size": 5}],
+        "children": [{"action": "tap", "params": ["out"]}],
+    }
+    ctx = compile_stream(
+        _df_from_events(spark, events), tree, Ctx(order_cols=("seq",), test_mode=True)
+    )
+    got = sorted(
+        tuple(e.time.timestamp() for e in r.events)
+        for r in ctx.taps["out"].collect()
+    )
+    assert got == sorted([
+        (0.0,), (0.0, 1.0), (0.0, 1.0, 3.0), (0.0, 1.0, 3.0, 9.0),
+        (0.0, 1.0, 3.0, 9.0, 10.0), (1.0, 3.0, 9.0, 10.0, 29.0),
+    ])
+
+
+def test_coll_top_bottom_golden_reference_case(spark):
+    """action_test.clj:1060-1084: top-2 / bottom-2 per window —
+    three event-windows expressed as three time buckets."""
+    wins = [[10, 4, 100, 2], [10], [-10, 1, 2, 0]]
+    events = [
+        {"time": w * 10 + i, "metric": m}
+        for w, ms in enumerate(wins)
+        for i, m in enumerate(ms)
+    ]
+    _case(spark, {"action": "coll-top", "params": [{"nb": 2, "duration": 10}]},
+          events,
+          [{"metric": 100.0}, {"metric": 10.0},   # window 1
+           {"metric": 10.0},                       # window 2
+           {"metric": 2.0}, {"metric": 1.0}])      # window 3
+    _case(spark, {"action": "coll-bottom", "params": [{"nb": 2, "duration": 10}]},
+          events,
+          [{"metric": 2.0}, {"metric": 4.0},
+           {"metric": 10.0},
+           {"metric": -10.0}, {"metric": 0.0}])
+
+
+def test_coll_quotient_golden_reference_case(spark):
+    """action_test.clj:344-351: sequential fold 1/10/5 = 0.02."""
+    _case(spark, {"action": "coll-quotient", "params": [{"duration": 10}]},
+          [{"time": 0, "metric": 1}, {"time": 1, "metric": 10},
+           {"time": 2, "metric": 5}],
+          [{"metric": 0.02}])
