@@ -51,7 +51,15 @@ _UNKEYED_SEQUENTIAL = frozenset({
 
 @dataclass
 class Ctx:
-    """Compile context threaded through the tree."""
+    """Compile context threaded through the tree.
+
+    ``streaming=True`` compiles the SAME tree against a streaming
+    DataFrame: stateless actions are streaming-transparent (identical
+    Catalyst ops), and stateful/windowed actions dispatch to their
+    Structured Streaming twins (keyed state / watermarked windows)
+    instead of the batch window-function realizations. ``delay_s``
+    is the default watermark tolerance for windowed twins (the
+    reference's per-op :delay overrides it via cfg)."""
 
     by: tuple[str, ...] = ()
     time_col: str = "time"
@@ -59,6 +67,8 @@ class Ctx:
     order_cols: tuple[str, ...] = ()
     taps: dict[str, DataFrame] = field(default_factory=dict)
     test_mode: bool = False
+    streaming: bool = False
+    delay_s: float = 0.0
 
 
 def _tw(ctx: Ctx) -> dict:
@@ -313,6 +323,215 @@ action("stable")(
     lambda df, ctx, dt, fieldname: st.stable(df, dt, fieldname, **_stk(ctx))
 )
 
+# -- streaming twins -------------------------------------------------------
+# Same tree, streaming source: these entries replace the batch
+# realization when ctx.streaming is set. Stateless actions need no
+# entry (same Catalyst ops both ways). Keyed twins REQUIRE `by` keys:
+# unkeyed ordered state has no sane streaming shape (one global task
+# forever), so the compiler refuses instead of degrading silently.
+
+_STREAM_ACTIONS: dict[str, Callable] = {}
+
+
+def stream_action(name: str):
+    def deco(fn):
+        _STREAM_ACTIONS[name] = fn
+        return fn
+
+    return deco
+
+
+def _need_by(ctx: Ctx, name: str) -> list:
+    if not ctx.by:
+        raise ValueError(
+            f"streaming {name!r} needs `by` keys (keyed state shards per "
+            "key; unkeyed ordered state would be one global task forever) "
+            "— wrap it in a `by` node"
+        )
+    return list(ctx.by)
+
+
+def _stream_agg_kind(kind):
+    def fn(df, ctx, cfg):
+        from mirabelle_spark import streaming as stx
+
+        return stx.stream_agg(
+            df, kind, cfg["duration"], delay_s=cfg.get("delay", ctx.delay_s),
+            by=list(ctx.by), time_col=ctx.time_col, metric_col=ctx.metric_col,
+        )
+
+    return fn
+
+
+for _kind, _names in {
+    "sum": ("sum", "coll-sum"),
+    "mean": ("mean", "coll-mean"),
+    "rate": ("rate", "coll-rate"),
+    "count": ("coll-count",),
+    "max": ("coll-max",),
+    "min": ("coll-min",),
+}.items():
+    for _n in _names:
+        stream_action(_n)(_stream_agg_kind(_kind))
+
+
+@stream_action("fixed-time-window")
+def _s_ftw(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_fixed_time_window(
+        df, cfg["duration"], delay_s=cfg.get("delay", ctx.delay_s),
+        by=list(ctx.by), time_col=ctx.time_col,
+    )
+
+
+@stream_action("fixed-event-window")
+def _s_few(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_fixed_event_window(
+        df, cfg["size"], by=_need_by(ctx, "fixed-event-window"),
+        time_col=ctx.time_col, fork_ttl_s=cfg.get("fork-ttl"),
+    )
+
+
+@stream_action("moving-event-window")
+def _s_mew(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_moving_event_window(
+        df, cfg["size"], by=_need_by(ctx, "moving-event-window"),
+        time_col=ctx.time_col,
+    )
+
+
+@stream_action("ssort")
+def _s_ssort(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_ssort(
+        df, cfg["duration"], cfg["field"], by=list(ctx.by),
+        delay_s=cfg.get("delay", ctx.delay_s), time_col=ctx.time_col,
+    )
+
+
+@stream_action("throttle")
+def _s_throttle(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_throttle(
+        df, cfg["count"], cfg["duration"], by=_need_by(ctx, "throttle"),
+        time_col=ctx.time_col,
+    )
+
+
+@stream_action("ewma-timeless")
+def _s_ewma(df, ctx, r):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_ewma(
+        df, r, by=_need_by(ctx, "ewma-timeless"), time_col=ctx.time_col,
+        metric_col=ctx.metric_col,
+    )
+
+
+@stream_action("changed")
+def _s_changed(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_changed(
+        df, cfg["field"], by=_need_by(ctx, "changed"), time_col=ctx.time_col,
+        init=cfg.get("init"),
+    )
+
+
+@stream_action("smax")
+def _s_smax(df, ctx):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_smax(
+        df, by=_need_by(ctx, "smax"), time_col=ctx.time_col,
+        metric_col=ctx.metric_col,
+    )
+
+
+@stream_action("smin")
+def _s_smin(df, ctx):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_smin(
+        df, by=_need_by(ctx, "smin"), time_col=ctx.time_col,
+        metric_col=ctx.metric_col,
+    )
+
+
+@stream_action("ddt")
+def _s_ddt(df, ctx):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_ddt(
+        df, by=_need_by(ctx, "ddt"), time_col=ctx.time_col,
+        metric_col=ctx.metric_col,
+    )
+
+
+@stream_action("ddt-pos")
+def _s_ddt_pos(df, ctx):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_ddt(
+        df, by=_need_by(ctx, "ddt-pos"), time_col=ctx.time_col,
+        metric_col=ctx.metric_col, remove_neg=True,
+    )
+
+
+@stream_action("stable")
+def _s_stable(df, ctx, dt, fieldname):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_stable(
+        df, dt, fieldname, by=_need_by(ctx, "stable"), time_col=ctx.time_col
+    )
+
+
+def _s_cond_dt_vec(vec_fn):
+    def fn(df, ctx, *params):
+        from mirabelle_spark import streaming as stx
+
+        cond, dt = vec_fn(ctx, *params)
+        return stx.stream_cond_dt(
+            df, cond, dt, by=_need_by(ctx, "cond-dt"), time_col=ctx.time_col
+        )
+
+    return fn
+
+
+stream_action("above-dt")(_s_cond_dt_vec(
+    lambda ctx, cfg: ([":>", ctx.metric_col, cfg["threshold"]], cfg["duration"])))
+stream_action("below-dt")(_s_cond_dt_vec(
+    lambda ctx, cfg: ([":<", ctx.metric_col, cfg["threshold"]], cfg["duration"])))
+stream_action("between-dt")(_s_cond_dt_vec(
+    lambda ctx, cfg: ([":and", [":>", ctx.metric_col, cfg["low"]],
+                       [":<", ctx.metric_col, cfg["high"]]], cfg["duration"])))
+stream_action("outside-dt")(_s_cond_dt_vec(
+    lambda ctx, cfg: ([":or", [":<", ctx.metric_col, cfg["low"]],
+                       [":>", ctx.metric_col, cfg["high"]]], cfg["duration"])))
+stream_action("critical-dt")(_s_cond_dt_vec(
+    lambda ctx, cfg: ([":=", "state", "critical"], cfg["duration"])))
+stream_action("cond-dt")(_s_cond_dt_vec(
+    lambda ctx, cond, cfg: (cond, cfg["duration"])))
+
+# windowed/analytic batch shapes with no streaming twin yet: refuse
+# loudly (their batch realizations use window functions, which
+# Structured Streaming rejects with an opaque error)
+_STREAM_UNSUPPORTED = frozenset({
+    "moving-time-window", "coalesce", "project", "expired", "not-expired",
+    "aggregation", "top", "bottom", "ratio", "percentiles",
+    "coll-percentiles", "coll-top", "coll-bottom", "coll-quotient",
+    "coll-sort", "coll-increase",
+})
+
+
 # -- structural / sinks ----------------------------------------------------
 
 action("sdo")(lambda df, ctx: df)
@@ -405,6 +624,17 @@ def _walk(df: DataFrame, node: dict | list, ctx: Ctx) -> None:
 
     if name not in _ACTIONS:
         raise ValueError(f"unknown action {name!r}")
+    if ctx.streaming and name in _STREAM_ACTIONS:
+        out = _STREAM_ACTIONS[name](df, ctx, *params)
+        for child in children:
+            _walk(out, child, ctx)
+        return
+    if ctx.streaming and name in _STREAM_UNSUPPORTED:
+        raise NotImplementedError(
+            f"action {name!r} has no streaming twin; run it in batch mode "
+            "(its batch realization uses window functions, which "
+            "Structured Streaming rejects)"
+        )
     if name in _UNKEYED_SEQUENTIAL and not ctx.by:
         _LOG.warning(
             "action %r compiled with no `by` keys: the order-dependent "

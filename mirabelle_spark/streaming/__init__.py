@@ -6,12 +6,14 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_agg,
     stream_changed,
     stream_cond_dt,
+    stream_ddt,
     stream_dedup,
     stream_ewma,
     stream_fixed_event_window,
     stream_fixed_time_window,
     stream_moving_event_window,
     stream_smax,
+    stream_smin,
     stream_ssort,
     stream_stable,
     stream_throttle,

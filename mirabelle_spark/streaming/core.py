@@ -134,11 +134,14 @@ def stream_changed(
     fieldname: str,
     by: Sequence[str],
     time_col: str = "time",
+    init=None,
 ) -> DataFrame:
     """Streaming ``changed`` via keyed state: emits rows whose
     ``field`` differs (null-safe, matching the batch twin's
-    eqNullSafe) from the previous row of the same key. The
-    micro-batch compare is one vectorized shift — no per-row Python.
+    eqNullSafe) from the previous row of the same key. ``init`` is
+    the reference's :init — the value each key's first event is
+    compared against (action.clj:334-360). The micro-batch compare
+    is one vectorized shift — no per-row Python.
     """
 
     def batch_fn(s, pdf):
@@ -153,7 +156,7 @@ def stream_changed(
         return (new_last,), out
 
     return _keyed_batch_scan(
-        df, by, time_col, f"last {dict(df.dtypes)[fieldname]}", (None,), batch_fn
+        df, by, time_col, f"last {dict(df.dtypes)[fieldname]}", (init,), batch_fn
     )
 
 
@@ -821,4 +824,58 @@ def stream_moving_event_window(
         state_ttl_s=gc_wall_s,
         out_schema=out_schema,
         ttl_clock="processing",
+    )
+
+
+def stream_smin(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Streaming smin (action.clj:2774-2804): smax over the negated
+    metric, negated back — the stored-best state machinery is shared
+    and nulls pass through (-NULL = NULL)."""
+    neg = df.withColumn(metric_col, -F.col(metric_col))
+    out = stream_smax(neg, by, time_col, metric_col)
+    return out.withColumn(metric_col, -F.col(metric_col))
+
+
+def stream_ddt(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+    remove_neg: bool = False,
+) -> DataFrame:
+    """Streaming ddt/ddt-pos (action.clj:1041-1083): keyed state
+    (last_us, last_metric) carries the previous event across
+    micro-batches; the per-batch derivative is one vectorized
+    shift/diff. Null-metric events are skipped entirely (they never
+    become the new previous); zero time delta is skipped."""
+    import numpy as np
+
+    def batch_fn(s, pdf):
+        last_us, last_m = s
+        keep = pdf[metric_col].notna().to_numpy(dtype=bool)
+        pdf = pdf[keep].reset_index(drop=True)
+        n = len(pdf)
+        if not n:
+            return (last_us, last_m), None
+        t = _series_us(pdf[time_col]).astype("float64")
+        m = pdf[metric_col].to_numpy(dtype="float64")
+        prev_t = np.concatenate(([last_us if last_us is not None else np.nan], t[:-1]))
+        prev_m = np.concatenate(([last_m if last_m is not None else np.nan], m[:-1]))
+        dt = (t - prev_t) / 1_000_000.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            diff = (m - prev_m) / dt
+        ok = np.isfinite(diff)
+        if remove_neg:
+            ok &= diff >= 0
+        out = pdf[ok].copy()
+        out[metric_col] = diff[ok]
+        return (int(t[-1]), float(m[-1])), out
+
+    return _keyed_batch_scan(
+        df, by, time_col, "last_us BIGINT, last_m DOUBLE", (None, None), batch_fn
     )

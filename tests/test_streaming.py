@@ -887,3 +887,154 @@ def test_stream_moving_event_window_parity(spark, tmpdir):
     )
     # action.clj:1219-1246 semantics: window grows to n then slides
     assert got == [(1.0, (1.0,)), (2.0, (1.0, 2.0)), (3.0, (2.0, 3.0))]
+
+
+def test_stream_smin_ddt_parity(spark, tmpdir):
+    """smin and ddt streaming twins match their batch twins over the
+    same finite input (state crosses micro-batches)."""
+    from datetime import datetime
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.operators import stateful as stf
+
+    batches = [[_ev(1, 5), _ev(2, 8)], [_ev(4, 2), _ev(10, 4)]]
+    flat = [r for b in batches for r in b]
+    schema = "time timestamp, metric double, host string"
+    batch_df = spark.createDataFrame(
+        [(datetime.fromisoformat(r["time"]), r["metric"], r["host"]) for r in flat],
+        schema,
+    )
+
+    rows = _feed_batches(spark, tmpdir, "smin",
+                         batches, lambda s: stx.stream_smin(s, by=["host"]))
+    got = sorted((r.time.timestamp(), r.metric) for r in rows)
+    expect = sorted(
+        (r.time.timestamp(), r.metric)
+        for r in stf.smin(batch_df, by=["host"]).collect()
+    )
+    # smin re-emits the stored BEST EVENT (original time), per the
+    # reference: (5@1), then best-still-5@1, then (2@4) twice
+    assert got == expect == [(1.0, 5.0), (1.0, 5.0), (4.0, 2.0), (4.0, 2.0)]
+
+    rows = _feed_batches(spark, tmpdir, "ddt",
+                         batches, lambda s: stx.stream_ddt(s, by=["host"]))
+    got = sorted((r.time.timestamp(), r.metric) for r in rows)
+    expect = sorted(
+        (r.time.timestamp(), r.metric)
+        for r in stf.ddt(batch_df, by=["host"]).collect()
+    )
+    # d/dt: (8-5)/1=3, (2-8)/2=-3, (4-2)/6=1/3
+    assert got == expect == [(2.0, 3.0), (4.0, -3.0), (10.0, 1.0 / 3.0)]
+
+
+def test_streaming_dsl_compile_parity(spark, tmpdir):
+    """The SAME JSON tree compiles against a streaming source
+    (Ctx(streaming=True)): stateless actions pass through, stateful
+    ones dispatch to the keyed-state twins. where → by(host) →
+    throttle, asserted equal to the batch compile of the same tree
+    over the same input."""
+    from datetime import datetime
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    tree = {
+        "action": "where", "params": [[":>", "metric", 0]],
+        "children": [{
+            "action": "by", "params": [{"fields": ["host"]}],
+            "children": [{
+                "action": "throttle", "params": [{"count": 1, "duration": 5}],
+                "children": [{"action": "tap", "params": ["out"]}],
+            }],
+        }],
+    }
+    rows = [
+        {"time": "2024-01-01T00:00:00", "metric": 1.0, "host": "a"},
+        {"time": "2024-01-01T00:00:01", "metric": 2.0, "host": "a"},
+        {"time": "2024-01-01T00:00:06", "metric": 3.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": -5.0, "host": "b"},  # filtered
+        {"time": "2024-01-01T00:00:03", "metric": 4.0, "host": "b"},
+    ]
+    src_dir = os.path.join(tmpdir, "dsl_in")
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+
+    stream = spark.readStream.format("json").schema(schema).load(src_dir)
+    ctx = compile_stream(stream, tree, Ctx(streaming=True, test_mode=True))
+    assert ctx.taps["out"].isStreaming
+    q = (
+        ctx.taps["out"].writeStream.format("memory").queryName("dsl_stream_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.host, r.time.timestamp(), r.metric)
+        for r in spark.sql("select * from dsl_stream_t").collect()
+    )
+
+    batch_df = spark.createDataFrame(
+        [(datetime.fromisoformat(r["time"]), r["metric"], r["host"]) for r in rows],
+        schema,
+    )
+    bctx = compile_stream(batch_df, tree, Ctx(order_cols=(), test_mode=True))
+    expect = sorted(
+        (r.host, r.time.timestamp(), r.metric) for r in bctx.taps["out"].collect()
+    )
+    assert got == expect
+    assert [m for _, _, m in got] == [1.0, 3.0, 4.0]
+
+
+def test_streaming_dsl_windowed_agg(spark, tmpdir):
+    """by → sum through the streaming compile: watermarked tumbling
+    aggregate, sealed windows emitted in append mode."""
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    tree = {
+        "action": "by", "params": [{"fields": ["host"]}],
+        "children": [{
+            "action": "sum", "params": [{"duration": 60}],
+            "children": [{"action": "tap", "params": ["sums"]}],
+        }],
+    }
+    rows = [
+        {"time": "2024-01-01T00:00:01", "metric": 1.0, "host": "a"},
+        {"time": "2024-01-01T00:00:30", "metric": 2.0, "host": "a"},
+        {"time": "2024-01-01T00:01:10", "metric": 10.0, "host": "b"},
+    ]
+    src_dir = os.path.join(tmpdir, "dslw_in")
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string"
+    stream = spark.readStream.format("json").schema(schema).load(src_dir)
+    ctx = compile_stream(stream, tree, Ctx(streaming=True, test_mode=True))
+    q = (
+        ctx.taps["sums"].writeStream.format("memory").queryName("dslw_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.window_start): r.metric
+        for r in spark.sql("select * from dslw_t").collect()
+    }
+    base = 1704067200.0
+    assert got == {("a", base): 3.0, ("b", base + 60): 10.0}
+
+
+def test_streaming_dsl_refuses_unkeyed_state_and_unsupported(spark, tmpdir):
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    src_dir = os.path.join(tmpdir, "ref_in")
+    _write_rows(src_dir, [{"time": "2024-01-01T00:00:00", "metric": 1.0, "host": "a"}])
+    schema = "time timestamp, metric double, host string"
+    stream = spark.readStream.format("json").schema(schema).load(src_dir)
+
+    with pytest.raises(ValueError, match="needs `by` keys"):
+        compile_stream(
+            stream,
+            {"action": "throttle", "params": [{"count": 1, "duration": 5}]},
+            Ctx(streaming=True, test_mode=True),
+        )
+    with pytest.raises(NotImplementedError, match="no streaming twin"):
+        compile_stream(
+            stream,
+            {"action": "coalesce", "params": [{"duration": 5, "fields": ["host"]}]},
+            Ctx(streaming=True, test_mode=True),
+        )
