@@ -366,3 +366,140 @@ def subscribe(channel: str, condition=None) -> list[DataFrame]:
         return list(batches)
     c = compile_condition(condition)
     return [b.filter(c) for b in batches]
+
+
+# -- prometheus remote-write wire encode (stdlib only) ----------------------
+
+
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field(fnum: int, wtype: int) -> bytes:
+    return _pb_varint((fnum << 3) | wtype)
+
+
+def _pb_bytes(fnum: int, payload: bytes) -> bytes:
+    return _pb_field(fnum, 2) + _pb_varint(len(payload)) + payload
+
+
+def encode_write_request(series: list[tuple[list[tuple[str, str]], list[tuple[float, int]]]]) -> bytes:
+    """Prometheus ``WriteRequest`` proto2 wire bytes, hand-encoded
+    (the public prometheus/prompb schema: WriteRequest.timeseries=1;
+    TimeSeries.labels=1, .samples=2; Label.name=1, .value=2;
+    Sample.value=1 (double), .timestamp=2 (ms varint)). Labels are
+    sorted by name — required by the remote-write spec."""
+    import struct as _struct
+
+    out = bytearray()
+    for labels, samples in series:
+        ts = bytearray()
+        for name, value in sorted(labels):
+            lab = _pb_bytes(1, name.encode("utf-8")) + _pb_bytes(
+                2, value.encode("utf-8")
+            )
+            ts += _pb_bytes(1, lab)
+        for value, timestamp_ms in samples:
+            smp = (
+                _pb_field(1, 1)
+                + _struct.pack("<d", float(value))
+                + _pb_field(2, 0)
+                + _pb_varint(int(timestamp_ms) & ((1 << 64) - 1))
+            )
+            ts += _pb_bytes(2, smp)
+        out += _pb_bytes(1, bytes(ts))
+    return bytes(out)
+
+
+def snappy_frame(data: bytes) -> bytes:
+    """Spec-valid snappy block encoding using only LITERAL elements
+    (format_description.txt: preamble = uncompressed-length varint,
+    then elements; literal tag low bits 00). Every decoder accepts
+    it; ratio 1.0 — correctness-first, no C extension needed. The
+    remote-write spec requires snappy block format, and this IS one.
+    """
+    out = bytearray(_pb_varint(len(data)))
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 65536]
+        n = len(chunk)
+        if n <= 60:
+            out.append((n - 1) << 2)
+        elif n <= 0xFF:
+            out.append(60 << 2)
+            out += (n - 1).to_bytes(1, "little")
+        else:
+            out.append(61 << 2)
+            out += (n - 1).to_bytes(2, "little")
+        out += chunk
+        i += n
+    return bytes(out)
+
+
+def prometheus_remote_write_sink(
+    df: DataFrame,
+    url: str,
+    transport: Callable[[bytes, str], int] | None = None,
+    name_col: str = "name",
+    metric_col: str = "metric",
+    time_col: str = "time",
+    attrs_col: str = "attributes",
+    batch_size: int = 1000,
+    headers: dict | None = None,
+) -> None:
+    """Prometheus remote-write output, wire-level
+    (output/prometheus.clj:18-71 + prometheus.clj:32-65): events
+    group into one timeseries per label set (__name__ from the name
+    column, labels from attributes) with ms-timestamp samples — the
+    grouping runs distributed (`prometheus_remote_write_shape`);
+    each partition then encodes real WriteRequest protobuf, wraps it
+    in snappy block framing, and POSTs with the remote-write
+    headers. The reference batches 1000 events / 5 s
+    (output/batch.clj); here the partition is the batch, and in
+    streaming `trigger(processingTime='5 seconds')` is the timer."""
+    shaped = prometheus_remote_write_shape(
+        df, name_col=name_col, metric_col=metric_col,
+        time_col=time_col, attrs_col=attrs_col,
+    )
+    if transport is None:
+        transport = http_transport(
+            url,
+            {
+                "Content-Encoding": "snappy",
+                "X-Prometheus-Remote-Write-Version": "0.1.0",
+                **(headers or {}),
+            },
+        )
+
+    def send_partition(rows):
+        batch: list = []
+        n_samples = 0
+
+        def flush():
+            nonlocal n_samples
+            if batch:
+                transport(
+                    snappy_frame(encode_write_request(batch)),
+                    "application/x-protobuf",
+                )
+                batch.clear()
+                n_samples = 0
+
+        for r in rows:
+            labels = [(e["key"], e["value"]) for e in r["labels"]]
+            samples = [(s["value"], s["timestamp"]) for s in r["samples"]]
+            batch.append((labels, samples))
+            n_samples += len(samples)
+            if n_samples >= batch_size:
+                flush()
+        flush()
+
+    shaped.foreachPartition(send_partition)

@@ -166,8 +166,9 @@ class _FakeHttp:
                 ln = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(ln)
                 with lock:
+                    # latin-1: lossless byte↔str for binary payloads
                     captured.append(
-                        (self.path, dict(self.headers), body.decode("utf-8"))
+                        (self.path, dict(self.headers), body.decode("latin-1"))
                     )
                 self.send_response(200)
                 self.send_header("Content-Length", "2")
@@ -342,3 +343,96 @@ def test_websocket_pubsub_end_to_end(make_events):
         s.close()
     finally:
         ws.stop()
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Minimal snappy block decoder (literals + copies not needed —
+    the encoder is all-literal, but verify tags strictly)."""
+    # preamble varint
+    i = 0
+    ln = 0
+    shift = 0
+    while True:
+        b = data[i]
+        i += 1
+        ln |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while i < len(data):
+        tag = data[i]
+        assert tag & 0x03 == 0, "non-literal element from all-literal encoder"
+        l6 = tag >> 2
+        i += 1
+        if l6 < 60:
+            n = l6 + 1
+        else:
+            nb = l6 - 59
+            n = int.from_bytes(data[i:i + nb], "little") + 1
+            i += nb
+        out += data[i:i + n]
+        i += n
+    assert len(out) == ln
+    return bytes(out)
+
+
+def test_prometheus_remote_write_sink_real_wire(spark):
+    """output/prometheus.clj:18-71 end-to-end: events → one
+    timeseries per label set → REAL WriteRequest protobuf in snappy
+    framing POSTed over HTTP. The test decodes the snappy block and
+    parses the proto2 wire bytes back (same public wire format the
+    riemann decoder implements)."""
+    from mirabelle_spark import sinks
+    from mirabelle_spark.riemann_wire import _fields
+
+    srv = _FakeHttp()
+    try:
+        from datetime import datetime, timezone
+
+        def _t(s_):
+            return datetime.fromtimestamp(s_, tz=timezone.utc).replace(tzinfo=None)
+
+        df = spark.createDataFrame(
+            [
+                (_t(1704067200), 1.5, "cpu", {"dc": "eu"}),
+                (_t(1704067260), 2.5, "cpu", {"dc": "eu"}),
+                (_t(1704067200), 9.0, "mem", {"dc": "us"}),
+            ],
+            "time timestamp, metric double, name string, attributes map<string,string>",
+        )
+        sinks.prometheus_remote_write_sink(df, srv.url + "/api/v1/write")
+        assert srv.requests
+        path, headers, _ = srv.requests[0]
+        assert path == "/api/v1/write"
+        assert headers.get("Content-Encoding") == "snappy"
+        assert headers.get("X-Prometheus-Remote-Write-Version") == "0.1.0"
+
+        raw = b"".join(
+            _snappy_decompress(body.encode("latin-1"))
+            for _, _, body in srv.requests
+        )
+        series = {}
+        for fnum, _, ts_bytes in _fields(memoryview(raw)):
+            assert fnum == 1  # WriteRequest.timeseries
+            labels, samples = [], []
+            for f2, _, v2 in _fields(ts_bytes):
+                if f2 == 1:  # Label
+                    parts = {f3: bytes(v3).decode() for f3, _, v3 in _fields(v2)}
+                    labels.append((parts[1], parts[2]))
+                elif f2 == 2:  # Sample
+                    import struct as _struct
+                    val = ts = None
+                    for f3, wt, v3 in _fields(v2):
+                        if f3 == 1:
+                            val = _struct.unpack("<d", v3)[0]
+                        elif f3 == 2:
+                            ts = v3
+                    samples.append((val, ts))
+            series[tuple(labels)] = sorted(samples)
+        cpu = series[(("__name__", "cpu"), ("dc", "eu"))]
+        assert cpu == [(1.5, 1704067200000), (2.5, 1704067260000)]
+        mem = series[(("__name__", "mem"), ("dc", "us"))]
+        assert mem == [(9.0, 1704067200000)]
+    finally:
+        srv.stop()
