@@ -375,6 +375,27 @@ for _kind, _names in {
         stream_action(_n)(_stream_agg_kind(_kind))
 
 
+@stream_action("aggregation")
+def _s_aggregation(df, ctx, cfg):
+    """Push-mode aggregation with :delay → watermarked streaming agg:
+    the watermark IS the late-drop rule (events later than delay are
+    dropped; windows seal delay seconds after their end —
+    action.clj:2420-2432). aggr-fn ssort maps to the ssort twin."""
+    from mirabelle_spark import streaming as stx
+
+    kind = cfg.get("aggr-fn", "sum")
+    delay = cfg.get("delay", ctx.delay_s)
+    if kind == "ssort":
+        return stx.stream_ssort(
+            df, cfg["duration"], cfg.get("field", ctx.time_col),
+            by=list(ctx.by), delay_s=delay, time_col=ctx.time_col,
+        )
+    return stx.stream_agg(
+        df, kind, cfg["duration"], delay_s=delay, by=list(ctx.by),
+        time_col=ctx.time_col, metric_col=ctx.metric_col,
+    )
+
+
 @stream_action("fixed-time-window")
 def _s_ftw(df, ctx, cfg):
     from mirabelle_spark import streaming as stx
@@ -401,6 +422,16 @@ def _s_mew(df, ctx, cfg):
 
     return stx.stream_moving_event_window(
         df, cfg["size"], by=_need_by(ctx, "moving-event-window"),
+        time_col=ctx.time_col,
+    )
+
+
+@stream_action("coalesce")
+def _s_coalesce(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_coalesce(
+        df, cfg["duration"], cfg["fields"], by=list(ctx.by),
         time_col=ctx.time_col,
     )
 
@@ -525,8 +556,8 @@ stream_action("cond-dt")(_s_cond_dt_vec(
 # loudly (their batch realizations use window functions, which
 # Structured Streaming rejects with an opaque error)
 _STREAM_UNSUPPORTED = frozenset({
-    "moving-time-window", "coalesce", "project", "expired", "not-expired",
-    "aggregation", "top", "bottom", "ratio", "percentiles",
+    "moving-time-window", "project", "expired", "not-expired",
+    "top", "bottom", "ratio", "percentiles",
     "coll-percentiles", "coll-top", "coll-bottom", "coll-quotient",
     "coll-sort", "coll-increase",
 })

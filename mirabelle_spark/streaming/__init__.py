@@ -5,6 +5,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     rate_source,
     stream_agg,
     stream_changed,
+    stream_coalesce,
     stream_cond_dt,
     stream_ddt,
     stream_dedup,

@@ -879,3 +879,105 @@ def stream_ddt(
     return _keyed_batch_scan(
         df, by, time_col, "last_us BIGINT, last_m DOUBLE", (None, None), batch_fn
     )
+
+
+def stream_coalesce(
+    df: DataFrame,
+    duration_s: float,
+    fields: Sequence[str],
+    by: Sequence[str] = (),
+    time_col: str = "time",
+    ttl_col: str = "ttl",
+    state_col: str = "state",
+    default_ttl_s: float = 120.0,
+) -> DataFrame:
+    """Streaming ``coalesce`` (action.clj:721-791): keep the latest
+    event per ``fields`` tuple; every ``duration`` seconds of EVENT
+    time (the tick clock is the running max event time, not wall
+    time), flush all kept non-expired events. Expiry follows
+    event.clj:12-19: state == "expired" or age > ttl (default 120 s).
+
+    Keyed state carries {buffer, current_time, last_tick}; the
+    per-event recurrence is a Python loop — coalesce is an
+    alert-volume operator (one row per service×host per tick), never
+    a data-plane scan.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    dur_us = int(round(duration_s * 1_000_000))
+    default_ttl_us = int(round(default_ttl_s * 1_000_000))
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    has_ttl = ttl_col in df.columns
+    has_state = state_col in df.columns
+
+    def _row_ser(pdf, i):
+        return {
+            k: _native(v.isoformat() if hasattr(v, "isoformat") else v)
+            for k, v in pdf.iloc[i].items()
+        }
+
+    def _expired(row, t_us, ct_us):
+        if has_state and row.get(state_col) == "expired":
+            return True
+        ttl_us = default_ttl_us
+        if has_ttl and row.get(ttl_col) is not None:
+            ttl_us = int(round(float(row[ttl_col]) * 1_000_000))
+        return ct_us - t_us > ttl_us
+
+    def batch_fn(st, pdf):
+        (blob,) = st
+        s = _json.loads(blob) if blob else {"buffer": {}, "ct": 0, "lt": None}
+        t = _series_us(pdf[time_col])
+        null_t = pdf[time_col].isna().to_numpy(dtype=bool)
+        emitted: list[dict] = []
+        for i in range(len(pdf)):
+            if null_t[i]:
+                continue
+            ti = int(t[i])
+            row = _row_ser(pdf, i)
+            s["ct"] = max(s["ct"], ti)
+            if _expired(row, ti, s["ct"]):
+                continue
+            key = _json.dumps([row.get(f) for f in fields])
+
+            def _update(cur):
+                # e/most-recent?: the stored event wins ties
+                if cur is not None and cur["__t__"] >= ti:
+                    return cur
+                return {"__t__": ti, "row": row}
+
+            if s["lt"] is None:
+                s["buffer"][key] = _update(s["buffer"].get(key))
+                s["lt"] = ti
+            elif s["ct"] < s["lt"] + dur_us:
+                s["buffer"][key] = _update(s["buffer"].get(key))
+            else:
+                s["buffer"][key] = _update(s["buffer"].get(key))
+                alive = {
+                    k: v
+                    for k, v in s["buffer"].items()
+                    if not _expired(v["row"], v["__t__"], s["ct"])
+                }
+                s["buffer"] = alive
+                s["lt"] = s["ct"]
+                emitted.extend(v["row"] for v in alive.values())
+        out = None
+        if emitted:
+            out = pd.DataFrame(emitted, columns=list(pdf.columns))
+            if is_ts:
+                out[time_col] = pd.to_datetime(out[time_col])
+        return (_json.dumps(s),), out
+
+    if not by:
+        # single global coalesce (the reference's unkeyed form): one
+        # synthetic key -> one state group, same as the single-node
+        # reference. Alert-rate traffic; supply `by` to shard.
+        keyed = df.withColumn("__g__", F.lit(0))
+        out = _keyed_batch_scan(
+            keyed, ["__g__"], time_col, "state STRING", (None,), batch_fn,
+            out_schema=keyed.schema,
+        )
+        return out.drop("__g__")
+    return _keyed_batch_scan(df, by, time_col, "state STRING", (None,), batch_fn)

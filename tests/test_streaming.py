@@ -1035,6 +1035,104 @@ def test_streaming_dsl_refuses_unkeyed_state_and_unsupported(spark, tmpdir):
     with pytest.raises(NotImplementedError, match="no streaming twin"):
         compile_stream(
             stream,
-            {"action": "coalesce", "params": [{"duration": 5, "fields": ["host"]}]},
+            {"action": "project", "params": [[[":=", "host", "a"]]]},
             Ctx(streaming=True, test_mode=True),
         )
+
+
+def test_streaming_dsl_aggregation_delay(spark, tmpdir):
+    """aggregation {:aggr-fn mean :delay 5} through the streaming
+    compile: the watermark carries the :delay late-drop rule."""
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    tree = {
+        "action": "by", "params": [{"fields": ["host"]}],
+        "children": [{
+            "action": "aggregation",
+            "params": [{"duration": 60, "delay": 5, "aggr-fn": "mean"}],
+            "children": [{"action": "tap", "params": ["out"]}],
+        }],
+    }
+    src_dir = os.path.join(tmpdir, "aggd_in")
+    _write_rows(src_dir, [
+        {"time": "2024-01-01T00:00:01", "metric": 1.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": 3.0, "host": "a"},
+    ])
+    schema = "time timestamp, metric double, host string"
+    stream = spark.readStream.format("json").schema(schema).load(src_dir)
+    ctx = compile_stream(stream, tree, Ctx(streaming=True, test_mode=True))
+    q = (
+        ctx.taps["out"].writeStream.format("memory").queryName("aggd_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from aggd_t").collect()
+    assert [(r.host, r.metric) for r in rows] == [("a", 2.0)]
+
+
+def test_stream_coalesce_reference_cases(spark, tmpdir):
+    """action_test.clj coalesce*-test ported against the STREAMING
+    twin (the batch twin's tick-explosion shape differs by design):
+    event-clock ticks every `duration`, latest event per fields
+    tuple, ttl expiry at flush. Case 1 includes an out-of-order
+    event, so it feeds per-event micro-batches like the reference's
+    arrival order."""
+    import itertools
+
+    from mirabelle_spark import streaming as stx
+
+    schema = "time timestamp, metric double, host string, service string, ttl double"
+
+    def run(name, arrivals, per_event):
+        src_dir = os.path.join(tmpdir, name)
+        ckpt = os.path.join(tmpdir, name + "_ck")
+        out_dir = os.path.join(tmpdir, name + "_out")
+        os.makedirs(src_dir)
+        batches = [[e] for e in arrivals] if per_event else [arrivals]
+        out_schema = None
+        for i, batch in enumerate(batches):
+            with open(os.path.join(src_dir, f"b{i}.json"), "w") as f:
+                for (t, h, svc, ttl) in batch:
+                    f.write(json.dumps({
+                        "time": _ev(t, 1)["time"], "metric": 1.0,
+                        "host": h, "service": svc, "ttl": ttl,
+                    }) + "\n")
+            stream = spark.readStream.format("json").schema(schema).load(src_dir)
+            out = stx.stream_coalesce(
+                stream, 5.0, ["host", "service"], by=[], time_col="time"
+            )
+            out_schema = out.schema
+            q = (
+                out.writeStream.format("json").option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+        try:
+            rows = spark.read.schema(out_schema).json(out_dir).collect()
+        except Exception:
+            rows = []
+        return sorted((r.host, r.service, r.time.timestamp()) for r in rows)
+
+    # case 1 (out-of-order; 3 flushes)
+    got = run("co1", [
+        (0, "1", "foo", 10.0), (5, "1", "bar", 10.0), (5, "2", "foo", 10.0),
+        (11, "2", "foo", 10.0), (14, "2", "foo", 10.0), (12, "2", "foo", 10.0),
+        (16, "3", "foo", 10.0),
+    ], per_event=True)
+    assert got == sorted([
+        ("1", "foo", 0.0), ("1", "bar", 5.0),          # flush @5
+        ("2", "foo", 11.0), ("1", "bar", 5.0),         # flush @11 (host 1 foo expired)
+        ("2", "foo", 14.0), ("3", "foo", 16.0),        # flush @16 (1-bar expired)
+    ])
+
+    # case 2: one flush
+    got = run("co2", [(0, "1", "foo", 10.0), (5, "1", "bar", 10.0)],
+              per_event=False)
+    assert got == sorted([("1", "foo", 0.0), ("1", "bar", 5.0)])
+
+    # case 3: long ttl keeps everything at the @12 flush
+    got = run("co3", [(0, "1", "foo", 20.0), (1, "1", "baz", 20.0),
+                      (12, "1", "bar", 20.0)], per_event=False)
+    assert got == sorted([("1", "foo", 0.0), ("1", "baz", 1.0),
+                          ("1", "bar", 12.0)])
