@@ -552,14 +552,68 @@ stream_action("critical-dt")(_s_cond_dt_vec(
 stream_action("cond-dt")(_s_cond_dt_vec(
     lambda ctx, cond, cfg: (cond, cfg["duration"])))
 
+def _s_windowed(fn_name):
+    def fn(df, ctx, *params):
+        from mirabelle_spark import streaming as stx
+
+        cfg = params[-1] if params and isinstance(params[-1], dict) else {}
+        delay = cfg.get("delay", ctx.delay_s)
+        kw = dict(by=list(ctx.by), time_col=ctx.time_col, delay_s=delay)
+        if fn_name in ("top", "bottom"):
+            f = stx.stream_top if fn_name == "top" else stx.stream_bottom
+            return f(df, cfg["duration"], metric_col=ctx.metric_col, **kw)
+        if fn_name == "percentiles":
+            return stx.stream_percentiles(
+                df, cfg["quantiles"], cfg["duration"],
+                metric_col=ctx.metric_col, **kw,
+            )
+        if fn_name == "coll-quotient":
+            return stx.stream_coll_quotient(
+                df, cfg["duration"], metric_col=ctx.metric_col, **kw
+            )
+        if fn_name == "coll-increase":
+            return stx.stream_coll_increase(
+                df, cfg["duration"], metric_col=ctx.metric_col, **kw
+            )
+        if fn_name == "ratio":
+            conds = params[0]
+            return stx.stream_ratio(
+                df, conds[0], conds[1], cfg["duration"],
+                metric_col=ctx.metric_col,
+                use_metric=cfg.get("metric", False), **kw,
+            )
+        if fn_name in ("coll-top", "coll-bottom"):
+            return stx.stream_coll_topk(
+                df, cfg["nb"], cfg["duration"], metric_col=ctx.metric_col,
+                biggest=(fn_name == "coll-top"), **kw,
+            )
+        raise AssertionError(fn_name)
+
+    return fn
+
+
+for _n in ("top", "bottom", "ratio", "coll-quotient", "coll-increase",
+           "coll-top", "coll-bottom"):
+    stream_action(_n)(_s_windowed(_n))
+stream_action("percentiles")(_s_windowed("percentiles"))
+stream_action("coll-percentiles")(_s_windowed("percentiles"))
+
+
+@stream_action("coll-sort")
+def _s_coll_sort(df, ctx, f):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_ssort(
+        df, 60.0, f, by=list(ctx.by), delay_s=ctx.delay_s,
+        time_col=ctx.time_col,
+    )
+
+
 # windowed/analytic batch shapes with no streaming twin yet: refuse
 # loudly (their batch realizations use window functions, which
 # Structured Streaming rejects with an opaque error)
 _STREAM_UNSUPPORTED = frozenset({
     "moving-time-window", "project", "expired", "not-expired",
-    "top", "bottom", "ratio", "percentiles",
-    "coll-percentiles", "coll-top", "coll-bottom", "coll-quotient",
-    "coll-sort", "coll-increase",
 })
 
 

@@ -4,6 +4,13 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     file_source,
     rate_source,
     stream_agg,
+    stream_bottom,
+    stream_coll_increase,
+    stream_coll_quotient,
+    stream_coll_topk,
+    stream_percentiles,
+    stream_ratio,
+    stream_top,
     stream_changed,
     stream_coalesce,
     stream_cond_dt,

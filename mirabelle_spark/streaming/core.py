@@ -981,3 +981,142 @@ def stream_coalesce(
         )
         return out.drop("__g__")
     return _keyed_batch_scan(df, by, time_col, "state STRING", (None,), batch_fn)
+
+
+# -- windowed aggregation twins (watermark + tumbling window) ---------------
+# Expression bodies mirror operators/aggregations.py (same max_by /
+# sorted-collect_list + post-projection shapes — keep in sync); only
+# the grouping differs: F.window() + watermark instead of the batch
+# bucket column, so append mode seals windows.
+
+
+def _wgroup(df, duration_s, delay_s, by, time_col):
+    src = df.withWatermark(time_col, f"{delay_s} seconds")
+    w = F.window(F.col(time_col), f"{int(duration_s)} seconds")
+    return src.groupBy(*[F.col(c) for c in by], w.alias("__w__"))
+
+
+def _wfinish(g):
+    return g.withColumn(
+        "window_start", F.col("__w__.start").cast("double")
+    ).drop("__w__")
+
+
+def stream_top(
+    df, duration_s, delay_s=0.0, by=(), time_col="time", metric_col="metric"
+):
+    """Streaming ``top`` (action.clj:2492-2514): per sealed window,
+    the max-metric EVENT (ties to the later event) — mirrors
+    aggregations.agg_top."""
+    ev = F.struct(*[F.col(c) for c in df.columns])
+    key = F.struct(F.col(metric_col), F.col(time_col))
+    g = _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(
+        F.max_by(ev, key).alias("__e__")))
+    return g.select(*by, "window_start", "__e__.*")
+
+
+def stream_bottom(
+    df, duration_s, delay_s=0.0, by=(), time_col="time", metric_col="metric"
+):
+    """Streaming ``bottom`` (action.clj:2516-2538) — mirrors
+    aggregations.agg_bottom."""
+    ev = F.struct(*[F.col(c) for c in df.columns])
+    key = F.struct((-F.col(metric_col)).alias("m"), F.col(time_col))
+    g = _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(
+        F.max_by(ev, key).alias("__e__")))
+    return g.select(*by, "window_start", "__e__.*")
+
+
+def stream_percentiles(
+    df, quantiles, duration_s, delay_s=0.0, by=(), time_col="time",
+    metric_col="metric",
+):
+    """Streaming ``percentiles``/``coll-percentiles`` — exact
+    nearest-rank over the sealed window (mirrors
+    aggregations.agg_percentiles: idx = min(n-1, floor(n*q)))."""
+    sorted_m = F.sort_array(F.collect_list(F.col(metric_col)))
+    g = _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(
+        sorted_m.alias("__m__")))
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    g = g.withColumn("quantile", F.explode(qs))
+    n = F.size("__m__")
+    idx = F.least(n - 1, F.floor(n.cast("double") * F.col("quantile")).cast("int"))
+    return g.withColumn("metric", F.try_element_at("__m__", idx + 1)).drop("__m__")
+
+
+def stream_coll_quotient(
+    df, duration_s, delay_s=0.0, by=(), time_col="time", metric_col="metric"
+):
+    """Streaming ``coll-quotient`` — first metric ÷ each subsequent,
+    event order (mirrors aggregations.coll_quotient's fold)."""
+    ev = F.struct(F.col(time_col), F.col(metric_col).alias("m"))
+    g = _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(
+        F.sort_array(F.collect_list(ev)).alias("__evs__")))
+    ms = F.transform(F.col("__evs__"), lambda x: x["m"])
+    quot = F.aggregate(
+        F.slice(ms, 2, F.greatest(F.size(ms) - 1, F.lit(0))),
+        F.element_at(ms, 1).cast("double"),
+        lambda acc, x: acc / x,
+    )
+    return g.withColumn("metric", quot).drop("__evs__")
+
+
+def stream_coll_increase(
+    df, duration_s, delay_s=0.0, by=(), time_col="time", metric_col="metric"
+):
+    """Streaming ``coll-increase`` — newest − oldest, ≥2 events,
+    positive only (mirrors aggregations.coll_increase)."""
+    t = F.unix_micros(F.col(time_col))
+    g = _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(
+        F.max_by(F.col(metric_col), t).alias("__new__"),
+        F.max_by(F.col(metric_col), -t).alias("__old__"),
+        F.count(F.lit(1)).alias("__n__"),
+    ))
+    out = g.withColumn("metric", F.col("__new__") - F.col("__old__")).drop(
+        "__new__", "__old__"
+    )
+    return out.filter((F.col("__n__") >= 2) & (F.col("metric") > 0)).drop("__n__")
+
+
+def stream_ratio(
+    df, cond1, cond2, duration_s, delay_s=0.0, by=(), time_col="time",
+    metric_col="metric", use_metric=False,
+):
+    """Streaming ``ratio`` (action.clj:2967-3009): conditional
+    count/sum ratio per sealed window, zero denominator → 0 (mirrors
+    aggregations.agg_ratio, same DECIMAL accumulation)."""
+    from pyspark.sql import Column as _Col
+
+    c1 = cond1 if isinstance(cond1, _Col) else compile_condition(cond1)
+    c2 = cond2 if isinstance(cond2, _Col) else compile_condition(cond2)
+    if use_metric:
+        v = F.coalesce(F.col(metric_col), F.lit(0.0)).cast(DEC)
+        num = F.sum(F.when(c1, v).otherwise(F.lit(0).cast(DEC))).cast("double")
+        den = F.sum(F.when(c2, v).otherwise(F.lit(0).cast(DEC))).cast("double")
+    else:
+        num = F.count_if(c1).cast("double")
+        den = F.count_if(c2).cast("double")
+    ratio = F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+    return _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(
+        ratio.alias("metric")))
+
+
+def stream_coll_topk(
+    df, k, duration_s, delay_s=0.0, by=(), time_col="time",
+    metric_col="metric", biggest=True,
+):
+    """Streaming ``coll-top``/``coll-bottom``: the k best events per
+    sealed window as rows. The batch twin ranks with a window
+    function (not streamable); here the k-slice comes off a sorted
+    collect_list — same tie rule (metric, then later event wins)
+    encoded in the struct sort key."""
+    sign = -1 if biggest else 1
+    t = F.unix_micros(F.col(time_col))
+    ev = F.struct(*[F.col(c) for c in df.columns])
+    keyed = F.struct(
+        (F.col(metric_col) * sign).alias("m"), (-t).alias("nt"), ev.alias("e")
+    )
+    g = _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(
+        F.slice(F.sort_array(F.collect_list(keyed)), 1, k).alias("__top__")))
+    ex = g.select(*by, "window_start", F.explode("__top__").alias("__x__"))
+    return ex.select(*by, "window_start", "__x__.e.*")

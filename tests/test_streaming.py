@@ -1136,3 +1136,82 @@ def test_stream_coalesce_reference_cases(spark, tmpdir):
                       (12, "1", "bar", 20.0)], per_event=False)
     assert got == sorted([("1", "foo", 0.0), ("1", "baz", 1.0),
                           ("1", "bar", 12.0)])
+
+
+def test_stream_windowed_agg_twins_parity(spark, tmpdir):
+    """top/bottom/percentiles/coll-quotient/coll-increase/ratio/
+    coll-topk streaming twins match their batch twins over the same
+    finite input (complete mode, sealed tumbling windows)."""
+    from datetime import datetime
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.operators import aggregations as agg
+
+    rows = [
+        {"time": "2024-01-01T00:00:01", "metric": 4.0, "host": "a", "state": "ok"},
+        {"time": "2024-01-01T00:00:02", "metric": 10.0, "host": "a", "state": "error"},
+        {"time": "2024-01-01T00:00:03", "metric": 2.0, "host": "a", "state": "ok"},
+        {"time": "2024-01-01T00:01:10", "metric": 8.0, "host": "a", "state": "error"},
+        {"time": "2024-01-01T00:01:20", "metric": 16.0, "host": "a", "state": "ok"},
+    ]
+    src_dir = os.path.join(tmpdir, "wagg_in")
+    _write_rows(src_dir, rows)
+    schema = "time timestamp, metric double, host string, state string"
+    batch_df = spark.createDataFrame(
+        [
+            (datetime.fromisoformat(r["time"]), r["metric"], r["host"], r["state"])
+            for r in rows
+        ],
+        schema,
+    )
+
+    def stream_rows(name, fn, output_mode="complete"):
+        stream = spark.readStream.format("json").schema(schema).load(src_dir)
+        q = (
+            fn(stream).writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"select * from {name}").collect()
+
+    def canon(rows_):
+        return sorted(
+            tuple(None if v is None else v for v in r) for r in rows_
+        )
+
+    cases = [
+        ("w_top",
+         lambda s: stx.stream_top(s, 60.0, by=["host"]),
+         lambda d: agg.agg_top(d, 60.0, by=["host"])),
+        ("w_bottom",
+         lambda s: stx.stream_bottom(s, 60.0, by=["host"]),
+         lambda d: agg.agg_bottom(d, 60.0, by=["host"])),
+        ("w_pct",
+         lambda s: stx.stream_percentiles(s, [0, 0.5, 1], 60.0, by=["host"]),
+         lambda d: agg.agg_percentiles(d, [0, 0.5, 1], 60.0, by=["host"])),
+        ("w_quot",
+         lambda s: stx.stream_coll_quotient(s, 60.0, by=["host"]),
+         lambda d: agg.coll_quotient(d, 60.0, by=["host"])),
+        ("w_incr",
+         lambda s: stx.stream_coll_increase(s, 60.0, by=["host"]),
+         lambda d: agg.coll_increase(d, 60.0, by=["host"])),
+        ("w_ratio",
+         lambda s: stx.stream_ratio(
+             s, [":=", "state", "error"], [":true"], 60.0, by=["host"]),
+         lambda d: agg.agg_ratio(
+             d, [":=", "state", "error"], [":true"], 60.0, by=["host"])),
+        ("w_top2",
+         lambda s: stx.stream_coll_topk(s, 2, 60.0, by=["host"]),
+         lambda d: agg.coll_top(d, 2, 60.0, by=["host"])),
+    ]
+    for name, sfn, bfn in cases:
+        got = canon(
+            (tuple(r.asDict().items()) for r in stream_rows(name, sfn))
+        )
+        exp_rows = bfn(batch_df).collect()
+        exp = canon((tuple(r.asDict().items()) for r in exp_rows))
+        # column order can differ between realizations; compare as
+        # sorted (column, value) sets per row
+        got = sorted(tuple(sorted((k, v if not hasattr(v, "timestamp") else v.timestamp()) for k, v in r)) for r in got)
+        exp = sorted(tuple(sorted((k, v if not hasattr(v, "timestamp") else v.timestamp()) for k, v in r)) for r in exp)
+        assert got == exp, f"{name}: {got} != {exp}"
