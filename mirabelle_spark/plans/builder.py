@@ -609,12 +609,52 @@ def _s_coll_sort(df, ctx, f):
     )
 
 
-# windowed/analytic batch shapes with no streaming twin yet: refuse
-# loudly (their batch realizations use window functions, which
-# Structured Streaming rejects with an opaque error)
-_STREAM_UNSUPPORTED = frozenset({
-    "moving-time-window", "project", "expired", "not-expired",
-})
+@stream_action("project")
+def _s_project(df, ctx, conds, cfg=None):
+    from mirabelle_spark import streaming as stx
+
+    cfg = cfg or {}
+    return stx.stream_project(
+        df, conds, cfg.get("duration", 60.0),
+        delay_s=cfg.get("delay", ctx.delay_s), time_col=ctx.time_col,
+        metric_col=ctx.metric_col, by=list(ctx.by),
+    )
+
+
+@stream_action("moving-time-window")
+def _s_mtw(df, ctx, cfg):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_moving_time_window(
+        df, cfg["duration"], by=_need_by(ctx, "moving-time-window"),
+        time_col=ctx.time_col,
+    )
+
+
+@stream_action("expired")
+def _s_expired(df, ctx):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_expired(
+        df, by=_need_by(ctx, "expired"), time_col=ctx.time_col,
+        keep_expired=True,
+    )
+
+
+@stream_action("not-expired")
+def _s_not_expired(df, ctx):
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_expired(
+        df, by=_need_by(ctx, "not-expired"), time_col=ctx.time_col,
+        keep_expired=False,
+    )
+
+
+# every remaining action is either stateless (streaming-transparent)
+# or mapped above; nothing refuses anymore, but keep the mechanism
+# for future batch-only shapes
+_STREAM_UNSUPPORTED: frozenset = frozenset()
 
 
 # -- structural / sinks ----------------------------------------------------

@@ -9,6 +9,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_coll_quotient,
     stream_coll_topk,
     stream_percentiles,
+    stream_project,
     stream_ratio,
     stream_top,
     stream_changed,
@@ -17,9 +18,11 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ddt,
     stream_dedup,
     stream_ewma,
+    stream_expired,
     stream_fixed_event_window,
     stream_fixed_time_window,
     stream_moving_event_window,
+    stream_moving_time_window,
     stream_smax,
     stream_smin,
     stream_ssort,

@@ -1120,3 +1120,132 @@ def stream_coll_topk(
         F.slice(F.sort_array(F.collect_list(keyed)), 1, k).alias("__top__")))
     ex = g.select(*by, "window_start", F.explode("__top__").alias("__x__"))
     return ex.select(*by, "window_start", "__x__.e.*")
+
+
+def stream_project(
+    df, conditions, duration_s, delay_s=0.0, time_col="time",
+    metric_col="metric", by=(),
+):
+    """Streaming ``project`` (action.clj:1377-1463): latest event
+    matching each of N conditions per sealed window — the same N
+    conditional max_by aggregates as the batch twin (windows.project),
+    watermarked tumbling window, no self-join."""
+    from pyspark.sql import Column as _Col
+
+    ord_key = F.struct(F.col(time_col))
+    aggs = []
+    for i, cond in enumerate(conditions, start=1):
+        c = cond if isinstance(cond, _Col) else compile_condition(cond)
+        aggs.append(
+            F.max_by(F.when(c, F.col(metric_col)), F.when(c, ord_key)).alias(
+                f"metric_{i}"
+            )
+        )
+    return _wfinish(_wgroup(df, duration_s, delay_s, by, time_col).agg(*aggs))
+
+
+def stream_moving_time_window(
+    df: DataFrame,
+    duration_s: float,
+    by: Sequence[str],
+    time_col: str = "time",
+    gc_wall_s: float | None = None,
+) -> DataFrame:
+    """Streaming ``moving-time-window`` (action.clj:2596-2639): per
+    event, all of its key's events within the trailing ``duration``
+    seconds — a keyed-state buffer trimmed by exact µs bound (same
+    (-(dur-1µs), 0] range as the batch twin's range frame)."""
+    import json as _json
+
+    import pandas as pd
+
+    dur_us = int(round(duration_s * 1_000_000))
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+
+    def _row_ser(pdf, i):
+        return {
+            k: _native(v.isoformat() if hasattr(v, "isoformat") else v)
+            for k, v in pdf.iloc[i].items()
+        }
+
+    ev_struct = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", events array<struct<{ev_struct}>>"
+    )
+
+    def _revive(e):
+        if is_ts and e.get(time_col) is not None:
+            return {**e, time_col: pd.Timestamp(e[time_col])}
+        return e
+
+    def batch_fn(st, pdf):
+        (buf_json,) = st
+        buf = _json.loads(buf_json) if buf_json else []  # [(t_us, row)]
+        t = _series_us(pdf[time_col])
+        events_col = []
+        for i in range(len(pdf)):
+            ti = int(t[i])
+            buf.append((ti, _row_ser(pdf, i)))
+            lo = ti - dur_us + 1
+            buf = [(tb, e) for tb, e in buf if tb >= lo]
+            events_col.append([_revive(e) for _, e in buf])
+        out = pdf.copy()
+        out["events"] = events_col
+        return (_json.dumps(buf),), out
+
+    return _keyed_batch_scan(
+        df,
+        by,
+        time_col,
+        "buf STRING",
+        (None,),
+        batch_fn,
+        state_ttl_s=gc_wall_s,
+        out_schema=out_schema,
+        ttl_clock="processing",
+    )
+
+
+def stream_expired(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    ttl_col: str | None = "ttl",
+    state_col: str | None = "state",
+    keep_expired: bool = True,
+) -> DataFrame:
+    """Streaming ``expired``/``not-expired`` (action.clj:427-474):
+    the stream clock is the running max event time PER KEY (the
+    reference's clock is per-stream; a key's fork owns its clock
+    downstream of `by`), carried in keyed state; expiry follows
+    event.clj:12-19 (state == "expired" or age > coalesce(ttl, 120)).
+    """
+    import numpy as np
+
+    has_ttl = ttl_col is not None and ttl_col in df.columns
+    has_state = state_col is not None and state_col in df.columns
+
+    def batch_fn(s, pdf):
+        (mx,) = s
+        t = _series_us(pdf[time_col]).astype("float64")
+        run = np.maximum.accumulate(t)
+        if mx is not None:
+            run = np.maximum(run, float(mx))
+        age_s = (run - t) / 1_000_000.0
+        if has_ttl:
+            ttl = pdf[ttl_col].astype("float64").fillna(120.0).to_numpy()
+        else:
+            ttl = np.full(len(pdf), 120.0)
+        exp = age_s > ttl
+        if has_state:
+            exp |= (pdf[state_col] == "expired").to_numpy(dtype=bool)
+        out = pdf[exp if keep_expired else ~exp]
+        new_mx = float(run[-1]) if len(pdf) else mx
+        return (new_mx,), out
+
+    return _keyed_batch_scan(
+        df, by, time_col, "mx DOUBLE", (None,), batch_fn
+    )

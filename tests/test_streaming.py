@@ -1032,10 +1032,10 @@ def test_streaming_dsl_refuses_unkeyed_state_and_unsupported(spark, tmpdir):
             {"action": "throttle", "params": [{"count": 1, "duration": 5}]},
             Ctx(streaming=True, test_mode=True),
         )
-    with pytest.raises(NotImplementedError, match="no streaming twin"):
+    with pytest.raises(ValueError, match="needs `by` keys"):
         compile_stream(
             stream,
-            {"action": "project", "params": [[[":=", "host", "a"]]]},
+            {"action": "moving-time-window", "params": [{"duration": 5}]},
             Ctx(streaming=True, test_mode=True),
         )
 
@@ -1215,3 +1215,80 @@ def test_stream_windowed_agg_twins_parity(spark, tmpdir):
         got = sorted(tuple(sorted((k, v if not hasattr(v, "timestamp") else v.timestamp()) for k, v in r)) for r in got)
         exp = sorted(tuple(sorted((k, v if not hasattr(v, "timestamp") else v.timestamp()) for k, v in r)) for r in exp)
         assert got == exp, f"{name}: {got} != {exp}"
+
+
+def test_stream_mtw_project_expired_parity(spark, tmpdir):
+    """moving-time-window, project and expired/not-expired streaming
+    twins match their batch twins over the same finite input."""
+    from datetime import datetime
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.operators import filters as flt
+    from mirabelle_spark.operators import windows as win
+
+    schema = "time timestamp, metric double, host string"
+    batches = [
+        [_ev(1, 1), _ev(2, 2)],
+        [_ev(4, 3), _ev(61, 4)],
+    ]
+    flat = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(
+        [(datetime.fromisoformat(r["time"]), r["metric"], r["host"]) for r in flat],
+        schema,
+    )
+
+    # moving-time-window (3s trailing)
+    rows = _feed_batches(
+        spark, tmpdir, "mtw",
+        batches, lambda s: stx.stream_moving_time_window(s, 3.0, by=["host"]),
+    )
+    got = sorted((r.metric, tuple(e.metric for e in r.events)) for r in rows)
+    exp = sorted(
+        (r.metric, tuple(e.metric for e in r.events))
+        for r in win.moving_time_window(batch_df, 3.0, by=["host"]).collect()
+    )
+    assert got == exp == [
+        (1.0, (1.0,)), (2.0, (1.0, 2.0)), (3.0, (2.0, 3.0)), (4.0, (4.0,))
+    ]
+
+    # project: latest metric matching each condition per minute window
+    conds = [[":>", "metric", 1], [":<", "metric", 3]]
+    stream = spark.readStream.format("json").schema(schema).load(
+        os.path.join(tmpdir, "mtw")
+    )
+    q = (
+        stx.stream_project(stream, conds, 60.0)
+        .writeStream.format("memory").queryName("proj_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.window_start, r.metric_1, r.metric_2)
+        for r in spark.sql("select * from proj_t").collect()
+    )
+    exp = sorted(
+        (r.window_start, r.metric_1, r.metric_2)
+        for r in win.project(batch_df, conds, 60.0).collect()
+    )
+    assert got == exp
+
+    # expired / not-expired: per-key running-max clock, default ttl 120
+    # within a micro-batch the scan is event-time ordered (age vs the
+    # running max of earlier-TIMED events is 0), so staleness shows
+    # across batches: the t=30 event arrives after the clock hit 200
+    sched = [
+        [{"time": _ev(0, 1)["time"], "metric": 1.0, "host": "a"}],
+        [{"time": _ev(200, 2)["time"], "metric": 2.0, "host": "a"}],
+        [{"time": _ev(30, 3)["time"], "metric": 3.0, "host": "a"}],
+    ]
+    rows = _feed_batches(
+        spark, tmpdir, "sexp",
+        sched, lambda s: stx.stream_expired(s, by=["host"]),
+    )
+    # clock reaches 200; the metric-3 event (t=30) is 170s stale > 120
+    assert sorted(r.metric for r in rows) == [3.0]
+    rows = _feed_batches(
+        spark, tmpdir, "snexp",
+        sched, lambda s: stx.stream_expired(s, by=["host"], keep_expired=False),
+    )
+    assert sorted(r.metric for r in rows) == [1.0, 2.0]
