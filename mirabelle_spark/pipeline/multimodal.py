@@ -67,19 +67,26 @@ def extract_features(
 ) -> DataFrame:
     """Decode media and emit fixed-size feature vectors via
     ``mapInPandas`` (Arrow-batched; blobs dropped from the output so
-    nothing heavy shuffles downstream)."""
+    nothing heavy shuffles downstream).
+
+    ``decoder="netpbm"`` is a REAL codec path (pure stdlib P2/P3/P5/P6
+    parse → pixel statistics); ``"fake"`` is the deterministic
+    hash-derived stand-in; ``"real"`` names the PIL/pyav call this
+    container can't import."""
     if decoder == "real":
         raise NotImplementedError(
             "real decode needs PIL/torchaudio/pyav — not in this container; "
-            "plug the decode into _fake_features's slot (bytes -> vector)"
+            "use decoder='netpbm' for a genuine stdlib codec path, or plug "
+            "the decode into _fake_features's slot (bytes -> vector)"
         )
+    feature_fn = _netpbm_features if decoder == "netpbm" else _fake_features
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             feats = [
-                _fake_features(bytes(b)) if b is not None else None
+                feature_fn(bytes(b)) if b is not None else None
                 for b in pdf[media_col]
             ]
             nbytes = [len(bytes(b)) if b is not None else 0 for b in pdf[media_col]]
@@ -124,6 +131,9 @@ def resize_images(
       codec involved. Source dims come from ``meta.width/height``;
       when absent the buffer is treated as square. This path is fully
       functional, not a fake.
+    - ``decoder="netpbm"``: REAL codec round-trip — P2/P3/P5/P6
+      parse → nearest-neighbor gather on decoded pixels → binary
+      netpbm re-encode. Pure stdlib, grayscale and RGB.
     - ``decoder="pil"``: compressed formats (JPEG/PNG) decode through
       PIL when importable; import-gated — this container has no PIL,
       so it raises ImportError naming the dependency rather than
@@ -166,6 +176,8 @@ def resize_images(
 
                     img = Image.open(io.BytesIO(bytes(blob))).resize((width, height))
                     resized = img.tobytes()
+                elif decoder == "netpbm":
+                    resized = _netpbm_resize(bytes(blob), width, height)
                 else:
                     resized = _resize_raw(
                         bytes(blob), meta.get("width"), meta.get("height")
@@ -174,7 +186,8 @@ def resize_images(
                     {
                         "id": rid,
                         "media": resized,
-                        "meta": {**meta, "width": width, "height": height},
+                        "meta": {**meta, "width": width, "height": height,
+                                 **({"codec": "netpbm"} if decoder == "netpbm" else {})},
                     }
                 )
             yield pd.DataFrame(out, columns=["id", "media", "meta"])
@@ -234,3 +247,108 @@ def sample_frames(
             )
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# -- netpbm: a REAL image codec in pure stdlib ------------------------------
+# The container has no PIL/pyav, but the netpbm family (PGM P2/P5,
+# PPM P3/P6) is a public, trivial format — so at least one genuine
+# decode→process→encode path runs end-to-end with real pixels.
+
+
+def decode_netpbm(data: bytes):
+    """Parse P2/P3 (ASCII) / P5/P6 (binary) netpbm bytes →
+    (np.ndarray h×w or h×w×3 uint8, width, height). maxval ≤ 255."""
+    import numpy as np
+
+    if not data or data[:1] != b"P" or data[1:2] not in b"2356":
+        raise ValueError("not a supported netpbm payload (P2/P3/P5/P6)")
+    magic = data[:2].decode("ascii")
+    i = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("netpbm maxval > 255 not supported")
+    channels = 3 if magic in ("P3", "P6") else 1
+    n = width * height * channels
+    if magic in ("P5", "P6"):
+        i += 1  # single whitespace after maxval
+        raw = data[i : i + n]
+        if len(raw) < n:
+            raise ValueError("truncated netpbm raster")
+        arr = np.frombuffer(raw, dtype=np.uint8, count=n)
+    else:
+        vals = data[i:].split()
+        if len(vals) < n:
+            raise ValueError("truncated netpbm raster")
+        arr = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+    shape = (height, width, 3) if channels == 3 else (height, width)
+    return arr.reshape(shape), width, height
+
+
+def encode_netpbm(arr) -> bytes:
+    """uint8 h×w (→P5) or h×w×3 (→P6) → binary netpbm bytes."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+        h, w = a.shape[:2]
+    else:
+        raise ValueError("expect h×w or h×w×3 uint8")
+    return magic + f"\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def _netpbm_features(payload: bytes) -> list[float]:
+    """REAL pixel statistics as the fixed 16-dim feature vector:
+    [mean, std, min, max, aspect, 3 channel means, 8-bin luminance
+    histogram], all scaled to [0, 1]."""
+    import numpy as np
+
+    arr, width, height = decode_netpbm(payload)
+    px = arr.astype(np.float64)
+    lum = px.mean(axis=2) if px.ndim == 3 else px
+    chans = (
+        [px[:, :, c].mean() / 255.0 for c in range(3)]
+        if px.ndim == 3
+        else [lum.mean() / 255.0] * 3
+    )
+    hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+    hist = hist / lum.size
+    feats = [
+        lum.mean() / 255.0,
+        lum.std() / 255.0,
+        lum.min() / 255.0,
+        lum.max() / 255.0,
+        min(width / height, height / width),
+        *chans,
+        *hist.tolist(),
+    ]
+    assert len(feats) == FEATURE_DIM
+    return [float(x) for x in feats]
+
+
+def _netpbm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample with real decoded pixels, re-encoded
+    to binary netpbm — decode → index-gather → encode."""
+    import numpy as np
+
+    arr, w0, h0 = decode_netpbm(payload)
+    ys = np.minimum((np.arange(height) * h0 // height), h0 - 1)
+    xs = np.minimum((np.arange(width) * w0 // width), w0 - 1)
+    out = arr[ys][:, xs]
+    return encode_netpbm(out)

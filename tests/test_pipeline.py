@@ -198,3 +198,37 @@ def test_resize_images_raw_nearest_neighbor(spark):
     assert np.frombuffer(bytes(row.media), dtype=np.uint8).tolist() == [0, 2, 8, 10]
     assert row.meta.width == 2 and row.meta.height == 2
     assert row.meta.media_type == "image/raw"
+
+
+def test_netpbm_codec_end_to_end(spark):
+    """A REAL codec path with real pixels, pure stdlib: P6 encode →
+    Spark decode → feature stats / nearest-neighbor resize →
+    re-encoded netpbm blobs with updated meta."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import multimodal
+
+    # 4×4 RGB gradient + a 2×2 grayscale checkerboard (ASCII P2)
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5
+    p6 = multimodal.encode_netpbm(rgb)
+    p2 = b"P2\n# checker\n2 2\n255\n0 255\n255 0\n"
+    df = spark.createDataFrame([(1, bytearray(p6)), (2, bytearray(p2))],
+                               "doc_id long, payload binary")
+    media = multimodal.attach_media(df, "payload", "image/netpbm", "doc_id")
+
+    feats = {r.id: r for r in
+             multimodal.extract_features(media, decoder="netpbm").collect()}
+    f2 = feats[2].feature
+    assert abs(f2[0] - 0.5) < 1e-9          # checker mean = 127.5/255
+    assert f2[2] == 0.0 and f2[3] == 1.0    # min/max luminance
+    assert feats[1].n_bytes == len(p6)
+
+    resized = {r.id: r for r in
+               multimodal.resize_images(media, 2, 2, decoder="netpbm").collect()}
+    arr, w, h = multimodal.decode_netpbm(bytes(resized[1].media))
+    assert (w, h) == (2, 2) and arr.shape == (2, 2, 3)
+    # nearest-neighbor gather picks source pixels (0,0),(0,2),(2,0),(2,2)
+    assert (arr == rgb[[0, 2]][:, [0, 2]]).all()
+    assert resized[1].meta.codec == "netpbm"
+    arr2, _, _ = multimodal.decode_netpbm(bytes(resized[2].media))
+    assert arr2.shape == (2, 2) and arr2[0, 0] == 0 and arr2[0, 1] == 255
