@@ -183,3 +183,74 @@ def embedding_near_dups(
     cand = cand.dropDuplicates(["id_a", "id_b"])
     scored = cand.withColumn("cosine", cosine(F.col("__va__"), F.col("__vb__")))
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second scale path
+    next to :func:`lsh_bucketed_topk`.
+
+    Train a k-means coarse quantizer (``nlist`` cells, fixed seed)
+    on the corpus, assign every corpus vector to its cell ONCE, then
+    answer each query by probing only its ``nprobe`` nearest cells —
+    exact cosine runs on ~``nprobe/nlist`` of the corpus instead of
+    all of it. At 100 TB the cell assignment is a write-once
+    partitioning (store cell_id as a partition column and the probe
+    is partition pruning); the centroid table is tiny and broadcast.
+
+    Returns (query_id, vec_id, cosine, rank) like the exact
+    baseline; recall grows with ``nprobe`` (== nlist ⇒ exhaustive).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    feat = c.withColumn("__feat__", array_to_vector(F.col("__cv__")))
+    km = KMeans(k=nlist, seed=seed, featuresCol="__feat__", predictionCol="__cell__")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, "__cv__", "__cell__")
+
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell INT, centroid ARRAY<DOUBLE>")
+
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    )
+    # nprobe nearest centroids per query: queries × nlist is tiny
+    # (both sides broadcast-scale); never touches the corpus
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__d__",
+        F.aggregate(
+            F.zip_with(F.col("__qv__"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = W.partitionBy(query_id_col).orderBy(F.col("__d__"), F.col("cell"))
+    probes = (
+        qc.withColumn("__pr__", F.row_number().over(wq))
+        .filter(F.col("__pr__") <= nprobe)
+        .select(query_id_col, "__qv__", F.col("cell").alias("__cell__"))
+    )
+
+    # probe join: corpus rows only from the probed cells
+    cand = assigned.join(F.broadcast(probes), "__cell__")
+    scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -293,6 +293,19 @@ def ann_lsh_topk(spark, sf):
 ORACLES["ann_lsh_topk"] = _ann_lsh_oracle(k=5, planes=6, tables=3)
 
 
+@q("ann_ivf_topk")  # rows-only BY DESIGN: the k-means quantizer is not
+def ann_ivf_topk(spark, sf):  # SQL-expressible; exactness (nprobe=nlist ==
+    # brute force) and recall are pytest-pinned
+    # (test_ivf_topk_recall_and_exhaustive_exactness). Registered below
+    # the 50-entry gate fold so it never burns a driver gate slot.
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.ivf_topk(e, queries, k=5, nlist=8, nprobe=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 
 
 def _near_dup_oracle(threshold: float, planes: int, tables: int, seed: int = 42) -> str:

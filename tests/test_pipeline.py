@@ -232,3 +232,33 @@ def test_netpbm_codec_end_to_end(spark):
     assert resized[1].meta.codec == "netpbm"
     arr2, _, _ = multimodal.decode_netpbm(bytes(resized[2].media))
     assert arr2.shape == (2, 2) and arr2[0, 0] == 0 and arr2[0, 1] == 255
+
+
+def test_ivf_topk_recall_and_exhaustive_exactness(spark):
+    """IVF coarse-quantizer ANN: probing ALL cells reproduces the
+    exact brute-force top-k; probing a fraction keeps high recall on
+    the real embeddings table."""
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ann.brute_force_topk(emb, queries, k=5).collect()
+    }
+    # nprobe == nlist ⇒ every cell probed ⇒ identical to brute force
+    full = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ann.ivf_topk(emb, queries, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert full == exact
+    # fractional probe: recall@5 ≥ 0.6 on this corpus
+    approx = ann.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3).collect()
+    hits = sum(
+        1 for r in approx if exact.get((r.query_id, r.rank)) == r.vec_id
+        or r.vec_id in {v for (qid, _), v in exact.items() if qid == r.query_id}
+    )
+    assert hits >= 0.6 * len(exact), f"recall too low: {hits}/{len(exact)}"
