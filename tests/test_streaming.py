@@ -1292,3 +1292,73 @@ def test_stream_mtw_project_expired_parity(spark, tmpdir):
         sched, lambda s: stx.stream_expired(s, by=["host"], keep_expired=False),
     )
     assert sorted(r.metric for r in rows) == [1.0, 2.0]
+
+
+def test_stream_ftw_delay_reference_case(spark, tmpdir):
+    """stream_test.clj:945-965 (fixed-time-window :delay 5): append
+    mode + watermark(5) IS the reference's flush rule — a window
+    seals once an event arrives ≥ end + delay; the tail window never
+    flushes. Per-event batches reproduce the arrival order (the late
+    t=14 event lands inside the still-open [10,20) window)."""
+    from mirabelle_spark import streaming as stx
+
+    arrivals = [(0, 10), (7, 1), (19, 1), (14, -10), (20, 2), (23, 4),
+                (60, 1), (76, 1)]
+    rows = _feed_batches(
+        spark, tmpdir, "ftwd",
+        [[_ev(t, m)] for t, m in arrivals],
+        lambda s: stx.stream_fixed_time_window(s, 10.0, delay_s=5.0),
+    )
+    got = {
+        r.window_start: sorted(e.metric for e in r.events) for r in rows
+    }
+    assert got == {
+        0.0: [1.0, 10.0],      # {0,7}
+        10.0: [-10.0, 1.0],    # {19,14} — late 14 included
+        20.0: [2.0, 4.0],
+        60.0: [1.0],
+        # [70,80) never flushes (event 76 < 80+5... no later event)
+    }
+
+
+def test_stream_smax_smin_reference_cases(spark, tmpdir):
+    """stream_test.clj:967-1001 ported verbatim: the stored best
+    EVENT (original time) re-emits per input."""
+    from mirabelle_spark import streaming as stx
+
+    rows = _feed_batches(
+        spark, tmpdir, "smaxr",
+        [[_ev(0, 10)], [_ev(7, 1)], [_ev(11, 20)], [_ev(14, 12)]],
+        lambda s: stx.stream_smax(s, by=["host"]),
+    )
+    assert [(r.time.timestamp(), r.metric) for r in
+            sorted(rows, key=lambda r: (r.metric, r.time))] == sorted(
+        [(0.0, 10.0), (0.0, 10.0), (11.0, 20.0), (11.0, 20.0)])
+
+    rows = _feed_batches(
+        spark, tmpdir, "sminr",
+        [[_ev(0, 10)], [_ev(7, 1)], [_ev(11, 20)], [_ev(14, 12)],
+         [_ev(12, -1)], [_ev(20, 2)]],
+        lambda s: stx.stream_smin(s, by=["host"]),
+    )
+    assert sorted((r.time.timestamp(), r.metric) for r in rows) == sorted(
+        [(0.0, 10.0), (7.0, 1.0), (7.0, 1.0), (7.0, 1.0),
+         (12.0, -1.0), (12.0, -1.0)])
+
+
+def test_stream_rate_reference_case(spark, tmpdir):
+    """stream_test.clj:1003-1024 (rate, no delay): count/duration per
+    sealed window; the tail window (event 71) never flushes — the
+    divergence vs the reference is only the label (window_start
+    instead of last-event time), documented in COVERAGE.md."""
+    from mirabelle_spark import streaming as stx
+
+    arrivals = [(0, 10), (7, 1), (11, 3), (19, 1), (14, -10), (20, 2),
+                (23, 4), (60, 1), (71, 1)]
+    rows = _feed_batches(
+        spark, tmpdir, "rater",
+        [[_ev(t, m)] for t, m in arrivals],
+        lambda s: stx.stream_agg(s, "rate", 10.0),
+    )
+    got = {r.window_start: r.metric for r in rows}
+    assert got == {0.0: 0.2, 10.0: 0.3, 20.0: 0.2, 60.0: 0.1}
