@@ -53,8 +53,8 @@ GATE_PRIORITY = [
     "agg_rate_hourly", "coll_count_hourly", "coll_max_hourly",
     "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
     "coll_top3",
-    # (d) integration / flagship representatives
-    "dsl_pipeline", "dedup_exact_docs", "where_basic", "agg_sum_hourly",
+    # (d) integration / flagship representatives + new-in-r4 query
+    "dsl_pipeline", "dedup_exact_docs", "dedup_clusters", "agg_sum_hourly",
 ]
 
 

@@ -318,3 +318,71 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → connected components → canonical doc per
+    cluster: (id, cluster_id = min id in the component). The step a
+    dedup pipeline runs AFTER candidate verification, so "keep one
+    representative" works across transitive chains (A~B, B~C ⇒ one
+    survivor of {A,B,C}), not just pairwise.
+
+    Iterative min-label propagation: every round each node takes the
+    min of its own label and its neighbors' labels; rounds needed =
+    component diameter (near-dup clusters are shallow — a handful of
+    rounds). Each round is one shuffle (edge join + min-agg); labels
+    are ``localCheckpoint``-ed every round so lineage stays flat at
+    100× scale, and the loop exits as soon as a round changes no
+    label (one lightweight count per round). Driver holds ONE long —
+    never the labels.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()

@@ -179,6 +179,38 @@ def simhash_pairs(spark, sf):
     )
 
 
+def _dedup_clusters_oracle(num_hashes: int = 64, bands: int = 8) -> str:
+    """Connected components over the MinHash pair graph as a
+    recursive CTE: min reachable doc_id per node. Reuses the exact
+    minhash pair SQL as the edge set; components are near-dup
+    clusters (tiny), so the closure stays small."""
+    pair_sql = _minhash_lsh_oracle(num_hashes=num_hashes, bands=bands).strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pair_sql}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@q("dedup_clusters", _dedup_clusters_oracle())
+def dedup_clusters(spark, sf):
+    """Transitive near-dup resolution: MinHash-LSH pairs → connected
+    components → canonical doc per cluster (min id). One survivor
+    per CHAIN of near-dups, not per pair."""
+    d = docs(spark, sf)
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=64, bands=8)
+    return dedup.resolve_clusters(pairs, d.select("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 

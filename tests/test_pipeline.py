@@ -262,3 +262,19 @@ def test_ivf_topk_recall_and_exhaustive_exactness(spark):
         or r.vec_id in {v for (qid, _), v in exact.items() if qid == r.query_id}
     )
     assert hits >= 0.6 * len(exact), f"recall too low: {hits}/{len(exact)}"
+
+
+def test_resolve_clusters_transitive(spark):
+    """A~B, B~C, D~E ⇒ components {A,B,C} and {D,E}; isolated F maps
+    to itself. Min-label propagation must cross the transitive hop."""
+    from mirabelle_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.resolve_clusters(pairs, ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
