@@ -121,3 +121,22 @@ def rolling_fingerprint(
     idx = F.sequence(F.lit(1), k)
     grams = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(words, i, window), " ")))
     return df.withColumn(out, F.array_min(grams))
+
+
+def ngram_repetition(
+    df: DataFrame, n: int = 3, text_col: str = "text", out: str = "rep_ratio"
+) -> DataFrame:
+    """Repeated n-gram fraction — the standard "degenerate text"
+    quality signal (1 − distinct/total word n-grams; 0 for docs with
+    fewer than n words). Pure Catalyst: one transform over the token
+    array, no shuffle, no UDF."""
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    ratio = F.when(k <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / k.cast("double")
+    )
+    return df.withColumn(out, ratio)

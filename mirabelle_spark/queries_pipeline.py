@@ -436,6 +436,31 @@ FROM scored
 """
 
 
+_REP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(w) - 2 <= 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS DOUBLE)
+                 / (len(w) - 2)
+       END AS rep_ratio
+FROM toks
+"""
+
+
+@q("text_repetition", _REP_SQL)
+def text_repetition(spark, sf):
+    """Repeated 3-gram fraction (degenerate-text quality signal)."""
+    return text.ngram_repetition(docs(spark, sf), n=3).select(
+        "doc_id", "rep_ratio"
+    )
+
+
 @q("text_quality", _QUALITY_SQL)
 def text_quality(spark, sf):
     return text.quality_score(docs(spark, sf)).select("doc_id", "quality")
