@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "throttle",               # keyed anchored-window scan
     "coalesce_fill",          # per-bucket tick explosion (buffer persists)
     "dedup_exact_docs",       # hash dedup
+    "dedup_clusters",         # iterative label propagation (graph rounds)
+    "text_repetition",        # pure-Catalyst token-array transform
     "minhash_lsh_pairs",      # LSH banding + equi-join (md5 signatures)
     "simhash_pairs",          # pandas-UDF signature + pigeonhole join
     "ann_bruteforce_topk",    # broadcast + fold dot products

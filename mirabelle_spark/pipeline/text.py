@@ -128,13 +128,25 @@ def ngram_repetition(
 ) -> DataFrame:
     """Repeated n-gram fraction — the standard "degenerate text"
     quality signal (1 − distinct/total word n-grams; 0 for docs with
-    fewer than n words). Pure Catalyst: one transform over the token
-    array, no shuffle, no UDF."""
+    fewer than n words). Pure Catalyst, no shuffle, no UDF.
+
+    Shape matters: building grams as ``transform(sequence(1,k),
+    i -> slice(toks, i, n))`` inlines the tokenizer into every loop
+    element — k re-splits per document (the PERF.md §6 trap; measured
+    3.3 s at sf0.1). Zipping the token array against its n−1 shifted
+    copies costs n splits total: 0.35 s."""
     toks = tokens(F.col(text_col))
     k = F.size(toks) - (n - 1)
+    shifted = [
+        F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+        ).alias(f"w{j}")
+        for j in range(n)
+    ]
+    z = F.arrays_zip(*shifted)  # padded with nulls past the shortest
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.slice(z, 1, F.greatest(k, F.lit(0))),
+        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
     )
     ratio = F.when(k <= 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(grams)).cast("double") / k.cast("double")

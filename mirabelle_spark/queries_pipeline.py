@@ -456,7 +456,9 @@ FROM toks
 @q("text_repetition", _REP_SQL)
 def text_repetition(spark, sf):
     """Repeated 3-gram fraction (degenerate-text quality signal)."""
-    return text.ngram_repetition(docs(spark, sf), n=3).select(
+    from mirabelle_spark.scale import ensure_parallelism
+
+    return text.ngram_repetition(ensure_parallelism(docs(spark, sf)), n=3).select(
         "doc_id", "rep_ratio"
     )
 
