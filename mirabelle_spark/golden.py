@@ -33,13 +33,14 @@ def _df_from_events(spark: SparkSession, rows: list[dict]):
                 "service": r.get("service"),
                 "state": r.get("state"),
                 "tags": r.get("tags"),
+                "ttl": float(r["ttl"]) if r.get("ttl") is not None else None,
                 "seq": i,
             }
         )
     df = spark.createDataFrame(
         norm,
         schema="time_s double, metric double, host string, service string, "
-        "state string, tags array<string>, seq bigint",
+        "state string, tags array<string>, ttl double, seq bigint",
     )
     return df.withColumn("time", F.timestamp_seconds("time_s")).drop("time_s")
 

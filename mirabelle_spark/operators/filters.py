@@ -61,16 +61,22 @@ def _expired_col(
     state_col: str | None,
     clock: Column,
 ) -> Column:
-    """expired = state='expired' OR age > coalesce(ttl, 120) (event.clj:12-19)."""
+    """expired = state='expired' OR age > coalesce(ttl, 120)
+    (event.clj:12-19). Both branches are null-safe: a null time (no
+    age) or null state must read as NOT-expired-by-that-rule — a raw
+    SQL NULL in the OR would silently drop the row from BOTH
+    ``expired`` and ``not-expired`` (caught porting
+    action_test.clj:196-209: events without time must pass
+    not-expired)."""
     ttl = (
         F.coalesce(F.col(ttl_col), F.lit(DEFAULT_TTL_S))
         if ttl_col and ttl_col in df.columns
         else F.lit(DEFAULT_TTL_S)
     )
     age = clock - F.col(time_col).cast("double")
-    exp = age > ttl
+    exp = F.coalesce(age > ttl, F.lit(False))
     if state_col and state_col in df.columns:
-        exp = (F.col(state_col) == "expired") | exp
+        exp = F.col(state_col).eqNullSafe("expired") | exp
     return exp
 
 

@@ -1230,7 +1230,9 @@ def stream_expired(
 
     def batch_fn(s, pdf):
         (mx,) = s
+        has_time = pdf[time_col].notna().to_numpy(dtype=bool)
         t = _series_us(pdf[time_col]).astype("float64")
+        t = np.where(has_time, t, -np.inf)  # null time: no age, no clock
         run = np.maximum.accumulate(t)
         if mx is not None:
             run = np.maximum(run, float(mx))
@@ -1239,11 +1241,13 @@ def stream_expired(
             ttl = pdf[ttl_col].astype("float64").fillna(120.0).to_numpy()
         else:
             ttl = np.full(len(pdf), 120.0)
-        exp = age_s > ttl
+        # null time ⇒ not expired-by-age (batch twin's null-safe rule)
+        exp = (age_s > ttl) & has_time
         if has_state:
             exp |= (pdf[state_col] == "expired").to_numpy(dtype=bool)
         out = pdf[exp if keep_expired else ~exp]
-        new_mx = float(run[-1]) if len(pdf) else mx
+        finite = run[np.isfinite(run)]
+        new_mx = float(finite[-1]) if len(finite) else mx
         return (new_mx,), out
 
     return _keyed_batch_scan(

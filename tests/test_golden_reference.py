@@ -715,3 +715,19 @@ def test_coll_quotient_golden_reference_case(spark):
           [{"time": 0, "metric": 1}, {"time": 1, "metric": 10},
            {"time": 2, "metric": 5}],
           [{"metric": 0.02}])
+
+
+def test_expired_not_expired_golden_reference_cases(spark):
+    """action_test.clj:183-209: expiry vs the arrival-ordered stream
+    clock (running max time) — state "expired" short-circuits, ttl
+    defaults to 120, age computed against the clock (60), boundary
+    age == ttl is NOT expired."""
+    _case(spark, {"action": "expired", "params": []},
+          [{"state": "expired"}, {"state": "ok"}, {"time": 60},
+           {"time": 10}, {"time": 10, "ttl": 10}, {"time": 10, "ttl": 50}],
+          [{"state": "expired"}, {"time": 10.0, "ttl": 10.0}])
+    _case(spark, {"action": "not-expired", "params": []},
+          [{"state": "expired"}, {"state": "ok"}, {"time": 1},
+           {"time": 60}, {"time": 1, "ttl": 10}, {"time": 1, "ttl": 120}],
+          [{"state": "ok"}, {"time": 1.0}, {"time": 60.0},
+           {"time": 1.0, "ttl": 120.0}])
