@@ -731,3 +731,18 @@ def test_expired_not_expired_golden_reference_cases(spark):
            {"time": 60}, {"time": 1, "ttl": 10}, {"time": 1, "ttl": 120}],
           [{"state": "ok"}, {"time": 1.0}, {"time": 60.0},
            {"time": 1.0, "ttl": 120.0}])
+
+
+def test_cond_dt_golden_reference_case(spark):
+    """action_test.clj:211-226: condition must hold > dt across
+    events; null-time events are skipped entirely (neither pass nor
+    reset — `when event-time`); an invalid event resets the flip."""
+    _case(spark, {"action": "cond-dt",
+                  "params": [[":>", "metric", 10], {"duration": 10}]},
+          [{"time": 1, "metric": 12}, {"time": 4, "metric": 12},
+           {"metric": 12},
+           {"time": 12, "metric": 12}, {"time": 22, "metric": 13},
+           {"time": 23, "metric": 1}, {"metric": 1},
+           {"time": 25, "metric": 11}, {"time": 36, "metric": 12}],
+          [{"time": 12.0, "metric": 12.0}, {"time": 22.0, "metric": 13.0},
+           {"time": 36.0, "metric": 12.0}])
