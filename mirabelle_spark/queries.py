@@ -55,15 +55,34 @@ def q(name: str, sql: str | None = None):
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events table with exact ns→µs time normalization.
 
-    The driver's parquet stores TIMESTAMP(NANOS); Spark rejects that
-    type unless ``nanosAsLong`` is set, so we read ns as LONG and
-    truncate to µs with integer division — bit-identical to DuckDB's
-    own ns→µs truncation when it reads the same file.
+    The driver's parquet has stored TIMESTAMP(NANOS) (read ns as
+    LONG via ``nanosAsLong``, truncate to µs) and naive-µs
+    timestamps (which Spark ≥4.1 infers as TIMESTAMP_NTZ unless
+    ``inferTimestampNTZ`` is off). Either way we normalize to a
+    TIMESTAMP instant whose ``unix_micros`` equals DuckDB's
+    ``epoch_us`` on the same file, independent of session timezone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(df, "ts")
+
+
+def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """ns-as-LONG → µs instant; NTZ → instant with the naive
+    wall-clock read as UTC (timestampdiff is tz-independent)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(
+                    f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+                )
+            ),
+        )
     return df
 
 

@@ -37,12 +37,14 @@ def q(name: str, sql: str | None = None):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table, normalizing TIMESTAMP(NANOS) columns to
     µs exactly like DuckDB does (see queries.events)."""
+    from mirabelle_spark.queries import _normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     ts_cols = {"lineitem": ["l_shipdate"], "orders": ["o_orderdate"]}.get(name, [])
     for c in ts_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        df = _normalize_ts(df, c)
     return df
 
 

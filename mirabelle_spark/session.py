@@ -53,17 +53,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
-    from pyspark.sql import functions as F
+    from mirabelle_spark.queries import _normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    ts_cols = {"events": ["ts"], "lineitem": ["l_shipdate"], "orders": ["o_orderdate"]}
     out = {}
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            # normalize TIMESTAMP(NANOS)-as-long columns to µs timestamps
-            if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            for c in ts_cols.get(n, []):
+                df = _normalize_ts(df, c)
             df.createOrReplaceTempView(n)
             out[n] = df
     return out
