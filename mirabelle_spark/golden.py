@@ -53,7 +53,13 @@ def _multiset_mismatches(got: list[dict], exp: list[dict]) -> list[str]:
     the reference runner compares exactly (test.clj:41-82)."""
     msgs: list[str] = []
     remaining = list(got)
-    for e in exp:
+    # consume most-specific expectations (most keys) first: subset
+    # matching is not an equivalence relation, so a broad expectation
+    # greedily eating a row can strand a narrower one that only that
+    # row satisfies — specificity ordering makes greedy exact here
+    # whenever expectations are nested (the overlap shape the EDN
+    # corpus actually uses)
+    for e in sorted(exp, key=lambda d: -len(d)):
         hit = next(
             (
                 i

@@ -151,8 +151,15 @@ def elasticsearch_sink(
     posts its own ndjson chunks of ``batch_size`` docs to
     ``{url}/_bulk``, in parallel across executors. ``headers``
     carries auth (the reference's Bearer/ApiKey defaults)."""
+    # The reference pins formatting to UTC (output/elasticsearch.clj
+    # format-event, ZoneOffset/UTC); date_format renders in the
+    # session tz, so shift the instant's wall-clock to UTC first —
+    # otherwise events near midnight route to the wrong daily index
+    # on a non-UTC session.
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    utc_ts = F.to_utc_timestamp(F.col(time_col).cast("timestamp"), session_tz)
     index = F.concat(
-        F.lit(index_prefix + "-"), F.date_format(F.col(time_col), date_pattern)
+        F.lit(index_prefix + "-"), F.date_format(utc_ts, date_pattern)
     )
     action = F.to_json(
         F.struct(F.struct(F.col("__index__").alias("_index")).alias("index"))
@@ -162,7 +169,7 @@ def elasticsearch_sink(
         F.struct(
             *[F.col(c) for c in doc_cols],
             F.date_format(
-                F.col(time_col), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+                utc_ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
             ).alias("@timestamp"),
         )
     )

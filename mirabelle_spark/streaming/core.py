@@ -604,7 +604,11 @@ def stream_stable(
         prior = np.concatenate(([s["max"] if s["max"] is not None else -(1 << 62)],
                                 run_max[:-1]))
         keep = t >= prior
-        s["max"] = int(max(run_max[-1], s["max"] or -(1 << 62))) if n else s["max"]
+        s["max"] = (
+            int(max(run_max[-1], -(1 << 62) if s["max"] is None else s["max"]))
+            if n
+            else s["max"]
+        )
         pdf = pdf[keep].reset_index(drop=True)
         t = t[keep]
         n = len(t)

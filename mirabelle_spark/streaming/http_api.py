@@ -29,6 +29,7 @@ thread-safe, and each mutation holds the handler lock.
 from __future__ import annotations
 
 import base64
+import hmac
 import json
 import logging
 import threading
@@ -48,11 +49,30 @@ def config_from_b64(b64: str) -> dict:
 
 
 class StreamApi:
-    """Bind a :class:`StreamHandler` to an HTTP port."""
+    """Bind a :class:`StreamHandler` to an HTTP port.
 
-    def __init__(self, handler: StreamHandler, host: str = "127.0.0.1", port: int = 0):
+    ``basic_auth=(user, password)`` guards every route like the
+    reference's optional ``:basic-auth`` interceptor, which sits
+    ahead of routing in the chain (http.clj:33-56): a request
+    without matching ``Authorization: Basic ...`` credentials gets
+    401 + ``WWW-Authenticate`` before any handler runs.
+    """
+
+    def __init__(
+        self,
+        handler: StreamHandler,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        basic_auth: tuple[str, str] | None = None,
+    ):
         self.handler = handler
         self._lock = threading.Lock()
+        expected_auth = None
+        if basic_auth is not None:
+            user, password = basic_auth
+            expected_auth = "Basic " + base64.b64encode(
+                f"{user}:{password}".encode("utf-8")
+            ).decode("ascii")
         api = self
 
         class _Req(BaseHTTPRequestHandler):
@@ -81,6 +101,17 @@ class StreamApi:
                 return None
 
             def _route(self, method: str):
+                if expected_auth is not None and not hmac.compare_digest(
+                    self.headers.get("Authorization", ""), expected_auth
+                ):
+                    data = json.dumps({"error": "unauthorized"}).encode("utf-8")
+                    self.send_response(401)
+                    self.send_header("WWW-Authenticate", 'Basic realm="mirabelle"')
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return None
                 name = self._stream_name()
                 try:
                     if self.path in ("/healthz", "/health") and method == "GET":
@@ -93,6 +124,10 @@ class StreamApi:
                         return self._send(404, {"error": "not found"})
                     if method == "POST":  # add-stream (handler.clj:44-49)
                         body = self._body()
+                        if not isinstance(body, dict) or "config" not in body:
+                            return self._send(
+                                400, {"error": "body must carry a 'config' key"}
+                            )
                         config = config_from_b64(body["config"])
                         with api._lock:
                             api.handler.add_stream(
@@ -112,13 +147,22 @@ class StreamApi:
                             api.handler.remove_stream(name)
                         return self._send(200, {"message": "stream removed"})
                     if method == "PUT":  # push-event (handler.clj:50-57)
-                        events = self._body().get("events", [])
+                        body = self._body()
+                        if not isinstance(body, dict):
+                            return self._send(
+                                400, {"error": "body must be a JSON object"}
+                            )
+                        events = body.get("events", [])
                         with api._lock:
                             n = api.handler.push_events(name, events)
                         return self._send(200, {"message": "ok", "events": n})
                     return self._send(405, {"error": "method not allowed"})
                 except KeyError as e:
+                    # only stream-not-found reaches here now (body
+                    # shape is validated inline above)
                     return self._send(404, {"error": str(e)})
+                except ValueError as e:  # malformed JSON / bad base64
+                    return self._send(400, {"error": f"bad request: {e}"})
                 except Exception as e:  # noqa: BLE001 - surface, don't kill the thread
                     _LOG.exception("api error on %s %s", method, self.path)
                     return self._send(500, {"error": f"{type(e).__name__}: {e}"})

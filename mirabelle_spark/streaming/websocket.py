@@ -84,6 +84,10 @@ class WebSocketPubSub:
                         if not chunk:
                             return
                         head += chunk
+                    # a client may pipeline its first frame with the
+                    # handshake bytes — keep everything past the
+                    # terminator and seed the read loop with it
+                    head, _, pipelined = head.partition(b"\r\n\r\n")
                     request_line, *header_lines = head.split(b"\r\n")
                     method, target, _ = request_line.decode("latin-1").split(" ", 2)
                     headers = {}
@@ -117,21 +121,17 @@ class WebSocketPubSub:
                             sock.sendall(text_frame(line))
 
                     sub_id = ws.bridge.add(channel, cond, send)
-                    self._read_loop(sock, send_lock)
+                    self._read_loop(sock, send_lock, pipelined)
                 except Exception:  # noqa: BLE001 - connection teardown
                     _LOG.debug("websocket connection error", exc_info=True)
                 finally:
                     if sub_id is not None:
                         ws.bridge.rm(sub_id)
 
-            def _read_loop(self, sock, send_lock):
-                """Consume client frames: pong pings, exit on close."""
-                buf = b""
+            def _read_loop(self, sock, send_lock, buf=b""):
+                """Consume client frames: pong pings, exit on close.
+                ``buf`` seeds bytes pipelined after the handshake."""
                 while True:
-                    chunk = sock.recv(4096)
-                    if not chunk:
-                        return
-                    buf += chunk
                     while True:
                         frame = _parse_client_frame(buf)
                         if frame is None:
@@ -146,6 +146,10 @@ class WebSocketPubSub:
                                 sock.sendall(
                                     bytes([0x8A, len(payload)]) + payload
                                 )
+                    chunk = sock.recv(4096)
+                    if not chunk:
+                        return
+                    buf += chunk
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

@@ -746,3 +746,16 @@ def test_cond_dt_golden_reference_case(spark):
            {"time": 25, "metric": 11}, {"time": 36, "metric": 12}],
           [{"time": 12.0, "metric": 12.0}, {"time": 22.0, "metric": 13.0},
            {"time": 36.0, "metric": 12.0}])
+
+
+def test_multiset_matcher_overlapping_expectations():
+    """Subset-match is not an equivalence relation: a broad
+    expectation must not strand a narrower one that only one row can
+    satisfy (most-specific-first consumption)."""
+    from mirabelle_spark.golden import _multiset_mismatches
+
+    got = [{"metric": 1, "host": "a"}, {"metric": 1}]
+    exp = [{"metric": 1}, {"metric": 1, "host": "a"}]
+    assert _multiset_mismatches(got, exp) == []
+    # a genuinely missing expectation still fails
+    assert _multiset_mismatches(got, [{"metric": 2}, {"metric": 1}, {"metric": 1}])

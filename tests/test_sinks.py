@@ -436,3 +436,84 @@ def test_prometheus_remote_write_sink_real_wire(spark):
         assert mem == [(9.0, 1704067200000)]
     finally:
         srv.stop()
+
+
+def test_elasticsearch_sink_utc_index_on_non_utc_session(make_events, spark):
+    """format-event pins ZoneOffset/UTC (output/elasticsearch.clj):
+    an event at 2024-01-01T01:00:00Z must route to the 2024-01-01
+    daily index and keep a UTC @timestamp even when the Spark
+    session renders timestamps in a non-UTC zone (where the naive
+    date_format would say 2023-12-31)."""
+    import json as _json
+
+    from mirabelle_spark import sinks
+
+    srv = _FakeHttp()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = make_events([
+            {"time": 1704070800, "metric": 1.0, "host": "a"},  # 01:00Z
+        ])
+        sinks.elasticsearch_sink(df, "mirabelle", url=srv.url)
+        lines = [
+            ln for _, _, body in srv.requests for ln in body.splitlines() if ln
+        ]
+        action, doc = _json.loads(lines[0]), _json.loads(lines[1])
+        assert action["index"]["_index"] == "mirabelle-2024-01-01"
+        assert doc["@timestamp"] == "2024-01-01T01:00:00.000Z"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        srv.stop()
+
+
+def test_websocket_pipelined_close_frame(make_events):
+    """A client that sends its close frame in the same TCP segment as
+    the handshake request must still be seen: the server answers the
+    close and drops the subscriber (the handshake reader forwards
+    bytes past \\r\\n\\r\\n into the frame loop)."""
+    import base64 as _b64
+    import os as _os
+    import socket as _socket
+    import time as _time
+
+    from mirabelle_spark.sinks import PubSubBridge
+    from mirabelle_spark.streaming import WebSocketPubSub
+
+    bridge = PubSubBridge()
+    ws = WebSocketPubSub(bridge).start()
+    try:
+        key = _b64.b64encode(_os.urandom(16)).decode()
+        mask = _os.urandom(4)
+        handshake = (
+            "GET /channel/alerts HTTP/1.1\r\n"
+            "Host: localhost\r\nUpgrade: websocket\r\n"
+            "Connection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+        s = _socket.create_connection(("127.0.0.1", ws.port), timeout=10)
+        # handshake + masked close frame, one sendall → one segment
+        s.sendall(handshake + bytes([0x88, 0x80]) + mask)
+        buf = b""
+        s.settimeout(10)
+        # read until the server's close frame (0x88 0x00) after headers
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if b"\r\n\r\n" in buf and buf.split(b"\r\n\r\n", 1)[1]:
+                break
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+        head, rest = buf.split(b"\r\n\r\n", 1)
+        assert b"101 Switching Protocols" in head
+        assert rest[:2] == bytes([0x88, 0x00]), rest
+        # subscriber must be gone (close processed, not lost)
+        deadline = _time.time() + 10
+        while bridge._subs and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert not bridge._subs
+        s.close()
+    finally:
+        ws.stop()

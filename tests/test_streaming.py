@@ -1362,3 +1362,66 @@ def test_stream_rate_reference_case(spark, tmpdir):
     )
     got = {r.window_start: r.metric for r in rows}
     assert got == {0.0: 0.2, 10.0: 0.3, 20.0: 0.2, 60.0: 0.1}
+
+
+def test_http_api_bad_request_and_basic_auth(spark, tmpdir):
+    """http.clj:33-56 basic-auth parity + explicit 400s: missing
+    'config' on POST and non-object PUT bodies are client errors
+    (400), not 404s; with basic_auth configured every route demands
+    credentials (401 + WWW-Authenticate) and works with them."""
+    import base64 as _b64
+    import urllib.request
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.streaming import StreamApi, StreamHandler, config_to_b64
+
+    schema = "time timestamp, metric double, host string"
+
+    def compile_fn(sp, name, config):
+        src = stx.file_source(sp, handler.ingest_dir(name), schema)
+        return src.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+
+    handler = StreamHandler(
+        spark, os.path.join(tmpdir, "ck"), compile_fn, output_mode="complete",
+        streams_dir=os.path.join(tmpdir, "st"),
+        ingest_root=os.path.join(tmpdir, "in"),
+    )
+    api = StreamApi(handler, basic_auth=("admin", "s3cret")).start()
+    base = f"http://127.0.0.1:{api.port}"
+    good = "Basic " + _b64.b64encode(b"admin:s3cret").decode()
+
+    def call(method, path, body=None, auth=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(base + path, data=data, method=method)
+        if auth:
+            req.add_header("Authorization", auth)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, dict(resp.headers), json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), json.loads(e.read())
+
+    try:
+        # no credentials / wrong credentials → 401 before any handler
+        st, hdrs, _ = call("GET", "/healthz")
+        assert st == 401 and "Basic" in hdrs.get("WWW-Authenticate", "")
+        bad = "Basic " + _b64.b64encode(b"admin:wrong").decode()
+        assert call("GET", "/api/v1/stream", auth=bad)[0] == 401
+        # with credentials the routes work
+        assert call("GET", "/healthz", auth=good)[0] == 200
+        st, _, body = call("GET", "/api/v1/stream", auth=good)
+        assert (st, body) == (200, {"streams": []})
+        # client errors are 400, not 404
+        assert call("POST", "/api/v1/stream/s1", {"persist": True},
+                    auth=good)[0] == 400
+        assert call("PUT", "/api/v1/stream/s1", [1, 2], auth=good)[0] == 400
+        # stream-not-found stays 404
+        assert call("PUT", "/api/v1/stream/ghost", {"events": []},
+                    auth=good)[0] == 404
+        # and a valid add still succeeds end-to-end under auth
+        st, _, body = call("POST", "/api/v1/stream/s1",
+                           {"config": config_to_b64({})}, auth=good)
+        assert (st, body["message"]) == (200, "stream added")
+    finally:
+        api.stop()
+        handler.stop_all()
