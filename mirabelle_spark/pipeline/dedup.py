@@ -129,9 +129,14 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     rows-per-band r = num_hashes/bands; docs matching on ANY band's
-    full sub-signature become a candidate pair. The join is an
-    equi-join on (band_id, band_hash) — hash partitioned, broadcast
-    nothing, never all-pairs. Returns (id_a, id_b) with id_a < id_b.
+    full sub-signature become a candidate pair. Buckets come from ONE
+    hash-partitioned groupBy on (band_id, band_hash); each bucket
+    emits its i<j pairs JVM-side (nested transform over the sorted id
+    array) — never all-pairs across the corpus, never a self-join.
+    The former self-join formulation computed the signature
+    aggregation once per side and needed a persist (which leaked);
+    one groupBy computes it once and leaves no cache behind. Returns
+    (id_a, id_b) with id_a < id_b.
 
     Tuning: the detection threshold is ≈ (1/bands)^(1/r). The
     default 8 bands × r=8 targets J≈0.77 near-duplicates; more bands
@@ -157,24 +162,33 @@ def minhash_lsh_candidates(
             )
         ).alias("__band__"),
     ).select(id_col, "__band__.band_id", "__band__.band_hash")
-    # persist: both join sides reference the same lineage; without it
-    # Catalyst recomputes the full signature per side
-    band_entries = band_entries.persist()
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        band_entries.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids__"))
+        .filter(F.size("__ids__") > 1)
+    )
+    return _bucket_pairs(buckets, "__ids__")
+
+
+def _bucket_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
+    """All i<j pairs from each row's sorted id array →
+    distinct (id_a, id_b). slice() is 1-based: partners of the
+    element at 0-based index i start at position i+2."""
+    ids = F.col(ids_col)
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("__p__"))
+        .select("__p__.id_a", "__p__.id_b")
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -195,8 +209,16 @@ def ngram_jaccard_pairs(
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
     )
+    # intersect 64-bit shingle hashes, not the shingle strings: the
+    # verify join ships each doc's shingle set through the shuffle
+    # twice, and xxhash64 narrows those rows ~10× at corpus scale;
+    # distinct strings keep distinct hashes (collisions negligible),
+    # so |∩| and |∪| — hence Jaccard — are unchanged
     sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh__")
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__sh__"),
     )
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh__", "__sa__"), "id_a")
@@ -296,23 +318,42 @@ def simhash_near_dups(
             F.array(*[F.struct(F.lit(i).alias("pid"), piece("simhash", i).alias("pv")) for i in range(chunks)])
         ).alias("__p__"),
     ).select(id_col, "simhash", "__p__.pid", "__p__.pv")
-    a, b = entries.alias("a"), entries.alias("b")
+    # bucket on (piece_id, piece_value) and emit i<j pairs per bucket
+    # — one groupBy instead of a self-join, so the pandas-UDF
+    # signature stage runs ONCE (the join formulation recomputed it
+    # per side) and nothing needs persisting
+    buckets = (
+        entries.groupBy("pid", "pv")
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h"))
+                )
+            ).alias("__ids__")
+        )
+        .filter(F.size("__ids__") > 1)
+    )
+    ids = F.col("__ids__")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["h"].alias("ha"),
+                    y["h"].alias("hb"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.pid") == F.col("b.pid"))
-            & (F.col("a.pv") == F.col("b.pv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("__ha__"),
-            F.col("b.simhash").alias("__hb__"),
-        )
+        buckets.select(F.explode(pair_structs).alias("__p__"))
+        .select("__p__.id_a", "__p__.id_b", "__p__.ha", "__p__.hb")
         .distinct()
     )
-    ham = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -398,8 +439,12 @@ def resolve_clusters(
             labels = jumped
             if changed == 0:
                 break
+        # pin the converged labels outside the persist lifecycle so the
+        # final generation can be dropped too (no leaked cache survives
+        # the call)
         return labels.select(
             F.col("id").alias(id_col), F.col("label").alias("cluster_id")
-        )
+        ).localCheckpoint(eager=True)
     finally:
         edges.unpersist()
+        labels.unpersist()

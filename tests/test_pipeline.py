@@ -278,3 +278,57 @@ def test_resolve_clusters_transitive(spark):
         for r in dedup.resolve_clusters(pairs, ids).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_dedup_leaves_no_persistent_rdds(doc_df, spark):
+    """PERF.md §16: leaked per-call caches poison every later query.
+    The LSH candidate path uses a bucket-groupBy (no self-join, no
+    persist), so executor storage must be EMPTY right after the
+    query materializes; resolve_clusters' per-round persists must all
+    be released too (its result rides a localCheckpoint whose blocks
+    belong to the returned handle, and are dropped by the context
+    cleaner once the handle is released)."""
+    import gc
+
+    from mirabelle_spark.pipeline import dedup
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def persistent_count():
+        return jsc.getPersistentRDDs().size()
+
+    import time as _time
+
+    # drain handle-owned blocks left by earlier tests (async cleaner)
+    deadline = _time.time() + 30
+    while persistent_count() > 0 and _time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(0.5)
+    base = persistent_count()
+
+    pairs = dedup.ngram_jaccard_pairs(doc_df, threshold=0.3)
+    pairs.collect()
+    assert persistent_count() <= base, "LSH verify path cached something"
+
+    # resolve_clusters: per-round generation caches must all be
+    # released; the ONLY residual allowed is the returned result's
+    # own localCheckpoint blocks (owned by the live handle, released
+    # by the context cleaner when the handle is GC'd) — and repeated
+    # invocations must not accumulate storage (the old code leaked
+    # one band cache + one label generation per call, forever).
+    for _ in range(3):
+        clusters = dedup.resolve_clusters(
+            dedup.minhash_lsh_candidates(doc_df), doc_df.select("doc_id")
+        )
+        clusters.collect()
+        # async context-cleaner may lag a previous iteration's release
+        deadline = _time.time() + 30
+        while persistent_count() > base + 1 and _time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _time.sleep(0.5)
+        n_after = persistent_count()
+        assert n_after <= base + 1, f"leaked {n_after - base} cached RDDs"
+        del clusters
+        gc.collect()
