@@ -27,34 +27,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-4 rotation: (a) the 10 queries
-# that never had a driver gate row in r2/r3, (b) everything changed
-# this round (coll_sort_ids array fix; minhash/simhash md5 oracles;
-# ngram_jaccard shares the new shingle hash; the two top-k plan
-# rewrites), (c) the 30 queries last gated in r2, (d) four
-# integration/flagship representatives. Every remaining registry entry
-# is twice-green or r3-green and rotates below the fold.
+# so ordering is coverage policy. Round-5 rotation: (a) everything
+# changed this round — the four dedup/LSH queries whose candidate
+# generation moved to bucket-groupBy + hashed Jaccard verify, and
+# ann_ivf_topk, which gained a fixed-centroid quantizer and its first
+# exact SQL oracle; (b) text_repetition, green locally but never
+# driver-gated; (c) the 41-query cohort last gated in r3 (rotated
+# below the fold in r4); (d) flagship representatives. The r4 cohort
+# (50/50 green in CORRECTNESS_r04) rotates below the fold; every
+# registered query then has a driver-green row within two rounds.
 GATE_PRIORITY = [
-    # (a) never driver-gated before r4
-    "agg_sum_delayed_hourly", "below_dt_alert", "between_dt_alert",
-    "critical_dt_alert", "smin_running", "ddt_pos_rate", "coll_bottom3",
-    "coalesce_fill", "brand_part_revenue", "priority_conditional_counts",
-    # (b) changed in r4
-    "coll_sort_ids", "minhash_lsh_pairs", "simhash_pairs",
-    "ngram_jaccard_pairs", "top_suppliers", "segment_top_orders",
-    # (c) last gated in r2
-    "where_not", "where_regex", "under_filter", "not_expired_events",
-    "outside_dt_alert", "with_const", "default_missing", "scale_metric",
-    "increment_metric", "decrement_metric", "sformat_label",
-    "to_string_field", "base64_roundtrip", "from_json_props",
-    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj",
-    "iterate_on_explode", "extract_nested", "sflatten_roundtrip",
-    "agg_mean_hourly", "agg_top_event", "agg_bottom_event",
-    "agg_rate_hourly", "coll_count_hourly", "coll_max_hourly",
-    "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
-    "coll_top3",
-    # (d) integration / flagship representatives + new-in-r4 query
-    "dsl_pipeline", "dedup_exact_docs", "dedup_clusters", "agg_sum_hourly",
+    # (a) changed in r5
+    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs",
+    "dedup_clusters", "ann_ivf_topk",
+    # (b) never driver-gated
+    "text_repetition",
+    # (c) last gated in r3
+    "where_basic", "over_filter", "tagged_all", "split_routing",
+    "expired_events", "throttle", "changed_transitions", "above_dt_alert",
+    "stable_states", "tag_untag", "fixed_time_window_ids",
+    "fixed_event_window_ids", "moving_event_window_vals",
+    "moving_time_window_count", "ssort_sorted", "coalesce_latest",
+    "project_correlate", "agg_ratio_error_click", "agg_percentiles_hourly",
+    "coll_increase_daily", "by_sum_daily", "smax_running", "ddt_rate",
+    "ewma_smoothed", "coll_where_inside_window", "coll_sum_hourly",
+    "coll_mean_hourly", "coll_percentiles_hourly", "ann_bruteforce_topk",
+    "ann_lsh_topk", "embedding_near_dups", "text_token_count",
+    "text_bpe_token_count", "text_quality", "text_lang_id",
+    "text_fingerprint", "text_rolling_fp", "multimodal_features",
+    "tpch_pricing_summary", "revenue_by_nation", "order_priority_counts",
+    # (d) integration / flagship representatives
+    "dsl_pipeline", "dedup_exact_docs", "agg_sum_hourly",
 ]
 
 

@@ -195,35 +195,64 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the second scale path
     next to :func:`lsh_bucketed_topk`.
 
-    Train a k-means coarse quantizer (``nlist`` cells, fixed seed)
-    on the corpus, assign every corpus vector to its cell ONCE, then
-    answer each query by probing only its ``nprobe`` nearest cells —
-    exact cosine runs on ~``nprobe/nlist`` of the corpus instead of
-    all of it. At 100 TB the cell assignment is a write-once
-    partitioning (store cell_id as a partition column and the probe
-    is partition pruning); the centroid table is tiny and broadcast.
+    A k-means coarse quantizer (``nlist`` cells) partitions the
+    corpus; every corpus vector is assigned to its cell ONCE, then
+    each query probes only its ``nprobe`` nearest cells — exact
+    cosine runs on ~``nprobe/nlist`` of the corpus instead of all of
+    it. At 100 TB the cell assignment is a write-once partitioning
+    (store cell_id as a partition column and the probe is partition
+    pruning); the centroid table is tiny and broadcast.
+
+    ``centroids`` (list of nlist × dim floats) skips training and
+    quantizes against the given fixed cells — the production shape
+    (train once offline, reuse everywhere) AND what makes the whole
+    query SQL-expressible for the DuckDB oracle. When None, a
+    k-means fit with the fixed ``seed`` supplies them. Either way
+    assignment is the same deterministic argmin: per-cell squared
+    distances via a left-to-right zip_with fold, first-minimum wins
+    (array_position) — bit-reproducible across engines.
 
     Returns (query_id, vec_id, cosine, rank) like the exact
     baseline; recall grows with ``nprobe`` (== nlist ⇒ exhaustive).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
-    feat = c.withColumn("__feat__", array_to_vector(F.col("__cv__")))
-    km = KMeans(k=nlist, seed=seed, featuresCol="__feat__", predictionCol="__cell__")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select(id_col, "__cv__", "__cell__")
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
+        feat = c.withColumn("__feat__", array_to_vector(F.col("__cv__")))
+        km = KMeans(k=nlist, seed=seed, featuresCol="__feat__", predictionCol="__p__")
+        model = km.fit(feat)
+        centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    else:
+        nlist = len(centroids)
+
+    def sqdist(vec: Column, ctr: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, ctr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in ctr]) for ctr in centroids]
+    )
+    dists = F.transform(cent_lit, lambda ctr: sqdist(F.col("__cv__"), ctr))
+    assigned = c.withColumn(
+        "__cell__",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cell INT, centroid ARRAY<DOUBLE>")
+    cent_df = spark.createDataFrame(
+        [(i, ctr) for i, ctr in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
 
     q = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")

@@ -172,15 +172,20 @@ def minhash_lsh_candidates(
 
 def _bucket_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
     """All i<j pairs from each row's sorted id array →
-    distinct (id_a, id_b). slice() is 1-based: partners of the
-    element at 0-based index i start at position i+2."""
+    distinct (id_a, id_b). Index-pair emission via element_at (O(1)
+    array access, O(n²) total per bucket) — NOT slice(), whose
+    per-element sub-array copy makes hot buckets cubic."""
     ids = F.col(ids_col)
     pairs = F.flatten(
         F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            # j walks 1..n-1 (0-based); i walks 0..j-1; element_at is 1-based
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j - 1),
+                lambda i: F.struct(
+                    F.element_at(ids, i + 1).alias("id_a"),
+                    F.element_at(ids, j + 1).alias("id_b"),
+                ),
             ),
         )
     )
@@ -318,42 +323,34 @@ def simhash_near_dups(
             F.array(*[F.struct(F.lit(i).alias("pid"), piece("simhash", i).alias("pv")) for i in range(chunks)])
         ).alias("__p__"),
     ).select(id_col, "simhash", "__p__.pid", "__p__.pv")
-    # bucket on (piece_id, piece_value) and emit i<j pairs per bucket
-    # — one groupBy instead of a self-join, so the pandas-UDF
-    # signature stage runs ONCE (the join formulation recomputed it
-    # per side) and nothing needs persisting
-    buckets = (
-        entries.groupBy("pid", "pv")
-        .agg(
-            F.array_sort(
-                F.collect_set(
-                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("h"))
-                )
-            ).alias("__ids__")
-        )
-        .filter(F.size("__ids__") > 1)
-    )
-    ids = F.col("__ids__")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["h"].alias("ha"),
-                    y["h"].alias("hb"),
-                ),
-            ),
-        )
-    )
+    # SELF-JOIN on (piece_id, piece_value), deliberately NOT the
+    # bucket-groupBy used for MinHash bands: max_hamming=8 means
+    # 64/9 ≈ 7-bit pieces, so piece buckets hold hundreds-to-
+    # thousands of docs, and a collect_set + array pair emission
+    # materializes each bucket's full O(n²) pair array in one task
+    # (measured 27 s vs 1.5 s at sf0.1). The join streams the same
+    # quadratic probe without materializing it. No persist: the
+    # pandas-UDF signature stage is recomputed per side, but at
+    # ~0.5 s per pass that is cheaper than carrying (or leaking) a
+    # cache; MinHash keeps the groupBy shape because 64-bit band
+    # hashes make its buckets near-duplicate-only (tiny).
+    a, b = entries.alias("a"), entries.alias("b")
     cand = (
-        buckets.select(F.explode(pair_structs).alias("__p__"))
-        .select("__p__.id_a", "__p__.id_b", "__p__.ha", "__p__.hb")
+        a.join(
+            b,
+            (F.col("a.pid") == F.col("b.pid"))
+            & (F.col("a.pv") == F.col("b.pv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__ha__"),
+            F.col("b.simhash").alias("__hb__"),
+        )
         .distinct()
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ham = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -325,16 +325,75 @@ def ann_lsh_topk(spark, sf):
 ORACLES["ann_lsh_topk"] = _ann_lsh_oracle(k=5, planes=6, tables=3)
 
 
-@q("ann_ivf_topk")  # rows-only BY DESIGN: the k-means quantizer is not
-def ann_ivf_topk(spark, sf):  # SQL-expressible; exactness (nprobe=nlist ==
-    # brute force) and recall are pytest-pinned
-    # (test_ivf_topk_recall_and_exhaustive_exactness). Registered below
-    # the 50-entry gate fold so it never burns a driver gate slot.
+def _centroids_sql() -> str:
+    """The fixed quantizer as a SQL list-of-lists literal (same
+    doubles as IVF_CENTROIDS — full repr round-trips exactly)."""
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in IVF_CENTROIDS
+    )
+    return "[" + rows + "]"
+
+
+def _ann_ivf_oracle(k: int, nprobe: int, nlist: int = 8) -> str:
+    """IVF with the fixed quantizer, end to end in SQL: per-vector
+    squared distances to every centroid (left-to-right fold, same
+    order as the Spark zip_with), cell = first argmin
+    (list_position), queries probe their nprobe nearest cells
+    (row_number over (d, cell)), exact cosine + rank inside the
+    probed cells only."""
+    sqd = (
+        "list_transform(cs, c -> list_reduce("
+        "list_transform(list_zip({v}, c), x -> (x[1] - x[2]) * (x[1] - x[2])), "
+        "(acc, v) -> acc + v))"
+    )
+    cells = ", ".join(f"({i})" for i in range(1, nlist + 1))
+    return f"""
+WITH cent AS (SELECT {_centroids_sql()} AS cs),
+assigned AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv,
+         CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+  FROM (SELECT vec_id, embedding, {sqd.format(v='embedding::DOUBLE[]')} AS ds
+        FROM embeddings, cent)
+),
+qdist AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {sqd.format(v='embedding::DOUBLE[]')} AS ds
+  FROM embeddings, cent WHERE vec_id < 10
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, i - 1 AS cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY ds[i], i) AS pr
+    FROM qdist, (VALUES {cells}) t(i)
+  ) WHERE pr <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {_DOT.format(a='p.qv', b='a.cv')}
+           / ({_NORM.format(a='p.qv')} * {_NORM.format(a='a.cv')}) AS cosine
+  FROM assigned a JOIN probes p USING (cell)
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@q("ann_ivf_topk", _ann_ivf_oracle(k=5, nprobe=3))
+def ann_ivf_topk(spark, sf):
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+
     e = embs(spark, sf)
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann.ivf_topk(e, queries, k=5, nlist=8, nprobe=3)
+    out = ann.ivf_topk(e, queries, k=5, nprobe=3, centroids=IVF_CENTROIDS)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
