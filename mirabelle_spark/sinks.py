@@ -37,14 +37,30 @@ def register_output(name: str, fn: Callable[[DataFrame], None]) -> None:
     _OUTPUTS[name] = fn
 
 
+def drop_discarded(df: DataFrame) -> DataFrame:
+    """Events tagged ``mirabelle/discard`` are invisible to every
+    side-effecting action — outputs, publish!, the log actions —
+    while still flowing through the stream itself and its taps
+    (howto/stream/_index.md:757-759). Null-safe: untagged rows
+    (tags NULL) pass."""
+    if "tags" not in df.columns:
+        return df
+    return df.filter(
+        ~F.coalesce(
+            F.array_contains(F.col("tags"), "mirabelle/discard"), F.lit(False)
+        )
+    )
+
+
 def output(df: DataFrame, name: str, test_mode: bool = False) -> None:
     """``output!`` (action.clj:690-719): route rows to a configured
-    output; no-op in test mode."""
+    output; no-op in test mode; ``mirabelle/discard``-tagged events
+    never reach the output."""
     if test_mode:
         return
     if name not in _OUTPUTS:
         raise KeyError(f"unknown output {name!r}")
-    _OUTPUTS[name](df)
+    _OUTPUTS[name](drop_discarded(df))
 
 
 def file_sink(
@@ -58,7 +74,7 @@ def file_sink(
     (output/file.clj:10-50). The reference interpolates event fields
     + a date pattern into one file path; the distributed equivalent
     is partitionBy directories — same layout, parallel writers."""
-    out = df
+    out = drop_discarded(df)
     parts = list(partition_fields)
     if date_pattern:
         out = out.withColumn("__date__", F.date_format(F.col(time_col), date_pattern))
@@ -78,8 +94,10 @@ def tap(df: DataFrame, store: dict, name: str) -> DataFrame:
 
 def debug(df: DataFrame, level: str = "debug", limit: int = 20) -> DataFrame:
     """debug/info/error logging actions (action.clj:177-230): log
-    rows as JSON at the given level, pass the stream through."""
-    rows = df.limit(limit).toJSON().collect()
+    rows as JSON at the given level, pass the stream through —
+    unchanged, including ``mirabelle/discard``-tagged rows, which
+    are only hidden from the log itself."""
+    rows = drop_discarded(df).limit(limit).toJSON().collect()
     for r in rows:
         getattr(log, level if level != "error" else "error")(r)
     return df
@@ -356,10 +374,11 @@ def publish(df: DataFrame, channel: str, test_mode: bool = False) -> None:
     """``publish!``: push the batch to an in-memory channel; no-op in
     test mode (the reference discards publish in tests too). The
     websocket layer of the reference is out of engine scope — a
-    subscriber here is any consumer of :func:`subscribe`."""
+    subscriber here is any consumer of :func:`subscribe`.
+    ``mirabelle/discard``-tagged events are never published."""
     if test_mode:
         return
-    _CHANNELS.setdefault(channel, []).append(df)
+    _CHANNELS.setdefault(channel, []).append(drop_discarded(df))
 
 
 def subscribe(channel: str, condition=None) -> list[DataFrame]:

@@ -42,7 +42,15 @@ OTEL_TRACES_SCHEMA = (
     "spans ARRAY<STRUCT<trace_id STRING, span_id STRING, parent_span_id STRING, "
     "name STRING, kind INT, start_time_unix_nano BIGINT, end_time_unix_nano BIGINT, "
     "status STRUCT<code INT, message STRING>, "
-    "attributes ARRAY<STRUCT<key STRING, value STRING>>>>>>>>"
+    "attributes ARRAY<STRUCT<key STRING, value STRING>>, "
+    "events ARRAY<STRUCT<time_unix_nano BIGINT, name STRING, "
+    "attributes ARRAY<STRUCT<key STRING, value STRING>>, "
+    "dropped_attributes_count INT>>, "
+    "dropped_events_count INT, "
+    "links ARRAY<STRUCT<trace_id STRING, span_id STRING, trace_state STRING, "
+    "attributes ARRAY<STRUCT<key STRING, value STRING>>, "
+    "dropped_attributes_count INT>>, "
+    "dropped_links_count INT>>>>>>"
 )
 
 _OTEL_KINDS = {
@@ -126,7 +134,11 @@ def otel_spans(df: DataFrame) -> DataFrame:
     """OTel ExportTraceServiceRequest → one event per span
     (otel/traces.clj:72-135): triple explode resource→scope→span;
     duration = end − start nanos becomes the metric, span status →
-    state, service from resource attrs ``service.name``."""
+    state, service from resource attrs ``service.name``. Span
+    ``events`` (event->map, traces.clj:57-62) and ``links``
+    (link->map, traces.clj:64-70) ride along as nested arrays with
+    their attribute lists folded to maps, plus the dropped-*-count
+    fidelity fields."""
     rs = df.select(F.explode(F.col("resource_spans")).alias("rs"))
     ss = rs.select(
         F.map_from_entries(F.col("rs.resource.attributes")).alias("__res__"),
@@ -168,6 +180,27 @@ def otel_spans(df: DataFrame) -> DataFrame:
         ).alias("time"),
         dur.cast("double").alias("metric"),
         F.map_from_entries(F.col("sp.attributes")).alias("attributes"),
+        F.transform(
+            F.col("sp.events"),
+            lambda e: F.struct(
+                e["time_unix_nano"].alias("time"),
+                e["name"].alias("name"),
+                F.map_from_entries(e["attributes"]).alias("attributes"),
+                e["dropped_attributes_count"].alias("dropped_attributes_count"),
+            ),
+        ).alias("events"),
+        F.col("sp.dropped_events_count").alias("dropped_events_count"),
+        F.transform(
+            F.col("sp.links"),
+            lambda ln: F.struct(
+                ln["trace_id"].alias("trace_id"),
+                ln["span_id"].alias("span_id"),
+                ln["trace_state"].alias("state"),
+                F.map_from_entries(ln["attributes"]).alias("attributes"),
+                ln["dropped_attributes_count"].alias("dropped_attributes_count"),
+            ),
+        ).alias("links"),
+        F.col("sp.dropped_links_count").alias("dropped_links_count"),
     )
 
 

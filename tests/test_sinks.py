@@ -517,3 +517,36 @@ def test_websocket_pipelined_close_frame(make_events):
         s.close()
     finally:
         ws.stop()
+
+
+def test_mirabelle_discard_tag(make_events):
+    """howto/stream/_index.md:757-759: events tagged
+    'mirabelle/discard' are ignored by every side-effecting action
+    (outputs, publish!, log) but still flow through the stream and
+    its taps."""
+    from mirabelle_spark import sinks
+
+    df = make_events([
+        {"time": 1, "metric": 1.0, "host": "keep", "tags": ["x"]},
+        {"time": 2, "metric": 2.0, "host": "drop",
+         "tags": ["x", "mirabelle/discard"]},
+        {"time": 3, "metric": 3.0, "host": "null-tags"},
+    ])
+    captured = []
+    sinks.register_output("disc-test", lambda d: captured.extend(
+        r.host for r in d.collect()))
+    try:
+        sinks.output(df, "disc-test")
+        assert sorted(captured) == ["keep", "null-tags"]
+
+        sinks.publish(df, "disc-chan")
+        pub = [r.host for b in sinks.subscribe("disc-chan") for r in b.collect()]
+        assert sorted(pub) == ["keep", "null-tags"]
+
+        # taps see everything — discard hides only side effects
+        store = {}
+        sinks.tap(df, store, "t")
+        assert store["t"].count() == 3
+    finally:
+        sinks._OUTPUTS.pop("disc-test", None)
+        sinks._CHANNELS.pop("disc-chan", None)

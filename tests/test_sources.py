@@ -152,6 +152,13 @@ def test_otel_span_flatten(spark):
         1_700_000_000_000_000_000, 1_700_000_001_500_000_000,
         (2, "boom"),  # status error
         [("http.method", "GET")],
+        # span events (event->map, traces.clj:57-62)
+        [(1_700_000_000_500_000_000, "exception",
+          [("exception.type", "IOError")], 1)],
+        2,  # dropped_events_count
+        # span links (link->map, traces.clj:64-70)
+        [("othertrace", "otherspan", "st=1", [("peer", "svc-b")], 0)],
+        3,  # dropped_links_count
     )
     rows = [([({"attributes": [("service.name", "frontend")]}, "url1",
                [((("scope1", "v1")), [span])]),],)]
@@ -164,6 +171,16 @@ def test_otel_span_flatten(spark):
     assert out.metric == 1.5e9  # duration nanos
     assert out.attributes == {"http.method": "GET"}
     assert out.trace_id == "abc123"
+    # nested events/links round-trip with attributes folded to maps
+    ev = out.events[0]
+    assert ev.time == 1_700_000_000_500_000_000 and ev.name == "exception"
+    assert ev.attributes == {"exception.type": "IOError"}
+    assert ev.dropped_attributes_count == 1
+    assert out.dropped_events_count == 2
+    ln = out.links[0]
+    assert (ln.trace_id, ln.span_id, ln.state) == ("othertrace", "otherspan", "st=1")
+    assert ln.attributes == {"peer": "svc-b"}
+    assert out.dropped_links_count == 3
 
 
 def test_reinject_batch(make_events):
