@@ -43,6 +43,9 @@ from mirabelle_spark.streaming.lifecycle import (  # noqa: F401
     StreamHandler,
     diff_config,
 )
+from mirabelle_spark.streaming.tcp import (  # noqa: F401
+    RiemannTcpServer,
+)
 from mirabelle_spark.streaming.websocket import (  # noqa: F401
     WebSocketPubSub,
 )

@@ -1425,3 +1425,103 @@ def test_http_api_bad_request_and_basic_auth(spark, tmpdir):
     finally:
         api.stop()
         handler.stop_all()
+
+
+def test_riemann_tcp_ingest_end_to_end(spark, tmpdir):
+    """transport/tcp.clj:37-64,149-240 parity over a real socket:
+    4-byte length-prefixed protobuf Msg frames decode to events,
+    route by the per-event 'stream' attribute (default otherwise),
+    land in the stream's ingest dir, and flow through the running
+    query; every frame is acked with Msg{ok:true}; a garbage frame
+    earns Msg{ok:false, error} without killing the connection."""
+    import socket
+    import struct
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.streaming import RiemannTcpServer, StreamHandler
+
+    def pb_varint(n):
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def pb_key(fnum, wtype):
+        return pb_varint((fnum << 3) | wtype)
+
+    def pb_str(fnum, s):
+        b = s.encode()
+        return pb_key(fnum, 2) + pb_varint(len(b)) + b
+
+    def pb_msgfield(fnum, payload):
+        return pb_key(fnum, 2) + pb_varint(len(payload)) + payload
+
+    def event_bytes(service, metric, time_s, stream=None):
+        ev = (
+            pb_key(1, 0) + pb_varint(time_s)
+            + pb_str(3, service)
+            + pb_key(13, 0) + pb_varint(metric << 1)  # zigzag(+metric)
+        )
+        if stream:
+            attr = pb_str(1, "stream") + pb_str(2, stream)
+            ev += pb_msgfield(9, attr)
+        return ev
+
+    schema = "time_s bigint, service string, metric_sint64 bigint"
+
+    def compile_fn(sp, name, config):
+        src = stx.file_source(sp, handler.ingest_dir(name), schema)
+        return src.groupBy("service").agg(
+            F.sum("metric_sint64").alias("total"))
+
+    handler = StreamHandler(
+        spark, os.path.join(tmpdir, "tcp_ck"), compile_fn,
+        output_mode="complete", ingest_root=os.path.join(tmpdir, "tcp_in"),
+    )
+    srv = RiemannTcpServer(handler, default_stream="tcpmain").start()
+    try:
+        handler.add_stream("tcpmain", {})
+        handler.add_stream("tcpother", {})
+        msg = (
+            pb_msgfield(6, event_bytes("api", 5, 1_700_000_000))
+            + pb_msgfield(6, event_bytes("api", 7, 1_700_000_001))
+            + pb_msgfield(6, event_bytes("db", 3, 1_700_000_002,
+                                         stream="tcpother"))
+        )
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(struct.pack(">I", len(msg)) + msg)
+
+        def read_frame(sock):
+            head = b""
+            while len(head) < 4:
+                head += sock.recv(4 - len(head))
+            (n,) = struct.unpack(">I", head)
+            body = b""
+            while len(body) < n:
+                body += sock.recv(n - len(body))
+            return body
+
+        assert read_frame(s) == b"\x10\x01"  # Msg{ok: true}
+        # garbage frame → ok:false + error, connection stays usable
+        s.sendall(struct.pack(">I", 3) + b"\xff\xff\xff")
+        err = read_frame(s)
+        assert err.startswith(b"\x10\x00\x1a")
+        s.sendall(struct.pack(">I", len(msg)) + msg)
+        assert read_frame(s) == b"\x10\x01"
+        s.close()
+
+        handler.process_all()
+        got = {r.service: r.total for r in spark.sql(
+            "select * from tcpmain").collect()}
+        assert got == {"api": 24}  # two frames x (5+7)
+        other = {r.service: r.total for r in spark.sql(
+            "select * from tcpother").collect()}
+        assert other == {"db": 6}
+    finally:
+        srv.stop()
+        handler.stop_all()
