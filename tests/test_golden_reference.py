@@ -759,3 +759,100 @@ def test_multiset_matcher_overlapping_expectations():
     assert _multiset_mismatches(got, exp) == []
     # a genuinely missing expectation still fails
     assert _multiset_mismatches(got, [{"metric": 2}, {"metric": 1}, {"metric": 1}])
+
+
+def test_coll_mean_golden_reference_case(spark):
+    """action_test.clj:155-174: per-window mean, incl. the
+    multi-field window whose mean is 20. Windows expressed as
+    duration-10 time buckets; our coll-mean emits the typed metric
+    (the reference also carries the max-time event's fields)."""
+    _case(spark, {"action": "coll-mean", "params": [{"duration": 10}]},
+          [{"time": 0, "metric": 10},
+           {"time": 10, "metric": 10}, {"time": 11, "metric": 12},
+           {"time": 20, "metric": 10},
+           {"time": 33, "metric": 10}, {"time": 31, "metric": 20},
+           {"time": 32, "metric": 30}],
+          [{"metric": 10.0}, {"metric": 11.0}, {"metric": 10.0},
+           {"metric": 20.0}])
+
+
+def test_coll_max_min_sum_golden_reference_cases(spark):
+    """action_test.clj:333-374: one window [1, 10, nil, nil, 5] →
+    max 10 / min 1 / sum 16 (nil metrics count as 0 for sum, are
+    ignored by max/min)."""
+    events = [{"time": 0, "metric": 1}, {"time": 1, "metric": 10},
+              {"time": 2}, {"time": 3}, {"time": 4, "metric": 5}]
+    _case(spark, {"action": "coll-max", "params": [{"duration": 10}]},
+          events, [{"metric": 10.0}])
+    _case(spark, {"action": "coll-min", "params": [{"duration": 10}]},
+          events, [{"metric": 1.0}])
+    _case(spark, {"action": "coll-sum", "params": [{"duration": 10}]},
+          events, [{"metric": 16.0}])
+
+
+def test_coll_rate_golden_reference_cases(spark):
+    """action_test.clj:375-404: sum/time-span per window; a
+    single-event (zero-span) window emits the plain sum."""
+    _case(spark, {"action": "coll-rate", "params": [{"duration": 100}]},
+          [{"time": 1, "metric": 1}],
+          [{"metric": 1.0}])
+    _case(spark, {"action": "coll-rate", "params": [{"duration": 100}]},
+          [{"time": 1, "metric": 1}, {"time": 2, "metric": 10},
+           {"time": 3, "metric": 4}, {"time": 1, "metric": 10},
+           {"time": 4, "metric": 5}],
+          [{"metric": 10.0}])  # 30 / (4-1)
+    _case(spark, {"action": "coll-rate", "params": [{"duration": 100}]},
+          [{"time": 0, "metric": 1}, {"time": 2, "metric": 1},
+           {"time": 3, "metric": 1}, {"time": 1, "metric": 1},
+           {"time": 10, "metric": 1}],
+          [{"metric": 0.5}])  # 5 / 10
+    _case(spark, {"action": "coll-rate", "params": [{"duration": 100}]},
+          [{"time": 1, "metric": 1}, {"time": 2, "metric": 2},
+           {"time": 3, "metric": 1}],
+          [{"metric": 2.0}])  # 4 / 2
+
+
+def test_coll_increase_golden_reference_case(spark):
+    """action_test.clj:1442-1458: counter increase = latest − oldest
+    per window; a counter reset (negative increase) emits nothing."""
+    _case(spark, {"action": "coll-increase", "params": [{"duration": 13}]},
+          [{"time": 1, "metric": 10}, {"time": 2, "metric": 20},
+           {"time": 11, "metric": 50},
+           {"time": 14, "metric": 60}, {"time": 25, "metric": 90}],
+          [{"metric": 40.0}, {"metric": 30.0}])
+    _case(spark, {"action": "coll-increase", "params": [{"duration": 13}]},
+          [{"time": 1, "metric": 10}, {"time": 2, "metric": 20},
+           {"time": 11, "metric": 1}],
+          [])
+
+
+def test_coll_count_golden_reference_case(spark):
+    """action_test.clj count*-test: events per window (the empty
+    window of the reference's direct-injection harness cannot occur
+    in an event stream; sizes 1/2/3 covered)."""
+    _case(spark, {"action": "coll-count", "params": [{"duration": 10}]},
+          [{"time": 0},
+           {"time": 10}, {"time": 11},
+           {"time": 20}, {"time": 21}, {"time": 22}],
+          [{"metric": 1.0}, {"metric": 2.0}, {"metric": 3.0}])
+
+
+def test_ratio_golden_reference_case(spark):
+    """action_test.clj ratio-test: error/total count ratio per
+    duration-10 window ([:= :state error] vs [:true]); our ratio
+    emits the typed metric per window."""
+    _case(spark, {"action": "ratio",
+                  "params": [[[":=", "state", "error"], [":true"]],
+                             {"duration": 10}]},
+          [{"state": "ok", "time": 1}, {"state": "ok", "time": 2},
+           {"state": "ok", "time": 2}, {"state": "error", "time": 3},
+           {"state": "ok", "time": 4},
+           {"state": "ok", "time": 12}, {"state": "error", "time": 13},
+           {"state": "ok", "time": 19}],
+          [{"metric": 0.2}, {"metric": 1 / 3}])
+
+
+def test_sdo_golden_reference_case(spark):
+    """action_test.clj:176-181: sdo is a structural no-op."""
+    _case(spark, {"action": "sdo", "params": []},
+          [{"metric": 10}], [{"metric": 10.0}])
