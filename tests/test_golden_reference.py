@@ -856,3 +856,39 @@ def test_sdo_golden_reference_case(spark):
     """action_test.clj:176-181: sdo is a structural no-op."""
     _case(spark, {"action": "sdo", "params": []},
           [{"metric": 10}], [{"metric": 10.0}])
+
+
+def test_moving_time_window_golden_reference_case(spark):
+    """action_test.clj moving-time-window*: after each event, all
+    events within the trailing 5 s (inclusive window = duration−ε,
+    so the time-13 window keeps 10/11/13 but drops 7)."""
+    from mirabelle_spark.golden import _df_from_events
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    events = [{"time": t} for t in [3, 5, 7, 10, 11, 13]]
+    tree = {
+        "action": "moving-time-window", "params": [{"duration": 5}],
+        "children": [{"action": "tap", "params": ["out"]}],
+    }
+    ctx = compile_stream(
+        _df_from_events(spark, events), tree, Ctx(order_cols=("seq",), test_mode=True)
+    )
+    got = sorted(
+        tuple(e.time.timestamp() for e in r.events)
+        for r in ctx.taps["out"].collect()
+    )
+    assert got == sorted([
+        (3.0,), (3.0, 5.0), (3.0, 5.0, 7.0), (7.0, 10.0),
+        (7.0, 10.0, 11.0), (10.0, 11.0, 13.0),
+    ])
+
+
+def test_ssort_golden_reference_case(spark):
+    """action_test.clj ssort*-test: buffer 5 s, re-emit sorted by
+    time. Batch sorts every bucket (no delay-based tail drop — the
+    streaming twin owns the watermark semantics), so ALL events
+    emerge bucket-sorted."""
+    times = [0, 3, 2, 4, 1, 10, 14, 12, 19, 49, 47, 51, 49, 100]
+    _case(spark, {"action": "ssort", "params": [{"duration": 5, "field": "time"}]},
+          [{"time": t} for t in times],
+          [{"time": float(t)} for t in sorted(times)])
