@@ -31,3 +31,22 @@ def test_partition_count_for():
 
     assert scale.partition_count_for(100 * 1024**3, target_mb=256) == 400
     assert scale.partition_count_for(1024) == 64  # clamped floor
+
+
+def test_bucket_pairs_exhaustive_and_degenerate(spark):
+    """_bucket_pairs must emit exactly the i<j pairs of each bucket
+    (index-based element_at emission — no slice copies), including a
+    degenerate hot bucket, and dedup pairs found in several buckets."""
+    from mirabelle_spark.pipeline.dedup import _bucket_pairs
+
+    rows = [
+        (list(range(50)),),          # hot bucket: C(50,2) pairs
+        ([1, 2],),                   # overlaps pairs with the hot bucket
+        ([100, 101, 102],),
+    ]
+    df = spark.createDataFrame(rows, "ids array<bigint>")
+    got = {(r.id_a, r.id_b) for r in _bucket_pairs(df, "ids").collect()}
+    want = {(i, j) for i in range(50) for j in range(i + 1, 50)}
+    want |= {(100, 101), (100, 102), (101, 102)}
+    assert got == want
+    assert len(got) == 50 * 49 // 2 + 3
