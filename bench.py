@@ -48,9 +48,11 @@ BENCH_QUERIES = [
     "dedup_exact_docs",       # hash dedup
     "dedup_clusters",         # iterative label propagation (graph rounds)
     "text_repetition",        # pure-Catalyst token-array transform
-    "minhash_lsh_pairs",      # LSH banding + equi-join (md5 signatures)
+    "minhash_lsh_pairs",      # LSH banding + bucket-groupBy pairs (md5 signatures)
+    "ngram_jaccard_pairs",    # LSH candidates + hashed-shingle exact verify
     "simhash_pairs",          # pandas-UDF signature + pigeonhole join
     "ann_bruteforce_topk",    # broadcast + fold dot products
+    "ann_ivf_topk",           # fixed-quantizer cell probe (partition pruning shape)
     "tpch_pricing_summary",   # full-scan rollup (decimal-exact)
     "revenue_by_nation",      # star join: 2 shuffle + 2 broadcast joins
 ]
