@@ -91,3 +91,22 @@ def test_gate_priority_covers_first_fifty():
     # rows-only LSH entries md5-derived exact-value oracles)
     missing = [n for n in entry.GATE_PRIORITY if n not in oracles]
     assert missing == []
+
+
+def test_gate_priority_names_are_registered():
+    """Every GATE_PRIORITY name must exist in the registry (a typo
+    would silently rotate a nonexistent query into the driver gate's
+    first 50 and shrink coverage), the first 50 must be unique, and
+    every entry must carry an oracle."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    missing = [n for n in E.GATE_PRIORITY if n not in qs]
+    assert not missing, f"GATE_PRIORITY names not in registry: {missing}"
+    assert len(set(E.GATE_PRIORITY)) == len(E.GATE_PRIORITY)
+    assert len(E.GATE_PRIORITY) >= 50
+    first50 = list(qs)[:50]
+    assert first50 == E.GATE_PRIORITY[:50]
+    no_oracle = [n for n in qs if n not in oracles]
+    assert not no_oracle, f"queries without oracles: {no_oracle}"
