@@ -892,3 +892,35 @@ def test_ssort_golden_reference_case(spark):
     _case(spark, {"action": "ssort", "params": [{"duration": 5, "field": "time"}]},
           [{"time": t} for t in times],
           [{"time": float(t)} for t in sorted(times)])
+
+
+def test_aggr_rate_golden_reference_case(spark):
+    """action_test.clj aggr-rate*-test (no delay): rate = events per
+    window / duration. The reference's recorder stops before the
+    final [30,40) window flushes; batch folds everything, so that
+    window's 0.1 appears too."""
+    _case(spark, {"action": "rate", "params": [{"duration": 10}]},
+          [{"time": 0, "metric": 10}, {"time": 7, "metric": 1},
+           {"time": 11, "metric": 3}, {"time": 14, "metric": 8},
+           {"time": 19, "metric": 1}, {"time": 20, "metric": 2},
+           {"time": 21, "metric": 2}, {"time": 21, "metric": 2000},
+           {"time": 24, "metric": 24}, {"time": 22, "metric": 24},
+           {"time": 31, "metric": 1}],
+          [{"metric": 0.2}, {"metric": 0.3}, {"metric": 0.5},
+           {"metric": 0.1}])
+
+
+def test_percentiles_golden_reference_case(spark):
+    """action_test.clj percentiles-test: window [100, 200×5, 800] →
+    q0/q0.5/q0.99/q1 = 100/200/800/800; the 800@12 second window
+    (all quantiles 800) also folds in batch. We emit a typed
+    quantile column (the reference labels via attributes)."""
+    _case(spark, {"action": "percentiles",
+                  "params": [{"quantiles": [0, 0.5, 0.99, 1], "duration": 10}]},
+          [{"time": 1, "metric": 100}] +
+          [{"time": 2, "metric": 200} for _ in range(5)] +
+          [{"time": 4, "metric": 800}, {"time": 12, "metric": 800}],
+          [{"metric": 100.0, "quantile": 0.0}, {"metric": 200.0, "quantile": 0.5},
+           {"metric": 800.0, "quantile": 0.99}, {"metric": 800.0, "quantile": 1.0},
+           {"metric": 800.0, "quantile": 0.0}, {"metric": 800.0, "quantile": 0.5},
+           {"metric": 800.0, "quantile": 0.99}, {"metric": 800.0, "quantile": 1.0}])
