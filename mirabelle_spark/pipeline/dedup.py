@@ -313,7 +313,17 @@ def simhash_near_dups(
         )
     width = 64 // chunks
     mask = (1 << width) - 1
-    sh = simhash64(df, text_col).select(id_col, "simhash")
+    # pin the signature table (id + 64-bit hash, ~16 B/doc) before the
+    # self-join: both sides then read the checkpoint instead of
+    # re-running the pandas-UDF signature pass per side — at corpus
+    # scale the signature scan is the dominant stage, and this is the
+    # in-query form of the write-once signature table a production
+    # pipeline would materialize. The blocks belong to the returned
+    # handle (context-cleaner frees them on release), the same
+    # contract as resolve_clusters.
+    sh = simhash64(df, text_col).select(id_col, "simhash").localCheckpoint(
+        eager=True
+    )
 
     def piece(c, i):
         # last piece absorbs the remainder bits when 64 % chunks != 0

@@ -323,7 +323,7 @@ def test_dedup_leaves_no_persistent_rdds(doc_df, spark):
         )
         clusters.collect()
         # async context-cleaner may lag a previous iteration's release
-        deadline = _time.time() + 30
+        deadline = _time.time() + 60
         while persistent_count() > base + 1 and _time.time() < deadline:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
@@ -332,3 +332,4 @@ def test_dedup_leaves_no_persistent_rdds(doc_df, spark):
         assert n_after <= base + 1, f"leaked {n_after - base} cached RDDs"
         del clusters
         gc.collect()
+        spark.sparkContext._jvm.System.gc()
