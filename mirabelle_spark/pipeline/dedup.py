@@ -223,7 +223,12 @@ def ngram_jaccard_pairs(
     # verify join ships each doc's shingle set through the shuffle
     # twice, and xxhash64 narrows those rows ~10× at corpus scale;
     # distinct strings keep distinct hashes (collisions negligible),
-    # so |∩| and |∪| — hence Jaccard — are unchanged
+    # so |∩| and |∪| — hence Jaccard — are unchanged. The table is
+    # referenced by both join sides and deliberately NOT checkpointed:
+    # recomputing the Catalyst-side shingle pass streams in parallel
+    # with the join and measured FASTER (4.8 s vs 5.3-6.1 s at sf0.1)
+    # than an eager-checkpoint barrier — the opposite call from the
+    # SimHash path, whose pandas-UDF signature pass dominates.
     sh = df.select(
         F.col(id_col),
         F.transform(
