@@ -37,9 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (50/50 green in CORRECTNESS_r04) rotates below the fold; every
 # registered query then has a driver-green row within two rounds.
 GATE_PRIORITY = [
-    # (a) changed in r5
+    # (a) changed or new in r5
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs",
-    "dedup_clusters", "ann_ivf_topk",
+    "dedup_clusters", "ann_ivf_topk", "hash_sample_docs",
+    "contamination_docs",
     # (b) never driver-gated
     "text_repetition",
     # (c) last gated in r3
@@ -56,8 +57,8 @@ GATE_PRIORITY = [
     "text_bpe_token_count", "text_quality", "text_lang_id",
     "text_fingerprint", "text_rolling_fp", "multimodal_features",
     "tpch_pricing_summary", "revenue_by_nation", "order_priority_counts",
-    # (d) integration / flagship representatives
-    "dsl_pipeline", "dedup_exact_docs", "agg_sum_hourly",
+    # (d) integration / flagship representative
+    "dsl_pipeline",
 ]
 
 

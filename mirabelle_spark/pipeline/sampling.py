@@ -1,0 +1,81 @@
+"""Deterministic sampling & decontamination for training corpora.
+
+Both are staples of a 100 TB data pipeline that the reference (an
+event-stream engine) has no analog for, built scale-first:
+
+- :func:`hash_sample` — reproducible subsetting. `df.sample()` is
+  seed-AND-partitioning dependent (a repartition changes the
+  sample); hashing a stable key is the production pattern: the same
+  rows are selected on any cluster layout, any engine, forever.
+  Pure Catalyst, no shuffle, predicate-pushdown friendly.
+- :func:`contamination` — benchmark decontamination: flag corpus
+  documents sharing ≥ k word-shingles with any benchmark text. The
+  benchmark side is tiny by construction → broadcast hash join on
+  the shingle hash; the corpus streams through one explode +
+  semi-aggregation. Never an all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mirabelle_spark.pipeline.dedup import word_shingles
+
+
+def stable_hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Engine-portable bucket in [0, buckets): md5 of the key's
+    string form, first 60 bits, mod buckets — the same md5-prefix
+    trick the MinHash oracle uses, so DuckDB reproduces the exact
+    sample (`('0x' || substr(md5(x), 1, 15))::BIGINT % buckets`)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return h % F.lit(buckets)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction_pct: int,
+    key_col: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep rows whose stable hash bucket < ``fraction_pct`` —
+    a deterministic ~fraction_pct% sample, independent of
+    partitioning, engine, and run order."""
+    return df.filter(stable_hash_bucket(F.col(key_col), buckets) < fraction_pct)
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Documents sharing ≥ ``min_shared`` distinct word n-gram
+    shingles with ANY benchmark text → (id, shared_shingles).
+
+    Plan shape: benchmark shingles (tiny) explode → distinct →
+    broadcast; corpus shingles explode once; inner hash join on the
+    64-bit shingle hash; count distinct shared shingles per doc.
+    The corpus never shuffles its text — only (id, hash) pairs that
+    actually collide with the benchmark reach the aggregation.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), shingle_n)).alias("__s__")
+        )
+        .select(F.xxhash64("__s__").alias("__h__"))
+        .distinct()
+    )
+    corpus_sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s__"),
+    ).select(id_col, F.xxhash64("__s__").alias("__h__"))
+    hits = corpus_sh.join(F.broadcast(bench_sh), "__h__")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("__h__").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )

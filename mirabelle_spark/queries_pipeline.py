@@ -435,6 +435,68 @@ ORACLES["embedding_near_dups"] = _near_dup_oracle(threshold=0.2, planes=6, table
 
 
 # ---------------------------------------------------------------------------
+# sampling / decontamination
+
+
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+  FROM words
+)"""
+
+
+@q(
+    "hash_sample_docs",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+""",
+)
+def hash_sample_docs(spark, sf):
+    """Deterministic ~10% corpus sample by stable key hash —
+    reproducible across engines, partitionings, and runs (unlike
+    seeded df.sample, which changes with the split layout)."""
+    from mirabelle_spark.pipeline import sampling
+
+    return sampling.hash_sample(docs(spark, sf), 10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@q(
+    "contamination_docs",
+    f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+hits AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 5
+)
+SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS shared_shingles
+FROM hits GROUP BY doc_id HAVING count(DISTINCT s) >= 2
+""",
+)
+def contamination_docs(spark, sf):
+    """Benchmark decontamination: corpus docs (id >= 5) sharing >= 2
+    word-trigram shingles with the benchmark set (docs 0-4). The
+    benchmark shingle table broadcasts; the oracle joins on shingle
+    strings where Spark joins on xxhash64 (identical result barring
+    a 2^-64 collision)."""
+    from mirabelle_spark.pipeline import sampling
+
+    d = docs(spark, sf)
+    return sampling.contamination(
+        d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5), min_shared=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis
 
 

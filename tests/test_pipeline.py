@@ -333,3 +333,39 @@ def test_dedup_leaves_no_persistent_rdds(doc_df, spark):
         del clusters
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    """hash_sample must select the SAME rows regardless of
+    partitioning (the property seeded df.sample lacks), at roughly
+    the requested rate."""
+    from mirabelle_spark.pipeline import sampling
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in sampling.hash_sample(df, 10).collect()}
+    b = {r.doc_id for r in sampling.hash_sample(df.repartition(7), 10).collect()}
+    assert a == b
+    assert 700 <= len(a) <= 1300  # ~10% of 10k
+
+
+def test_contamination_shared_shingles(spark):
+    """Docs sharing >= min_shared trigram shingles with a benchmark
+    text are flagged with the exact overlap count; clean docs are
+    not."""
+    from mirabelle_spark.pipeline import sampling
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "look the quick brown fox jumps away"),   # shares 3 shingles
+            (11, "a quick brown cat sits on the mat"),     # shares 0 trigrams
+            (12, "the quick brown fox appears"),           # shares 2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.shared_shingles
+           for r in sampling.contamination(corpus, bench, min_shared=2).collect()}
+    assert out == {10: 3, 12: 2}
