@@ -40,7 +40,7 @@ GATE_PRIORITY = [
     # (a) changed or new in r5
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "ann_ivf_topk", "hash_sample_docs",
-    "contamination_docs",
+    "contamination_docs", "boilerplate_removed_docs",
     # (b) never driver-gated
     "text_repetition",
     # (c) last gated in r3
@@ -57,8 +57,6 @@ GATE_PRIORITY = [
     "text_bpe_token_count", "text_quality", "text_lang_id",
     "text_fingerprint", "text_rolling_fp", "multimodal_features",
     "tpch_pricing_summary", "revenue_by_nation", "order_priority_counts",
-    # (d) integration / flagship representative
-    "dsl_pipeline",
 ]
 
 

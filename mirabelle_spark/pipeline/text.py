@@ -152,3 +152,46 @@ def ngram_repetition(
         1.0 - F.size(F.array_distinct(grams)).cast("double") / k.cast("double")
     )
     return df.withColumn(out, ratio)
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every line that appears (exactly, after trim) in at
+    least ``min_docs`` distinct documents — the C4/RefinedWeb-style
+    boilerplate rule (nav bars, cookie banners, license headers) —
+    and rebuild each document from its surviving lines in order.
+    Documents with no surviving lines are dropped.
+
+    Scale shape: lines explode once; the per-line doc-frequency
+    count is a hash aggregation on the 64-bit line hash (the line
+    text itself never shuffles twice); membership is a left-anti
+    join on that hash; reassembly is one groupBy with an in-group
+    sort (array_sort over (pos, line) structs) — order restored
+    without a window function.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
+    ).withColumn("__line__", F.trim(F.col("__line__")))
+    lines = lines.withColumn("__h__", F.xxhash64("__line__"))
+    boiler = (
+        lines.groupBy("__h__")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs__"))
+        .filter(F.col("__docs__") >= min_docs)
+        .select("__h__")
+    )
+    kept = lines.join(boiler, "__h__", "left_anti")
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__pos__"), F.col("__line__")))
+        ),
+        lambda s: s["__line__"],
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_join(ordered, "\n").alias("text_clean"))
+    )

@@ -636,6 +636,36 @@ def text_rolling_fp(spark, sf):
     return text.rolling_fingerprint(docs(spark, sf)).select("doc_id", "rolling_fp")
 
 
+@q(
+    "boilerplate_removed_docs",
+    """
+WITH lx AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+), flat AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) + 1),
+                  i -> {'pos': i, 'line': trim(l[i])})) AS u
+    FROM lx
+  )
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS d FROM flat GROUP BY line
+), kept AS (
+  SELECT flat.doc_id, flat.pos, flat.line
+  FROM flat JOIN freq USING (line) WHERE freq.d < 3
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+FROM kept GROUP BY doc_id
+""",
+)
+def boilerplate_removed_docs(spark, sf):
+    """C4-style boilerplate rule over the corpus: drop lines shared
+    by >= 3 docs, rebuild the survivors in order. The oracle joins
+    on line strings where Spark joins on xxhash64 (identical barring
+    a 2^-64 collision)."""
+    return text.remove_boilerplate_lines(docs(spark, sf), min_docs=3)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

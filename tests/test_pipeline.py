@@ -369,3 +369,26 @@ def test_contamination_shared_shingles(spark):
     out = {r.doc_id: r.shared_shingles
            for r in sampling.contamination(corpus, bench, min_shared=2).collect()}
     assert out == {10: 3, 12: 2}
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines shared by >= min_docs docs vanish; surviving lines keep
+    their original order; fully-boilerplate docs drop out."""
+    from mirabelle_spark.pipeline import text
+
+    banner = "ACCEPT COOKIES"
+    footer = "copyright acme corp"
+    rows = [
+        (0, f"{banner}\nunique zero\n{footer}"),
+        (1, f"{banner}\nfirst line one\nsecond line one\n{footer}"),
+        (2, f"{banner}\nunique two\n{footer}"),
+        (3, f"{banner}\n{footer}"),  # nothing survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.text_clean
+           for r in text.remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert out == {
+        0: "unique zero",
+        1: "first line one\nsecond line one",
+        2: "unique two",
+    }
