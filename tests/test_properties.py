@@ -244,3 +244,26 @@ def test_multiset_matcher_permutation_invariant(rows, perm_seed):
         # removing one occurrence breaks the match in both directions
         assert _multiset_mismatches(shuffled[1:], rows)
         assert _multiset_mismatches(shuffled, rows[1:])
+
+
+@given(
+    buckets=st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SLOW
+def test_bucket_pairs_matches_combinations(spark, buckets):
+    """_bucket_pairs == distinct itertools.combinations over each
+    bucket's sorted distinct ids (random buckets incl. empties,
+    singletons, duplicate ids, and cross-bucket overlap)."""
+    from itertools import combinations
+
+    from mirabelle_spark.pipeline.dedup import _bucket_pairs
+
+    rows = [(sorted(set(b)),) for b in buckets]
+    df = spark.createDataFrame(rows, "ids array<bigint>")
+    got = {(r.id_a, r.id_b) for r in _bucket_pairs(df, "ids").collect()}
+    want = {p for ids, in rows for p in combinations(ids, 2)}
+    assert got == want
