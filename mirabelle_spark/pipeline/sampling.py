@@ -79,3 +79,53 @@ def contamination(
         .agg(F.count_distinct("__h__").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic n-per-group subset: rank rows inside each group
+    by their stable hash (tie-broken by key) and keep the first n —
+    source/language rebalancing with the same reproducibility
+    guarantee as :func:`hash_sample`. The rank window partitions on
+    the group column; at scale group counts are few and the heavy
+    lifting is the per-partition sort of (hash, key) pairs — no
+    driver-side sampling state."""
+    from pyspark.sql import Window as W
+
+    h = stable_hash_bucket(F.col(key_col), 1 << 60)
+    w = W.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= n_per_group)
+        .drop("__rk__")
+    )
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def mask_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_masked",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Replace email addresses and phone-number-shaped spans with
+    typed placeholder tokens — the standard pre-training scrub.
+    Pure Catalyst regexp_replace (two passes, one projection); the
+    patterns deliberately avoid constructs that differ between Java
+    regex and RE2 so the DuckDB oracle applies the identical rule."""
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, email_token),
+        PHONE_RE,
+        phone_token,
+    )
+    return df.withColumn(out_col, masked)

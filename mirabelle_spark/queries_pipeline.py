@@ -471,6 +471,50 @@ def hash_sample_docs(spark, sf):
 
 
 @q(
+    "stratified_sample_docs",
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1152921504606846976, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+)
+def stratified_sample_docs(spark, sf):
+    """Deterministic 20-per-language subset ranked by stable hash —
+    source rebalancing that reproduces exactly on any engine."""
+    from mirabelle_spark.pipeline import sampling
+
+    return sampling.stratified_sample(docs(spark, sf), 20, "lang").select(
+        "doc_id", "lang"
+    )
+
+
+@q(
+    "mask_pii_docs",
+    """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM documents
+""",
+)
+def mask_pii_docs(spark, sf):
+    """PII scrub: emails and phone-shaped spans replaced by typed
+    tokens, same conservative Java-regex/RE2-compatible patterns on
+    both engines."""
+    from mirabelle_spark.pipeline import sampling
+
+    return sampling.mask_pii(docs(spark, sf)).select("doc_id", "text_masked")
+
+
+@q(
     "contamination_docs",
     f"""
 WITH {_SHINGLE_CTE},

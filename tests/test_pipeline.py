@@ -392,3 +392,38 @@ def test_remove_boilerplate_lines(spark):
         1: "first line one\nsecond line one",
         2: "unique two",
     }
+
+
+def test_stratified_sample_per_group(spark):
+    """Exactly n per group (or the whole group if smaller),
+    deterministic across partitionings."""
+    from mirabelle_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(100)],
+        "doc_id bigint, lang string",
+    )
+    out = sampling.stratified_sample(df, 5, "lang")
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "fr": 5}
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in
+         sampling.stratified_sample(df.repartition(7), 5, "lang").collect()}
+    assert a == b
+    # a group smaller than n survives whole
+    tiny = spark.createDataFrame([(1, "de"), (2, "de")], "doc_id bigint, lang string")
+    assert sampling.stratified_sample(tiny, 5, "lang").count() == 2
+
+
+def test_mask_pii(spark):
+    from mirabelle_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@ex-ample.org or call +1 (555) 123-4567 now"),
+         (1, "no pii here, just v1.2 and 42")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.text_masked for r in sampling.mask_pii(df).collect()}
+    assert out[0] == "mail <EMAIL> or call <PHONE> now"
+    assert out[1] == "no pii here, just v1.2 and 42"
