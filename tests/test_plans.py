@@ -110,3 +110,32 @@ def test_gate_priority_names_are_registered():
     assert first50 == E.GATE_PRIORITY[:50]
     no_oracle = [n for n in qs if n not in oracles]
     assert not no_oracle, f"queries without oracles: {no_oracle}"
+
+
+def test_top_suppliers_take_ordered(spark, qs):
+    """Global top-k must be TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full sort or an unpartitioned
+    row_number window (PERF.md §11)."""
+    plan = _plan(qs["top_suppliers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # the rank column's Window must sit ABOVE the limit (ranking the
+    # 10 surviving rows), never below it over the full aggregate
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_ivf_topk_broadcasts_and_stays_jvm(spark, qs):
+    """IVF probe joins must broadcast the tiny sides (centroids,
+    query probes) and the whole query must stay in the JVM — the
+    fixed-quantizer assignment is Catalyst arithmetic, not a UDF."""
+    plan = _plan(qs["ann_ivf_topk"](spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "Python" not in plan
+
+
+def test_hash_sample_pushes_to_scan(spark, qs):
+    """The stable-hash sample predicate is a deterministic filter —
+    it must run inside the scan stage (no exchange at all in the
+    plan: a sample is map-side by construction)."""
+    plan = _plan(qs["hash_sample_docs"](spark, SF_DIR))
+    assert "Exchange" not in plan
