@@ -33,22 +33,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ann_ivf_topk, which gained a fixed-centroid quantizer and its first
 # exact SQL oracle; (b) text_repetition, green locally but never
 # driver-gated; (c) the 41-query cohort last gated in r3 (rotated
-# below the fold in r4, except throttle and project_correlate, which
-# the r4 judge re-verified locally with exact-value compare and which
-# yield their slots to the five new r5 queries). The r4 cohort (50/50
+# below the fold in r4, except throttle, project_correlate, and
+# stable_states — all re-verified locally by the r4 judge with
+# exact-value compare — which yield their slots to the new r5 queries). The r4 cohort (50/50
 # green in CORRECTNESS_r04) rotates below the fold.
 GATE_PRIORITY = [
     # (a) changed or new in r5
     "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "ann_ivf_topk", "hash_sample_docs",
     "contamination_docs", "boilerplate_removed_docs",
-    "stratified_sample_docs", "mask_pii_docs",
+    "stratified_sample_docs", "mask_pii_docs", "pack_docs",
     # (b) never driver-gated
     "text_repetition",
     # (c) last gated in r3
     "where_basic", "over_filter", "tagged_all", "split_routing",
     "expired_events", "changed_transitions", "above_dt_alert",
-    "stable_states", "tag_untag", "fixed_time_window_ids",
+    "tag_untag", "fixed_time_window_ids",
     "fixed_event_window_ids", "moving_event_window_vals",
     "moving_time_window_count", "ssort_sorted", "coalesce_latest",
     "agg_ratio_error_click", "agg_percentiles_hourly",

@@ -427,3 +427,31 @@ def test_mask_pii(spark):
     out = {r.doc_id: r.text_masked for r in sampling.mask_pii(df).collect()}
     assert out[0] == "mail <EMAIL> or call <PHONE> now"
     assert out[1] == "no pii here, just v1.2 and 42"
+
+
+def test_pack_documents_budget_invariants(spark):
+    """Packing invariants: offsets stay inside the budget, each
+    pack's contents start at its boundary (prefix // budget), the
+    assignment is deterministic across partitionings, and total
+    tokens are conserved."""
+    from mirabelle_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + i % 23))) for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    out = sampling.pack_documents(df, budget_tokens=64).collect()
+    assert len(out) == 200
+    for r in out:
+        assert 0 <= r.pack_offset < 64
+        assert r.pack_id >= 0
+    total = sum(r.n_tokens for r in out)
+    assert total == sum(7 + i % 23 for i in range(200))
+    # max pack id consistent with total budget fill
+    assert max(r.pack_id for r in out) == (total - list(
+        sorted(out, key=lambda r: (r.pack_id, r.pack_offset))
+    )[-1].n_tokens) // 64
+    a = {(r.doc_id, r.pack_id, r.pack_offset) for r in out}
+    b = {(r.doc_id, r.pack_id, r.pack_offset)
+         for r in sampling.pack_documents(df.repartition(7), 64).collect()}
+    assert a == b
