@@ -136,9 +136,10 @@ def pack_documents(
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    by: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget packs for sequence
-    packing: order the corpus deterministically (stable hash, id
+    packing: order documents deterministically (stable hash, id
     tie-break), take the exclusive running token sum, and cut packs
     at budget boundaries — ``pack_id = floor(prefix_tokens /
     budget)``, ``pack_offset = prefix_tokens % budget``. A document
@@ -147,26 +148,27 @@ def pack_documents(
     spills the tail), so packing is a single window cumsum — no
     sequential greedy state, fully parallel, and engine-portable.
 
-    Scale note: the window is a GLOBAL ordering — correct for the
-    semantic, but a single range partition sort at the far end. At
-    real scale, pack within shards: call this per source/date
-    partition (group the input first) so each shard sorts
-    independently; pack ids are then (shard, pack_id).
+    ``by`` shards the packing (window PARTITION BY): each shard —
+    source, language, date partition — sorts and packs
+    independently, so there is no global single-partition sort and
+    pack identity is (shard, pack_id). Pass None only for
+    small corpora where one global ordering is acceptable.
     """
-    from mirabelle_spark.pipeline.text import token_count
-
     from pyspark.sql import Window as W
+
+    from mirabelle_spark.pipeline.text import token_count
 
     t = token_count(df, text_col=text_col, out="__tok__")
     h = stable_hash_bucket(F.col(id_col), 1 << 60)
-    w = W.orderBy(h, F.col(id_col)).rowsBetween(W.unboundedPreceding, -1)
+    w = W.partitionBy(*([by] if by else [])).orderBy(h, F.col(id_col)).rowsBetween(
+        W.unboundedPreceding, -1
+    )
     prefix = F.coalesce(F.sum("__tok__").over(w), F.lit(0))
-    return (
-        t.withColumn("__pre__", prefix)
-        .select(
-            F.col(id_col),
-            F.col("__tok__").alias("n_tokens"),
-            F.expr(f"__pre__ div {budget_tokens}").alias("pack_id"),
-            (F.col("__pre__") % budget_tokens).alias("pack_offset"),
-        )
+    cols = [F.col(by)] if by else []
+    return t.withColumn("__pre__", prefix).select(
+        *cols,
+        F.col(id_col),
+        F.col("__tok__").alias("n_tokens"),
+        F.expr(f"__pre__ div {budget_tokens}").alias("pack_id"),
+        (F.col("__pre__") % budget_tokens).alias("pack_offset"),
     )

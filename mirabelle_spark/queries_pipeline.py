@@ -544,7 +544,7 @@ def contamination_docs(spark, sf):
     "pack_docs",
     """
 WITH toks AS (
-  SELECT doc_id,
+  SELECT lang, doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
               AS BIGINT) AS n_tokens,
@@ -552,25 +552,27 @@ WITH toks AS (
            % 1152921504606846976 AS h
   FROM documents
 ), pre AS (
-  SELECT doc_id, n_tokens,
+  SELECT lang, doc_id, n_tokens,
          COALESCE(sum(n_tokens) OVER (
+           PARTITION BY lang
            ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS p
   FROM toks
 )
-SELECT doc_id, n_tokens,
+SELECT lang, doc_id, n_tokens,
        CAST(p // 2048 AS BIGINT) AS pack_id,
        CAST(p % 2048 AS BIGINT) AS pack_offset
 FROM pre
 """,
 )
 def pack_docs(spark, sf):
-    """Sequence packing: docs → 2048-token packs via a window
+    """Sequence packing: per-language 2048-token packs via a window
     cumsum over a deterministic (stable-hash, id) order — the
-    chunk-by-cumulative-size rule, no sequential state."""
+    chunk-by-cumulative-size rule, no sequential state and no
+    global single-partition sort (shard = lang)."""
     from mirabelle_spark.pipeline import sampling
 
-    return sampling.pack_documents(docs(spark, sf), 2048)
+    return sampling.pack_documents(docs(spark, sf), 2048, by="lang")
 
 
 # ---------------------------------------------------------------------------

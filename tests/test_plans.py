@@ -139,3 +139,10 @@ def test_hash_sample_pushes_to_scan(spark, qs):
     plan: a sample is map-side by construction)."""
     plan = _plan(qs["hash_sample_docs"](spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_pack_docs_shards_without_global_sort(spark, qs):
+    """Sharded packing (PARTITION BY lang) must never plan a
+    single-partition exchange — the global-ordering variant is
+    opt-in for small corpora only."""
+    assert "SinglePartition" not in _plan(qs["pack_docs"](spark, SF_DIR))
