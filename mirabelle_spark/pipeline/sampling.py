@@ -90,18 +90,48 @@ def stratified_sample(
     """Deterministic n-per-group subset: rank rows inside each group
     by their stable hash (tie-broken by key) and keep the first n —
     source/language rebalancing with the same reproducibility
-    guarantee as :func:`hash_sample`. The rank window partitions on
-    the group column; at scale group counts are few and the heavy
-    lifting is the per-partition sort of (hash, key) pairs — no
-    driver-side sampling state."""
+    guarantee as :func:`hash_sample`.
+
+    Two-phase top-n, NOT a row_number window over the raw table: a
+    rank window partitioned by group sends every row of a group
+    through one task's sort — with group_col="lang" on a 100 TB
+    corpus the "en" group is tens of TB in a single reducer.
+    Instead:
+
+    1. per (group, input-partition) keep the n smallest (hash, key)
+       pairs as a bounded sorted array — map-side, reads only the
+       two pruned columns, no shuffle of the data rows;
+    2. exact-rank the merged candidates (≤ n × partitions rows per
+       group — the only window sort, over a set that fits trivially);
+    3. broadcast left-semi join the selected keys back onto the
+       table — the corpus itself never shuffles.
+
+    Any true global top-n row of a group is a top-n row of its own
+    partition slice, so the result is exactly the old single-window
+    answer, independent of partitioning."""
     from pyspark.sql import Window as W
 
     h = stable_hash_bucket(F.col(key_col), 1 << 60)
-    w = W.partitionBy(group_col).orderBy(h, F.col(key_col))
-    return (
-        df.withColumn("__rk__", F.row_number().over(w))
+    hk = F.struct(h.alias("h"), F.col(key_col).alias("k"))
+    cand = (
+        df.select(F.col(group_col), hk.alias("__hk__"))
+        .withColumn("__pid__", F.spark_partition_id())
+        .groupBy(group_col, "__pid__")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("__hk__")), 1, n_per_group
+            ).alias("__top__")
+        )
+        .select(group_col, F.explode("__top__").alias("__hk__"))
+    )
+    w = W.partitionBy(group_col).orderBy(F.col("__hk__.h"), F.col("__hk__.k"))
+    sel = (
+        cand.withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") <= n_per_group)
-        .drop("__rk__")
+        .select(F.col("__hk__.k").alias("__sel_key__"))
+    )
+    return df.join(
+        F.broadcast(sel), F.col(key_col) == F.col("__sel_key__"), "left_semi"
     )
 
 

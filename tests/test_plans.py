@@ -146,3 +146,18 @@ def test_pack_docs_shards_without_global_sort(spark, qs):
     single-partition exchange — the global-ordering variant is
     opt-in for small corpora only."""
     assert "SinglePartition" not in _plan(qs["pack_docs"](spark, SF_DIR))
+
+
+def test_stratified_sample_two_phase_no_group_reducer(spark, qs):
+    """Stratified sampling must never sort a whole group in one
+    task. The plan must show (a) the bounded per-(group, partition)
+    candidate phase (partial collect_list before any group-keyed
+    exchange), and (b) the corpus probing the selected keys through
+    a broadcast semi-join with no shuffle on the probe side."""
+    plan = _plan(qs["stratified_sample_docs"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "partial_collect_list" in plan
+    # probe side of the semi-join = text between the join node and
+    # its BroadcastExchange child: a bare FileScan, no Exchange
+    probe = plan[plan.index("BroadcastHashJoin"): plan.index("BroadcastExchange")]
+    assert "FileScan" in probe and "Exchange" not in probe
