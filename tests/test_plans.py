@@ -161,3 +161,13 @@ def test_stratified_sample_two_phase_no_group_reducer(spark, qs):
     # its BroadcastExchange child: a bare FileScan, no Exchange
     probe = plan[plan.index("BroadcastHashJoin"): plan.index("BroadcastExchange")]
     assert "FileScan" in probe and "Exchange" not in probe
+
+
+def test_simhash_signature_is_pure_catalyst(spark, qs):
+    """The SimHash signature pass must stay JVM-side end to end:
+    exploded tokens → 64 conditional ±1 partial sums → bit-pack —
+    no Python evaluation anywhere in the plan, and the signature
+    aggregation must partial-aggregate map-side (one exchange at
+    doc grain, like minhash_signatures)."""
+    plan = _plan(qs["simhash_pairs"](spark, SF_DIR))
+    assert "Python" not in plan and "pandas" not in plan.lower()
