@@ -86,6 +86,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    shingle_hash: str = "portable",
 ) -> DataFrame:
     """Per-doc k-minhash signature as k columns ``m0..m{k-1}``.
 
@@ -96,19 +97,33 @@ def minhash_signatures(
     shingle construction k times per row — 200× slower in practice.
     One shuffle on id, partial min map-side. Docs with fewer than
     ``shingle_n`` words produce no signature (no shingles).
+
+    ``shingle_hash`` picks the per-shingle 32-bit hash:
+
+    - ``"portable"`` (default): md5-derived — engine-reproducible,
+      so the DuckDB oracle rebuilds every signature exactly
+      (``('0x'||substr(md5,1,15))::BIGINT % 2^32``). The gate path.
+    - ``"fast"``: ``xxhash64`` folded to 32 bits — the production
+      path for a 100 TB run (one JVM hash, no hex-string parse;
+      md5+conv is ~4× the per-shingle cost). Signatures are only
+      reproducible by Spark, so near-dup sets may differ from the
+      portable twin at the band threshold — same LSH guarantees,
+      different hash family.
     """
     from mirabelle_spark.scale import ensure_parallelism
 
+    if shingle_hash not in ("portable", "fast"):
+        raise ValueError(f"shingle_hash must be 'portable' or 'fast', got {shingle_hash!r}")
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s__")
     )
-    # md5-derived 32-bit shingle hash (first 60 bits of the hex digest
-    # mod 2^32): engine-portable, so a SQL oracle (DuckDB
-    # ('0x'||substr(md5,1,15))::BIGINT) reproduces signatures exactly.
-    h = (
-        F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
-        % F.lit(4294967296)
-    )  # [0, 2^32)
+    if shingle_hash == "fast":
+        h = F.pmod(F.xxhash64(F.col("__s__")), F.lit(4294967296))  # [0, 2^32)
+    else:
+        h = (
+            F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
+            % F.lit(4294967296)
+        )  # [0, 2^32)
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
@@ -123,6 +138,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 8,
     shingle_n: int = 3,
+    shingle_hash: str = "portable",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -143,7 +159,7 @@ def minhash_lsh_candidates(
     signature cost, is what kills LSH jobs at scale.
     """
     r = num_hashes // bands
-    base = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    base = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_hash)
     band_entries = base.select(
         id_col,
         F.explode(
@@ -207,15 +223,20 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 8,
+    shingle_hash: str = "portable",
 ) -> DataFrame:
     """Near-dup pairs with EXACT n-gram Jaccard ≥ threshold,
     pre-filtered by MinHash-LSH candidates (verify-after-bucket).
 
     Jaccard on distinct shingle sets via array_intersect/union —
-    JVM-side, only on candidate pairs.
+    JVM-side, only on candidate pairs. ``shingle_hash="fast"`` takes
+    the xxhash64 candidate path (see :func:`minhash_signatures`);
+    the exact-Jaccard verify makes the final pair set far less
+    sensitive to the candidate hash family than raw LSH output.
     """
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, shingle_hash=shingle_hash,
     )
     # intersect 64-bit shingle hashes, not the shingle strings: the
     # verify join ships each doc's shingle set through the shuffle

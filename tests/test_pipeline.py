@@ -49,6 +49,36 @@ def test_ngram_jaccard_exact_values(doc_df):
     assert 0.4 <= pairs[(0, 2)] < 1.0
 
 
+def test_minhash_fast_hash_flag(doc_df):
+    """The xxhash64 production path keeps the LSH guarantees: exact
+    dups still collide on every band, unrelated docs still never
+    pair, and the exact-Jaccard verify returns the same verified
+    pairs as the portable md5 twin on this corpus."""
+    from mirabelle_spark.pipeline import dedup
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            doc_df, num_hashes=64, bands=16, shingle_hash="fast"
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+    fast = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            doc_df, threshold=0.4, bands=16, shingle_hash="fast"
+        ).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(doc_df, threshold=0.4, bands=16).collect()
+    }
+    assert fast == portable
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(doc_df, shingle_hash="md5sum")
+
+
 def test_simhash_hamming(doc_df):
     from mirabelle_spark.pipeline import dedup
 
