@@ -58,7 +58,11 @@ def _multiset_mismatches(got: list[dict], exp: list[dict]) -> list[str]:
     # greedily eating a row can strand a narrower one that only that
     # row satisfies — specificity ordering makes greedy exact here
     # whenever expectations are nested (the overlap shape the EDN
-    # corpus actually uses)
+    # corpus actually uses). Known limit: two same-arity expectations
+    # whose match sets overlap but aren't nested can still strand each
+    # other (greedy != maximum bipartite matching); if the corpus ever
+    # grows such a case, replace this loop with Hopcroft–Karp over the
+    # subset-match relation
     for e in sorted(exp, key=lambda d: -len(d)):
         hit = next(
             (

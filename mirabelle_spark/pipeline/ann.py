@@ -189,7 +189,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -225,11 +225,17 @@ def ivf_topk(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        nlist = 16 if nlist is None else nlist
         feat = c.withColumn("__feat__", array_to_vector(F.col("__cv__")))
         km = KMeans(k=nlist, seed=seed, featuresCol="__feat__", predictionCol="__p__")
         model = km.fit(feat)
         centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
     else:
+        if nlist is not None and nlist != len(centroids):
+            raise ValueError(
+                f"nlist={nlist} contradicts len(centroids)={len(centroids)}; "
+                "pass one or the other"
+            )
         nlist = len(centroids)
 
     def sqdist(vec: Column, ctr: Column) -> Column:

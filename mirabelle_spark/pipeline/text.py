@@ -178,8 +178,12 @@ def remove_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
     ).withColumn("__line__", F.trim(F.col("__line__")))
     lines = lines.withColumn("__h__", F.xxhash64("__line__"))
+    # blank lines are structure, not boilerplate: after trim they all
+    # share one hash, so counting them would strip every paragraph
+    # break corpus-wide once min_docs docs contain any blank line
     boiler = (
-        lines.groupBy("__h__")
+        lines.filter(F.length("__line__") > 0)
+        .groupBy("__h__")
         .agg(F.count_distinct(F.col(id_col)).alias("__docs__"))
         .filter(F.col("__docs__") >= min_docs)
         .select("__h__")

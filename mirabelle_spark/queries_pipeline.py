@@ -728,20 +728,23 @@ WITH lx AS (
     FROM lx
   )
 ), freq AS (
-  SELECT line, count(DISTINCT doc_id) AS d FROM flat GROUP BY line
+  SELECT line, count(DISTINCT doc_id) AS d FROM flat
+  WHERE length(line) > 0 GROUP BY line
 ), kept AS (
   SELECT flat.doc_id, flat.pos, flat.line
-  FROM flat JOIN freq USING (line) WHERE freq.d < 3
+  FROM flat LEFT JOIN freq USING (line)
+  WHERE freq.d IS NULL OR freq.d < 3
 )
 SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
 FROM kept GROUP BY doc_id
 """,
 )
 def boilerplate_removed_docs(spark, sf):
-    """C4-style boilerplate rule over the corpus: drop lines shared
-    by >= 3 docs, rebuild the survivors in order. The oracle joins
-    on line strings where Spark joins on xxhash64 (identical barring
-    a 2^-64 collision)."""
+    """C4-style boilerplate rule over the corpus: drop non-blank
+    lines shared by >= 3 docs (blank lines are paragraph structure,
+    never boilerplate), rebuild the survivors in order. The oracle
+    joins on line strings where Spark joins on xxhash64 (identical
+    barring a 2^-64 collision)."""
     return text.remove_boilerplate_lines(docs(spark, sf), min_docs=3)
 
 

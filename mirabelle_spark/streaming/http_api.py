@@ -70,9 +70,12 @@ class StreamApi:
         expected_auth = None
         if basic_auth is not None:
             user, password = basic_auth
-            expected_auth = "Basic " + base64.b64encode(
+            # kept as bytes: stdlib headers are latin-1 decoded str, and
+            # hmac.compare_digest on str raises TypeError for non-ASCII
+            # input — comparing bytes never does.
+            expected_auth = b"Basic " + base64.b64encode(
                 f"{user}:{password}".encode("utf-8")
-            ).decode("ascii")
+            )
         api = self
 
         class _Req(BaseHTTPRequestHandler):
@@ -102,7 +105,8 @@ class StreamApi:
 
             def _route(self, method: str):
                 if expected_auth is not None and not hmac.compare_digest(
-                    self.headers.get("Authorization", ""), expected_auth
+                    self.headers.get("Authorization", "").encode("latin-1"),
+                    expected_auth,
                 ):
                     data = json.dumps({"error": "unauthorized"}).encode("utf-8")
                     self.send_response(401)

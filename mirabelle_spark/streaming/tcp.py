@@ -28,12 +28,32 @@ from __future__ import annotations
 
 import logging
 import socketserver
+import ssl
 import struct
 import threading
 
 from mirabelle_spark.riemann_wire import decode_msg
 
 _LOG = logging.getLogger("mirabelle_spark.streaming.tcp")
+
+
+def server_ssl_context(
+    key: str, cert: str, cacert: str | None = None, mtls: bool = True
+) -> ssl.SSLContext:
+    """TLS context for the ingest edge (transport/tcp.clj:110-129 —
+    ``ssl/ssl-context key cert cacert`` + ``setNeedClientAuth true``).
+
+    The reference enables TLS when key+cert+cacert are all present and
+    always demands a client certificate; ``mtls=False`` relaxes that
+    for server-auth-only deployments (a superset of the reference).
+    """
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=cert, keyfile=key)
+    if cacert is not None:
+        ctx.load_verify_locations(cafile=cacert)
+    if mtls:
+        ctx.verify_mode = ssl.CERT_REQUIRED
+    return ctx
 
 OK_MSG = b"\x10\x01"  # Msg{ok: true}: field 2, varint 1
 
@@ -42,7 +62,9 @@ def error_msg(text: str) -> bytes:
     """Msg{ok: false, error: text} wire bytes."""
     b = text.encode("utf-8")
     if len(b) >= 0x80:  # keep the varint single-byte; truncate long errors
-        b = b[:127]
+        # re-decode with errors="ignore" so the cut never splits a
+        # multi-byte UTF-8 sequence (protobuf strings must be valid UTF-8)
+        b = b[:127].decode("utf-8", "ignore").encode("utf-8")
     return b"\x10\x00" + b"\x1a" + bytes([len(b)]) + b
 
 
@@ -60,6 +82,7 @@ class RiemannTcpServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_frame: int = 64 * 1024 * 1024,
+        ssl_context: ssl.SSLContext | None = None,
     ):
         self.handler = handler
         srv = self
@@ -89,6 +112,29 @@ class RiemannTcpServer:
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+
+            def get_request(self):
+                # TLS termination per accepted connection, the stdlib
+                # analogue of Netty's per-channel SslHandler
+                # (transport/tcp.clj:110-120, build-initializer ssl arm).
+                sock, addr = super().get_request()
+                if ssl_context is not None:
+                    # handshake deferred to the per-connection thread's
+                    # first read — a slow client must not stall the
+                    # accept loop (Netty handshakes on the channel's own
+                    # event loop for the same reason)
+                    sock = ssl_context.wrap_socket(
+                        sock, server_side=True, do_handshake_on_connect=False
+                    )
+                return sock, addr
+
+            def handle_error(self, request, client_address):
+                # a failed TLS handshake (bad/missing client cert,
+                # plaintext client on a TLS port) must not spam stderr
+                # or kill the accept loop
+                _LOG.warning(
+                    "connection error from %s", client_address, exc_info=True
+                )
 
         self._server = _Server((host, port), _Conn)
         self._thread: threading.Thread | None = None

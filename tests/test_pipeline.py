@@ -485,3 +485,41 @@ def test_pack_documents_budget_invariants(spark):
     b = {(r.doc_id, r.pack_id, r.pack_offset)
          for r in sampling.pack_documents(df.repartition(7), 64).collect()}
     assert a == b
+
+
+def test_remove_boilerplate_keeps_blank_lines(spark):
+    """Blank lines all trim to one shared hash but are paragraph
+    structure, not boilerplate — they must survive even when every
+    document contains one."""
+    from mirabelle_spark.pipeline import text
+
+    banner = "ACCEPT COOKIES"
+    rows = [
+        (0, f"{banner}\npara one\n\npara two"),
+        (1, f"{banner}\nalpha\n\nbeta"),
+        (2, f"{banner}\nsolo\n\nduo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.text_clean
+           for r in text.remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert out == {
+        0: "para one\n\npara two",
+        1: "alpha\n\nbeta",
+        2: "solo\n\nduo",
+    }
+
+
+def test_ivf_topk_rejects_inconsistent_nlist(spark):
+    """Passing both fixed centroids and a contradicting nlist is a
+    config error, not a silent override."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "query_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="contradicts"):
+        ann.ivf_topk(emb, q, nlist=4, centroids=[[1.0, 0.0], [0.0, 1.0]])

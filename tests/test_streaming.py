@@ -1525,3 +1525,159 @@ def test_riemann_tcp_ingest_end_to_end(spark, tmpdir):
     finally:
         srv.stop()
         handler.stop_all()
+
+
+# ---------------------------------------------------------------------------
+# TLS ingest edge (transport/tcp.clj:110-129,175-186)
+
+
+class _RecordingHandler:
+    """Just enough of StreamHandler for the TCP edge: record pushes."""
+
+    def __init__(self):
+        self.pushed = []
+
+    def push_events(self, name, events):
+        self.pushed.append((name, events))
+        return len(events)
+
+
+def _make_certs(tmpdir):
+    """Self-signed CA + server cert (SAN 127.0.0.1) + client cert."""
+    import subprocess
+
+    def run(*args):
+        subprocess.run(args, cwd=tmpdir, check=True, capture_output=True)
+
+    san = os.path.join(tmpdir, "san.cnf")
+    with open(san, "w") as f:
+        f.write("subjectAltName=IP:127.0.0.1,DNS:localhost\n")
+    run("openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+        "-keyout", "ca.key", "-out", "ca.crt", "-days", "2",
+        "-subj", "/CN=test-ca")
+    run("openssl", "req", "-newkey", "rsa:2048", "-nodes",
+        "-keyout", "srv.key", "-out", "srv.csr", "-subj", "/CN=localhost")
+    run("openssl", "x509", "-req", "-in", "srv.csr", "-CA", "ca.crt",
+        "-CAkey", "ca.key", "-CAcreateserial", "-out", "srv.crt",
+        "-days", "2", "-extfile", san)
+    run("openssl", "req", "-newkey", "rsa:2048", "-nodes",
+        "-keyout", "cli.key", "-out", "cli.csr", "-subj", "/CN=test-client")
+    run("openssl", "x509", "-req", "-in", "cli.csr", "-CA", "ca.crt",
+        "-CAkey", "ca.key", "-out", "cli.crt", "-days", "2")
+    return {k: os.path.join(tmpdir, f)
+            for k, f in [("ca", "ca.crt"), ("key", "srv.key"),
+                         ("cert", "srv.crt"), ("cli_key", "cli.key"),
+                         ("cli_cert", "cli.crt")]}
+
+
+def test_riemann_tcp_tls_mtls(tmpdir):
+    """TLS parity with transport/tcp.clj:110-129: when key+cert+cacert
+    are configured the edge terminates TLS and demands a client cert
+    (setNeedClientAuth true). A certified client round-trips a frame;
+    a cert-less TLS client and a plaintext client both fail without
+    killing the server; the recording handler sees routed events."""
+    import socket
+    import ssl as ssl_mod
+    import struct
+
+    from mirabelle_spark.streaming.tcp import (
+        OK_MSG,
+        RiemannTcpServer,
+        server_ssl_context,
+    )
+
+    certs = _make_certs(tmpdir)
+    ctx = server_ssl_context(certs["key"], certs["cert"], certs["ca"])
+    handler = _RecordingHandler()
+    srv = RiemannTcpServer(handler, ssl_context=ctx).start()
+    try:
+        cli = ssl_mod.SSLContext(ssl_mod.PROTOCOL_TLS_CLIENT)
+        cli.load_verify_locations(certs["ca"])
+        cli.load_cert_chain(certs["cli_cert"], certs["cli_key"])
+
+        def read_frame(sock):
+            head = b""
+            while len(head) < 4:
+                head += sock.recv(4 - len(head))
+            (n,) = struct.unpack(">I", head)
+            body = b""
+            while len(body) < n:
+                body += sock.recv(n - len(body))
+            return body
+
+        raw = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s = cli.wrap_socket(raw, server_hostname="localhost")
+        s.sendall(struct.pack(">I", 0))  # empty Msg: zero events
+        assert read_frame(s) == OK_MSG
+        s.close()
+
+        # TLS client WITHOUT a cert: handshake refused (mTLS)
+        nocert = ssl_mod.SSLContext(ssl_mod.PROTOCOL_TLS_CLIENT)
+        nocert.load_verify_locations(certs["ca"])
+        raw = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        with pytest.raises(ssl_mod.SSLError):
+            s2 = nocert.wrap_socket(raw, server_hostname="localhost")
+            s2.sendall(struct.pack(">I", 0))
+            s2.recv(4)  # server aborts after missing certificate
+        raw.close()
+
+        # plaintext client on the TLS port: no ack, connection dies
+        p = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        p.sendall(struct.pack(">I", 0))
+        p.settimeout(5)
+        try:
+            assert p.recv(4) == b""  # server closed on bad ClientHello
+        except (ConnectionResetError, TimeoutError):
+            pass
+        p.close()
+
+        # server is still alive after both failures
+        raw = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s3 = cli.wrap_socket(raw, server_hostname="localhost")
+        s3.sendall(struct.pack(">I", 0))
+        assert read_frame(s3) == OK_MSG
+        s3.close()
+    finally:
+        srv.stop()
+
+
+def test_tcp_error_msg_utf8_safe_truncation():
+    """Truncating a long error must not split a multi-byte UTF-8
+    sequence — protobuf string fields are required to be valid UTF-8
+    and strict clients reject invalid bytes."""
+    from mirabelle_spark.streaming.tcp import error_msg
+
+    m = error_msg("é" * 200)  # 2-byte chars: 127 falls mid-char
+    assert m[:2] == b"\x10\x00" and m[2:3] == b"\x1a"
+    ln = m[3]
+    payload = m[4:4 + ln]
+    assert len(payload) == ln <= 127
+    payload.decode("utf-8")  # must not raise
+
+
+def test_http_api_auth_non_ascii_header(spark, tmpdir):
+    """A non-ASCII Authorization header must earn a clean 401, not a
+    TypeError-aborted connection (headers arrive latin-1 decoded;
+    hmac.compare_digest on str rejects non-ASCII)."""
+    import urllib.error
+    import urllib.request
+
+    from mirabelle_spark.streaming import StreamApi, StreamHandler
+
+    def compile_fn(sp, name, config):
+        raise AssertionError("no streams in this test")
+
+    handler = StreamHandler(
+        spark, os.path.join(tmpdir, "ck"), compile_fn,
+        ingest_root=os.path.join(tmpdir, "in"),
+    )
+    api = StreamApi(handler, basic_auth=("user", "pw")).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{api.port}/healthz")
+        req.add_header("Authorization", "Basic célèbre")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 401
+    finally:
+        api.stop()
