@@ -148,12 +148,18 @@ def launch_tests(
     import json
     import os
 
-    from mirabelle_spark.plans.builder import _ACTIONS
+    from mirabelle_spark.plans.builder import _ACTIONS, _USER_ACTIONS
 
     shadowed: dict = {}
+    newly_user: list[str] = []
     for cname, cfn in (custom_actions or {}).items():
         shadowed[cname] = _ACTIONS.get(cname)
         _ACTIONS[cname] = cfn
+        if cname not in _USER_ACTIONS:
+            # shadows are spec-free for the run (their params follow
+            # the user fn's contract, e.g. {:custom where*})
+            _USER_ACTIONS.add(cname)
+            newly_user.append(cname)
 
     def read_dirs(dirs: list[str]) -> dict:
         out: dict = {}
@@ -176,6 +182,8 @@ def launch_tests(
                 _ACTIONS.pop(cname, None)
             else:
                 _ACTIONS[cname] = old
+        for cname in newly_user:
+            _USER_ACTIONS.discard(cname)
     if not errors:
         return "All tests successful"
     return f"{len(errors)} errors\n" + "\n\n----\n\n".join(errors)

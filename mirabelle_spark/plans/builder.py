@@ -87,10 +87,16 @@ def action(name: str):
     return deco
 
 
+# names added via register_action: spec-free like the reference's
+# custom actions (no s/def exists for user code)
+_USER_ACTIONS: set[str] = set()
+
+
 def register_action(name: str, fn: Callable) -> None:
     """User-supplied custom action (the reference's `custom`/
     requiring-resolve surface, stream.clj:29-34)."""
     _ACTIONS[name] = fn
+    _USER_ACTIONS.add(name)
 
 
 # -- filters ---------------------------------------------------------------
@@ -670,7 +676,15 @@ def compile_stream(
     ctx: Ctx | None = None,
 ) -> Ctx:
     """Fold an action tree over a source DataFrame; returns the
-    context whose ``taps`` hold every named leaf DataFrame."""
+    context whose ``taps`` hold every named leaf DataFrame.
+
+    Params are validated against per-action specs FIRST (spec.clj
+    valid-action? parity): a malformed tree raises
+    :class:`~mirabelle_spark.plans.spec.InvalidActionParams` naming
+    the action and parameter before any DataFrame work starts."""
+    from mirabelle_spark.plans import spec as _spec
+
+    _spec.validate_tree(tree, set(_ACTIONS), _USER_ACTIONS)
     ctx = ctx or Ctx()
     _walk(df, tree, ctx)
     return ctx

@@ -1,6 +1,9 @@
 """DSL builder + golden harness (reference stream.clj compile path +
 test.clj golden format)."""
 
+import pytest
+from pyspark.sql import functions as F
+
 
 def test_linear_pipeline(make_events):
     from mirabelle_spark.plans import build_stream
@@ -256,3 +259,98 @@ def test_cond_dt_and_coll_where_actions(make_events):
         test_mode=True,
     )
     assert [r.time.timestamp() for r in taps["alerts"].collect()] == [11.0]
+
+
+# ---------------------------------------------------------------------------
+# DSL parameter validation (spec.clj:17-24 valid-action? parity)
+
+
+def _compile(spark, tree):
+    from mirabelle_spark.plans.builder import compile_stream
+
+    df = spark.createDataFrame(
+        [("a", 1.0, "2024-01-01T00:00:00")], "host string, metric double, t string"
+    ).withColumn("time", F.to_timestamp("t"))
+    return compile_stream(df, tree)
+
+
+def test_spec_rejects_wrong_arity(spark):
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    with pytest.raises(InvalidActionParams, match="'where'.*parameter"):
+        _compile(spark, {"action": "where", "params": [], "children": []})
+    with pytest.raises(InvalidActionParams, match="'scale'"):
+        _compile(spark, {"action": "scale",
+                         "params": [2.0, "extra"], "children": []})
+
+
+def test_spec_rejects_bad_types(spark):
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    with pytest.raises(InvalidActionParams, match="'scale'.*number"):
+        _compile(spark, {"action": "scale", "params": ["two"], "children": []})
+    with pytest.raises(InvalidActionParams, match="'throttle'.*duration"):
+        _compile(spark, {"action": "throttle",
+                         "params": [{"count": 3, "duration": -5}],
+                         "children": []})
+    with pytest.raises(InvalidActionParams, match="'fixed-event-window'.*size"):
+        _compile(spark, {"action": "fixed-event-window",
+                         "params": [{"size": 0}], "children": []})
+
+
+def test_spec_rejects_missing_and_unknown_config_keys(spark):
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    with pytest.raises(InvalidActionParams, match="missing required key"):
+        _compile(spark, {"action": "above-dt",
+                         "params": [{"threshold": 10}], "children": []})
+    with pytest.raises(InvalidActionParams, match="unknown key"):
+        _compile(spark, {"action": "coalesce",
+                         "params": [{"duration": 60, "fields": ["host"],
+                                     "durration": 60}],
+                         "children": []})
+
+
+def test_spec_rejects_malformed_condition(spark):
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    with pytest.raises(InvalidActionParams, match="unknown condition op"):
+        _compile(spark, {"action": "where",
+                         "params": [[":equals", "host", "a"]], "children": []})
+    with pytest.raises(InvalidActionParams, match="comparison value"):
+        _compile(spark, {"action": "where",
+                         "params": [[":>", "metric"]], "children": []})
+
+
+def test_spec_unknown_action_and_user_registered_passes(spark):
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    with pytest.raises(InvalidActionParams, match="unknown action"):
+        _compile(spark, {"action": "wher", "params": [[":=", "host", "a"]],
+                         "children": []})
+    b.register_action("my-op", lambda df, ctx, anything: df)
+    try:
+        # arbitrary params: user actions are spec-free
+        ctx = _compile(spark, {"action": "my-op", "params": [object()],
+                               "children": [{"action": "tap",
+                                             "params": ["out"],
+                                             "children": []}]})
+        assert "out" in ctx.taps
+    finally:
+        b._ACTIONS.pop("my-op", None)
+        b._USER_ACTIONS.discard("my-op")
+
+
+def test_spec_validates_nested_children_before_work(spark):
+    """The malformed node sits deep in the tree; validation still
+    fires before compile touches any DataFrame."""
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    tree = {"action": "where", "params": [[":=", "host", "a"]],
+            "children": [{"action": "by", "params": [{"fields": ["host"]}],
+                          "children": [{"action": "sum",
+                                        "params": [{"duration": "fast"}],
+                                        "children": []}]}]}
+    with pytest.raises(InvalidActionParams, match="'sum'.*duration"):
+        _compile(spark, tree)
