@@ -39,6 +39,9 @@ from mirabelle_spark.streaming.http_api import (  # noqa: F401
     config_from_b64,
     config_to_b64,
 )
+from mirabelle_spark.streaming.metrics import (  # noqa: F401
+    StreamMetricsListener,
+)
 from mirabelle_spark.streaming.lifecycle import (  # noqa: F401
     StreamHandler,
     diff_config,

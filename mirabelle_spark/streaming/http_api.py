@@ -9,6 +9,11 @@ router, :117-135):
 - ``DELETE /api/v1/stream/<name>``  → remove stream
 - ``PUT    /api/v1/stream/<name>``  → push events into the stream
 - ``GET    /healthz`` / ``/health`` → liveness
+- ``GET    /metrics``               → Prometheus text exposition
+  (per-stream ``stream_duration_seconds`` quantiles +
+  ``http_responses_total``, production/_index.md §Metrics) when the
+  api was built with a
+  :class:`~mirabelle_spark.streaming.metrics.StreamMetricsListener`
 
 Configs travel base64-encoded like the reference's
 ``b64/from-base64 → edn/read-string`` (handler.clj:44-49), with JSON
@@ -64,8 +69,10 @@ class StreamApi:
         host: str = "127.0.0.1",
         port: int = 0,
         basic_auth: tuple[str, str] | None = None,
+        metrics=None,
     ):
         self.handler = handler
+        self.metrics = metrics
         self._lock = threading.Lock()
         expected_auth = None
         if basic_auth is not None:
@@ -85,8 +92,13 @@ class StreamApi:
 
             def _send(self, status: int, body: dict):
                 data = json.dumps(body).encode("utf-8")
+                self._send_raw(status, data, "application/json")
+
+            def _send_raw(self, status: int, data: bytes, ctype: str):
+                if api.metrics is not None:
+                    api.metrics.record_http(self.command, status, self.path)
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
@@ -120,6 +132,16 @@ class StreamApi:
                 try:
                     if self.path in ("/healthz", "/health") and method == "GET":
                         return self._send(200, {"message": "ok"})
+                    if self.path == "/metrics" and method == "GET":
+                        if api.metrics is None:
+                            return self._send(
+                                404, {"error": "metrics not configured"}
+                            )
+                        return self._send_raw(
+                            200,
+                            api.metrics.render().encode("utf-8"),
+                            "text/plain; version=0.0.4",
+                        )
                     if self.path == "/api/v1/stream" and method == "GET":
                         return self._send(
                             200, {"streams": api.handler.list_streams()}

@@ -1681,3 +1681,70 @@ def test_http_api_auth_non_ascii_header(spark, tmpdir):
         assert ei.value.code == 401
     finally:
         api.stop()
+
+
+def test_metrics_endpoint_per_stream_timers(spark, tmpdir):
+    """stream.clj:242,264-272 + production/_index.md §Metrics parity:
+    a StreamingQueryListener collects per-stream micro-batch timer
+    quantiles and row counts; StreamApi serves them as Prometheus
+    text on GET /metrics, including http_responses_total counters."""
+    import time
+    import urllib.request
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.streaming import (
+        StreamApi,
+        StreamHandler,
+        StreamMetricsListener,
+    )
+
+    schema = "time timestamp, metric double, host string"
+
+    def compile_fn(sp, name, config):
+        src = stx.file_source(sp, handler.ingest_dir(name), schema)
+        return src.groupBy("host").agg(F.sum("metric").alias("total"))
+
+    handler = StreamHandler(
+        spark, os.path.join(tmpdir, "m_ck"), compile_fn,
+        output_mode="complete", ingest_root=os.path.join(tmpdir, "m_in"),
+    )
+    listener = StreamMetricsListener()
+    spark.streams.addListener(listener)
+    api = StreamApi(handler, metrics=listener).start()
+    base = f"http://127.0.0.1:{api.port}"
+    try:
+        handler.add_stream("obs", {})
+        handler.push_events("obs", [
+            {"time": "2024-01-01T00:00:01", "metric": 1.0, "host": "a"},
+            {"time": "2024-01-01T00:00:02", "metric": 2.0, "host": "a"},
+        ])
+        handler.process_all()
+
+        # listener events are delivered asynchronously on the bus
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            snap = listener.snapshot().get("obs")
+            if snap and snap["count"] >= 1 and snap["rows"] >= 2:
+                break
+            time.sleep(0.2)
+        snap = listener.snapshot().get("obs")
+        assert snap and snap["count"] >= 1, "no progress events captured"
+        assert snap["rows"] >= 2
+        assert snap["sum_s"] > 0
+
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+        assert 'stream_duration_seconds{name="obs",quantile="0.5"}' in body
+        assert 'stream_duration_seconds_count{name="obs"}' in body
+        assert 'stream_input_rows_total{name="obs"}' in body
+        # the /metrics scrape itself shows up in the HTTP counters
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as resp:
+            body2 = resp.read().decode()
+        assert ('http_responses_total{method="get",status="200",'
+                'uri="/metrics"} 1') in body2
+    finally:
+        api.stop()
+        handler.stop_all()
+        spark.streams.removeListener(listener)
