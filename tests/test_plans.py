@@ -171,3 +171,37 @@ def test_simhash_signature_is_pure_catalyst(spark, qs):
     doc grain, like minhash_signatures)."""
     plan = _plan(qs["simhash_pairs"](spark, SF_DIR))
     assert "Python" not in plan and "pandas" not in plan.lower()
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The write-once IVF claim, demonstrated: corpus written
+    partitioned by __cell__; probing pushes a literal cell-set filter
+    into the scan as PartitionFilters, and the result matches the
+    on-the-fly ivf_topk bit for bit."""
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    centroids = [
+        [1.0 if j == i % 4 else 0.0 for j in range(
+            len(emb.select("embedding").first()[0]))]
+        for i in range(8)
+    ]
+    queries = emb.limit(3).selectExpr(
+        "vec_id as query_id", "embedding")
+
+    path = str(tmp_path / "ivf_index")
+    ann.ivf_write_index(emb, path, centroids)
+
+    # one directory per cell on disk — the partitioned layout
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("__cell__=")]
+    assert len(cell_dirs) >= 2
+
+    probed = ann.ivf_probe_index(queries, path, centroids, k=3, nprobe=2)
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "__cell__" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+    # parity with the unindexed path on identical fixed centroids
+    direct = ann.ivf_topk(emb, queries, k=3, nprobe=2, centroids=centroids)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, direct.collect()))
