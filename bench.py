@@ -95,17 +95,43 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s (best of {runs})", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # sf1 stress smoke: the five most expensive queries once each at
+    # 10x rows (tools/make_sf1.py synthesis), to catch nonlinear
+    # blowups sf0.1 hides. Ratios are vs this run's sf0.1 timings;
+    # linear scaling on 32 local cores shows as ratio <= ~10.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
+        from tools.make_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1(spark, SF_DIR)
+        sf1_queries = [
+            "dedup_clusters", "ngram_jaccard_pairs", "ann_ivf_topk",
+            "minhash_lsh_pairs", "revenue_by_nation",
+        ]
+        sf1_timings: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        for name in sf1_queries:
+            t0 = time.perf_counter()
+            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            sf1_timings[name] = dt
+            ratios[name] = round(dt / timings[name], 2)
+            print(f"# sf1 {name}: {dt:.3f}s ({ratios[name]}x sf0.1)",
+                  file=sys.stderr)
+        payload["sf1"] = {
+            "queries": sf1_timings,
+            "total": round(sum(sf1_timings.values()), 3),
+            "ratio_vs_sf0.1": ratios,
+        }
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -91,7 +91,11 @@ def aggregation_delayed(
     Without ``arrival_cols`` arrival order is event-time order, where
     the late-drop never fires and this reduces to the plain windowed
     aggregate minus the unflushed tail windows. Output:
-    (by…, window_start, time, metric).
+    (by…, window_start, time, metric) — except ``aggr=
+    "fixed-time-window"`` (the reference's list-accumulating
+    ``:aggr-fn``, action_test.clj:569-640), which emits the window's
+    accepted events themselves, time-sorted, as an ``events``
+    array<struct> column instead of ``metric``.
     """
     from mirabelle_spark.operators.filters import with_clock
 
@@ -102,6 +106,28 @@ def aggregation_delayed(
         "min": lambda m: F.min(m),
         "count": lambda m: F.count(F.lit(1)).cast("double"),
     }
+    if aggr == "fixed-time-window":
+        payload = list(df.columns)
+        # the reference accumulates a window's events in ARRIVAL
+        # order (action_test.clj:609-614: the delayed [0,5) window
+        # emits time 0,3,2 — not time-sorted); arrival_cols are the
+        # order key when given, event time otherwise (equal in the
+        # in-order case)
+        keys = [
+            F.col(c).cast("double").alias(f"__k{i}__")
+            for i, c in enumerate(arrival_cols or [time_col])
+        ]
+        exprs[aggr] = lambda m: F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        *keys,
+                        F.struct(*[F.col(c) for c in payload]).alias("e"),
+                    )
+                )
+            ),
+            lambda s: s["e"],
+        )
     if aggr not in exprs:
         raise ValueError(f"invalid aggregation function {aggr!r}")
 
@@ -117,10 +143,11 @@ def aggregation_delayed(
         accepted = accepted.drop("__clock__").crossJoin(F.broadcast(fc))
 
     bucket = window_start_s(time_col, duration_s).alias("window_start")
+    value_name = "events" if aggr == "fixed-time-window" else "metric"
     out = (
         accepted.groupBy(*_cols(by), bucket)
         .agg(
-            exprs[aggr](F.col(metric_col)).alias("metric"),
+            exprs[aggr](F.col(metric_col)).alias(value_name),
             F.max(t).alias("time"),
             F.max(F.col("__fc__")).alias("__fc__"),
         )

@@ -168,3 +168,68 @@ def test_percentiles_riemann_sample(make_events):
     p = agg.agg_percentiles(df, [0.0, 0.5, 1.0], 60.0, time_col="time")
     got = {r.quantile: r.metric for r in p.collect()}
     assert got == {0.0: 1.0, 0.5: 1.0, 1.0: 6.0}
+
+
+def test_fixed_time_window_aggr_fn_reference_no_delay(make_events):
+    """action_test.clj:569-592 (:aggr-fn :fixed-time-window, no
+    delay): windows emit their event lists; the unflushed tail
+    window (time 31) never emits."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events([
+        {"time": t, "metric": 1, "state": "ok"}
+        for t in (0, 1, 3, 5, 7, 9, 10, 29, 31)
+    ])
+    out = agg.aggregation_delayed(
+        df, 5.0, 0.0, aggr="fixed-time-window", time_col="time"
+    )
+    got = {
+        r.window_start: [e.time.timestamp() for e in r.events]
+        for r in out.collect()
+    }
+    assert got == {
+        0.0: [0.0, 1.0, 3.0],
+        5.0: [5.0, 7.0, 9.0],
+        10.0: [10.0],
+        25.0: [29.0],
+    }
+
+
+def test_fixed_time_window_aggr_fn_reference_delay(make_events):
+    """action_test.clj:593-614 (:delay 30): out-of-order arrivals
+    accepted inside the delay; window events emit in ARRIVAL order
+    (the [0,5) window is metric 1, 20, 24 — time 0, 3, 2)."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    rows = [
+        {"time": -10, "metric": -10},
+        {"time": 0, "metric": 1},
+        {"time": 3, "metric": 20},
+        {"time": -9, "metric": -9},
+        {"time": 20, "metric": 12},
+        {"time": 2, "metric": 24},
+        {"time": 34, "metric": 2},
+        {"time": 36, "metric": 1},
+    ]
+    df = make_events(rows)  # seq = arrival order
+    out = agg.aggregation_delayed(
+        df, 5.0, 30.0, aggr="fixed-time-window", time_col="time",
+        arrival_cols=["seq"],
+    )
+    got = {
+        r.window_start: [e.metric for e in r.events] for r in out.collect()
+    }
+    assert got == {-10.0: [-10.0, -9.0], 0.0: [1.0, 20.0, 24.0]}
+
+
+def test_coll_sort_reference_case(make_events):
+    """action_test.clj:1328-1333: one window [{time 11} {time 10}
+    {time 3} {time 14}] sorted by :time."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    df = make_events([{"time": t, "metric": t} for t in (11, 10, 3, 14)])
+    out = agg.coll_sort(df, "metric", 60.0, time_col="time",
+                        payload_cols=["metric"])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert [e.metric for e in rows[0].events] == [3.0, 10.0, 11.0, 14.0]

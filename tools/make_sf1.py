@@ -1,0 +1,129 @@
+"""Synthesize an sf1 stress dataset (10× sf0.1) for bench smoke.
+
+The driver ships sf0.001/0.01/0.1 only; the sf1 stress pass exists to
+catch nonlinear blowups that sf0.1 hides (hot LSH buckets, cluster-
+resolution round growth, skewed join fan-out). Tables are derived
+from sf0.1 by 10-way replication with key offsets, built so workload
+CHARACTERISTICS scale ~linearly instead of degenerately:
+
+- ``documents``: every word of replica r>0 gets an ``r`` suffix, so
+  cross-replica shingle sets are fully disjoint — replicas are NOT
+  near-duplicates of each other (10 exact copies per doc would grow
+  LSH candidate pairs quadratically by construction and measure the
+  synthetic cliques, not the plan). Within a replica the original
+  similarity structure is preserved verbatim.
+- ``embeddings``: replica vectors get a small deterministic per-lane
+  perturbation (sin(lane·r)·0.02) — same cluster geometry, no exact
+  duplicate vectors; original vec_ids stay below the offset so
+  ``vec_id < 10``-style query sets keep their size.
+- ``lineitem``/``orders``: order keys offset per replica (FK between
+  the two preserved); customer keys untouched so the star join fans
+  out 10× over the same dimension tables.
+- dimensions (``customer``/``nation``/``region``/``supplier``/
+  ``part``): copied as-is — at any scale these stay broadcast-side.
+
+Everything is deterministic (no RNG, no clock): re-running produces
+byte-identical inputs. Output lands in ``.cache/sf1`` (gitignored);
+a ``_DONE`` marker skips rebuilds.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE = 10**9  # replica key offset: far above any sf0.1 key
+REPLICAS = 10
+
+
+def _with_replicas(df: DataFrame) -> DataFrame:
+    """Cross the table with replica ids 0..9 — ONE scan of the
+    source, 10× rows out (vs a 10-way union of scans)."""
+    spark = df.sparkSession
+    r = spark.range(REPLICAS).withColumnRenamed("id", "__r__")
+    return df.crossJoin(F.broadcast(r))
+
+
+def _documents(spark: SparkSession, src: str, dst: str) -> None:
+    d = _with_replicas(spark.read.parquet(f"{src}/documents.parquet"))
+    text = F.when(F.col("__r__") == 0, F.col("text")).otherwise(
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1"), F.col("__r__").cast("string")),
+        )
+    )
+    out = d.select(
+        (F.col("doc_id") + F.col("__r__") * BASE).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, src: str, dst: str) -> None:
+    e = _with_replicas(spark.read.parquet(f"{src}/embeddings.parquet"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x
+            + F.sin((i + 1).cast("double") * F.col("__r__").cast("double"))
+            * F.lit(0.02)
+        ).cast("float"),
+    )
+    out = e.select(
+        (F.col("vec_id") + F.col("__r__") * BASE).alias("vec_id"),
+        F.when(F.col("__r__") == 0, F.col("embedding"))
+        .otherwise(perturbed)
+        .alias("embedding"),
+        "label",
+    )
+    out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+
+def _fact(spark: SparkSession, src: str, dst: str, name: str,
+          key: str) -> None:
+    df = _with_replicas(spark.read.parquet(f"{src}/{name}.parquet"))
+    out = df.withColumn(key, F.col(key) + F.col("__r__") * BASE).drop("__r__")
+    out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+
+def ensure_sf1(spark: SparkSession, src: str = "/root/testdata/sf0.1",
+               dst: str | None = None) -> str:
+    """Build (once) and return the sf1 directory."""
+    if dst is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(repo, ".cache", "sf1")
+    marker = os.path.join(dst, "_DONE")
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    # nanos timestamps arrive as long and are written back as long;
+    # the type-driven loader normalization handles both identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _documents(spark, src, dst)
+    _embeddings(spark, src, dst)
+    _fact(spark, src, dst, "lineitem", "l_orderkey")
+    _fact(spark, src, dst, "orders", "o_orderkey")
+    for dim in ("customer", "supplier", "part", "nation", "region",
+                "events"):
+        s = f"{src}/{dim}.parquet"
+        if os.path.isfile(s):
+            shutil.copyfile(s, f"{dst}/{dim}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return dst
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mirabelle_spark.session import get_spark
+
+    print(ensure_sf1(get_spark(app_name="make_sf1")))
