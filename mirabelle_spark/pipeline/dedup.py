@@ -53,13 +53,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of normalized text
     (array<string>); documents shorter than n words yield no
     shingles. Guard matters: sequence(1, 0) in Spark is a DESCENDING
-    [1, 0], not empty."""
+    [1, 0], not empty.
+
+    Shape matters more: an expression referenced INSIDE a transform
+    lambda is re-evaluated per element, so the obvious
+    ``transform(sequence(1,k), i -> array_join(slice(words,i,n)))``
+    re-splits the text once per shingle — quadratic in document
+    length (measured 22 s → 2 s at sf1 for the minhash shingle pass;
+    PERF.md §26). Zipping the word array against its n−1 shifted
+    copies references ``words`` only outside lambdas: n slices per
+    document total, identical output strings."""
     words = F.split(normalized(text), " ")
     k = F.size(words) - (n - 1)
+    shifted = [
+        F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0))).alias(
+            f"w{j}"
+        )
+        for j in range(n)
+    ]
+    z = F.arrays_zip(*shifted)  # null-padded past the shortest slice
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+            F.slice(z, 1, F.greatest(k, F.lit(0))),
+            lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
         )
     )
     return F.when(k >= 1, shingles).otherwise(F.array().cast("array<string>"))

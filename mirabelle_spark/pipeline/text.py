@@ -118,8 +118,22 @@ def rolling_fingerprint(
     hash for xxhash64 — the plan shape is identical."""
     words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     k = F.greatest(F.size(words) - (window - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), k)
-    grams = F.transform(idx, lambda i: F.md5(F.array_join(F.slice(words, i, window), " ")))
+    # shifted-zip, not transform(sequence, i -> slice(words, i, n)):
+    # expressions inside a transform lambda re-evaluate per element,
+    # which re-splits the text once per window (PERF.md §26). Short
+    # tail windows match the slice form: concat_ws skips the nulls
+    # arrays_zip pads with, = array_join of a short slice.
+    shifted = [
+        F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0))).alias(
+            f"w{j}"
+        )
+        for j in range(window)
+    ]
+    z = F.arrays_zip(*shifted)
+    grams = F.transform(
+        F.slice(z, 1, k),
+        lambda s: F.md5(F.concat_ws(" ", *[s[f"w{j}"] for j in range(window)])),
+    )
     return df.withColumn(out, F.array_min(grams))
 
 
