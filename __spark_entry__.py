@@ -27,38 +27,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-5 rotation: (a) everything
-# changed this round — the four dedup/LSH queries whose candidate
-# generation moved to bucket-groupBy + hashed Jaccard verify, and
-# ann_ivf_topk, which gained a fixed-centroid quantizer and its first
-# exact SQL oracle; (b) text_repetition, green locally but never
-# driver-gated; (c) the 41-query cohort last gated in r3 (rotated
-# below the fold in r4, except throttle, project_correlate, and
-# stable_states — all re-verified locally by the r4 judge with
-# exact-value compare — which yield their slots to the new r5 queries). The r4 cohort (50/50
-# green in CORRECTNESS_r04) rotates below the fold.
+# so ordering is coverage policy. Round-6 rotation: (a) every query
+# whose implementation changed this round — the relational SimHash
+# signature pass, two-phase stratified sampling, the blank-line
+# boilerplate fix, the MinHash shingle/hash rework, and the IVF
+# write-once index path — must be re-gated on the new code; (b) the
+# full 49-query cohort rotated below the fold in r5 (last driver-
+# gated in r4; VERDICT r5 ask #3). (a)+(b) = 55 > 50, so the final
+# five of (b) — all re-verified this session via
+# tools/check_correctness.py exact-value compare, stricter than the
+# driver's hash — yield their slots. The r5 cohort (50/50 green in
+# CORRECTNESS_r05) rotates below the fold.
 GATE_PRIORITY = [
-    # (a) changed or new in r5
-    "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_pairs",
-    "dedup_clusters", "ann_ivf_topk", "hash_sample_docs",
-    "contamination_docs", "boilerplate_removed_docs",
-    "stratified_sample_docs", "mask_pii_docs", "pack_docs",
-    # (b) never driver-gated
-    "text_repetition",
-    # (c) last gated in r3
-    "where_basic", "over_filter", "tagged_all", "split_routing",
-    "expired_events", "changed_transitions", "above_dt_alert",
-    "tag_untag", "fixed_time_window_ids",
-    "fixed_event_window_ids", "moving_event_window_vals",
-    "moving_time_window_count", "ssort_sorted", "coalesce_latest",
-    "agg_ratio_error_click", "agg_percentiles_hourly",
-    "coll_increase_daily", "by_sum_daily", "smax_running", "ddt_rate",
-    "ewma_smoothed", "coll_where_inside_window", "coll_sum_hourly",
-    "coll_mean_hourly", "coll_percentiles_hourly", "ann_bruteforce_topk",
-    "ann_lsh_topk", "embedding_near_dups", "text_token_count",
-    "text_bpe_token_count", "text_quality", "text_lang_id",
-    "text_fingerprint", "text_rolling_fp", "multimodal_features",
-    "tpch_pricing_summary", "revenue_by_nation", "order_priority_counts",
+    # (a) implementation changed in round 6
+    "simhash_pairs", "stratified_sample_docs", "boilerplate_removed_docs",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "ann_ivf_topk",
+    # (b) the r5 below-fold cohort
+    "throttle", "stable_states", "with_const",
+    "default_missing", "scale_metric", "increment_metric",
+    "decrement_metric", "sformat_label", "to_string_field",
+    "base64_roundtrip", "from_json_props", "rename_keys_proj",
+    "keep_keys_proj", "sdissoc_proj", "iterate_on_explode",
+    "extract_nested", "sflatten_roundtrip", "project_correlate",
+    "agg_sum_hourly", "agg_sum_delayed_hourly", "agg_mean_hourly",
+    "agg_top_event", "agg_bottom_event", "agg_rate_hourly",
+    "coll_count_hourly", "coll_max_hourly", "coll_min_hourly",
+    "coll_rate_hourly", "coll_quotient_daily", "coll_top3",
+    "coll_bottom3", "coll_sort_ids", "smin_running", "ddt_pos_rate",
+    "below_dt_alert", "between_dt_alert", "critical_dt_alert",
+    "dsl_pipeline", "coalesce_fill", "dedup_exact_docs",
+    "top_suppliers", "priority_conditional_counts",
+    "brand_part_revenue", "segment_top_orders",
+    # (b) tail — slots 51-55: simple condition-filter queries,
+    # unchanged since r3, driver-green in r4, exact-compare
+    # re-verified this session (see comment above)
+    "where_not", "where_regex", "under_filter", "not_expired_events",
+    "outside_dt_alert",
 ]
 
 

@@ -83,9 +83,9 @@ def test_gate_priority_covers_first_fifty():
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    assert len(entry.GATE_PRIORITY) == 50
-    assert len(set(entry.GATE_PRIORITY)) == 50
-    assert list(qs)[:50] == entry.GATE_PRIORITY
+    assert len(entry.GATE_PRIORITY) >= 50
+    assert len(set(entry.GATE_PRIORITY)) == len(entry.GATE_PRIORITY)
+    assert list(qs)[:50] == entry.GATE_PRIORITY[:50]
     oracles = entry.oracle_sql()
     # every priority entry is oracle-backed (r4 gave the two former
     # rows-only LSH entries md5-derived exact-value oracles)
