@@ -555,3 +555,66 @@ def resolve_clusters(
     finally:
         edges.unpersist()
         labels.unpersist()
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb /
+    CCNet rule): every non-blank paragraph survives only at its
+    first occurrence — the (lowest doc_id, lowest position) holder —
+    and each document is rebuilt from its surviving paragraphs.
+    Blank paragraphs are structure, not content: always kept (same
+    rationale as :func:`~mirabelle_spark.pipeline.text.
+    remove_boilerplate_lines`). Documents keeping no paragraphs at
+    all drop out.
+
+    Scale shape — the document text never shuffles:
+
+    1. explode (id, pos, paragraph-hash) — three narrow columns;
+    2. one hash aggregation per distinct paragraph: ``min(struct
+       (id, pos))`` IS the winning occurrence, so no join back is
+       needed to find winners;
+    3. regroup winners by document into a kept-position array (both
+       aggregations partial-combine map-side);
+    4. join that (id, positions) table — one narrow row per
+       surviving doc — back to the original table on id, and filter
+       the re-split paragraph array in-row by position.
+
+    The only data that ever moves is (id, pos, 64-bit hash); the
+    rebuild is a lambda filter over the row's own split — no second
+    explode, no window."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos__", "__p__"),
+    ).filter(F.length(F.trim(F.col("__p__"))) > 0)
+    winners = (
+        paras.select(
+            F.xxhash64("__p__").alias("__h__"),
+            F.struct(F.col(id_col).alias("i"), F.col("__pos__").alias("p")).alias(
+                "__occ__"
+            ),
+        )
+        .groupBy("__h__")
+        .agg(F.min("__occ__").alias("__w__"))
+    )
+    keep = (
+        winners.select(F.col("__w__.i").alias(id_col), F.col("__w__.p").alias("__pos__"))
+        .groupBy(id_col)
+        .agg(F.collect_list("__pos__").alias("__keep__"))
+    )
+    rebuilt = F.array_join(
+        F.filter(
+            F.split(F.col(text_col), sep),
+            lambda p, i: (F.length(F.trim(p)) == 0)
+            | F.array_contains(F.col("__keep__"), i),
+        ),
+        sep,
+    )
+    return (
+        df.join(keep, id_col)
+        .select(F.col(id_col), rebuilt.alias("text_clean"))
+    )

@@ -135,6 +135,34 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    default_pct: int = 0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-group sampling rates — the training-mixture reweighting
+    step (e.g. keep 30% of en, 100% of fr, drop the rest): a row
+    survives iff its stable hash bucket < its group's percentage.
+
+    Same determinism contract as :func:`hash_sample` (partitioning-
+    and engine-independent), and the same plan shape: the rate
+    lookup is an inline literal map (one projection), the filter is
+    pure Catalyst — no shuffle, no join, pushdown-friendly. Unlike
+    :func:`stratified_sample` this needs no per-group ranking at
+    all, so it is the cheaper tool whenever a *fraction* per group
+    (not an exact count) is wanted."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rates_pct.items()) for x in kv]
+    )
+    pct = F.coalesce(
+        F.element_at(rate_map, F.col(group_col)), F.lit(default_pct)
+    )
+    return df.filter(stable_hash_bucket(F.col(key_col), buckets) < pct)
+
+
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2
 # (DuckDB): no backrefs, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -168,6 +168,158 @@ def ngram_repetition(
     return df.withColumn(out, ratio)
 
 
+# Gopher rule 7's required-word list (Rae et al. 2021, §A1.1.2,
+# public): a doc must contain >= 2 of these to look like prose.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1.2
+    — the public MassiveWeb filter), one boolean per rule plus the
+    conjunction:
+
+      word_count_ok   min_words <= n_words <= max_words
+      word_len_ok     3 <= mean word length <= 10
+      symbol_ok       (# + '...' occurrences) / n_words <= 0.1
+      bullet_ok       <= 90% of lines start with a bullet
+      ellipsis_ok     <= 30% of lines end with '...'
+      alpha_ok        >= 80% of words contain a letter
+      stopword_ok     >= 2 of the 8 required stopwords present
+      passes          AND of all seven
+
+    Pure Catalyst — one projection, no shuffle, pipelines into the
+    scan; the division operands are integers so every ratio is one
+    exact IEEE division (engine-portable)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nd = n.cast("double")
+    wl_sum = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.when(n > 0, wl_sum.cast("double") / nd).otherwise(F.lit(0.0))
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    # non-overlapping '...' occurrences, same count both engines
+    ellipses = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.when(n > 0, (hashes + ellipses).cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"\.\.\.$"))
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("double")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(stops, toks))
+
+    word_count_ok = (n >= min_words) & (n <= max_words)
+    word_len_ok = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    symbol_ok = symbol_ratio <= 0.1
+    bullet_ok = F.when(n_lines > 0, bullet_lines / n_lines <= 0.9).otherwise(
+        F.lit(True)
+    )
+    ellipsis_ok = F.when(n_lines > 0, ellipsis_lines / n_lines <= 0.3).otherwise(
+        F.lit(True)
+    )
+    alpha_ok = F.when(n > 0, alpha_words / nd >= 0.8).otherwise(F.lit(False))
+    stopword_ok = stop_hits >= 2
+    return df.select(
+        "*",
+        n.alias("n_words"),
+        word_count_ok.alias("word_count_ok"),
+        word_len_ok.alias("word_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (
+            word_count_ok
+            & word_len_ok
+            & symbol_ok
+            & bullet_ok
+            & ellipsis_ok
+            & alpha_ok
+            & stopword_ok
+        ).alias("passes"),
+    )
+
+
+def token_doc_frequency(
+    df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary profile: the ``k`` tokens appearing in the
+    most documents → (token, doc_freq, term_freq). The standard
+    first look at a new corpus (and the input to stopword discovery
+    / contamination triage).
+
+    Scale shape: occurrence explode → (doc, token) hash aggregation
+    (map-side partial combine collapses each partition's repeats
+    before any shuffle) → (token) aggregation — the second shuffle
+    carries one row per document-distinct token, never documents —
+    → TakeOrdered top-k; no window, no global sort. Deterministic
+    order: doc_freq desc, token asc."""
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__tf__"))
+    )
+    freq = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("__tf__").alias("term_freq"),
+    )
+    return freq.orderBy(F.desc("doc_freq"), F.asc("token")).limit(k)
+
+
+def token_rarity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "rarity_score",
+) -> DataFrame:
+    """Unigram-frequency score — the cheap perplexity proxy: for each
+    document, the mean corpus document-frequency of its token
+    occurrences. Low score = rare vocabulary (noise, codes, other
+    languages); high = common prose. Two passes over the corpus:
+
+      1. doc-frequency per token (distinct-per-doc explode + hash
+         agg, partial combine before the shuffle);
+      2. per-occurrence explode joined to the frequency table on the
+         token (shuffle hash join — the vocabulary is Zipf-bounded,
+         far smaller than the corpus; only (id, token) pairs move),
+         then one sum/count per document.
+
+    The mean is sum(bigint)/count(bigint) — a single IEEE division
+    of exact integers, so the DuckDB oracle reproduces it bit-for-
+    bit (no float accumulation order to diverge)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.length("token") > 0)
+    freq = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("__df__")
+    )
+    joined = toks.join(freq, "token")
+    return joined.groupBy(id_col).agg(
+        (F.sum("__df__").cast("double") / F.count(F.lit(1)).cast("double")).alias(out)
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_docs: int = 3,

@@ -749,6 +749,178 @@ def boilerplate_removed_docs(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# corpus quality / mixture / paragraph grain (round 6)
+
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@q(
+    "gopher_quality_docs",
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_TOKENS_SQL} AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN len(w) > 0
+              THEN CAST((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w)
+              ELSE 0.0 END AS symbol_ratio,
+         CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS DOUBLE) AS bullet_lines,
+         CAST(len(list_filter(lines, ln -> regexp_matches(rtrim(ln), '\\.\\.\\.$'))) AS DOUBLE) AS ellipsis_lines,
+         CAST(len(lines) AS DOUBLE) AS n_lines,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha_words,
+         len(list_intersect(['the','be','to','of','and','that','have','with'], w)) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+       n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       mean_wl >= 3.0 AND mean_wl <= 10.0 AS word_len_ok,
+       symbol_ratio <= 0.1 AS symbol_ok,
+       CASE WHEN n_lines > 0 THEN bullet_lines / n_lines <= 0.9 ELSE TRUE END AS bullet_ok,
+       CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines <= 0.3 ELSE TRUE END AS ellipsis_ok,
+       CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8 ELSE FALSE END AS alpha_ok,
+       stop_hits >= 2 AS stopword_ok,
+       (n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+         AND symbol_ratio <= 0.1
+         AND (CASE WHEN n_lines > 0 THEN bullet_lines / n_lines <= 0.9 ELSE TRUE END)
+         AND (CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines <= 0.3 ELSE TRUE END)
+         AND (CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8 ELSE FALSE END)
+         AND stop_hits >= 2 AS passes
+FROM m
+""",
+)
+def gopher_quality_docs(spark, sf):
+    """Gopher/MassiveWeb document-quality rules (Rae et al. 2021
+    §A1.1.2) — seven boolean rules + their conjunction per doc."""
+    return text.gopher_rules(docs(spark, sf)).select(
+        "doc_id", "n_words", "word_count_ok", "word_len_ok", "symbol_ok",
+        "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok", "passes",
+    )
+
+
+@q(
+    "vocab_top100",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tok2 AS (
+  SELECT doc_id, token FROM tok WHERE length(token) > 0
+), per_doc AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 GROUP BY doc_id, token
+)
+SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS term_freq
+FROM per_doc GROUP BY token
+ORDER BY doc_freq DESC, token LIMIT 100
+""",
+)
+def vocab_top100(spark, sf):
+    """Corpus vocabulary profile: top-100 tokens by document
+    frequency (ties broken by token) with total term frequency."""
+    return text.token_doc_frequency(docs(spark, sf), k=100)
+
+
+@q(
+    "token_rarity_docs",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), tok2 AS (
+  SELECT doc_id, token FROM tok WHERE length(token) > 0
+), freq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok2 GROUP BY token
+)
+SELECT t.doc_id,
+       CAST(sum(f.df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rarity_score
+FROM tok2 t JOIN freq f USING (token)
+GROUP BY t.doc_id
+""",
+)
+def token_rarity_docs(spark, sf):
+    """Unigram-frequency perplexity proxy: mean corpus doc-frequency
+    of each document's token occurrences (exact-integer mean — one
+    IEEE division, engine-portable)."""
+    return text.token_rarity_score(docs(spark, sf))
+
+
+@q(
+    "mixture_sample_docs",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < CASE lang WHEN 'en' THEN 30 WHEN 'fr' THEN 100 WHEN 'de' THEN 0 ELSE 10 END
+""",
+)
+def mixture_sample_docs(spark, sf):
+    """Training-mixture reweighting: per-language sampling rates
+    (en 30%, fr 100%, de 0%, others 10%) via the stable hash bucket
+    — deterministic across engines and partitionings, no shuffle."""
+    from mirabelle_spark.pipeline import sampling
+
+    return sampling.mixture_sample(
+        docs(spark, sf), {"en": 30, "fr": 100, "de": 0}, default_pct=10
+    ).select("doc_id", "lang", "n_chars")
+
+
+# 10-word re-chunking: the synthetic corpus is single-line prose, so
+# the paragraph grain is derived — ONE regex pass splits every run of
+# 10 words with a blank line, identically on both engines.
+_CHUNK_RE = r"((\S+ ){9}\S+) "
+
+
+@q(
+    "paragraph_dedup_docs",
+    """
+WITH chunked AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '((\\S+ ){9}\\S+) ',
+                        '\\1' || chr(10) || chr(10), 'g') AS t
+  FROM documents
+), p AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(t, chr(10) || chr(10))) + 1),
+                  i -> {'pos': i, 'para': string_split(t, chr(10) || chr(10))[i]})) AS u
+    FROM chunked
+  )
+), winners AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p WHERE length(trim(para)) > 0
+), winner_docs AS (
+  SELECT DISTINCT doc_id FROM winners WHERE rn = 1
+), kept AS (
+  SELECT doc_id, pos, para FROM winners WHERE rn = 1
+  UNION ALL
+  SELECT p.doc_id, p.pos, p.para FROM p
+  JOIN winner_docs USING (doc_id)
+  WHERE length(trim(p.para)) = 0
+)
+SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean
+FROM kept GROUP BY doc_id
+""",
+)
+def paragraph_dedup_docs(spark, sf):
+    """Corpus-wide paragraph-grain exact dedup (first occurrence by
+    (doc_id, pos) wins) over the derived 10-word chunking; documents
+    rebuilt from surviving paragraphs. The oracle groups on the
+    paragraph string where Spark groups on xxhash64 of it."""
+    chunked = docs(spark, sf).withColumn(
+        "text", F.regexp_replace(F.trim(F.col("text")), _CHUNK_RE, "$1\n\n")
+    )
+    return dedup.paragraph_dedup(chunked)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 
 

@@ -523,3 +523,94 @@ def test_ivf_topk_rejects_inconsistent_nlist(spark):
                               "query_id bigint, embedding array<double>")
     with _pytest.raises(ValueError, match="contradicts"):
         ann.ivf_topk(emb, q, nlist=4, centroids=[[1.0, 0.0], [0.0, 1.0]])
+
+
+def test_gopher_rules_flags(spark):
+    from mirabelle_spark.pipeline import text
+
+    good = " ".join(
+        ["the quick brown fox and that dog have fun with logs"] * 5
+    )  # 55 words, all rules pass
+    short = "the dog"  # word count fails
+    symbols = " ".join(["woof#"] * 60)  # symbol ratio 1.0, no stopwords
+    bullets = "\n".join(["- item one of the list"] * 10) + "\nthe end with that"
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols), (3, bullets), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.gopher_rules(df, min_words=50).collect()}
+    assert out[0].passes
+    assert not out[1].word_count_ok and not out[1].passes
+    assert not out[2].symbol_ok and not out[2].stopword_ok
+    assert not out[3].bullet_ok  # 10/11 lines bulleted > 0.9
+    assert not out[4].passes and not out[4].alpha_ok
+
+
+def test_token_doc_frequency_counts(spark):
+    from mirabelle_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "  ")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.token: r for r in text.token_doc_frequency(df, k=10).collect()}
+    assert rows["a"].doc_freq == 2 and rows["a"].term_freq == 3
+    assert rows["b"].doc_freq == 1 and rows["b"].term_freq == 1
+    assert rows["c"].doc_freq == 1
+    assert "" not in rows  # blank doc contributes nothing
+
+
+def test_token_rarity_score_exact(spark):
+    from mirabelle_spark.pipeline import text
+
+    # df(a)=2, df(b)=1, df(c)=1
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.rarity_score for r in text.token_rarity_score(df).collect()}
+    assert out[0] == (2 + 1 + 2) / 3  # a,b,a
+    assert out[1] == (2 + 1) / 2  # a,c
+
+
+def test_mixture_sample_rates(spark):
+    from mirabelle_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i, "x", ["en", "fr", "de"][i % 3]) for i in range(300)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = sampling.mixture_sample(
+        df, {"en": 100, "fr": 0}, group_col="lang", default_pct=50
+    )
+    by_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == 100  # 100% kept
+    assert "fr" not in by_lang  # 0% kept
+    assert 20 <= by_lang.get("de", 0) <= 80  # ~50% of 100
+    # determinism: same selection after a repartition
+    again = sampling.mixture_sample(
+        df.repartition(7), {"en": 100, "fr": 0}, group_col="lang", default_pct=50
+    )
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from mirabelle_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "shared para one\n\nunique to zero"),
+            (1, "shared para one\n\nunique to one\n\n\n\nafter blank"),
+            (2, "shared para one"),  # loses everything -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.text_clean for r in dedup.paragraph_dedup(df).collect()}
+    assert out[0] == "shared para one\n\nunique to zero"  # doc 0 wins the dup
+    # doc 1 keeps its uniques AND the blank separator run
+    assert out[1] == "unique to one\n\n\n\nafter blank"
+    assert 2 not in out
