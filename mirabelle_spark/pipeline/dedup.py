@@ -327,27 +327,33 @@ def simhash64(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
     sentinel = F.array(F.lit(None).cast("string"))
-    exploded = df.select(
+    # project the token array ONCE: size() + the explode branch both
+    # reference it, and an inline expression would tokenize twice
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+    exploded = base.select(
         F.col(id_col),
         F.explode(
-            F.when(F.size(toks) > 0, toks).otherwise(sentinel)
+            F.when(F.size("__toks__") > 0, F.col("__toks__")).otherwise(sentinel)
         ).alias("__tok__"),
     )
-    dig = F.substring(F.md5(F.col("__tok__")), 1, 16)
-    words = exploded.select(
-        F.col(id_col),
-        F.conv(F.substring(dig, 1, 8), 16, 10).cast("bigint").alias("__w0__"),
-        F.conv(F.substring(dig, 9, 8), 16, 10).cast("bigint").alias("__w1__"),
+    # word-split and bit-packing stages as selectExpr SQL strings:
+    # the equivalent Column-operator forms cost ~1 s of py4j round
+    # trips per plan build (hundreds of JVM calls); each selectExpr
+    # is ONE call and the SQL parser handles the fan-out
+    words = exploded.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(__tok__), 1, 8), 16, 10) AS BIGINT) AS __w0__",
+        "CAST(conv(substring(md5(__tok__), 9, 8), 16, 10) AS BIGINT) AS __w1__",
     )
 
-    def bit(j: int):
+    def bit(j: int) -> str:
         col, off = ("__w0__", 31 - j) if j < 32 else ("__w1__", 63 - j)
-        return F.shiftrightunsigned(F.col(col), off).bitwiseAND(F.lit(1))
+        return f"(shiftrightunsigned({col}, {off}) & 1)"
 
-    packed = words.select(
-        F.col(id_col),
+    packed = words.selectExpr(
+        id_col,
         *[
-            bit(2 * k).bitwiseOR(F.shiftleft(bit(2 * k + 1), 32)).alias(f"__p{k}__")
+            f"({bit(2 * k)} | shiftleft({bit(2 * k + 1)}, 32)) AS __p{k}__"
             for k in range(32)
         ],
     )
@@ -355,24 +361,25 @@ def simhash64(
         F.count("__p0__").alias("__n__"),
         *[F.sum(f"__p{k}__").alias(f"__s{k}__") for k in range(32)],
     )
-    # reconstruction as ONE higher-order aggregate over the lane
-    # array, not 64 unrolled when/OR terms: runtime is doc-grain
-    # either way, but the unrolled form bloats the generated code
-    # (~0.6 s extra codegen compile per plan). shiftleft(1L, 63)
-    # wraps to INT64_MIN in Java shift semantics — exactly the
-    # two's-complement bit 63 we need.
-    lanes = F.array(
-        *[F.coalesce(F.col(f"__s{k}__"), F.lit(0).cast("long")) for k in range(32)]
-    )
-    sig = F.expr(
-        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc | IF("
-        "  2 * (shiftrightunsigned(element_at(__lanes__, CAST(j div 2 AS INT) + 1),"
-        "       32 * (j % 2)) & 4294967295) > __n__,"
-        "  shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
-    )
-    return acc.select(F.col(id_col), lanes.alias("__lanes__"), F.col("__n__")).select(
-        F.col(id_col), sig.alias(out_col)
-    )
+    # reconstruction as 64 unrolled when/OR terms in ONE F.expr SQL
+    # string. Shape is measured three ways (sf0.1): a higher-order
+    # aggregate over a lane array is interpreted per-row (~100 µs/doc
+    # — 0.5 s here, catastrophic at corpus scale); the same 64 terms
+    # built as Python Column operators cost ~1.5 s of py4j round
+    # trips PER PLAN BUILD; the single SQL string parses in
+    # milliseconds and whole-stage-codegens to nanoseconds per doc.
+    # The bit-63 literal is INT64_MIN — two's-complement sign bit.
+    def term(j: int) -> str:
+        lane = f"coalesce(__s{j // 2}__, CAST(0 AS BIGINT))"
+        ones = f"(shiftrightunsigned({lane}, {32 * (j % 2)}) & 4294967295)"
+        lit = (1 << j) if j < 63 else -(1 << 63)
+        return (
+            f"CASE WHEN 2 * {ones} > __n__ "
+            f"THEN CAST({lit} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    sig = F.expr("(" + " | ".join(term(j) for j in range(64)) + ")")
+    return acc.select(F.col(id_col), sig.alias(out_col))
 
 
 def simhash_near_dups(
