@@ -133,18 +133,23 @@ def minhash_signatures(
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s__")
     )
+    # hash + min-aggregates as SQL strings: the Column-operator form
+    # costs ~1 s of py4j round trips per plan build (64 aggs × ~6
+    # JVM calls each); F.expr is one call per agg and the projected
+    # __h__ column keeps the shingle hashed once
     if shingle_hash == "fast":
-        h = F.pmod(F.xxhash64(F.col("__s__")), F.lit(4294967296))  # [0, 2^32)
+        h_sql = "pmod(xxhash64(__s__), 4294967296)"  # [0, 2^32)
     else:
-        h = (
-            F.conv(F.substring(F.md5(F.col("__s__")), 1, 15), 16, 10).cast("bigint")
-            % F.lit(4294967296)
+        h_sql = (
+            "CAST(conv(substring(md5(__s__), 1, 15), 16, 10) AS BIGINT)"
+            " % 4294967296"
         )  # [0, 2^32)
+    hashed = sh.selectExpr(id_col, f"{h_sql} AS __h__")
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{i}")
+        F.expr(f"min(({a} * __h__ + {b}) % {_MINHASH_P})").alias(f"m{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -176,21 +181,16 @@ def minhash_lsh_candidates(
     """
     r = num_hashes // bands
     base = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_hash)
-    band_entries = base.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * r + j}") for j in range(r)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band__"),
+    # one selectExpr string for the band fan-out (vs ~100 py4j calls
+    # for the equivalent struct/lit/xxhash64 Column constructors)
+    band_structs = ", ".join(
+        "struct({b} AS band_id, xxhash64({cols}) AS band_hash)".format(
+            b=b, cols=", ".join(f"m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    band_entries = base.selectExpr(
+        id_col, f"explode(array({band_structs})) AS __band__"
     ).select(id_col, "__band__.band_id", "__band__.band_hash")
     buckets = (
         band_entries.groupBy("band_id", "band_hash")
@@ -496,7 +496,8 @@ def resolve_clusters(
     ~3 s). Each round is two shuffles; labels persist per round and
     the previous round unpersists once the new one materializes, so
     executor storage stays one generation deep. The driver holds one
-    long per round (the fixpoint probe), never the labels.
+    decimal per round (the monotone label-sum fixpoint probe), never
+    the labels.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -511,7 +512,9 @@ def resolve_clusters(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).persist()
-    labels.count()
+    label_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -542,17 +545,21 @@ def resolve_clusters(
                 )
                 .persist()
             )
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            # fixpoint probe: labels are per-node monotone non-
+            # increasing, so the label sum strictly decreases iff ANY
+            # node changed — one narrow aggregate over the persisted
+            # generation (no join, no shuffle) replaces the old
+            # join+filter+limit probe. DECIMAL(38,0) keeps the sum
+            # exact at any corpus size (10^12 ids × 10^12 docs
+            # overflows a bigint).
+            new_sum = jumped.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
             labels.unpersist()
             labels = jumped
-            if changed == 0:
+            if new_sum == label_sum:
                 break
+            label_sum = new_sum
         # pin the converged labels outside the persist lifecycle so the
         # final generation can be dropped too (no leaked cache survives
         # the call)
