@@ -132,9 +132,14 @@ def ngram_jaccard_pairs_q(spark, sf):
     deterministic for this corpus (every qualifying pair sits at
     J >= 0.9 where 16 bands x r=4 recall is effectively total —
     verified empirically; any miss would be a stable, visible
-    mismatch, not a flake)."""
+    mismatch, not a flake). Because the oracle is exhaustive — not a
+    signature mirror — it is hash-family-independent, so this query
+    runs the PRODUCTION xxhash64 shingle hash (shingle_hash="fast");
+    minhash_lsh_pairs keeps the portable md5 twin for its banding
+    oracle."""
     return dedup.ngram_jaccard_pairs(
-        docs(spark, sf), threshold=0.5, num_hashes=64, bands=16
+        docs(spark, sf), threshold=0.5, num_hashes=64, bands=16,
+        shingle_hash="fast",
     )
 
 
@@ -209,6 +214,34 @@ def dedup_clusters(spark, sf):
     d = docs(spark, sf)
     pairs = dedup.minhash_lsh_candidates(d, num_hashes=64, bands=8)
     return dedup.resolve_clusters(pairs, d.select("doc_id"))
+
+
+def _dedup_survivors_oracle(num_hashes: int = 64, bands: int = 8) -> str:
+    cluster_sql = _dedup_clusters_oracle(num_hashes=num_hashes, bands=bands).strip()
+    return f"""
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN ({cluster_sql}) c USING (doc_id)
+WHERE d.doc_id = c.cluster_id
+"""
+
+
+@q("dedup_survivors_docs", _dedup_survivors_oracle())
+def dedup_survivors_docs(spark, sf):
+    """End-to-end near-dup REMOVAL: the cluster resolution's output
+    applied back to the corpus — keep exactly the canonical doc (min
+    id) of every near-dup chain. This is the actual corpus-cleaning
+    step a training pipeline ships; the cluster table is tiny
+    relative to the corpus, so the survivor filter is one
+    hash-semi-join that never moves document bodies."""
+    d = docs(spark, sf)
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=64, bands=8)
+    clusters = dedup.resolve_clusters(pairs, d.select("doc_id"))
+    survivors = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    return d.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 # ---------------------------------------------------------------------------
