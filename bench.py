@@ -113,7 +113,7 @@ def main() -> None:
         sf1_dir = ensure_sf1(spark, SF_DIR)
         sf1_queries = [
             "dedup_clusters", "ngram_jaccard_pairs", "ann_ivf_topk",
-            "minhash_lsh_pairs", "revenue_by_nation",
+            "minhash_lsh_pairs", "revenue_by_nation", "simhash_pairs",
         ]
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
