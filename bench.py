@@ -103,6 +103,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # BASELINE.md's suggested engine metric: events/sec through the
+    # representative pipeline (where -> by -> fixed-time-window ->
+    # sum), i.e. the flagship `entry()` shape on this SF's events
+    # table. Uses the agg_sum_hourly timing already measured above.
+    try:
+        n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        payload["events_per_sec"] = int(n_events / timings["agg_sum_hourly"])
+        payload["n_events"] = n_events
+    except Exception:
+        pass
+
     # sf1 stress smoke: the five most expensive queries once each at
     # 10x rows (tools/make_sf1.py synthesis), to catch nonlinear
     # blowups sf0.1 hides. Ratios are vs this run's sf0.1 timings;
