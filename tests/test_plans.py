@@ -205,3 +205,37 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     direct = ann.ivf_topk(emb, queries, k=3, nprobe=2, centroids=centroids)
     assert sorted(map(tuple, probed.collect())) == sorted(
         map(tuple, direct.collect()))
+
+
+def test_mixture_and_gopher_have_no_shuffle(spark, qs):
+    """mixture_sample and gopher_rules are single-projection ops:
+    any Exchange in their plan is a regression."""
+    for name in ["mixture_sample_docs", "gopher_quality_docs"]:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name}:\n{plan}"
+
+
+def test_vocab_topk_is_take_ordered(spark, qs):
+    """Top-k by doc_freq must plan TakeOrderedAndProject, never a
+    global sort of the vocabulary."""
+    plan = _plan(qs["vocab_top100"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [doc_freq" not in plan
+
+
+def test_paragraph_dedup_never_shuffles_text(spark, qs):
+    """paragraph_dedup's shuffles carry (id, pos, hash) and the
+    kept-position arrays — never a document body. Every Exchange's
+    input schema must be text-free (the only text columns live in
+    scan->project segments)."""
+    df = qs["paragraph_dedup_docs"](spark, SF_DIR)
+    plan = _plan(df)
+    for chunk in plan.split("Exchange")[1:]:
+        # the partitioning spec line that follows each Exchange node
+        spec = chunk.splitlines()[0]
+        assert "text" not in spec, spec
+    # and the full exchange inputs: walk optimized plan joins
+    opt = _optimized(df)
+    # reassembly is an in-row filter of the row's own split — no
+    # second explode of paragraphs with text through an aggregate
+    assert plan.count("Generate explode") <= 1

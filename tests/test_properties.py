@@ -267,3 +267,65 @@ def test_bucket_pairs_matches_combinations(spark, buckets):
     got = {(r.id_a, r.id_b) for r in _bucket_pairs(df, "ids").collect()}
     want = {p for ids, in rows for p in combinations(ids, 2)}
     assert got == want
+
+
+DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["alpha beta", "gamma", "delta five six", "", "  "]),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(paras=DOCS)
+@SLOW
+def test_paragraph_dedup_matches_reference_loop(spark, paras):
+    """paragraph_dedup vs a literal first-occurrence-wins loop:
+    winners by (doc_id, pos), blanks always survive, docs with no
+    winning non-blank paragraph drop."""
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [(i, "\n\n".join(ps)) for i, ps in enumerate(paras)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.text_clean for r in dedup.paragraph_dedup(df).collect()}
+
+    # reference loop
+    seen: set[str] = set()
+    expected: dict[int, str] = {}
+    for i, text in rows:
+        parts = text.split("\n\n")
+        kept, won = [], False
+        for p in parts:
+            if p.strip() == "":
+                kept.append(p)
+            elif p not in seen:
+                seen.add(p)
+                kept.append(p)
+                won = True
+        if won:
+            expected[i] = "\n\n".join(kept)
+    assert got == expected
+
+
+@given(
+    keys=st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=40, unique=True),
+    pct=st.integers(0, 100),
+)
+@SLOW
+def test_mixture_equals_hash_sample_at_uniform_rate(spark, keys, pct):
+    """mixture_sample with one uniform rate ≡ hash_sample — the
+    per-group map must not perturb the selection hash."""
+    from mirabelle_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(k, "t", "en") for k in keys], "doc_id bigint, text string, lang string"
+    )
+    a = sorted(r.doc_id for r in sampling.hash_sample(df, pct).collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.mixture_sample(df, {"en": pct}, group_col="lang").collect()
+    )
+    assert a == b
