@@ -258,6 +258,7 @@ def agg_percentiles(
     by: Sequence[str] = (),
     time_col: str = "time",
     metric_col: str = "metric",
+    approx: bool = False,
 ) -> DataFrame:
     """Per-window quantiles of metric, one row per quantile with a
     ``quantile`` column (``percentiles``, action.clj:2845-2929).
@@ -268,7 +269,30 @@ def agg_percentiles(
     (math.clj:109-125): idx = min(n-1, floor(n*q)) over metrics
     sorted ascending. Implemented as one sort_array per window —
     no per-row Python, no second shuffle.
+
+    ``approx=True`` is the 100 TB path and the closer analog of the
+    reference's HdrHistogram: ``percentile_approx`` keeps a bounded
+    sketch per (group, window) in the aggregation buffer instead of
+    materializing and sorting the window's full value list — a
+    hot-key window with 10^9 events stays O(accuracy) memory. Exact
+    stays the default because the gate oracle replicates it
+    bit-for-bit; the sketch twin is deterministic for a given plan
+    but not engine-portable.
     """
+    if approx:
+        qs_lit = F.array(*[F.lit(float(q)) for q in quantiles])
+        sk = _grouped(df, duration_s, by, time_col).agg(
+            F.percentile_approx(
+                F.col(metric_col), [float(q) for q in quantiles]
+            ).alias("__p__")
+        )
+        zipped = F.explode(F.arrays_zip(qs_lit.alias("q"), F.col("__p__").alias("m")))
+        return (
+            sk.select("*", zipped.alias("__z__"))
+            .withColumn("quantile", F.col("__z__.q"))
+            .withColumn("metric", F.col("__z__.m"))
+            .drop("__p__", "__z__")
+        )
     sorted_m = F.sort_array(
         F.collect_list(F.col(metric_col))
     )  # nulls excluded by collect_list

@@ -233,3 +233,26 @@ def test_coll_sort_reference_case(make_events):
     rows = out.collect()
     assert len(rows) == 1
     assert [e.metric for e in rows[0].events] == [3.0, 10.0, 11.0, 14.0]
+
+
+def test_agg_percentiles_approx_twin(spark, make_events):
+    """The approx sketch twin emits the same schema and, on a
+    small window (where the sketch is exact by construction),
+    values matching the exact nearest-rank path for the quantiles
+    whose ranks align."""
+    from mirabelle_spark.operators import aggregations as agg
+
+    evs = [{"time": float(t), "metric": float(m)}
+           for t, m in [(1, 5), (2, 1), (3, 9), (4, 3), (5, 7)]]
+    df = make_events(evs)
+    exact = agg.agg_percentiles(df, [0.0, 1.0], 60.0)
+    approx = agg.agg_percentiles(df, [0.0, 1.0], 60.0, approx=True)
+    assert sorted(exact.columns) == sorted(approx.columns)
+    ex = {r.quantile: r.metric for r in exact.collect()}
+    ap = {r.quantile: r.metric for r in approx.collect()}
+    # min and max are exact in any percentile sketch
+    assert ap[0.0] == ex[0.0] == 1.0
+    assert ap[1.0] == ex[1.0] == 9.0
+    # plan shape: no full-list materialization in the sketch path
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
