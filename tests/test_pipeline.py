@@ -614,3 +614,39 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     # doc 1 keeps its uniques AND the blank separator run
     assert out[1] == "unique to one\n\n\n\nafter blank"
     assert 2 not in out
+
+
+def test_pipeline_ops_on_empty_corpus(spark):
+    """Every pipeline operator must return an EMPTY result with its
+    normal schema on a 0-row corpus — not crash, not emit sentinel
+    rows (AQE's empty-relation propagation takes odd paths through
+    aggregates and windows; this pins them all)."""
+    from mirabelle_spark.pipeline import ann, dedup, sampling, text
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    embs = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    checks = [
+        dedup.dedup_exact(docs),
+        dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4),
+        dedup.ngram_jaccard_pairs(docs, num_hashes=16, bands=4),
+        dedup.simhash_near_dups(docs, max_hamming=3),
+        dedup.paragraph_dedup(docs),
+        dedup.resolve_clusters(
+            spark.createDataFrame([], "id_a bigint, id_b bigint"),
+            docs.select("doc_id"),
+        ),
+        text.token_count(docs),
+        text.gopher_rules(docs),
+        text.token_doc_frequency(docs),
+        text.token_rarity_score(docs),
+        text.remove_boilerplate_lines(docs),
+        sampling.hash_sample(docs, 50),
+        sampling.mixture_sample(docs, {"en": 50}),
+        sampling.stratified_sample(docs, 5, "lang"),
+        sampling.pack_documents(docs, 100, by="lang"),
+        ann.brute_force_topk(
+            embs, embs.select(F.col("vec_id").alias("query_id"), "embedding"), k=3
+        ),
+    ]
+    for df in checks:
+        assert df.count() == 0, df.schema.simpleString()

@@ -50,3 +50,32 @@ def test_bucket_pairs_exhaustive_and_degenerate(spark):
     want |= {(100, 101), (100, 102), (101, 102)}
     assert got == want
     assert len(got) == 50 * 49 // 2 + 3
+
+
+def test_write_bucketed_join_is_shuffle_free(spark):
+    """The bucketed-table claim, demonstrated: two tables bucketed on
+    the join key produce a SortMergeJoin whose join-key exchange was
+    paid at WRITE time — the query plan has no hashpartitioning
+    exchange on the key."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark import scale
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        scale.write_bucketed(a, "bk_a", ["k"], buckets=8)
+        scale.write_bucketed(b, "bk_b", ["k"], buckets=8)
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(k" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
