@@ -650,3 +650,50 @@ def test_pipeline_ops_on_empty_corpus(spark):
     ]
     for df in checks:
         assert df.count() == 0, df.schema.simpleString()
+
+
+def test_wav_codec_end_to_end(spark):
+    """REAL audio path: synthesize PCM WAVs with the stdlib wave
+    module, push them through attach_media + extract_features
+    (decoder='wav'), and check the decoded physics: duration,
+    sample rate, RMS of a full-scale sine = 1/sqrt(2), silence = 0,
+    and zero-crossing rate tracking the tone frequency."""
+    import io
+    import math
+    import wave
+
+    from mirabelle_spark.pipeline import multimodal
+
+    def make_wav(freq_hz, seconds, rate=8000, amp=0.9):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            n = int(rate * seconds)
+            frames = b"".join(
+                int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / rate))
+                .to_bytes(2, "little", signed=True)
+                for i in range(n)
+            )
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    rows = [
+        (1, make_wav(440, 0.5)),
+        (2, make_wav(100, 2.0, amp=0.0)),  # silence
+        (3, b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    media = multimodal.attach_media(df, "payload", "audio/wav", "doc_id")
+    out = {r.id: r for r in multimodal.extract_features(media, decoder="wav").collect()}
+
+    f1 = out[1].feature
+    assert abs(f1[0] - 0.5) < 1e-9          # duration
+    assert f1[1] == 8000.0 and f1[2] == 1.0 and f1[3] == 2.0
+    assert abs(f1[4] - 0.9 / math.sqrt(2)) < 0.01   # sine RMS
+    assert 0.89 <= f1[5] <= 0.91            # peak ~ amp
+    assert abs(f1[6] - 2 * 440 / 8000) < 0.01       # zcr ~ 2f/rate
+    f2 = out[2].feature
+    assert f2[0] == 2.0 and f2[4] == 0.0 and f2[5] == 0.0
+    assert out[3].feature is None           # undecodable -> None, no crash
