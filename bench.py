@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "simhash_pairs",          # pandas-UDF signature + pigeonhole join
     "ann_bruteforce_topk",    # broadcast + fold dot products
     "ann_ivf_topk",           # fixed-quantizer cell probe (partition pruning shape)
+    "ann_pq_topk",            # product-quantization ADC compressed scan
     "tpch_pricing_summary",   # full-scan rollup (decimal-exact)
     "revenue_by_nation",      # star join: 2 shuffle + 2 broadcast joins
 ]

@@ -363,3 +363,173 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the faiss-style compressed-scan path.
+
+
+def _pq_dist_sql(vec: str, ctr: list[float], off: int) -> str:
+    """Unrolled squared L2 between ``vec[off+1 .. off+d]`` and a
+    centroid literal, left-associated addition — the exact fold
+    order the DuckDB oracle's list_reduce reproduces. Literals go
+    through repr() so both engines parse identical doubles."""
+    return " + ".join(
+        f"(element_at({vec}, {off + i + 1}) - {v!r}) * "
+        f"(element_at({vec}, {off + i + 1}) - {v!r})"
+        for i, v in enumerate(ctr)
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into M
+    subspaces, snap each sub-vector to its nearest codebook entry
+    (first-minimum tie rule) → (id, codes ARRAY<INT>). With K=16
+    codes a 64-dim float vector compresses 64× (8 nibbles) — the
+    representation a 100 TB ANN corpus actually stores; the
+    codebooks ship as plan literals exactly like the IVF coarse
+    quantizer (write-once, engine-portable).
+
+    Two selectExpr stages: (1) M ARRAY columns of the K unrolled
+    squared-L2 dists — each dist computed exactly once; (2) argmin
+    via array_position over those arrays. The array packing keeps
+    the intermediate schema at M+1 fields — M×K scalar columns
+    (128) would exceed spark.sql.codegen.maxFields (100) and
+    silently disable whole-stage codegen for the stage, and
+    inlining the dists into the argmin doubles the expression (the
+    array and min operands are NOT common-subexpression-eliminated
+    across array boundaries; measured 2×). A higher-order fold
+    would interpret ~M·K·subdim ops per row (PERF.md §29). No
+    shuffle, no UDF, no Python loop.
+    """
+    m_count = len(codebooks)
+    sub = len(codebooks[0][0])
+    base = corpus.selectExpr(
+        id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __v__"
+    )
+    dist_arrays = base.selectExpr(
+        id_col,
+        *[
+            "array({ds}) AS __da{m}__".format(
+                m=m,
+                ds=", ".join(
+                    f"({_pq_dist_sql('__v__', ctr, m * sub)})"
+                    for ctr in codebooks[m]
+                ),
+            )
+            for m in range(m_count)
+        ],
+    )
+    codes = [
+        f"CAST(array_position(__da{m}__, array_min(__da{m}__)) - 1 AS INT)"
+        for m in range(m_count)
+    ]
+    return dist_arrays.selectExpr(id_col, f"array({', '.join(codes)}) AS codes")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query,
+    precompute the M×K lookup table of exact sub-distances to every
+    codebook entry, then score each corpus vector as the fixed-order
+    sum of M table lookups — O(M) adds per (query, vector) instead
+    of O(dim) multiplies, over a corpus that stores only nibble
+    codes. Returns (query_id, vec_id, adc_dist, rank).
+
+    Shape: codes are computed once (pq_encode), the query LUTs are
+    tiny and broadcast; the corpus never shuffles. Composes with
+    the IVF cell pruning for the full faiss-style IVF-PQ layout.
+
+    ``rerank > 0`` is the faiss refinement pattern: take the top
+    ``rerank`` candidates by ADC, then re-score ONLY those with the
+    exact squared L2 against the full vectors (one broadcast-range
+    join of |queries|·rerank rows against the corpus) and emit the
+    exact top-k. Lifts recall from the ~0.4 of raw 32-bit codes to
+    near-exact at rerank≈10k (pytest pins the measured floor) while
+    still scanning only compressed codes corpus-wide.
+    """
+    m_count = len(codebooks)
+    codes = pq_encode(corpus, codebooks, vec_col, id_col)
+    qbase = queries.selectExpr(
+        query_id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __qv__"
+    )
+    sub = len(codebooks[0][0])
+    # LUTs as a transform over codebook array literals, NOT the
+    # unrolled per-centroid form the corpus side uses: unrolling
+    # 8×16 eight-term sums in one projection overflows janino's
+    # method budget, and the failed compile + interpreted fallback
+    # costs ~1.4 s PER PLAN RUN (measured — on a 10-row stage!).
+    # The lambda is interpreted per row, but only query rows exist
+    # here; the arithmetic (element ops, left-assoc sum) is
+    # bit-identical to the unrolled form, so the oracle still
+    # matches exactly. Corpus-grain stages keep unrolled codegen.
+    def lut(m: int) -> str:
+        ctrs = ", ".join(
+            "array({})".format(", ".join(repr(v) for v in ctr))
+            for ctr in codebooks[m]
+        )
+        off = m * sub
+        terms = " + ".join(
+            f"(element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
+            f" * (element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
+            for i in range(sub)
+        )
+        return f"transform(array({ctrs}), c -> {terms}) AS __lut{m}__"
+
+    luts = qbase.selectExpr(
+        query_id_col, *[lut(m) for m in range(m_count)]
+    )
+    score = " + ".join(
+        f"element_at(__lut{m}__, element_at(codes, {m + 1}) + 1)"
+        for m in range(m_count)
+    )
+    scored = codes.crossJoin(F.broadcast(luts)).selectExpr(
+        query_id_col, id_col, f"({score}) AS adc_dist"
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "adc_dist", "rank")
+        )
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select(query_id_col, id_col)
+    )
+    cvec = corpus.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__")
+    )
+    qvec = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("__qv__"), F.col("__cv__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        cands.join(cvec, id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .withColumn("l2_dist", sq)
+    )
+    w2 = W.partitionBy(query_id_col).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_dist", "rank")
+    )

@@ -430,6 +430,91 @@ def ann_ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _ann_pq_oracle(k: int = 5) -> str:
+    """ADC product-quantization top-k as DuckDB SQL. Every squared
+    distance is the same UNROLLED left-associated sum of the same
+    repr() double literals as the Spark side — DuckDB's list_reduce
+    is NOT a plain left fold (measured: 1-ulp divergence on some
+    subspaces), so the oracle never uses it. Each distance is
+    projected once in a wide CTE, then argmin / LUT / score only
+    reference those columns."""
+    from mirabelle_spark.pipeline.pq_codebooks import (
+        PQ_CODEBOOKS, PQ_M, PQ_SUBDIM,
+    )
+
+    def dlit(v: float) -> str:
+        # exponent suffix forces DuckDB to parse the literal
+        # DIRECTLY as DOUBLE (correctly-rounded strtod). A bare
+        # decimal literal — even with ::DOUBLE — goes through
+        # DECIMAL(18,17) first and double-rounds the last ulp
+        # (measured: 0.11164513516884583::DOUBLE is 1 ulp off).
+        r = repr(v)
+        return r if "e" in r or "E" in r else r + "e0"
+
+    def dist(vec: str, m: int, ctr: list[float]) -> str:
+        off = m * PQ_SUBDIM
+        return " + ".join(
+            f"({vec}[{off + i + 1}] - {dlit(v)}) * "
+            f"({vec}[{off + i + 1}] - {dlit(v)})"
+            for i, v in enumerate(ctr)
+        )
+
+    ddefs = ", ".join(
+        f"({dist('v', m, ctr)}) AS d{m}_{j}"
+        for m in range(PQ_M)
+        for j, ctr in enumerate(PQ_CODEBOOKS[m])
+    )
+    codes = ", ".join(
+        "(list_position(list_value({ds}), least({ds})) - 1) AS c{m}".format(
+            m=m, ds=", ".join(f"d{m}_{j}" for j in range(len(PQ_CODEBOOKS[m])))
+        )
+        for m in range(PQ_M)
+    )
+    qdefs = ", ".join(
+        f"({dist('qv', m, ctr)}) AS qd{m}_{j}"
+        for m in range(PQ_M)
+        for j, ctr in enumerate(PQ_CODEBOOKS[m])
+    )
+    luts = ", ".join(
+        "list_value({ds}) AS lut{m}".format(
+            m=m, ds=", ".join(f"qd{m}_{j}" for j in range(len(PQ_CODEBOOKS[m])))
+        )
+        for m in range(PQ_M)
+    )
+    score = " + ".join(f"l.lut{m}[e.c{m} + 1]" for m in range(PQ_M))
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+cdist AS (SELECT vec_id, {ddefs} FROM c),
+enc AS (SELECT vec_id, {codes} FROM cdist),
+qdist AS (SELECT query_id, {qdefs} FROM q),
+lut AS (SELECT query_id, {luts} FROM qdist),
+scored AS (SELECT l.query_id, e.vec_id, {score} AS adc_dist FROM enc e, lut l),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@q("ann_pq_topk", _ann_pq_oracle(k=5))
+def ann_pq_topk(spark, sf):
+    """Product-quantization ADC top-k: nibble codes + per-query
+    lookup tables — the compressed-scan half of the faiss IVF-PQ
+    layout (the IVF half is ann_ivf_topk's partition pruning)."""
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.pq_topk(e, queries, PQ_CODEBOOKS, k=5)
+
+
 
 
 def _near_dup_oracle(threshold: float, planes: int, tables: int, seed: int = 42) -> str:

@@ -697,3 +697,49 @@ def test_wav_codec_end_to_end(spark):
     f2 = out[2].feature
     assert f2[0] == 2.0 and f2[4] == 0.0 and f2[5] == 0.0
     assert out[3].feature is None           # undecodable -> None, no crash
+
+
+def test_pq_encode_codes_shape(spark):
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS, PQ_K, PQ_M
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = ann.pq_encode(e, PQ_CODEBOOKS).collect()
+    assert len(codes) == e.count()
+    for r in codes:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+
+
+def test_pq_topk_rerank_recall(spark):
+    """faiss-style refinement: raw 32-bit ADC recall is ~0.4 on this
+    corpus; reranking the top-50 ADC candidates with exact L2 lifts
+    recall@5 to >= 0.8 mean / >= 0.5 min (measured 0.89 / 0.6 at
+    sf0.01; bounds leave run-to-run slack — the computation is
+    deterministic, the slack is for corpus regeneration)."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter("vec_id < 20").selectExpr("vec_id AS query_id", "embedding")
+    rows = {r.vec_id: list(r.embedding) for r in e.collect()}
+    ids = sorted(rows)
+    mat = np.array([rows[i] for i in ids], dtype=np.float64)
+    exact = {}
+    for qid in range(20):
+        d = ((mat - mat[ids.index(qid)]) ** 2).sum(1)
+        order = np.lexsort((ids, d))
+        exact[qid] = set(np.array(ids)[order[:5]])
+
+    out = ann.pq_topk(e, q, PQ_CODEBOOKS, k=5, rerank=50)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(got[i] & exact[i]) / 5 for i in range(20)]
+    assert sum(recalls) / len(recalls) >= 0.8
+    assert min(recalls) >= 0.5
+    # rank-1 of the reranked result is the query itself (exact dist 0)
+    r1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
+    assert all(r1[i] == i for i in range(20))
