@@ -395,41 +395,38 @@ def pq_encode(
     codebooks ship as plan literals exactly like the IVF coarse
     quantizer (write-once, engine-portable).
 
-    Two selectExpr stages: (1) M ARRAY columns of the K unrolled
-    squared-L2 dists — each dist computed exactly once; (2) argmin
-    via array_position over those arrays. The array packing keeps
-    the intermediate schema at M+1 fields — M×K scalar columns
-    (128) would exceed spark.sql.codegen.maxFields (100) and
-    silently disable whole-stage codegen for the stage, and
-    inlining the dists into the argmin doubles the expression (the
-    array and min operands are NOT common-subexpression-eliminated
-    across array boundaries; measured 2×). A higher-order fold
-    would interpret ~M·K·subdim ops per row (PERF.md §29). No
-    shuffle, no UDF, no Python loop.
+    Two selectExpr stages: (1) M×K SCALAR distance columns — each
+    unrolled squared-L2 computed exactly once; (2) argmin via
+    array_position over column references. The 129-field
+    intermediate schema deliberately crosses
+    spark.sql.codegen.maxFields (100): whole-stage codegen turns
+    OFF for the stage, which here is the FAST path — WSCG fuses the
+    2048-op projection into one janino method that overflows the
+    method budget and falls back to fully interpreted evaluation
+    (measured 1.6 s at sf0.1), while plain per-operator expression
+    codegen splits the same expressions into many small compiled
+    methods (0.9 s). A higher-order fold would interpret
+    ~M·K·subdim ops per row either way (PERF.md §29). No shuffle,
+    no UDF, no Python loop.
     """
     m_count = len(codebooks)
     sub = len(codebooks[0][0])
     base = corpus.selectExpr(
         id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __v__"
     )
-    dist_arrays = base.selectExpr(
-        id_col,
-        *[
-            "array({ds}) AS __da{m}__".format(
-                m=m,
-                ds=", ".join(
-                    f"({_pq_dist_sql('__v__', ctr, m * sub)})"
-                    for ctr in codebooks[m]
-                ),
-            )
-            for m in range(m_count)
-        ],
-    )
+    dist_cols = [
+        f"({_pq_dist_sql('__v__', ctr, m * sub)}) AS __d{m}_{j}__"
+        for m in range(m_count)
+        for j, ctr in enumerate(codebooks[m])
+    ]
+    dists = base.selectExpr(id_col, *dist_cols)
     codes = [
-        f"CAST(array_position(__da{m}__, array_min(__da{m}__)) - 1 AS INT)"
+        "CAST(array_position(array({ds}), array_min(array({ds}))) - 1 AS INT)".format(
+            ds=", ".join(f"__d{m}_{j}__" for j in range(len(codebooks[m])))
+        )
         for m in range(m_count)
     ]
-    return dist_arrays.selectExpr(id_col, f"array({', '.join(codes)}) AS codes")
+    return dists.selectExpr(id_col, f"array({', '.join(codes)}) AS codes")
 
 
 def pq_topk(
