@@ -65,6 +65,13 @@ GATE_PRIORITY = [
     "outside_dt_alert",
 ]
 
+# Round-7 rotation note: the round-6 additions have never been
+# driver-gated (all exact-compare green locally, incl. under a
+# hostile ANSI/non-UTC session): gopher_quality_docs, vocab_top100,
+# token_rarity_docs, mixture_sample_docs, paragraph_dedup_docs,
+# dedup_survivors_docs, ann_pq_topk. Lead GATE_PRIORITY with them
+# next round, then continue the cohort rotation.
+
 
 def _ordered(mapping: dict) -> dict:
     out = {}
