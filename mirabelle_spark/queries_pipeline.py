@@ -989,6 +989,84 @@ def mixture_sample_docs(spark, sf):
     ).select("doc_id", "lang", "n_chars")
 
 
+def _clean_corpus_oracle() -> str:
+    cluster_sql = _dedup_clusters_oracle().strip()
+    return f"""
+WITH clusters AS ({cluster_sql}),
+survivors AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+{_SHINGLE_CTE},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+contaminated AS (
+  SELECT sh.doc_id FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 5
+  GROUP BY sh.doc_id HAVING count(DISTINCT s) >= 2
+),
+g AS (
+  SELECT doc_id, len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha_words
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
+),
+good AS (
+  SELECT doc_id FROM g
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND (CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8 ELSE FALSE END)
+)
+SELECT d.doc_id, d.lang,
+       regexp_replace(regexp_replace(d.text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM documents d
+JOIN good USING (doc_id)
+JOIN survivors USING (doc_id)
+WHERE d.doc_id >= 5
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@q("clean_corpus_docs", _clean_corpus_oracle())
+def clean_corpus_docs(spark, sf):
+    """The end-to-end corpus-cleaning showcase, one declarative
+    plan: quality-rule filter (Gopher word-count / word-length /
+    alpha rules — the stopword rule is vacuous on this synthetic
+    vocabulary) ∩ transitive near-dup SURVIVORS (canonical doc per
+    MinHash cluster, deduped against benchmark docs too) ∖
+    benchmark-contaminated docs (≥2 shared trigram shingles with
+    docs 0-4), then PII-masked output. Every stage is an operator
+    this module already gates individually; the composition is two
+    semi-joins + one anti-join around the quality projection — the
+    corpus text moves once."""
+    from mirabelle_spark.pipeline import sampling
+
+    d = docs(spark, sf)
+    corpus = d.filter(F.col("doc_id") >= 5)
+    bench = d.filter(F.col("doc_id") < 5)
+    contaminated = sampling.contamination(corpus, bench, min_shared=2).select(
+        "doc_id"
+    )
+    pairs = dedup.minhash_lsh_candidates(d, num_hashes=64, bands=8)
+    survivors = (
+        dedup.resolve_clusters(pairs, d.select("doc_id"))
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    good = (
+        text.gopher_rules(d, min_words=30)
+        .filter(
+            F.col("word_count_ok") & F.col("word_len_ok") & F.col("alpha_ok")
+        )
+        .select("doc_id", "lang", "text")
+    )
+    cleaned = (
+        good.join(F.broadcast(survivors), "doc_id", "left_semi")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .filter(F.col("doc_id") >= 5)
+    )
+    return sampling.mask_pii(cleaned).select("doc_id", "lang", "text_masked")
+
+
 # 10-word re-chunking: the synthetic corpus is single-line prose, so
 # the paragraph grain is derived — ONE regex pass splits every run of
 # 10 words with a blank line, identically on both engines.
