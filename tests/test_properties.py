@@ -329,3 +329,56 @@ def test_mixture_equals_hash_sample_at_uniform_rate(spark, keys, pct):
         for r in sampling.mixture_sample(df, {"en": pct}, group_col="lang").collect()
     )
     assert a == b
+
+
+# -- DSL validation fuzz: malformed trees must raise the NAMED error --
+
+_ACTION_NAMES = st.sampled_from(
+    ["where", "with", "default", "scale", "throttle", "above-dt",
+     "fixed-time-window", "coll-percentiles", "sformat", "tag",
+     "not-an-action", "whre", ""]
+)
+_JUNK = st.recursive(
+    st.one_of(
+        st.none(), st.booleans(), st.integers(-10, 10),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=8),
+    ),
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3),
+        st.dictionaries(st.text(max_size=6), inner, max_size=3),
+    ),
+    max_leaves=6,
+)
+
+
+@given(action=_ACTION_NAMES, params=st.lists(_JUNK, max_size=4))
+@settings(max_examples=80, deadline=None)
+def test_spec_validation_never_leaks_a_traceback(action, params):
+    """validate_tree on an arbitrary malformed node either accepts
+    it (well-formed by luck) or raises InvalidActionParams naming
+    the action — never TypeError/KeyError/AttributeError from deep
+    inside the validator (the config-typo contract,
+    spec.clj:17-24 parity)."""
+    from mirabelle_spark.plans.builder import _ACTIONS, _USER_ACTIONS
+    from mirabelle_spark.plans.spec import InvalidActionParams, validate_tree
+
+    tree = {"action": action, "params": params, "children": []}
+    try:
+        validate_tree(tree, set(_ACTIONS), _USER_ACTIONS)
+    except InvalidActionParams as e:
+        assert action in str(e) or "action" in str(e)
+
+
+@given(node=_JUNK)
+@settings(max_examples=60, deadline=None)
+def test_spec_validation_handles_junk_nodes(node):
+    """Even a structurally-junk node (not an action dict at all)
+    must produce InvalidActionParams or pass, never a raw crash."""
+    from mirabelle_spark.plans.builder import _ACTIONS, _USER_ACTIONS
+    from mirabelle_spark.plans.spec import InvalidActionParams, validate_tree
+
+    try:
+        validate_tree(node, set(_ACTIONS), _USER_ACTIONS)
+    except InvalidActionParams:
+        pass
