@@ -276,3 +276,41 @@ def coalesce_ticks(
     return out.withColumn(
         "tick", (F.col("__tick__") / F.lit(1_000_000)).cast("double")
     ).drop("__tick__")
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: float,
+    by: Sequence[str] = (),
+    time_col: str = "time",
+    metric_col: str | None = "metric",
+) -> DataFrame:
+    """Gap-based sessionization — an operator the reference has no
+    analog for (its windows are fixed/moving), but the native Spark
+    primitive makes free: events within ``gap_s`` of each other
+    merge into one session per key (``F.session_window``, dynamic
+    merging windows). Returns (by…, session_start, session_end,
+    n_events[, metric = decimal-exact sum]) with start/end as
+    unix-microsecond BIGINTs — session_end is the half-open window
+    end, last event + gap, exactly Spark's [min, max+gap) interval
+    math on integer µs (engine-portable: the DuckDB oracle
+    reproduces it with a lag/cumsum session assignment).
+
+    Scale shape: one shuffle on the grouping keys; sessions form
+    inside the aggregation (no window function, no per-key sort
+    stage beyond the hash aggregate's own)."""
+    w = F.session_window(F.col(time_col), f"{int(gap_s * 1_000_000)} microseconds")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if metric_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.col(metric_col), F.lit(0.0)).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("metric")
+        )
+    return (
+        df.groupBy(*_cols(by), w.alias("__s__"))
+        .agg(*aggs)
+        .withColumn("session_start", F.unix_micros(F.col("__s__.start")))
+        .withColumn("session_end", F.unix_micros(F.col("__s__.end")))
+        .drop("__s__")
+    )

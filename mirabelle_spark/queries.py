@@ -1342,3 +1342,41 @@ def coalesce_fill(spark, sf):
         order_cols=["event_id"],
     )
     return c.select("event_type", "tick", "event_id")
+
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+s AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                  >= 21600000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sid AS (
+  SELECT user_id, us, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       min(us) AS session_start,
+       max(us) + 21600000000 AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(COALESCE(value, 0.0) AS DECIMAL(38,9))) AS DOUBLE) AS metric
+FROM sid GROUP BY user_id, sid
+"""
+
+
+@q("sessionize_user_events", _SESSIONIZE_ORACLE)
+def sessionize_user_events(spark, sf):
+    """Gap-based sessionization (6 h inactivity gap per user) via
+    Spark's native session_window — dynamic merging windows the
+    reference's fixed/moving window set cannot express. The oracle
+    reproduces the [min, max+gap) integer-µs interval math with a
+    lag/cumsum session assignment."""
+    s = win.sessionize(
+        events(spark, sf), 21600.0, by=["user_id"], time_col="ts",
+        metric_col="value",
+    )
+    return s.select("user_id", "session_start", "session_end", "n_events", "metric")

@@ -1257,3 +1257,35 @@ def stream_expired(
     return _keyed_batch_scan(
         df, by, time_col, "mx DOUBLE", (None,), batch_fn
     )
+
+
+def stream_sessionize(
+    df: DataFrame,
+    gap_s: float,
+    delay_s: float = 0.0,
+    by: Sequence[str] = (),
+    time_col: str = "time",
+    metric_col: str | None = "metric",
+) -> DataFrame:
+    """Streaming twin of
+    :func:`mirabelle_spark.operators.windows.sessionize`: the same
+    native session_window aggregate under a watermark — sessions
+    close (and emit, in append mode) once the watermark passes their
+    gap-extended end. Identical output columns and decimal-exact
+    metric sum, so batch/stream parity is exact on availableNow."""
+    src = df.withWatermark(time_col, f"{delay_s} seconds")
+    w = F.session_window(F.col(time_col), f"{int(gap_s * 1_000_000)} microseconds")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if metric_col is not None:
+        aggs.append(
+            F.sum(F.coalesce(F.col(metric_col), F.lit(0.0)).cast(DEC))
+            .cast("double")
+            .alias("metric")
+        )
+    return (
+        src.groupBy(*[F.col(c) for c in by], w.alias("__s__"))
+        .agg(*aggs)
+        .withColumn("session_start", F.unix_micros(F.col("__s__.start")))
+        .withColumn("session_end", F.unix_micros(F.col("__s__.end")))
+        .drop("__s__")
+    )

@@ -1748,3 +1748,42 @@ def test_metrics_endpoint_per_stream_timers(spark, tmpdir):
         api.stop()
         handler.stop_all()
         spark.streams.removeListener(listener)
+
+
+def test_stream_sessionize_parity(spark, tmp_path):
+    """Batch sessionize vs the streaming twin on availableNow:
+    identical sessions (start/end/µs interval math, count,
+    decimal-exact metric sum)."""
+    from mirabelle_spark.operators import windows as win
+    from mirabelle_spark.streaming import core
+
+    rows = [
+        (1, 0.0, 1.0), (1, 10.0, 2.0), (1, 100.0, 3.0),   # 2 sessions @gap 30
+        (2, 5.0, 4.0), (2, 34.9, 5.0), (2, 65.0, 6.0),    # merge, then break
+    ]
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(rows, "user_id bigint, t double, value double") \
+        .withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long")))
+    batch = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.metric)
+        for r in win.sessionize(df, 30.0, by=["user_id"], time_col="time", metric_col="value").collect()
+    }
+
+    src_dir = str(tmp_path / "in")
+    df.write.mode("overwrite").parquet(src_dir)
+    st = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    out = core.stream_sessionize(st, 30.0, by=["user_id"], time_col="time", metric_col="value")
+    q = (
+        out.writeStream.format("memory").queryName("sess_parity")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.metric)
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+    assert got == batch
+    assert len(batch) == 4  # user1: {0,10},{100}; user2: {5,34.9},{65}
