@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mirabelle_spark.conditions import compile_condition
+from mirabelle_spark.timeutil import US
 
 
 def _cols(names: Sequence[str]) -> list[Column]:
@@ -302,3 +303,51 @@ def ordered_keyed_scan(df, by, sort_cols, process_group, schema=None):
                 yield out[out_cols]
 
     return src.mapInPandas(run, schema=schema)
+
+
+def zscore(
+    df: DataFrame,
+    window_s: float,
+    by: Sequence[str] = (),
+    time_col: str = "time",
+    metric_col: str = "metric",
+    min_n: int = 2,
+    out: str = "zscore",
+) -> DataFrame:
+    """Rolling z-score anomaly signal: for every event, the metric's
+    deviation from the mean of the trailing ``window_s`` seconds
+    (inclusive range frame per key), in standard deviations —
+    the continuous cousin of the reference's threshold family
+    (above/below/cond-dt), which only the windowed engine can offer
+    cheaply. NULL when the window holds fewer than ``min_n`` events
+    or has zero variance.
+
+    Determinism: the window moments are DECIMAL(38,9) sums of the
+    raw metric and of its double-squared value (per-row double
+    multiply is deterministic; decimal summation is order-free), so
+    mean and population variance come out bit-identical on any
+    partitioning and in the DuckDB oracle. Variance uses the
+    (sumsq/n − mean²) form computed in double from the exact sums —
+    identical op order both engines; tiny negative round-off clamps
+    to zero (NULL z). One range-frame window per key, no
+    single-partition stage.
+    """
+    t = F.unix_micros(F.col(time_col))
+    win_us = int(round(window_s * US))
+    w = (
+        W.partitionBy(*_cols(by))
+        .orderBy(t)
+        .rangeBetween(-win_us, 0)
+    )
+    m = F.coalesce(F.col(metric_col), F.lit(0.0))
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(m.cast("decimal(38,9)")).over(w).cast("double")
+    s2 = F.sum((m * m).cast("decimal(38,9)")).over(w).cast("double")
+    nd = n.cast("double")
+    mean = s1 / nd
+    var = F.greatest(s2 / nd - mean * mean, F.lit(0.0))
+    z = F.when(
+        (n >= min_n) & (var > 0.0),
+        (F.col(metric_col) - mean) / F.sqrt(var),
+    )
+    return df.withColumn(out, z)

@@ -1380,3 +1380,37 @@ def sessionize_user_events(spark, sf):
         metric_col="value",
     )
     return s.select("user_id", "session_start", "session_end", "n_events", "metric")
+
+
+_ZSCORE_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+),
+m AS (
+  SELECT event_id, user_id, us, value,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(COALESCE(value, 0.0) AS DECIMAL(38,9))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(COALESCE(value, 0.0) * COALESCE(value, 0.0) AS DECIMAL(38,9))) OVER w AS DOUBLE) AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN n >= 2 AND greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) > 0.0
+            THEN (value - s1 / n) / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0))
+       END AS zscore
+FROM m
+"""
+
+
+@q("zscore_events", _ZSCORE_ORACLE)
+def zscore_events(spark, sf):
+    """Rolling 6-hour z-score per user — the windowed anomaly signal
+    the reference's fixed-threshold family (above/below/cond-dt)
+    approximates with constants. Decimal-exact window moments make
+    the double math engine-portable."""
+    z = st.zscore(
+        events(spark, sf), 21600.0, by=["user_id"], time_col="ts",
+        metric_col="value",
+    )
+    return z.select("event_id", "user_id", "zscore")

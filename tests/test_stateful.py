@@ -80,3 +80,30 @@ def test_stable(make_events, collect_sorted):
     df = make_events(rows)
     out = st.stable(df, 10.0, "state", time_col="time", order_cols=["seq"])
     assert [r[0] for r in collect_sorted(out, "seq")] == [0, 1, 2]
+
+
+def test_zscore_rolling_window(spark):
+    """Known-value rolling z-score: window moments over the trailing
+    range frame, NULL below min_n or at zero variance."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.operators import stateful as st
+
+    rows = [(i, float(t), v) for i, (t, v) in enumerate(
+        [(0, 10.0), (10, 10.0), (20, 40.0), (1000, 7.0)]
+    )]
+    df = spark.createDataFrame(rows, "event_id bigint, t double, value double") \
+        .withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long")))
+    out = {r.event_id: r.z for r in st.zscore(
+        df, 60.0, time_col="time", metric_col="value", out="z"
+    ).collect()}
+    assert out[0] is None            # n=1 < min_n
+    assert out[1] is None            # n=2 but variance 0
+    mean = 20.0; var = (100 + 100 + 1600) / 3 - 400  # population
+    assert abs(out[2] - (40.0 - mean) / var ** 0.5) < 1e-12
+    assert out[3] is None            # window rolled past; n=1 again
+    # partition independence
+    again = {r.event_id: r.z for r in st.zscore(
+        df.repartition(7), 60.0, time_col="time", metric_col="value", out="z"
+    ).collect()}
+    assert again == out
