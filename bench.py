@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",    # broadcast + fold dot products
     "ann_ivf_topk",           # fixed-quantizer cell probe (partition pruning shape)
     "ann_pq_topk",            # product-quantization ADC compressed scan
+    "sessionize_user_events", # native session_window (dynamic merging windows)
+    "zscore_events",          # range-frame rolling moments (decimal-exact)
     "tpch_pricing_summary",   # full-scan rollup (decimal-exact)
     "revenue_by_nation",      # star join: 2 shuffle + 2 broadcast joins
 ]
