@@ -382,3 +382,47 @@ def test_spec_validation_handles_junk_nodes(node):
         validate_tree(node, set(_ACTIONS), _USER_ACTIONS)
     except InvalidActionParams:
         pass
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200)),  # (user, time s)
+        min_size=1, max_size=25,
+    ),
+    gap=st.sampled_from([5, 30, 100]),
+)
+@SLOW
+def test_sessionize_matches_reference_loop(spark, evs, gap):
+    """session_window vs a literal gap-merge loop: identical
+    [min, max+gap) sessions on integer-µs math, including
+    duplicate-timestamp events."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.operators import windows as win
+
+    df = spark.createDataFrame(
+        [(u, float(t)) for u, t in evs], "user_id bigint, t double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long")))
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in win.sessionize(
+            df, float(gap), by=["user_id"], time_col="time", metric_col=None
+        ).collect()
+    }
+
+    expected: dict = {}
+    gap_us = gap * 1_000_000
+    by_user: dict = {}
+    for u, t in evs:
+        by_user.setdefault(u, []).append(t * 1_000_000)
+    for u, times in by_user.items():
+        times.sort()
+        start, last, n = times[0], times[0], 0
+        for t in times:
+            if t - last >= gap_us:   # [min, max+gap): break at >= gap
+                expected[(u, start, last + gap_us)] = n
+                start, n = t, 0
+            last = t
+            n += 1
+        expected[(u, start, last + gap_us)] = n
+    assert got == expected
