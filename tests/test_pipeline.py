@@ -743,3 +743,28 @@ def test_pq_topk_rerank_recall(spark):
     # rank-1 of the reranked result is the query itself (exact dist 0)
     r1 = {r.query_id: r.vec_id for r in out.collect() if r.rank == 1}
     assert all(r1[i] == i for i in range(20))
+
+
+def test_simhash_multi_index_identical_pairs(spark):
+    """piece_match=2 (order-2 pigeonhole) must emit EXACTLY the
+    pair set of the order-1 banding — the popcount verify makes
+    recall exact for any valid (chunks, piece_match)."""
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (2, "completely different content about spark query engines and shuffles"),
+        (3, "the quick brown fox hops over the lazy dog near the river bank"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    p1 = {(r.id_a, r.id_b, r.hamming)
+          for r in dedup.simhash_near_dups(df, max_hamming=8).collect()}
+    p2 = {(r.id_a, r.id_b, r.hamming)
+          for r in dedup.simhash_near_dups(df, max_hamming=8, piece_match=2).collect()}
+    assert p1 == p2 and p1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="piece_match"):
+        dedup.simhash_near_dups(df, max_hamming=8, piece_match=3)
+    with _pytest.raises(ValueError, match="recall"):
+        dedup.simhash_near_dups(df, max_hamming=8, chunks=8, piece_match=2)
