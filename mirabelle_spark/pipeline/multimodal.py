@@ -210,14 +210,22 @@ def sample_frames(
     id_col: str = "id",
     decoder: str = "fake",
     fake_duration_ms: int = 1000,
+    frame_ms: int = 40,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (id, frame_idx, frame BINARY, sha). The Spark plumbing — Arrow
     batches in, row-explosion out, blobs never surviving past the
-    projection that consumes them — is real; the codec is a
-    deterministic fake (sha-derived 'frames') until pyav is
-    available (``decoder="real"`` raises, with the plug point being
-    the `_frames` generator)."""
+    projection that consumes them — is real. Codecs:
+
+    - ``"netpbm-stream"``: REAL container parse — the payload is a
+      concatenation of binary netpbm frames (P5/P6, the motion-PPM
+      form ffmpeg emits for ``-f image2pipe -vcodec ppm``); frame
+      boundaries come from each frame's own header, frames are
+      ``frame_ms`` apart, and every ``ceil(every_ms/frame_ms)``-th
+      frame is emitted verbatim.
+    - ``"fake"``: deterministic sha-derived stand-in.
+    - ``"real"`` raises, naming the pyav call this container lacks
+      (the plug point is the ``_frames`` generator)."""
     if decoder == "real":
         raise NotImplementedError(
             "frame decode requires pyav; plug a (bytes, every_ms) -> "
@@ -225,8 +233,14 @@ def sample_frames(
         )
 
     n_frames = max(1, fake_duration_ms // max(1, every_ms))
+    stride = max(1, -(-every_ms // max(1, frame_ms)))  # ceil
 
     def _frames(payload: bytes):
+        if decoder == "netpbm-stream":
+            for k, frame in enumerate(split_netpbm_stream(payload)):
+                if k % stride == 0:
+                    yield frame
+            return
         for i in range(n_frames):
             yield hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
 
@@ -258,6 +272,51 @@ def sample_frames(
 # The container has no PIL/pyav, but the netpbm family (PGM P2/P5,
 # PPM P3/P6) is a public, trivial format — so at least one genuine
 # decode→process→encode path runs end-to-end with real pixels.
+
+
+def _netpbm_extent(data: bytes, start: int) -> int:
+    """Byte length of the binary netpbm frame (P5/P6) starting at
+    ``start`` — header walk + raster size; raises on anything else
+    (ASCII P2/P3 have no self-delimiting raster, so they can't be
+    stream members)."""
+    if data[start : start + 1] != b"P" or data[start + 1 : start + 2] not in b"56":
+        raise ValueError(f"offset {start}: not a P5/P6 frame header")
+    channels = 3 if data[start + 1 : start + 2] == b"6" else 1
+    i = start + 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("netpbm maxval > 255 not supported")
+    i += 1  # single whitespace after maxval
+    end = i + width * height * channels
+    if end > len(data):
+        raise ValueError("truncated netpbm raster in stream")
+    return end - start
+
+
+def split_netpbm_stream(data: bytes) -> list[bytes]:
+    """Split a concatenation of binary netpbm frames into the
+    individual frame byte strings (REAL container parse: each
+    frame's own header declares its raster size)."""
+    frames: list[bytes] = []
+    i = 0
+    while i < len(data):
+        n = _netpbm_extent(data, i)
+        frames.append(data[i : i + n])
+        i += n
+    return frames
 
 
 def decode_netpbm(data: bytes):

@@ -768,3 +768,31 @@ def test_simhash_multi_index_identical_pairs(spark):
         dedup.simhash_near_dups(df, max_hamming=8, piece_match=3)
     with _pytest.raises(ValueError, match="recall"):
         dedup.simhash_near_dups(df, max_hamming=8, chunks=8, piece_match=2)
+
+
+def test_netpbm_stream_frame_sampling(spark):
+    """REAL video-container path: a concatenated P6 stream (the
+    image2pipe/ppm form) is split on each frame's own header and
+    sampled at the requested interval, frames emitted verbatim."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import multimodal
+
+    frames = [
+        multimodal.encode_netpbm(np.full((2, 3, 3), k * 10, dtype=np.uint8))
+        for k in range(10)
+    ]
+    stream = b"".join(frames)
+    df = spark.createDataFrame([(7, stream)], "doc_id bigint, payload binary")
+    media = multimodal.attach_media(df, "payload", "video/x-ppm-stream", "doc_id")
+    # 40 ms/frame, sample every 120 ms -> stride 3 -> frames 0,3,6,9
+    out = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in multimodal.sample_frames(
+            media, every_ms=120, decoder="netpbm-stream", frame_ms=40
+        ).collect()
+    )
+    assert [i for i, _ in out] == [0, 1, 2, 3]
+    assert [f for _, f in out] == [frames[0], frames[3], frames[6], frames[9]]
+    arr, w, h = multimodal.decode_netpbm(out[1][1])
+    assert (w, h) == (3, 2) and arr.max() == 30
