@@ -179,8 +179,29 @@ def minhash_lsh_candidates(
     quadratically on shared-vocabulary corpora — that, not the
     signature cost, is what kills LSH jobs at scale.
     """
-    r = num_hashes // bands
     base = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_hash)
+    return minhash_lsh_candidates_from_signatures(
+        base, num_hashes=num_hashes, bands=bands, id_col=id_col
+    )
+
+
+def minhash_lsh_candidates_from_signatures(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded LSH candidates from a PRE-COMPUTED signature table
+    (columns ``m0..m{k-1}``) — the write-once production split:
+    materialize :func:`minhash_signatures` as a parquet table when
+    the corpus lands (the signature pass is the dominant stage and
+    only depends on the document bodies), then run candidate
+    generation — and re-run it with different band/row trade-offs —
+    against the 8·k-bytes/doc table without ever touching text
+    again. Same contract as the IVF write-once index
+    (:func:`mirabelle_spark.pipeline.ann.ivf_write_index`); parity
+    with the in-flight path is pytest-pinned."""
+    r = num_hashes // bands
     # one selectExpr string for the band fan-out (vs ~100 py4j calls
     # for the equivalent struct/lit/xxhash64 Column constructors)
     band_structs = ", ".join(
@@ -189,7 +210,7 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     )
-    band_entries = base.selectExpr(
+    band_entries = signatures.selectExpr(
         id_col, f"explode(array({band_structs})) AS __band__"
     ).select(id_col, "__band__.band_id", "__band__.band_hash")
     buckets = (

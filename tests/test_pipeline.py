@@ -796,3 +796,32 @@ def test_netpbm_stream_frame_sampling(spark):
     assert [f for _, f in out] == [frames[0], frames[3], frames[6], frames[9]]
     arr, w, h = multimodal.decode_netpbm(out[1][1])
     assert (w, h) == (3, 2) and arr.max() == 30
+
+
+def test_minhash_signature_table_write_once(spark, tmp_path, doc_df):
+    """The write-once split: signatures materialized to parquet,
+    candidate generation run from the table — identical pairs to
+    the in-flight path, and re-banding the stored table (different
+    bands) needs no text access."""
+    from mirabelle_spark.pipeline import dedup
+
+    sig_path = str(tmp_path / "sigs")
+    dedup.minhash_signatures(doc_df, num_hashes=64).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+
+    inflight = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(doc_df, num_hashes=64, bands=16).collect()
+    }
+    from_table = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates_from_signatures(
+            stored, num_hashes=64, bands=16
+        ).collect()
+    }
+    assert from_table == inflight and inflight
+    # re-band the same table without recomputing signatures
+    rebanded = dedup.minhash_lsh_candidates_from_signatures(
+        stored, num_hashes=64, bands=8
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rebanded} <= inflight  # stricter threshold
