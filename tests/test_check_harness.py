@@ -1,0 +1,62 @@
+"""Meta-tests of the correctness harness itself: the comparator must
+CATCH wrong results — a gate that can't fail is no gate. Imports the
+canon/norm machinery from tools/check_correctness.py directly."""
+
+import importlib.util
+import sys
+
+import pandas as pd
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness", "/root/repo/tools/check_correctness.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("check_correctness", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+CHK = _load()
+
+
+def test_canon_catches_value_drift():
+    a = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    b = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5000000000000004]})  # 1 ulp
+    assert CHK.canon(a) == CHK.canon(a.copy())
+    assert CHK.canon(a) != CHK.canon(b)
+
+
+def test_canon_is_order_and_column_order_insensitive():
+    a = pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]})
+    shuffled = pd.DataFrame({"v": [20.0, 10.0], "k": [2, 1]})
+    assert CHK.canon(a) == CHK.canon(shuffled)
+
+
+def test_canon_distinguishes_nan_null_and_zero():
+    import numpy as np
+
+    base = pd.DataFrame({"v": [0.0]})
+    nan = pd.DataFrame({"v": [np.nan]})
+    null = pd.DataFrame({"v": [None]}).astype(object)
+    assert CHK.canon(base) != CHK.canon(nan)
+    assert CHK.canon(nan) != CHK.canon(null)
+
+
+def test_canon_catches_list_and_struct_drift():
+    a = pd.DataFrame({"v": [[1, 2, 3]]})
+    b = pd.DataFrame({"v": [[1, 3, 2]]})   # element order matters inside arrays
+    assert CHK.canon(a) != CHK.canon(b)
+    c = pd.DataFrame({"v": [{"x": 1, "y": 2}]})
+    d = pd.DataFrame({"v": [{"x": 1, "y": 3}]})
+    assert CHK.canon(c) != CHK.canon(d)
+
+
+def test_canon_catches_sign_of_negative_zero_collapse():
+    # -0.0 vs 0.0 repr-differ in python; the gate treats them as
+    # distinct (stricter than IEEE ==), so an engine flipping the
+    # sign of a zero is caught, not masked
+    a = pd.DataFrame({"v": [0.0]})
+    b = pd.DataFrame({"v": [-0.0]})
+    assert CHK.canon(a) != CHK.canon(b)
