@@ -553,11 +553,16 @@ def resolve_clusters(
     O(log diameter), not O(diameter): duplicate chains are exactly
     the pathological long-path case (measured: plain propagation hit
     25 rounds / 61 s on sf0.1's chains; with jumping, 4 rounds /
-    ~3 s). Each round is two shuffles; labels persist per round and
-    the previous round unpersists once the new one materializes, so
-    executor storage stays one generation deep. The driver holds one
-    decimal per round (the monotone label-sum fixpoint probe), never
-    the labels.
+    ~3 s). Each round is two shuffles; each generation is
+    localCheckpoint'ed — this truncates the LOGICAL plan as well as
+    the lineage, which matters because every round references the
+    previous generation twice (neighbor join + jump map): with a
+    mere persist() the analyzed tree doubles per round and a
+    slow-converging graph OOMs the driver just RENDERING the plan
+    for the UI (found via the embedding pair graph, which needs more
+    rounds than the text chains). Old generations' blocks are freed
+    by the context cleaner; the driver holds one decimal per round
+    (the monotone label-sum fixpoint probe), never the labels.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -571,7 +576,7 @@ def resolve_clusters(
     )
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).persist()
+    ).localCheckpoint(eager=True)
     label_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
@@ -603,7 +608,7 @@ def resolve_clusters(
                         F.col("label"), F.coalesce(F.col("__ll__"), F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             # fixpoint probe: labels are per-node monotone non-
             # increasing, so the label sum strictly decreases iff ANY
@@ -615,7 +620,6 @@ def resolve_clusters(
             new_sum = jumped.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
-            labels.unpersist()
             labels = jumped
             if new_sum == label_sum:
                 break
@@ -625,10 +629,9 @@ def resolve_clusters(
         # the call)
         return labels.select(
             F.col("id").alias(id_col), F.col("label").alias("cluster_id")
-        ).localCheckpoint(eager=True)
+        )
     finally:
         edges.unpersist()
-        labels.unpersist()
 
 
 def paragraph_dedup(

@@ -552,6 +552,48 @@ def embedding_near_dups_q(spark, sf):
 ORACLES["embedding_near_dups"] = _near_dup_oracle(threshold=0.2, planes=6, tables=3)
 
 
+def _semantic_survivors_oracle(threshold: float, planes: int, tables: int) -> str:
+    pair_sql = _near_dup_oracle(threshold, planes, tables).strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pair_sql}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+), clusters AS (
+  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT em.vec_id, em.label
+FROM embeddings em JOIN clusters c USING (vec_id)
+WHERE em.vec_id = c.cluster_id
+"""
+
+
+@q("semantic_dedup_survivors", _semantic_survivors_oracle(0.3, 6, 3))
+def semantic_dedup_survivors(spark, sf):
+    """SemDeDup-style semantic dedup end to end: embedding-cosine
+    near-dup pairs (self-LSH bucketing, never all-pairs) →
+    transitive cluster resolution → keep the canonical vector of
+    every semantic cluster. The same survivors shape as the text
+    MinHash pipeline, over the embedding modality."""
+    e = embs(spark, sf)
+    pairs = ann.embedding_near_dups(
+        e, threshold=0.3, planes=6, tables=3, dim=64
+    )
+    clusters = dedup.resolve_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+    survivors = clusters.filter(
+        F.col("vec_id") == F.col("cluster_id")
+    ).select("vec_id")
+    return e.join(F.broadcast(survivors), "vec_id", "left_semi").select(
+        "vec_id", "label"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sampling / decontamination
 
