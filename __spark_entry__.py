@@ -70,8 +70,9 @@ GATE_PRIORITY = [
 # hostile ANSI/non-UTC session): gopher_quality_docs, vocab_top100,
 # token_rarity_docs, mixture_sample_docs, paragraph_dedup_docs,
 # dedup_survivors_docs, ann_pq_topk, clean_corpus_docs,
-# sessionize_user_events, zscore_events. Lead GATE_PRIORITY with
-# them next round, then continue the cohort rotation.
+# sessionize_user_events, zscore_events, semantic_dedup_survivors.
+# Lead GATE_PRIORITY with them next round, then continue the
+# cohort rotation.
 
 
 def _ordered(mapping: dict) -> dict:
