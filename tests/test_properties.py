@@ -426,3 +426,43 @@ def test_sessionize_matches_reference_loop(spark, evs, gap):
             n += 1
         expected[(u, start, last + gap_us)] = n
     assert got == expected
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(-20, 20)),  # (t s, value)
+        min_size=1, max_size=20, unique_by=lambda e: e[0],
+    ),
+    win=st.sampled_from([10, 50]),
+)
+@SLOW
+def test_zscore_matches_reference_loop(spark, evs, win):
+    """Rolling z-score vs a literal trailing-window loop: identical
+    NULL structure and values within float tolerance (the operator's
+    decimal-exact moments are STRICTER than the float loop, so
+    compare with an epsilon here; bit-exactness vs DuckDB is the
+    oracle's job)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.operators import stateful as st_ops
+
+    df = spark.createDataFrame(
+        [(i, float(t), float(v)) for i, (t, v) in enumerate(evs)],
+        "event_id bigint, t double, value double",
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long")))
+    got = {r.event_id: r.z for r in st_ops.zscore(
+        df, float(win), time_col="time", metric_col="value", out="z"
+    ).collect()}
+
+    for i, (t, v) in enumerate(evs):
+        w = [v2 for (t2, v2) in evs if t - win <= t2 <= t]
+        n = len(w)
+        mean = sum(w) / n
+        var = max(sum(x * x for x in w) / n - mean * mean, 0.0)
+        if n >= 2 and var > 0.0:
+            expect = (v - mean) / math.sqrt(var)
+            assert got[i] is not None and abs(got[i] - expect) < 1e-9, (i, t, v)
+        else:
+            assert got[i] is None, (i, t, v)
