@@ -279,6 +279,19 @@ action("ewma-timeless")(
         order_cols=list(ctx.order_cols),
     )
 )
+# beyond-reference windowed ops, DSL-exposed for parity of surface
+action("sessionize")(
+    lambda df, ctx, cfg: win.sessionize(
+        df, float(cfg["gap"]), by=list(ctx.by), time_col=ctx.time_col,
+        metric_col=ctx.metric_col,
+    )
+)
+action("zscore")(
+    lambda df, ctx, cfg: st.zscore(
+        df, float(cfg["window"]), by=list(ctx.by), time_col=ctx.time_col,
+        metric_col=ctx.metric_col, min_n=int(cfg.get("min-n", 2)),
+    )
+)
 
 # -- stateful --------------------------------------------------------------
 
@@ -469,6 +482,26 @@ def _s_ewma(df, ctx, r):
     return stx.stream_ewma(
         df, r, by=_need_by(ctx, "ewma-timeless"), time_col=ctx.time_col,
         metric_col=ctx.metric_col,
+    )
+
+
+@stream_action("sessionize")
+def _s_sessionize(df, ctx, cfg):
+    from mirabelle_spark.streaming import core as stx
+
+    return stx.stream_sessionize(
+        df, float(cfg["gap"]), delay_s=ctx.delay_s, by=list(ctx.by),
+        time_col=ctx.time_col, metric_col=ctx.metric_col,
+    )
+
+
+@stream_action("zscore")
+def _s_zscore(df, ctx, cfg):
+    raise NotImplementedError(
+        "zscore has no streaming twin: a trailing range-frame window "
+        "needs bounded-buffer keyed state whose decimal-exact moments "
+        "can't be reproduced batch-identically in a vectorized scan; "
+        "run zscore on the batch side of the pipeline"
     )
 
 

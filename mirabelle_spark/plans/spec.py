@@ -339,6 +339,9 @@ SPECS: dict[str, Sig] = {
     "coll-increase": Sig(optional=(("config", config({}, opt=_DUR)),)),
     "coll-sort": Sig(("field", ne_string)),
     "ewma-timeless": Sig(("r", number)),
+    "sessionize": Sig(("config", config({"gap": pos_number}))),
+    "zscore": Sig(("config", config({"window": pos_number},
+                                    {"min-n": pos_int}))),
     # stateful (::above-dt :510, ::below-dt :536, ::between-dt :562,
     # ::outside-dt :592, ::cond-dt :623, ::changed :1347, ::stable)
     "changed": Sig(("config", config({"field": ne_string},

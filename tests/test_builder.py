@@ -354,3 +354,44 @@ def test_spec_validates_nested_children_before_work(spark):
                                         "children": []}]}]}
     with pytest.raises(InvalidActionParams, match="'sum'.*duration"):
         _compile(spark, tree)
+
+
+def test_sessionize_and_zscore_dsl_actions(spark, make_events):
+    """The beyond-reference ops are first-class DSL actions: param
+    specs validate at compile time, batch realization works, the
+    sessionize streaming twin dispatches, and zscore's missing twin
+    raises a NAMED error instead of a deep crash."""
+    import pytest as _pytest
+
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    rows = [
+        {"time": 0, "metric": 1.0, "host": "a"},
+        {"time": 10, "metric": 3.0, "host": "a"},
+        {"time": 500, "metric": 5.0, "host": "a"},
+    ]
+    df = make_events(rows)  # make_events already yields a TIMESTAMP time col
+    tree = {
+        "action": "by", "params": [{"fields": ["host"]}],
+        "children": [{
+            "action": "sessionize", "params": [{"gap": 60.0}],
+            "children": [{"action": "tap", "params": ["sess"]}],
+        }],
+    }
+    taps = b.build_stream(df, tree)
+    sess = taps["sess"].collect()
+    assert {(r.n_events, r.metric) for r in sess} == {(2, 4.0), (1, 5.0)}
+
+    ztree = {
+        "action": "zscore", "params": [{"window": 60.0, "min-n": 2}],
+        "children": [{"action": "tap", "params": ["z"]}],
+    }
+    z = {r.metric: r.zscore for r in b.build_stream(df, ztree)["z"].collect()}
+    assert z[1.0] is None and z[3.0] is not None and z[5.0] is None
+
+    with _pytest.raises(InvalidActionParams, match="gap"):
+        b.compile_stream(df, {"action": "sessionize", "params": [{}], "children": []})
+    with _pytest.raises(InvalidActionParams, match="window"):
+        b.compile_stream(df, {"action": "zscore", "params": [{"window": -1}],
+                              "children": []})
