@@ -291,10 +291,13 @@ def sessionize(
     merge into one session per key (``F.session_window``, dynamic
     merging windows). Returns (by…, session_start, session_end,
     n_events[, metric = decimal-exact sum]) with start/end as
-    unix-microsecond BIGINTs — session_end is the half-open window
-    end, last event + gap, exactly Spark's [min, max+gap) interval
-    math on integer µs (engine-portable: the DuckDB oracle
-    reproduces it with a lag/cumsum session assignment).
+    unix-microsecond BIGINTs — session_end is last event + gap.
+    The merge rule is boundary-INCLUSIVE: two events exactly ``gap``
+    apart share a session (hypothesis found this against a strict-<
+    reference loop; Spark merges on overlap-or-touch of the
+    [t, t+gap] extents). Engine-portable: the DuckDB oracle
+    reproduces it with a lag/cumsum assignment breaking only at
+    diff > gap.
 
     Scale shape: one shuffle on the grouping keys; sessions form
     inside the aggregation (no window function, no per-key sort

@@ -1350,7 +1350,7 @@ s AS (
   SELECT user_id, us, value,
          CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                  >= 21600000000 THEN 1 ELSE 0 END AS brk
+                  > 21600000000 THEN 1 ELSE 0 END AS brk
   FROM e
 ),
 sid AS (

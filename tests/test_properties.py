@@ -419,7 +419,7 @@ def test_sessionize_matches_reference_loop(spark, evs, gap):
         times.sort()
         start, last, n = times[0], times[0], 0
         for t in times:
-            if t - last >= gap_us:   # [min, max+gap): break at >= gap
+            if t - last > gap_us:   # boundary-INCLUSIVE merge: break only past gap
                 expected[(u, start, last + gap_us)] = n
                 start, n = t, 0
             last = t
