@@ -27,52 +27,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-6 rotation: (a) every query
-# whose implementation changed this round — the relational SimHash
-# signature pass, two-phase stratified sampling, the blank-line
-# boilerplate fix, the MinHash shingle/hash rework, and the IVF
-# write-once index path — must be re-gated on the new code; (b) the
-# full 49-query cohort rotated below the fold in r5 (last driver-
-# gated in r4; VERDICT r5 ask #3). (a)+(b) = 55 > 50, so the final
-# five of (b) — all re-verified this session via
-# tools/check_correctness.py exact-value compare, stricter than the
-# driver's hash — yield their slots. The r5 cohort (50/50 green in
-# CORRECTNESS_r05) rotates below the fold.
+# so ordering is coverage policy. Round-7 rotation: (a) the eleven
+# round-6 queries that have never been driver-gated (VERDICT r6 ask
+# #1) lead; (b) queries whose implementation changed this round —
+# the LSH/SimHash hot-bucket cap — plus the new video_frame_sample
+# re-gate on the new code; (c) the five queries last gated in r4;
+# (d) the r5 cohort, minus the thirteen simplest multi-gated,
+# unchanged entries (where_basic, over/tagged/tag-untag/split,
+# event-window ids, ssort, token-count, fingerprint, hash-sample,
+# mask-pii), which rotate below the fold for r8.
 GATE_PRIORITY = [
-    # (a) implementation changed in round 6
-    "simhash_pairs", "stratified_sample_docs", "boilerplate_removed_docs",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "ann_ivf_topk",
-    # (b) the r5 below-fold cohort
-    "throttle", "stable_states", "with_const",
-    "default_missing", "scale_metric", "increment_metric",
-    "decrement_metric", "sformat_label", "to_string_field",
-    "base64_roundtrip", "from_json_props", "rename_keys_proj",
-    "keep_keys_proj", "sdissoc_proj", "iterate_on_explode",
-    "extract_nested", "sflatten_roundtrip", "project_correlate",
-    "agg_sum_hourly", "agg_sum_delayed_hourly", "agg_mean_hourly",
-    "agg_top_event", "agg_bottom_event", "agg_rate_hourly",
-    "coll_count_hourly", "coll_max_hourly", "coll_min_hourly",
-    "coll_rate_hourly", "coll_quotient_daily", "coll_top3",
-    "coll_bottom3", "coll_sort_ids", "smin_running", "ddt_pos_rate",
-    "below_dt_alert", "between_dt_alert", "critical_dt_alert",
-    "dsl_pipeline", "coalesce_fill", "dedup_exact_docs",
-    "top_suppliers", "priority_conditional_counts",
-    "brand_part_revenue", "segment_top_orders",
-    # (b) tail — slots 51-55: simple condition-filter queries,
-    # unchanged since r3, driver-green in r4, exact-compare
-    # re-verified this session (see comment above)
+    # (a) never driver-gated (added r6)
+    "gopher_quality_docs", "vocab_top100", "token_rarity_docs",
+    "mixture_sample_docs", "paragraph_dedup_docs", "dedup_survivors_docs",
+    "ann_pq_topk", "clean_corpus_docs", "sessionize_user_events",
+    "zscore_events", "semantic_dedup_survivors",
+    # (b) implementation changed / added in round 7
+    "minhash_lsh_pairs", "simhash_pairs", "video_frame_sample",
+    # (c) last gated in r4
     "where_not", "where_regex", "under_filter", "not_expired_events",
     "outside_dt_alert",
+    # (d) the r5 cohort (last gated r5)
+    "expired_events", "changed_transitions", "above_dt_alert",
+    "moving_time_window_count", "coalesce_latest",
+    "agg_ratio_error_click", "agg_percentiles_hourly",
+    "coll_increase_daily", "by_sum_daily", "smax_running", "ddt_rate",
+    "ewma_smoothed", "coll_where_inside_window", "coll_sum_hourly",
+    "coll_mean_hourly", "coll_percentiles_hourly", "dedup_clusters",
+    "ann_bruteforce_topk", "ann_lsh_topk", "embedding_near_dups",
+    "contamination_docs", "pack_docs", "text_bpe_token_count",
+    "text_repetition", "text_quality", "text_lang_id",
+    "text_rolling_fp", "multimodal_features", "tpch_pricing_summary",
+    "revenue_by_nation", "order_priority_counts",
 ]
 
-# Round-7 rotation note: the round-6 additions have never been
-# driver-gated (all exact-compare green locally, incl. under a
-# hostile ANSI/non-UTC session): gopher_quality_docs, vocab_top100,
-# token_rarity_docs, mixture_sample_docs, paragraph_dedup_docs,
-# dedup_survivors_docs, ann_pq_topk, clean_corpus_docs,
-# sessionize_user_events, zscore_events, semantic_dedup_survivors.
-# Lead GATE_PRIORITY with them next round, then continue the
-# cohort rotation.
+# Round-8 rotation note: below-fold after r7 are (i) the r6 cohort
+# gated green in CORRECTNESS_r06 (throttle ... segment_top_orders)
+# and (ii) the thirteen deferred r5-cohort entries named above —
+# lead r8's gate with (ii) plus whatever r8 changes.
 
 
 def _ordered(mapping: dict) -> dict:

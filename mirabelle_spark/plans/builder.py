@@ -497,11 +497,12 @@ def _s_sessionize(df, ctx, cfg):
 
 @stream_action("zscore")
 def _s_zscore(df, ctx, cfg):
-    raise NotImplementedError(
-        "zscore has no streaming twin: a trailing range-frame window "
-        "needs bounded-buffer keyed state whose decimal-exact moments "
-        "can't be reproduced batch-identically in a vectorized scan; "
-        "run zscore on the batch side of the pipeline"
+    from mirabelle_spark import streaming as stx
+
+    return stx.stream_zscore(
+        df, float(cfg["window"]), by=_need_by(ctx, "zscore"),
+        time_col=ctx.time_col, metric_col=ctx.metric_col,
+        min_n=int(cfg.get("min-n", 2)),
     )
 
 

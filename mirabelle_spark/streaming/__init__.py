@@ -28,6 +28,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ssort,
     stream_stable,
     stream_throttle,
+    stream_zscore,
     reinject_sink,
     reinject_source,
     to_console,

@@ -1289,3 +1289,106 @@ def stream_sessionize(
         .withColumn("session_end", F.unix_micros(F.col("__s__.end")))
         .drop("__s__")
     )
+
+
+def stream_zscore(
+    df: DataFrame,
+    window_s: float,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+    min_n: int = 2,
+    out: str = "zscore",
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`mirabelle_spark.operators.stateful.zscore`:
+    per event, the metric's deviation from the trailing ``window_s``
+    seconds of its key, in standard deviations.
+
+    Exactness: keyed state carries the trailing window as
+    ``(t_us, q1, q2)`` triples plus running DECIMAL(38,9) sums, where
+    ``q1``/``q2`` are the metric and its double-squared value rounded
+    HALF_UP at scale 9 from the shortest decimal representation —
+    the same rule Spark's double→decimal cast applies in the batch
+    twin's range frame. Decimal add/subtract is exact, so the sums
+    after any insert/evict sequence equal the batch window's sums,
+    and the double-space mean/variance/z arithmetic replays the
+    batch expression op-for-op: parity is bit-identical on in-order
+    input (the window is the arrival-order prefix — a same-timestamp
+    peer arriving later is not retroactively included, the standard
+    trade of every streaming twin here, cf. stream_moving_time_window).
+
+    Cost: O(1) amortized per event (deque append + evict, two decimal
+    adds/subs); state is bounded by events-per-window per key.
+    ``state_ttl_s`` evicts idle keys (fork GC)."""
+    import json as _json
+    import math
+    from collections import deque
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    win_us = int(round(window_s * 1_000_000))
+    Q9 = Decimal("0.000000001")
+
+    def _q(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Q9, rounding=ROUND_HALF_UP)
+
+    def batch_fn(st, pdf):
+        (sj,) = st
+        if sj:
+            d = _json.loads(sj)
+            buf = deque((t, Decimal(a), Decimal(b)) for t, a, b in d["b"])
+            s1, s2 = Decimal(d["s1"]), Decimal(d["s2"])
+        else:
+            buf, s1, s2 = deque(), Decimal(0), Decimal(0)
+        t = _series_us(pdf[time_col])
+        vals = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
+        zs = np.full(len(pdf), np.nan)
+        for i in range(len(pdf)):
+            ti = int(t[i])
+            v = vals[i]
+            m = 0.0 if v != v else float(v)
+            q1, q2 = _q(m), _q(m * m)
+            buf.append((ti, q1, q2))
+            s1 += q1
+            s2 += q2
+            lo = ti - win_us
+            while buf and buf[0][0] < lo:
+                _, a, b = buf.popleft()
+                s1 -= a
+                s2 -= b
+            n = len(buf)
+            if n >= min_n and v == v:
+                nd = float(n)
+                mean = float(s1) / nd
+                var = max(float(s2) / nd - mean * mean, 0.0)
+                if var > 0.0:
+                    zs[i] = (float(v) - mean) / math.sqrt(var)
+        res = pdf.copy()
+        res[out] = pd.array(zs, dtype="float64")
+        sj2 = _json.dumps(
+            {
+                "b": [[tt, str(a), str(b)] for tt, a, b in buf],
+                "s1": str(s1),
+                "s2": str(s2),
+            }
+        )
+        return (sj2,), res
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        + f", {out} double"
+    )
+    return _keyed_batch_scan(
+        df,
+        by,
+        time_col,
+        "buf STRING",
+        (None,),
+        batch_fn,
+        state_ttl_s=state_ttl_s,
+        out_schema=out_schema,
+        ttl_clock="processing",
+    )

@@ -358,9 +358,9 @@ def test_spec_validates_nested_children_before_work(spark):
 
 def test_sessionize_and_zscore_dsl_actions(spark, make_events):
     """The beyond-reference ops are first-class DSL actions: param
-    specs validate at compile time, batch realization works, the
-    sessionize streaming twin dispatches, and zscore's missing twin
-    raises a NAMED error instead of a deep crash."""
+    specs validate at compile time, batch realization works, and both
+    sessionize and zscore (twin added r7) dispatch on the streaming
+    side as well as the batch side."""
     import pytest as _pytest
 
     from mirabelle_spark.plans import builder as b

@@ -924,3 +924,112 @@ def test_percentiles_golden_reference_case(spark):
            {"metric": 800.0, "quantile": 0.99}, {"metric": 800.0, "quantile": 1.0},
            {"metric": 800.0, "quantile": 0.0}, {"metric": 800.0, "quantile": 0.5},
            {"metric": 800.0, "quantile": 0.99}, {"metric": 800.0, "quantile": 1.0}])
+
+
+def test_sessionize_golden_batch_and_streaming(spark, tmp_path):
+    """Dual-mode golden case for the beyond-reference `sessionize`
+    action (r7: the 13-case stateless corpus predates it): the same
+    `by host -> sessionize` tree over a bounded DataFrame and over a
+    file-source stream on availableNow yields identical sessions."""
+    import json as _json
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+    from mirabelle_spark.streaming import to_memory
+
+    inp = [
+        {"time": 0.0, "metric": 1.0, "host": "a"},
+        {"time": 10.0, "metric": 3.0, "host": "a"},
+        {"time": 500.0, "metric": 5.0, "host": "a"},
+        {"time": 5.0, "metric": 7.0, "host": "b"},
+    ]
+    expected = {
+        ("a", 0, 2, 4.0), ("a", 500_000_000, 1, 5.0), ("b", 5_000_000, 1, 7.0),
+    }
+    tree = {
+        "action": "by", "params": [{"fields": ["host"]}],
+        "children": [{
+            "action": "sessionize", "params": [{"gap": 30.0}],
+            "children": [{"action": "tap", "params": ["sess"]}],
+        }],
+    }
+
+    from mirabelle_spark.golden import _df_from_events
+    bctx = compile_stream(
+        _df_from_events(spark, inp), tree, Ctx(order_cols=("seq",), test_mode=True)
+    )
+    got_b = {
+        (r.host, r.session_start, r.n_events, r.metric)
+        for r in bctx.taps["sess"].collect()
+    }
+    assert got_b == expected
+
+    src_dir = tmp_path / "sess_src"
+    src_dir.mkdir()
+    with open(src_dir / "p.json", "w") as f:
+        for r in inp:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("time double, metric double, host string")
+        .load(str(src_dir))
+        .withColumn("time", F.timestamp_seconds("time"))
+    )
+    sctx = compile_stream(stream, tree, Ctx(streaming=True, test_mode=True))
+    q = to_memory(sctx.taps["sess"], "golden_sess_dual", output_mode="complete")
+    q.awaitTermination(60)
+    got_s = {
+        (r.host, r.session_start, r.n_events, r.metric)
+        for r in spark.sql("select * from golden_sess_dual").collect()
+    }
+    assert got_s == expected
+
+
+def test_zscore_golden_batch_and_streaming(spark, tmp_path):
+    """Dual-mode golden case for the beyond-reference `zscore` action
+    (streaming twin added r7): same `by host -> zscore` tree, both
+    modes, identical z column (warmup rows NULL below min-n)."""
+    import json as _json
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+    from mirabelle_spark.streaming import to_memory
+
+    inp = [
+        {"time": 0.0, "metric": 1.0, "host": "a"},
+        {"time": 10.0, "metric": 3.0, "host": "a"},
+        {"time": 500.0, "metric": 5.0, "host": "a"},
+        {"time": 1.0, "metric": 2.0, "host": "b"},
+    ]
+    # host a: t=0 warmup (n=1); t=10 window {1,3}: mean 2, var 1, z=1;
+    # t=500 window {5} alone (n=1) -> NULL; host b: single event -> NULL
+    expected = {(1.0, None), (3.0, 1.0), (5.0, None), (2.0, None)}
+    tree = {
+        "action": "by", "params": [{"fields": ["host"]}],
+        "children": [{
+            "action": "zscore", "params": [{"window": 60.0, "min-n": 2}],
+            "children": [{"action": "tap", "params": ["z"]}],
+        }],
+    }
+
+    from mirabelle_spark.golden import _df_from_events
+    bctx = compile_stream(
+        _df_from_events(spark, inp), tree, Ctx(order_cols=("seq",), test_mode=True)
+    )
+    got_b = {(r.metric, r.zscore) for r in bctx.taps["z"].collect()}
+    assert got_b == expected
+
+    src_dir = tmp_path / "zs_src"
+    src_dir.mkdir()
+    with open(src_dir / "p.json", "w") as f:
+        for r in inp:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema("time double, metric double, host string")
+        .load(str(src_dir))
+        .withColumn("time", F.timestamp_seconds("time"))
+    )
+    sctx = compile_stream(stream, tree, Ctx(streaming=True, test_mode=True))
+    q = to_memory(sctx.taps["z"], "golden_zs_dual")
+    q.awaitTermination(60)
+    got_s = {(r.metric, r.zscore) for r in spark.sql("select * from golden_zs_dual").collect()}
+    assert got_s == expected

@@ -1787,3 +1787,71 @@ def test_stream_sessionize_parity(spark, tmp_path):
     }
     assert got == batch
     assert len(batch) == 4  # user1: {0,10},{100}; user2: {5,34.9},{65}
+
+
+def test_stream_zscore_parity(spark, tmp_path):
+    """Batch zscore (decimal-exact range frame) vs the streaming twin:
+    bit-identical z for every event, including the NULL cases (warmup
+    below min_n, zero variance, null metric), across two keys and a
+    micro-batch split (two source files => at least two batches on
+    maxFilesPerTrigger=1, so state crosses a batch boundary)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.operators import stateful as st
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for host in ("a", "b"):
+        x = 0.5 if host == "a" else 7.25
+        for i in range(120):
+            # deterministic, irregular values + a flat run (var=0) + a null
+            x = math.fmod(x * 1103515245.0 + 12345.0, 1000.0)
+            v = None if i % 37 == 19 else (444.25 if 60 <= i < 66 else x)
+            rows.append((eid, host, float(i) * 7.5, v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    batch = {
+        r.event_id: r.zscore
+        for r in st.zscore(
+            df, 120.0, by=["host"], time_col="time", metric_col="metric",
+            min_n=3, out="zscore",
+        ).collect()
+    }
+
+    src_dir = str(tmp_path / "zs_in")
+    # split each key's timeline in half across two files: arrival order
+    # stays time order, but state must survive a micro-batch boundary
+    df.where("event_id % 120 < 60").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 120 >= 60").coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = core.stream_zscore(
+        stream, 120.0, by=["host"], time_col="time", metric_col="metric",
+        min_n=3, out="zscore",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("zs_parity")
+        .option("checkpointLocation", str(tmp_path / "zs_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: r.zscore
+        for r in spark.sql("SELECT * FROM zs_parity").collect()
+    }
+    assert set(got) == set(batch)
+    # bit-exact: direct equality on the doubles, None-safe
+    diff = {k for k in batch if got[k] != batch[k]}
+    assert not diff, sorted(diff)[:10]
+    # sanity: the test actually covers all three NULL paths + real values
+    assert any(v is None for v in batch.values())
+    assert sum(v is not None for v in batch.values()) > 150
