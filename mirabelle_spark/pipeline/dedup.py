@@ -160,6 +160,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     shingle_hash: str = "portable",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -181,7 +182,8 @@ def minhash_lsh_candidates(
     """
     base = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, shingle_hash)
     return minhash_lsh_candidates_from_signatures(
-        base, num_hashes=num_hashes, bands=bands, id_col=id_col
+        base, num_hashes=num_hashes, bands=bands, id_col=id_col,
+        max_bucket=max_bucket,
     )
 
 
@@ -190,6 +192,7 @@ def minhash_lsh_candidates_from_signatures(
     num_hashes: int = 64,
     bands: int = 8,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH candidates from a PRE-COMPUTED signature table
     (columns ``m0..m{k-1}``) — the write-once production split:
@@ -218,7 +221,56 @@ def minhash_lsh_candidates_from_signatures(
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("__ids__"))
         .filter(F.size("__ids__") > 1)
     )
+    buckets = _cap_buckets(buckets, "__ids__", max_bucket, "minhash_lsh")
     return _bucket_pairs(buckets, "__ids__")
+
+
+# latest hot-bucket-cap Observation per label; read back (after the
+# capped plan's first action) via bucket_cap_stats().
+_BUCKET_CAP_OBS: dict = {}
+
+
+def bucket_cap_stats(label: str) -> dict | None:
+    """Metrics of the most recent capped candidate plan under
+    ``label`` ("minhash_lsh" / "simhash"): ``capped_buckets``,
+    ``capped_ids`` (entries dropped) and ``max_bucket_size`` seen.
+    Blocks until an action has run on that plan (Spark Observation
+    semantics); None if no capped plan was built."""
+    obs = _BUCKET_CAP_OBS.get(label)
+    return None if obs is None else obs.get
+
+
+def _cap_buckets(
+    buckets: DataFrame, ids_col: str, max_bucket: int | None, label: str
+) -> DataFrame:
+    """Hot-bucket cap: drop candidate buckets holding more than
+    ``max_bucket`` ids, recording how much was dropped via an
+    Observation in the SAME job (no extra pass).
+
+    Why dropping is the right call at 100 TB: a real corpus has
+    exact-copy/boilerplate cliques (mirrors, templated pages) whose
+    band buckets hold 10^4-10^6 ids — O(b²) pair emission from a
+    single bucket is the classic LSH job-killer, and those pairs are
+    near-duplicates of cliques exact dedup upstream already collapses
+    (clean_corpus runs dedup_exact first for exactly this reason). A
+    pair is lost only if EVERY band it collides in is hot, so genuine
+    sparse near-dups survive; the cap bounds per-bucket work at
+    O(max_bucket²) regardless of corpus skew. Default None keeps the
+    exact (uncapped) semantics the DuckDB oracles pin."""
+    if max_bucket is None:
+        return buckets
+    from pyspark.sql import Observation
+
+    sz = F.size(F.col(ids_col))
+    obs = Observation()
+    _BUCKET_CAP_OBS[label] = obs
+    hot = sz > max_bucket
+    return buckets.observe(
+        obs,
+        F.sum(hot.cast("long")).alias("capped_buckets"),
+        F.sum(F.when(hot, sz).otherwise(0).cast("long")).alias("capped_ids"),
+        F.max(sz).alias("max_bucket_size"),
+    ).filter(~hot)
 
 
 def _bucket_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
@@ -261,6 +313,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = 64,
     bands: int = 8,
     shingle_hash: str = "portable",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with EXACT n-gram Jaccard ≥ threshold,
     pre-filtered by MinHash-LSH candidates (verify-after-bucket).
@@ -273,7 +326,7 @@ def ngram_jaccard_pairs(
     """
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, shingle_hash=shingle_hash,
+        shingle_n=shingle_n, shingle_hash=shingle_hash, max_bucket=max_bucket,
     )
     # intersect 64-bit shingle hashes, not the shingle strings: the
     # verify join ships each doc's shingle set through the shuffle
@@ -410,6 +463,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     chunks: int | None = None,
     piece_match: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -501,6 +555,35 @@ def simhash_near_dups(
         "simhash",
         f"explode(array({', '.join(keys)})) AS __p__",
     ).select(id_col, "simhash", "__p__.pid", "__p__.pv")
+    if max_bucket is not None:
+        # hot-piece cap: a boilerplate clique puts 10^4+ docs on one
+        # (pid, pv) key, and the streaming self-join below still probes
+        # O(n²) rows for it. Identical simhashes land on the SAME hot
+        # key in every piece, so capping loses only clique-internal
+        # pairs — which dedup_exact upstream already collapses. Hot
+        # keys are by definition rare, so the exclusion list broadcasts;
+        # the frequency aggregate rides the same (pid, pv) hash
+        # partitioning the join needs anyway. The Observation records
+        # drops in the frequency job (bucket_cap_stats("simhash")).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        _BUCKET_CAP_OBS["simhash"] = obs
+        freq = entries.groupBy("pid", "pv").agg(
+            F.count(F.lit(1)).alias("__n__")
+        )
+        hot = F.col("__n__") > max_bucket
+        hot_keys = freq.observe(
+            obs,
+            F.sum(hot.cast("long")).alias("capped_buckets"),
+            F.sum(F.when(hot, F.col("__n__")).otherwise(0).cast("long")).alias(
+                "capped_ids"
+            ),
+            F.max("__n__").alias("max_bucket_size"),
+        ).filter(hot)
+        entries = entries.join(
+            F.broadcast(hot_keys.select("pid", "pv")), ["pid", "pv"], "left_anti"
+        )
     # SELF-JOIN on (piece_id, piece_value), deliberately NOT the
     # bucket-groupBy used for MinHash bands: max_hamming=8 means
     # 64/9 ≈ 7-bit pieces, so piece buckets hold hundreds-to-

@@ -825,3 +825,79 @@ def test_minhash_signature_table_write_once(spark, tmp_path, doc_df):
         stored, num_hashes=64, bands=8
     ).collect()
     assert {(r.id_a, r.id_b) for r in rebanded} <= inflight  # stricter threshold
+
+
+def test_hot_bucket_cap_degenerate_clique(spark):
+    """r7: the LSH hot-bucket cap. A 5000-doc exact-copy clique (the
+    boilerplate/mirror shape real corpora have and the sf1 synthetic
+    corpus deliberately avoids) would emit O(n²)≈12.5M pairs PER BAND
+    uncapped; with max_bucket the job completes within bound, the
+    drop is observable, and genuine sparse near-dups still pair."""
+    from mirabelle_spark.pipeline import dedup
+
+    clique = [(100 + i, "subscribe to our newsletter for daily updates and offers")
+              for i in range(5000)]
+    rows = clique + [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (2, "completely different content about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            df, num_hashes=64, bands=16, max_bucket=100
+        ).collect()
+    }
+    assert (0, 1) in pairs                      # sparse near-dup survives the cap
+    assert not any(p[0] >= 100 or p[1] >= 100 for p in pairs)  # clique dropped
+    stats = dedup.bucket_cap_stats("minhash_lsh")
+    assert stats["capped_buckets"] == 16        # one hot bucket per band
+    assert stats["capped_ids"] == 16 * 5000
+    assert stats["max_bucket_size"] == 5000
+
+
+def test_hot_bucket_cap_simhash(spark):
+    """Same degenerate clique through the SimHash pigeonhole path:
+    hot (piece_id, piece_value) keys are excluded before the
+    self-join, sparse pairs survive, drops are observable."""
+    from mirabelle_spark.pipeline import dedup
+
+    clique = [(100 + i, "subscribe to our newsletter for daily updates and offers")
+              for i in range(5000)]
+    rows = clique + [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "completely different content about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dups(df, max_hamming=3, max_bucket=100).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(p[0] >= 100 or p[1] >= 100 for p in pairs)
+    stats = dedup.bucket_cap_stats("simhash")
+    assert stats["capped_buckets"] == 4         # chunks = max_hamming + 1
+    assert stats["capped_ids"] == 4 * 5000
+    assert stats["max_bucket_size"] >= 5000
+
+
+def test_hot_bucket_cap_none_is_exact(doc_df):
+    """Default max_bucket=None must leave the oracle-pinned pair sets
+    byte-identical (the driver gate runs the uncapped defaults)."""
+    from mirabelle_spark.pipeline import dedup
+
+    base = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(doc_df, num_hashes=64, bands=16).collect()
+    }
+    huge_cap = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            doc_df, num_hashes=64, bands=16, max_bucket=10**6
+        ).collect()
+    }
+    assert base == huge_cap
