@@ -1176,3 +1176,61 @@ def multimodal_features(spark, sf):
     )
     feats = multimodal.extract_features(media, decoder="fake")
     return feats.select("id", "n_bytes", "sha256")
+
+
+@q(
+    "video_frame_sample",
+    """
+WITH f AS (
+  SELECT doc_id, CAST(s.g AS INTEGER) AS frame_idx, s.g * 3 AS k
+  FROM documents, generate_series(0, 3) AS s(g)
+)
+SELECT doc_id AS id, frame_idx,
+       hex(
+         ('P5' || chr(10) || '8 8' || chr(10) || '255' || chr(10))::BLOB
+         || unhex(md5(doc_id::VARCHAR || ':' || k::VARCHAR || ':0'))
+         || unhex(md5(doc_id::VARCHAR || ':' || k::VARCHAR || ':1'))
+         || unhex(md5(doc_id::VARCHAR || ':' || k::VARCHAR || ':2'))
+         || unhex(md5(doc_id::VARCHAR || ':' || k::VARCHAR || ':3'))
+       ) AS frame_hex
+FROM f
+""",
+)
+def video_frame_sample(spark, sf):
+    """Frame sampling over the concatenated-netpbm video path with a
+    full value oracle (r7: was pytest-only). Each document carries a
+    deterministic 12-frame 8x8 P5 "video" — header + 64 raster bytes
+    from four md5 chunks of (doc_id, frame_no), built entirely in
+    Catalyst (concat/unhex/md5, no Python) — and
+    :func:`multimodal.sample_frames` runs the REAL container parse:
+    split on each frame's own header-declared raster extent, emit
+    every ceil(120/40)=3rd frame verbatim. The
+    oracle reconstructs the same sampled frames byte-for-byte in SQL
+    (hex of the FULL frame bytes — DuckDB's sha256 is VARCHAR-only),
+    so a parse that mis-walks a header or mis-strides fails the gate.
+    Scale shape: blobs are built and consumed inside one Arrow pass,
+    only (id, idx, hex) rows survive to the shuffle-free projection.
+    """
+    header = b"P5\n8 8\n255\n"
+    parts = []
+    for k in range(12):
+        parts.append(F.lit(header))
+        for c in range(4):
+            parts.append(
+                F.unhex(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f":{k}:{c}")
+                        )
+                    )
+                )
+            )
+    media = docs(spark, sf).select(
+        F.col("doc_id").alias("id"), F.concat(*parts).alias("media")
+    )
+    frames = multimodal.sample_frames(
+        media, every_ms=120, decoder="netpbm-stream", frame_ms=40
+    )
+    return frames.select(
+        "id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
