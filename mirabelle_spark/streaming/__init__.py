@@ -18,6 +18,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ddt,
     stream_dedup,
     stream_ewma,
+    stream_ewma_sharded,
     stream_expired,
     stream_fixed_event_window,
     stream_fixed_time_window,

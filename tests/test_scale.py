@@ -79,3 +79,63 @@ def test_write_bucketed_join_is_shuffle_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_ivf_trained_quantizer_sf1_recall(spark):
+    """r7 (VERDICT r6 ask #6): the KMeans-TRAINED IVF path end-to-end
+    at sf1 (20k vectors, 10x the bench corpus). Trained centroids
+    must keep recall@10 at or above the fixed-centroid floor the
+    driver gate pins (0.6 at nprobe=3/nlist=8) — and at least match
+    the generic inlined centroids on the corpus they were fit to.
+    Wall-times for PERF ride the same run (printed with -s)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+    from tools.make_sf1 import ensure_sf1
+
+    sf1 = ensure_sf1(spark)
+    emb = spark.read.parquet(f"{sf1}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topset(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    t0 = time.monotonic()
+    exact = topset(ann.brute_force_topk(emb, queries, k=10).collect())
+    t_exact = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    trained = topset(
+        ann.ivf_topk(emb, queries, k=10, nlist=8, nprobe=3, seed=42).collect()
+    )
+    t_trained = time.monotonic() - t0
+
+    fixed = topset(
+        ann.ivf_topk(
+            emb, queries, k=10, nprobe=3, centroids=IVF_CENTROIDS
+        ).collect()
+    )
+
+    def recall(approx):
+        return sum(len(approx.get(q, set()) & exact[q]) for q in exact) / (
+            10.0 * len(exact)
+        )
+
+    r_trained, r_fixed = recall(trained), recall(fixed)
+    print(
+        f"\nsf1 IVF: brute {t_exact:.2f}s; trained fit+probe {t_trained:.2f}s; "
+        f"recall@10 trained={r_trained:.3f} fixed={r_fixed:.3f}"
+    )
+    assert r_trained >= 0.6, f"trained recall {r_trained:.3f} under the gate floor"
+    assert r_trained >= r_fixed - 1e-9, (
+        f"KMeans fit on the corpus ({r_trained:.3f}) must not lose to the "
+        f"generic inlined centroids ({r_fixed:.3f})"
+    )

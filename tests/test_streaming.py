@@ -1855,3 +1855,60 @@ def test_stream_zscore_parity(spark, tmp_path):
     # sanity: the test actually covers all three NULL paths + real values
     assert any(v is None for v in batch.values())
     assert sum(v is not None for v in batch.values()) > 150
+
+
+def test_stream_ewma_sharded_parity(spark, tmp_path):
+    """The sharded high-cardinality ewma twin is bit-identical to the
+    per-key twin AND to the batch operator: 300 keys folded through 4
+    shards across a two-file micro-batch split, including null
+    metrics. (Null KEYS follow the batch operator's pandas-groupby
+    semantics — dropped — so they stay out of the parity fixture.)"""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.operators import aggregations as agg
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for i in range(300):
+        host = f"h{i:03d}"
+        x = float((i * 37) % 101) / 7.0
+        for j in range(6):
+            v = None if (i + j) % 23 == 5 else x + j * 0.625
+            rows.append((eid, host, float(j * 10), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    batch = {
+        r.event_id: r.metric
+        for r in agg.ewma_timeless(
+            df, 0.25, by=["host"], time_col="time", metric_col="metric",
+            order_cols=("event_id",),
+        ).collect()
+    }
+
+    src_dir = str(tmp_path / "ews_in")
+    # first half of each key's timeline in file 1 (eid % 6 == j)
+    df.where("event_id % 6 < 3").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 6 >= 3").coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = core.stream_ewma_sharded(
+        stream, 0.25, by=["host"], time_col="time", metric_col="metric", shards=4
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ews_parity")
+        .option("checkpointLocation", str(tmp_path / "ews_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.metric for r in spark.sql("SELECT * FROM ews_parity").collect()}
+    assert set(got) == set(batch)
+    diff = {k for k in batch if got[k] != batch[k]}
+    assert not diff, sorted(diff)[:10]
+    assert any(v is None for v in batch.values())

@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Keyed-state streaming twin throughput bench (PERF §35/§37).
+
+Measures events/s through one availableNow pass for each mode:
+
+  jvm      windowed sum aggregate (pure-JVM upper bound, §32 shape)
+  apws     stream_ewma — per-key applyInPandasWithState (the r5 twin)
+  sharded  stream_ewma_sharded — shard-mapped keyed state (r7)
+  tws      transformWithStateInPandas ewma prototype (per-key state
+           in the JVM/RocksDB store, Python fold per key)
+  cond_dt  stream_cond_dt — the alerting-core buffered twin
+  coalesce stream_coalesce — the heaviest buffered twin
+
+Usage:
+  python tools/bench_streaming_state.py [--events 1000000]
+      [--keys 1000000] [--modes jvm,apws,sharded,tws]
+      [--cpus 32] [--shards 64]
+
+Prints one JSON line: {"events": N, "keys": K,
+"modes": {name: {"sec": s, "ev_per_s": r}}}.
+
+Notes: the generator writes one parquet dir per run; all modes read
+the same files through the same file source into a noop sink, so the
+delta between modes is the operator, not I/O. tws requires the
+RocksDB state store provider (set automatically for that mode's
+query via spark.sql.streaming.stateStore.providerClass).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_SILENT", "1")
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench-streaming-state")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def gen_events(spark, path: str, n: int, keys: int, files: int = 8) -> None:
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("k"), (F.col("id") % keys).cast("string")).alias("host"),
+            F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id") * 1000).alias(
+                "time"
+            ),
+            ((F.col("id") % 997).cast("double") / 7.0).alias("metric"),
+        )
+        .repartition(files)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+class EwmaTws:
+    """transformWithStateInPandas ewma: per-key ValueState in the JVM
+    state store, same double fold as stream_ewma."""
+
+    def __init__(self, r: float):
+        self.r = r
+
+    def build(self):
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        r = self.r
+
+        class P(StatefulProcessor):
+            def init(self, handle):
+                self.m = handle.getValueState("m", "m DOUBLE")
+
+            def handleInputRows(self, key, rows, timerValues):
+                import numpy as np
+                import pandas as pd
+
+                m = self.m.get()[0] if self.m.exists() else None
+                for pdf in rows:
+                    pdf = pdf.sort_values("time", kind="mergesort")
+                    x = pdf["metric"].to_numpy(dtype="float64", na_value=np.nan)
+                    out = np.empty(len(x))
+                    for i, v in enumerate(x.tolist()):
+                        if v != v:
+                            out[i] = np.nan
+                        else:
+                            m = r * v + (1.0 - r) * (m if m is not None else 0.0)
+                            out[i] = m
+                    res = pdf.copy()
+                    res["metric"] = pd.array(out, dtype="float64")
+                    yield res
+                if m is not None:
+                    self.m.update((m,))
+
+            def close(self):
+                pass
+
+        return P()
+
+
+def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int):
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    if mode == "jvm":
+        out = (
+            stream.withWatermark("time", "0 seconds")
+            .groupBy(F.window("time", "1 hour"), "host")
+            .agg(F.sum("metric").alias("metric"))
+        )
+    elif mode == "apws":
+        from mirabelle_spark.streaming import stream_ewma
+
+        out = stream_ewma(stream, 0.25, by=["host"], time_col="time")
+    elif mode == "sharded":
+        from mirabelle_spark.streaming import stream_ewma_sharded
+
+        out = stream_ewma_sharded(
+            stream, 0.25, by=["host"], time_col="time", shards=shards
+        )
+    elif mode == "tws":
+        out = stream.groupBy("host").transformWithStateInPandas(
+            EwmaTws(0.25).build(),
+            outputStructType=schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    elif mode == "cond_dt":
+        from mirabelle_spark.streaming import stream_cond_dt
+
+        out = stream_cond_dt(
+            stream, [":>", "metric", 60.0], 5.0, by=["host"], time_col="time"
+        )
+    elif mode == "coalesce":
+        from mirabelle_spark.streaming import stream_coalesce
+
+        out = stream_coalesce(
+            stream, 60.0, fields=["host"], by=["host"], time_col="time"
+        )
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+    ck = os.path.join(ck_root, mode)
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .outputMode("append" if mode != "jvm" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--keys", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--modes", default="jvm,apws,sharded,tws")
+    args = ap.parse_args()
+
+    spark = make_spark(args.cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    work = tempfile.mkdtemp(prefix="bench_state_")
+    src = os.path.join(work, "events")
+    schema = "host string, time timestamp, metric double"
+    try:
+        gen_events(spark, src, args.events, args.keys)
+        results = {}
+        for mode in args.modes.split(","):
+            mode = mode.strip()
+            if mode == "tws":
+                # transformWithStateInPandas speaks protobuf to the
+                # JVM state server; without the google.protobuf
+                # python package the driver worker crashes at init
+                try:
+                    from google.protobuf import descriptor  # noqa: F401
+                except ImportError:
+                    print("# tws: SKIPPED (google.protobuf not installed)", flush=True)
+                    results["tws"] = {"error": "requires google.protobuf python package"}
+                    continue
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider",
+                )
+            sec = run_mode(spark, mode, src, schema, os.path.join(work, "ck"), args.shards)
+            if mode == "tws":
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            results[mode] = {
+                "sec": round(sec, 2),
+                "ev_per_s": int(args.events / sec),
+            }
+            print(f"# {mode}: {sec:.2f}s = {int(args.events/sec):,} ev/s", flush=True)
+        print(
+            json.dumps(
+                {"events": args.events, "keys": args.keys, "modes": results}
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
