@@ -15,6 +15,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_changed,
     stream_coalesce,
     stream_cond_dt,
+    stream_cond_dt_sharded,
     stream_ddt,
     stream_dedup,
     stream_ewma,

@@ -1485,3 +1485,90 @@ def stream_ewma_sharded(
         src, [SHARD], time_col, "carry STRING", (None,), batch_fn,
         out_schema=out_schema,
     )
+
+
+def stream_cond_dt_sharded(
+    df: DataFrame,
+    cond,
+    dt_s: float,
+    by: Sequence[str],
+    time_col: str = "time",
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_cond_dt` — the same
+    (ok, flip_us) recurrence per key, with keyed state sharded on
+    ``pmod(xxhash64(keys), shards)`` exactly like
+    :func:`stream_ewma_sharded` (see there for the trade analysis):
+    ``shards`` Python calls per micro-batch instead of one per key,
+    condition vectorized once over the whole shard slice, carry map
+    reset at key boundaries. Output rows are identical to the
+    per-key twin on in-order input (parity pytest-pinned)."""
+    import json as _json
+
+    import numpy as np
+
+    dt_us = int(round(dt_s * 1_000_000))
+    if callable(cond):
+        def valid_series(pdf):
+            return pdf.apply(cond, axis=1).to_numpy(dtype=bool)
+    else:
+        from mirabelle_spark.conditions import compile_condition_pandas
+
+        _pred = compile_condition_pandas(cond)
+
+        def valid_series(pdf):
+            return _pred(pdf).to_numpy(dtype=bool)
+
+    key_cols = list(by)
+    SHARD = "__shard__"
+    src = df.withColumn(
+        SHARD, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(shards))
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    _NULL = "\x00null"
+    _SEP = "\x1f"
+
+    def _key_strings(pdf):
+        if len(key_cols) == 1:
+            col = pdf[key_cols[0]]
+            return [(_NULL if v is None or v != v else str(v)) for v in col.tolist()]
+        cols = [pdf[c].tolist() for c in key_cols]
+        return [
+            _SEP.join(_NULL if v is None or v != v else str(v) for v in row)
+            for row in zip(*cols)
+        ]
+
+    def batch_fn(s, pdf):
+        (carry_json,) = s
+        carry = _json.loads(carry_json) if carry_json else {}
+        pdf = pdf.sort_values(key_cols, kind="mergesort")
+        ks = _key_strings(pdf)
+        tv = _series_us(pdf[time_col])
+        valid = valid_series(pdf)
+        keep = np.empty(len(tv), dtype=bool)
+        unset = object()
+        prev = unset
+        ok, flip = False, None
+        for i, (k, t, va) in enumerate(zip(ks, tv.tolist(), valid.tolist())):
+            if k != prev:
+                if prev is not unset:
+                    carry[prev] = (ok, flip)
+                ok, flip = carry.get(k, (False, None))
+                prev = k
+            if va and not ok:
+                ok, flip = True, t
+            elif not va:
+                ok, flip = False, None
+            keep[i] = va and ok and t > flip + dt_us
+        if prev is not unset:
+            carry[prev] = (ok, flip)
+        res = pdf[keep].drop(columns=[SHARD])
+        return (_json.dumps(carry),), res
+
+    return _keyed_batch_scan(
+        src, [SHARD], time_col, "carry STRING", (None,), batch_fn,
+        out_schema=out_schema,
+    )

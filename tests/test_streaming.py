@@ -1912,3 +1912,55 @@ def test_stream_ewma_sharded_parity(spark, tmp_path):
     diff = {k for k in batch if got[k] != batch[k]}
     assert not diff, sorted(diff)[:10]
     assert any(v is None for v in batch.values())
+
+
+def test_stream_cond_dt_sharded_parity(spark, tmp_path):
+    """Sharded cond-dt emits exactly the per-key twin's rows: 200
+    keys with flip/hold/reset patterns through 4 shards across a
+    two-file micro-batch split."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for i in range(200):
+        host = f"h{i:03d}"
+        for j in range(8):
+            # per-key patterns: sustained-high, flapping, late-flip
+            if i % 3 == 0:
+                v = 200.0 if j >= 1 else 1.0
+            elif i % 3 == 1:
+                v = 200.0 if j % 2 == 0 else 1.0
+            else:
+                v = 200.0 if j >= 5 else 1.0
+            rows.append((eid, host, float(j * 4), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    src_dir = str(tmp_path / "cds_in")
+    df.where("event_id % 8 < 4").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 8 >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(fn, name, **kw):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = fn(stream, [":>", "metric", 100.0], 5.0, by=["host"],
+                 time_col="time", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    per_key = run(core.stream_cond_dt, "cds_per_key")
+    sharded = run(core.stream_cond_dt_sharded, "cds_sharded", shards=4)
+    assert sharded == per_key
+    assert 0 < len(per_key) < 1600  # the condition actually filters

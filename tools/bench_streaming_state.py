@@ -46,6 +46,9 @@ def make_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bench-streaming-state")
+        # the HDFS-backed state store holds every key's state on the
+        # heap; 1M keys x windowed-agg entries OOM the 1g default
+        .config("spark.driver.memory", os.environ.get("BENCH_STATE_MEM", "16g"))
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -147,6 +150,13 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
 
         out = stream_cond_dt(
             stream, [":>", "metric", 60.0], 5.0, by=["host"], time_col="time"
+        )
+    elif mode == "cond_dt_sharded":
+        from mirabelle_spark.streaming import stream_cond_dt_sharded
+
+        out = stream_cond_dt_sharded(
+            stream, [":>", "metric", 60.0], 5.0, by=["host"], time_col="time",
+            shards=shards,
         )
     elif mode == "coalesce":
         from mirabelle_spark.streaming import stream_coalesce
