@@ -59,7 +59,11 @@ class Ctx:
     Structured Streaming twins (keyed state / watermarked windows)
     instead of the batch window-function realizations. ``delay_s``
     is the default watermark tolerance for windowed twins (the
-    reference's per-op :delay overrides it via cfg)."""
+    reference's per-op :delay overrides it via cfg). ``shards``
+    (set per-fork via ``by``'s ``{"shards": N}`` config key, or
+    session-wide here) flips the twins that have a sharded form
+    (ewma, the cond-dt family) to shard-mapped keyed state — the
+    high-cardinality shape, PERF §39; None keeps per-key state."""
 
     by: tuple[str, ...] = ()
     time_col: str = "time"
@@ -69,6 +73,7 @@ class Ctx:
     test_mode: bool = False
     streaming: bool = False
     delay_s: float = 0.0
+    shards: int | None = None
 
 
 def _tw(ctx: Ctx) -> dict:
@@ -479,6 +484,11 @@ def _s_throttle(df, ctx, cfg):
 def _s_ewma(df, ctx, r):
     from mirabelle_spark import streaming as stx
 
+    if ctx.shards:
+        return stx.stream_ewma_sharded(
+            df, r, by=_need_by(ctx, "ewma-timeless"), time_col=ctx.time_col,
+            metric_col=ctx.metric_col, shards=ctx.shards,
+        )
     return stx.stream_ewma(
         df, r, by=_need_by(ctx, "ewma-timeless"), time_col=ctx.time_col,
         metric_col=ctx.metric_col,
@@ -570,6 +580,11 @@ def _s_cond_dt_vec(vec_fn):
         from mirabelle_spark import streaming as stx
 
         cond, dt = vec_fn(ctx, *params)
+        if ctx.shards:
+            return stx.stream_cond_dt_sharded(
+                df, cond, dt, by=_need_by(ctx, "cond-dt"),
+                time_col=ctx.time_col, shards=ctx.shards,
+            )
         return stx.stream_cond_dt(
             df, cond, dt, by=_need_by(ctx, "cond-dt"), time_col=ctx.time_col
         )
@@ -740,8 +755,13 @@ def _walk(df: DataFrame, node: dict | list, ctx: Ctx) -> None:
 
     if name == "by":
         # stream.clj:38-44: fork per key-tuple = thread grouping keys
-        # into every windowed/stateful descendant
-        sub = replace(ctx, by=ctx.by + tuple(params[0]["fields"]))
+        # into every windowed/stateful descendant; {"shards": N}
+        # opts this fork into shard-mapped keyed state (PERF §39)
+        sub = replace(
+            ctx,
+            by=ctx.by + tuple(params[0]["fields"]),
+            shards=params[0].get("shards", ctx.shards),
+        )
         for child in children:
             _walk(df, child, sub)
         ctx.taps.update(sub.taps)

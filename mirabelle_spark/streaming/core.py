@@ -1393,6 +1393,69 @@ def stream_zscore(
         ttl_clock="processing",
     )
 
+# -- sharded keyed state (r7) ----------------------------------------------
+# applyInPandasWithState calls the Python state fn once per KEY per
+# micro-batch; at 10^6 distinct keys the interpreter round-trips —
+# not the fold — dominate (PERF §39: ewma 7.9k ev/s, cond_dt 5.6k).
+# Sharding the GROUP key to pmod(xxhash64(keys), shards) with one
+# carry map per shard collapses 10^6 calls to `shards`, while the
+# fold still runs per ORIGINAL key: the shard slice is sorted by
+# (key, time) and the carry resets at key boundaries, so each key
+# sees exactly the per-key twin's operation sequence (bit-exact
+# parity pytests). Trades: the whole shard map round-trips per batch
+# (right when most keys are touched each batch; for sparse-update
+# workloads stay per-key), and there is no per-key TTL inside a
+# shard (state is bounded by key cardinality / shards).
+
+_SHARD_COL = "__shard__"
+_NULL_KEY = "\x00null"
+_KEY_SEP = "\x1f"
+
+
+def _shard_key_strings(pdf, key_cols):
+    """Composite string key per row (JSON-map-safe); nulls fold
+    under a sentinel distinct from any real value, matching the
+    per-key twins' null-group semantics."""
+    if len(key_cols) == 1:
+        col = pdf[key_cols[0]]
+        return [(_NULL_KEY if v is None or v != v else str(v)) for v in col.tolist()]
+    cols = [pdf[c].tolist() for c in key_cols]
+    return [
+        _KEY_SEP.join(_NULL_KEY if v is None or v != v else str(v) for v in row)
+        for row in zip(*cols)
+    ]
+
+
+def _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold):
+    """Shared shell for the sharded twins: group on the shard id,
+    state = one JSON carry map for the shard's keys, and per batch
+    call ``shard_fold(carry, ks, pdf)`` with the shard slice sorted
+    by (key, time) (stable on top of _keyed_batch_scan's time sort)
+    and the shard column dropped; ``ks`` is the per-row key string.
+    ``shard_fold`` mutates ``carry`` and returns the output rows."""
+    import json as _json
+
+    key_cols = list(by)
+    src = df.withColumn(
+        _SHARD_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(shards)),
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def batch_fn(s, pdf):
+        (carry_json,) = s
+        carry = _json.loads(carry_json) if carry_json else {}
+        pdf = pdf.sort_values(key_cols, kind="mergesort").drop(columns=[_SHARD_COL])
+        out = shard_fold(carry, _shard_key_strings(pdf, key_cols), pdf)
+        return (_json.dumps(carry),), out
+
+    return _keyed_batch_scan(
+        src, [_SHARD_COL], time_col, "carry STRING", (None,), batch_fn,
+        out_schema=out_schema,
+    )
+
 
 def stream_ewma_sharded(
     df: DataFrame,
@@ -1402,63 +1465,15 @@ def stream_ewma_sharded(
     metric_col: str = "metric",
     shards: int = 64,
 ) -> DataFrame:
-    """High-cardinality form of :func:`stream_ewma`: same fold, same
-    bit-exact per-key recurrence, but keyed state is sharded —
-    grouping on ``pmod(xxhash64(keys), shards)`` instead of the raw
-    keys, with each shard's state one carry map for all of its keys.
-
-    Why: applyInPandasWithState invokes the Python function once per
-    KEY per micro-batch; at 1M distinct keys that is 1M interpreter
-    round-trips of a few rows each, and the per-call overhead — not
-    the fold — dominates (PERF §35: 330k ev/s vs 2.7M JVM). Sharding
-    collapses it to ``shards`` calls per batch; within a call the
-    fold walks the whole shard slice sorted by (key, time) with
-    carry resets at key boundaries — identical per-key operation
-    sequence, so output is bit-identical to the per-key twin (parity
-    pytest-pinned). PERF §37 measures the gain.
-
-    Trades: (a) the whole shard carry map round-trips per batch even
-    if one key is active — right when most keys are touched each
-    batch (the 1M-key shape), wrong for sparse-update workloads
-    (stay per-key, or move to a RocksDB MapState processor);
-    (b) no per-key TTL eviction — the map only grows (bounded by
-    key cardinality / shards). Null keys fold under a sentinel,
-    distinct from any real value, matching the per-key twin's
-    null-group semantics."""
-    import json as _json
-
+    """High-cardinality form of :func:`stream_ewma`: same double
+    fold, bit-identical per key (parity pytest vs the batch
+    operator), through the sharded shell above. PERF §39: 214k ev/s
+    at 1M keys vs 7.9k per-key — 27×, above the JVM windowed agg at
+    that cardinality."""
     import numpy as np
     import pandas as pd
 
-    key_cols = list(by)
-    SHARD = "__shard__"
-    src = df.withColumn(
-        SHARD, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(shards))
-    )
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    )
-
-    _NULL = "\x00null"
-    _SEP = "\x1f"
-
-    def _key_strings(pdf):
-        if len(key_cols) == 1:
-            col = pdf[key_cols[0]]
-            return [(_NULL if v is None or v != v else str(v)) for v in col.tolist()]
-        cols = [pdf[c].tolist() for c in key_cols]
-        return [
-            _SEP.join(_NULL if v is None or v != v else str(v) for v in row)
-            for row in zip(*cols)
-        ]
-
-    def batch_fn(s, pdf):
-        (carry_json,) = s
-        carry = _json.loads(carry_json) if carry_json else {}
-        # _keyed_batch_scan pre-sorts by time; the stable mergesort on
-        # keys preserves time order inside each key segment
-        pdf = pdf.sort_values(key_cols, kind="mergesort")
-        ks = _key_strings(pdf)
+    def shard_fold(carry, ks, pdf):
         vals = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
         out = np.empty(len(vals))
         unset = object()
@@ -1477,14 +1492,11 @@ def stream_ewma_sharded(
                 out[i] = m
         if prev is not unset and m is not None:
             carry[prev] = m
-        res = pdf.drop(columns=[SHARD]).copy()
+        res = pdf.copy()
         res[metric_col] = pd.array(out, dtype="float64")
-        return (_json.dumps(carry),), res
+        return res
 
-    return _keyed_batch_scan(
-        src, [SHARD], time_col, "carry STRING", (None,), batch_fn,
-        out_schema=out_schema,
-    )
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
 
 
 def stream_cond_dt_sharded(
@@ -1496,15 +1508,11 @@ def stream_cond_dt_sharded(
     shards: int = 64,
 ) -> DataFrame:
     """High-cardinality form of :func:`stream_cond_dt` — the same
-    (ok, flip_us) recurrence per key, with keyed state sharded on
-    ``pmod(xxhash64(keys), shards)`` exactly like
-    :func:`stream_ewma_sharded` (see there for the trade analysis):
-    ``shards`` Python calls per micro-batch instead of one per key,
-    condition vectorized once over the whole shard slice, carry map
-    reset at key boundaries. Output rows are identical to the
-    per-key twin on in-order input (parity pytest-pinned)."""
-    import json as _json
-
+    (ok, flip_us) recurrence per key, condition vectorized once over
+    the whole shard slice, identical output rows to the per-key twin
+    (parity pytest). PERF §39: 552k ev/s at 1M keys vs 5.6k per-key
+    (98×); 1.73M ev/s at 10M events / 10k keys — at or above the
+    reference's ~1M ev/s/node lineage claim."""
     import numpy as np
 
     dt_us = int(round(dt_s * 1_000_000))
@@ -1519,33 +1527,7 @@ def stream_cond_dt_sharded(
         def valid_series(pdf):
             return _pred(pdf).to_numpy(dtype=bool)
 
-    key_cols = list(by)
-    SHARD = "__shard__"
-    src = df.withColumn(
-        SHARD, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(shards))
-    )
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    )
-
-    _NULL = "\x00null"
-    _SEP = "\x1f"
-
-    def _key_strings(pdf):
-        if len(key_cols) == 1:
-            col = pdf[key_cols[0]]
-            return [(_NULL if v is None or v != v else str(v)) for v in col.tolist()]
-        cols = [pdf[c].tolist() for c in key_cols]
-        return [
-            _SEP.join(_NULL if v is None or v != v else str(v) for v in row)
-            for row in zip(*cols)
-        ]
-
-    def batch_fn(s, pdf):
-        (carry_json,) = s
-        carry = _json.loads(carry_json) if carry_json else {}
-        pdf = pdf.sort_values(key_cols, kind="mergesort")
-        ks = _key_strings(pdf)
+    def shard_fold(carry, ks, pdf):
         tv = _series_us(pdf[time_col])
         valid = valid_series(pdf)
         keep = np.empty(len(tv), dtype=bool)
@@ -1565,10 +1547,6 @@ def stream_cond_dt_sharded(
             keep[i] = va and ok and t > flip + dt_us
         if prev is not unset:
             carry[prev] = (ok, flip)
-        res = pdf[keep].drop(columns=[SHARD])
-        return (_json.dumps(carry),), res
+        return pdf[keep]
 
-    return _keyed_batch_scan(
-        src, [SHARD], time_col, "carry STRING", (None,), batch_fn,
-        out_schema=out_schema,
-    )
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)

@@ -1964,3 +1964,57 @@ def test_stream_cond_dt_sharded_parity(spark, tmp_path):
     sharded = run(core.stream_cond_dt_sharded, "cds_sharded", shards=4)
     assert sharded == per_key
     assert 0 < len(per_key) < 1600  # the condition actually filters
+
+
+def test_by_shards_dsl_dispatches_sharded_twins(spark, tmp_path):
+    """`by {"fields": [...], "shards": N}` flips the fork's ewma /
+    cond-dt streaming twins to shard-mapped keyed state with
+    unchanged values (the high-cardinality shape, PERF §39)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+    from mirabelle_spark.streaming import to_memory
+
+    rows = [
+        {"time": float(j), "metric": float(100 + j), "host": f"h{i}"}
+        for i in range(5)
+        for j in range(4)
+    ]
+    src_dir = tmp_path / "shards_src"
+    src_dir.mkdir()
+    with open(src_dir / "p.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    def run(tree, name, **ctx_kw):
+        stream = (
+            spark.readStream.format("json")
+            .schema("time double, metric double, host string")
+            .load(str(src_dir))
+            .withColumn("time", F.timestamp_seconds("time"))
+        )
+        ctx = compile_stream(stream, tree, Ctx(streaming=True, test_mode=True, **ctx_kw))
+        q = to_memory(ctx.taps[name], f"shards_{name}")
+        q.awaitTermination(60)
+        return sorted(
+            (r.host, r.time.timestamp(), r.metric)
+            for r in spark.sql(f"select * from shards_{name}").collect()
+        )
+
+    def tree(shards):
+        by_cfg = {"fields": ["host"]}
+        if shards:
+            by_cfg["shards"] = shards
+        return {
+            "action": "by", "params": [by_cfg],
+            "children": [{
+                "action": "ewma-timeless", "params": [0.5],
+                "children": [{"action": "tap", "params": ["ew"]}],
+            }],
+        }
+
+    per_key = run(tree(None), "ew")
+    sharded = run(tree(3), "ew")
+    assert sharded == per_key and len(per_key) == 20
