@@ -62,8 +62,9 @@ class Ctx:
     reference's per-op :delay overrides it via cfg). ``shards``
     (set per-fork via ``by``'s ``{"shards": N}`` config key, or
     session-wide here) flips the twins that have a sharded form
-    (ewma, the cond-dt family) to shard-mapped keyed state — the
-    high-cardinality shape, PERF §39; None keeps per-key state."""
+    (ewma, the cond-dt family, changed, ddt/ddt-pos, zscore) to
+    shard-mapped keyed state — the high-cardinality shape, PERF
+    §39; None keeps per-key state."""
 
     by: tuple[str, ...] = ()
     time_col: str = "time"
@@ -509,17 +510,26 @@ def _s_sessionize(df, ctx, cfg):
 def _s_zscore(df, ctx, cfg):
     from mirabelle_spark import streaming as stx
 
-    return stx.stream_zscore(
-        df, float(cfg["window"]), by=_need_by(ctx, "zscore"),
-        time_col=ctx.time_col, metric_col=ctx.metric_col,
-        min_n=int(cfg.get("min-n", 2)),
+    kw = dict(
+        by=_need_by(ctx, "zscore"), time_col=ctx.time_col,
+        metric_col=ctx.metric_col, min_n=int(cfg.get("min-n", 2)),
     )
+    if ctx.shards:
+        return stx.stream_zscore_sharded(
+            df, float(cfg["window"]), shards=ctx.shards, **kw
+        )
+    return stx.stream_zscore(df, float(cfg["window"]), **kw)
 
 
 @stream_action("changed")
 def _s_changed(df, ctx, cfg):
     from mirabelle_spark import streaming as stx
 
+    if ctx.shards:
+        return stx.stream_changed_sharded(
+            df, cfg["field"], by=_need_by(ctx, "changed"),
+            time_col=ctx.time_col, init=cfg.get("init"), shards=ctx.shards,
+        )
     return stx.stream_changed(
         df, cfg["field"], by=_need_by(ctx, "changed"), time_col=ctx.time_col,
         init=cfg.get("init"),
@@ -546,24 +556,23 @@ def _s_smin(df, ctx):
     )
 
 
-@stream_action("ddt")
-def _s_ddt(df, ctx):
-    from mirabelle_spark import streaming as stx
+def _s_ddt_any(name, remove_neg):
+    def fn(df, ctx):
+        from mirabelle_spark import streaming as stx
 
-    return stx.stream_ddt(
-        df, by=_need_by(ctx, "ddt"), time_col=ctx.time_col,
-        metric_col=ctx.metric_col,
-    )
+        kw = dict(
+            by=_need_by(ctx, name), time_col=ctx.time_col,
+            metric_col=ctx.metric_col, remove_neg=remove_neg,
+        )
+        if ctx.shards:
+            return stx.stream_ddt_sharded(df, shards=ctx.shards, **kw)
+        return stx.stream_ddt(df, **kw)
+
+    return fn
 
 
-@stream_action("ddt-pos")
-def _s_ddt_pos(df, ctx):
-    from mirabelle_spark import streaming as stx
-
-    return stx.stream_ddt(
-        df, by=_need_by(ctx, "ddt-pos"), time_col=ctx.time_col,
-        metric_col=ctx.metric_col, remove_neg=True,
-    )
+stream_action("ddt")(_s_ddt_any("ddt", False))
+stream_action("ddt-pos")(_s_ddt_any("ddt-pos", True))
 
 
 @stream_action("stable")

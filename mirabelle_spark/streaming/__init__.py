@@ -13,10 +13,12 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ratio,
     stream_top,
     stream_changed,
+    stream_changed_sharded,
     stream_coalesce,
     stream_cond_dt,
     stream_cond_dt_sharded,
     stream_ddt,
+    stream_ddt_sharded,
     stream_dedup,
     stream_ewma,
     stream_ewma_sharded,
@@ -31,6 +33,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_stable,
     stream_throttle,
     stream_zscore,
+    stream_zscore_sharded,
     reinject_sink,
     reinject_source,
     to_console,

@@ -1426,13 +1426,14 @@ def _shard_key_strings(pdf, key_cols):
     ]
 
 
-def _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold):
+def _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold, extra_out=None):
     """Shared shell for the sharded twins: group on the shard id,
     state = one JSON carry map for the shard's keys, and per batch
     call ``shard_fold(carry, ks, pdf)`` with the shard slice sorted
     by (key, time) (stable on top of _keyed_batch_scan's time sort)
     and the shard column dropped; ``ks`` is the per-row key string.
-    ``shard_fold`` mutates ``carry`` and returns the output rows."""
+    ``shard_fold`` mutates ``carry`` and returns the output rows.
+    ``extra_out`` appends DDL columns the fold adds (e.g. zscore)."""
     import json as _json
 
     key_cols = list(by)
@@ -1443,6 +1444,8 @@ def _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold):
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    if extra_out:
+        out_schema += f", {extra_out}"
 
     def batch_fn(s, pdf):
         (carry_json,) = s
@@ -1550,3 +1553,191 @@ def stream_cond_dt_sharded(
         return pdf[keep]
 
     return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def stream_changed_sharded(
+    df: DataFrame,
+    fieldname: str,
+    by: Sequence[str],
+    time_col: str = "time",
+    init=None,
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_changed`: the shard
+    slice compares via ONE vectorized shift — only the per-key
+    SEGMENT STARTS (first row of each key in the batch) read the
+    carry map, and only segment ends write it, so the Python work is
+    O(distinct keys in batch), not O(rows). Null-safe compare and
+    :init semantics identical to the per-key twin (parity pytest)."""
+    import numpy as np
+
+    def shard_fold(carry, ks, pdf):
+        n = len(pdf)
+        if not n:
+            return pdf
+        vals = pdf[fieldname]
+        prev = vals.shift(1)
+        ks_arr = np.array(ks, dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+        )
+        start_keys = ks_arr[starts].tolist()
+        # ONE positional gather/scatter per batch — per-element .iloc
+        # writes cost more than the whole fold at 1-row segments
+        prev.iloc[starts] = [carry.get(k, init) for k in start_keys]
+        same = (vals == prev) | (vals.isna() & prev.isna())
+        ends = np.concatenate((starts[1:] - 1, [n - 1]))
+        for k, v in zip(start_keys, vals.iloc[ends].tolist()):
+            carry[k] = _native(v)
+        return pdf[~same.to_numpy(dtype=bool)]
+
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def stream_ddt_sharded(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+    remove_neg: bool = False,
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_ddt`: the derivative is
+    one vectorized diff over the shard slice with the previous
+    (t, metric) injected from the carry map at segment starts only —
+    O(distinct keys) Python, O(rows) numpy. Null-metric events are
+    dropped before the shift exactly like the per-key twin, so they
+    never become the previous sample."""
+    import numpy as np
+
+    def shard_fold(carry, ks, pdf):
+        keepna = pdf[metric_col].notna().to_numpy(dtype=bool)
+        if not keepna.all():
+            pdf = pdf[keepna].reset_index(drop=True)
+            ks = [k for k, good in zip(ks, keepna.tolist()) if good]
+        n = len(pdf)
+        if not n:
+            return pdf
+        t = _series_us(pdf[time_col]).astype("float64")
+        m = pdf[metric_col].to_numpy(dtype="float64")
+        prev_t = np.concatenate(([np.nan], t[:-1]))
+        prev_m = np.concatenate(([np.nan], m[:-1]))
+        ks_arr = np.array(ks, dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+        )
+        for s in starts.tolist():
+            last = carry.get(ks_arr[s])
+            prev_t[s], prev_m[s] = (
+                (np.nan, np.nan) if last is None else (float(last[0]), float(last[1]))
+            )
+        dt = (t - prev_t) / 1_000_000.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            diff = (m - prev_m) / dt
+        ok = np.isfinite(diff)
+        if remove_neg:
+            ok &= diff >= 0
+        ends = np.concatenate((starts[1:] - 1, [n - 1]))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            carry[ks_arr[s]] = (int(t[e]), float(m[e]))
+        out = pdf[ok].copy()
+        out[metric_col] = diff[ok]
+        return out
+
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def stream_zscore_sharded(
+    df: DataFrame,
+    window_s: float,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+    min_n: int = 2,
+    out: str = "zscore",
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_zscore`: the carry map
+    holds each key's trailing-window triples and decimal moment sums
+    (identical quantization and fold order — bit-exact parity with
+    the per-key twin and the batch range frame on in-order input)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    win_us = int(round(window_s * 1_000_000))
+    Q9 = Decimal("0.000000001")
+
+    def _q(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(Q9, rounding=ROUND_HALF_UP)
+
+    def shard_fold(carry, ks, pdf):
+        t = _series_us(pdf[time_col])
+        vals = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
+        zs = np.full(len(pdf), np.nan)
+        unset = object()
+        prev = unset
+        buf = s1 = s2 = None
+        live: dict = {}  # decoded states this batch (decimal objects)
+
+        def _load(k):
+            if k in live:
+                return live[k]
+            st = carry.get(k)
+            if st is None:
+                cur = [[], Decimal(0), Decimal(0)]
+            else:
+                cur = [
+                    [(tt, Decimal(a), Decimal(b)) for tt, a, b in st["b"]],
+                    Decimal(st["s1"]),
+                    Decimal(st["s2"]),
+                ]
+            live[k] = cur
+            return cur
+
+        for i in range(len(pdf)):
+            k = ks[i]
+            if k != prev:
+                cur = _load(k)
+                buf, s1, s2 = cur[0], cur[1], cur[2]
+                prev = k
+            ti = int(t[i])
+            v = vals[i]
+            m = 0.0 if v != v else float(v)
+            q1, q2 = _q(m), _q(m * m)
+            buf.append((ti, q1, q2))
+            s1 += q1
+            s2 += q2
+            lo = ti - win_us
+            drop = 0
+            for tt, a, b in buf:
+                if tt >= lo:
+                    break
+                s1 -= a
+                s2 -= b
+                drop += 1
+            if drop:
+                del buf[:drop]
+            live[k][1], live[k][2] = s1, s2
+            n = len(buf)
+            if n >= min_n and v == v:
+                nd = float(n)
+                mean = float(s1) / nd
+                var = max(float(s2) / nd - mean * mean, 0.0)
+                if var > 0.0:
+                    zs[i] = (float(v) - mean) / math.sqrt(var)
+        for k, (b, a1, a2) in live.items():
+            carry[k] = {
+                "b": [[tt, str(x), str(y)] for tt, x, y in b],
+                "s1": str(a1),
+                "s2": str(a2),
+            }
+        res = pdf.copy()
+        res[out] = pd.array(zs, dtype="float64")
+        return res
+
+    return _sharded_keyed_batch_scan(
+        df, by, time_col, shards, shard_fold, extra_out=f"{out} double"
+    )

@@ -2018,3 +2018,77 @@ def test_by_shards_dsl_dispatches_sharded_twins(spark, tmp_path):
     per_key = run(tree(None), "ew")
     sharded = run(tree(3), "ew")
     assert sharded == per_key and len(per_key) == 20
+
+
+def test_stream_sharded_changed_ddt_zscore_parity(spark, tmp_path):
+    """The r7 sharded tier (changed / ddt / zscore) emits exactly the
+    per-key twins' rows and values across a two-file micro-batch
+    split — including null metrics, :init semantics, and zscore's
+    decimal-exact moments."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for i in range(120):
+        host = f"h{i:03d}"
+        for j in range(8):
+            state = (
+                ["ok", "ok", "warn", "warn", "ok", "crit", None, "ok"][j]
+                if i % 2 == 0
+                else "ok"
+            )
+            v = None if (i + j) % 19 == 3 else float((i * 13 + j * j) % 47) / 3.0
+            rows.append((eid, host, float(j * 15), state, v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, state string, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    src_dir = str(tmp_path / "sh3_in")
+    df.where("event_id % 8 < 4").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 8 >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(build, name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = build(stream)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    # changed
+    per = {r.event_id for r in run(
+        lambda s: core.stream_changed(s, "state", by=["host"], time_col="time", init="ok"),
+        "sh3_chg_pk")}
+    shd = {r.event_id for r in run(
+        lambda s: core.stream_changed_sharded(s, "state", by=["host"], time_col="time",
+                                              init="ok", shards=4), "sh3_chg_sh")}
+    assert shd == per and 0 < len(per) < 960
+
+    # ddt
+    per_d = {r.event_id: r.metric for r in run(
+        lambda s: core.stream_ddt(s, by=["host"], time_col="time"), "sh3_ddt_pk")}
+    shd_d = {r.event_id: r.metric for r in run(
+        lambda s: core.stream_ddt_sharded(s, by=["host"], time_col="time", shards=4),
+        "sh3_ddt_sh")}
+    assert shd_d == per_d and len(per_d) > 500
+
+    # zscore (bit-exact)
+    per_z = {r.event_id: r.zscore for r in run(
+        lambda s: core.stream_zscore(s, 50.0, by=["host"], time_col="time",
+                                     metric_col="metric", min_n=2), "sh3_zs_pk")}
+    shd_z = {r.event_id: r.zscore for r in run(
+        lambda s: core.stream_zscore_sharded(s, 50.0, by=["host"], time_col="time",
+                                             metric_col="metric", min_n=2, shards=4),
+        "sh3_zs_sh")}
+    assert set(shd_z) == set(per_z)
+    assert not {k for k in per_z if shd_z[k] != per_z[k]}

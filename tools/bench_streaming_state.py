@@ -164,6 +164,34 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
         out = stream_coalesce(
             stream, 60.0, fields=["host"], by=["host"], time_col="time"
         )
+    elif mode == "zscore":
+        from mirabelle_spark.streaming import stream_zscore
+
+        out = stream_zscore(stream, 30.0, by=["host"], time_col="time")
+    elif mode == "zscore_sharded":
+        from mirabelle_spark.streaming import stream_zscore_sharded
+
+        out = stream_zscore_sharded(
+            stream, 30.0, by=["host"], time_col="time", shards=shards
+        )
+    elif mode == "changed":
+        from mirabelle_spark.streaming import stream_changed
+
+        out = stream_changed(stream, "metric", by=["host"], time_col="time")
+    elif mode == "changed_sharded":
+        from mirabelle_spark.streaming import stream_changed_sharded
+
+        out = stream_changed_sharded(
+            stream, "metric", by=["host"], time_col="time", shards=shards
+        )
+    elif mode == "ddt":
+        from mirabelle_spark.streaming import stream_ddt
+
+        out = stream_ddt(stream, by=["host"], time_col="time")
+    elif mode == "ddt_sharded":
+        from mirabelle_spark.streaming import stream_ddt_sharded
+
+        out = stream_ddt_sharded(stream, by=["host"], time_col="time", shards=shards)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
