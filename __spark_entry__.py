@@ -44,6 +44,7 @@ GATE_PRIORITY = [
     "zscore_events", "semantic_dedup_survivors",
     # (b) implementation changed / added in round 7
     "minhash_lsh_pairs", "simhash_pairs", "video_frame_sample",
+    "linear_quality_docs",
     # (c) last gated in r4
     "where_not", "where_regex", "under_filter", "not_expired_events",
     "outside_dt_alert",
@@ -58,10 +59,11 @@ GATE_PRIORITY = [
     "contamination_docs", "pack_docs", "text_bpe_token_count",
     "text_repetition", "text_quality", "text_lang_id",
     "text_rolling_fp", "multimodal_features", "tpch_pricing_summary",
-    "revenue_by_nation", "order_priority_counts",
+    "revenue_by_nation",
 ]
 
 # Round-8 rotation note: below-fold after r7 are (i) the r6 cohort
+# plus order_priority_counts (yielded its slot to linear_quality_docs)
 # gated green in CORRECTNESS_r06 (throttle ... segment_top_orders)
 # and (ii) the thirteen deferred r5-cohort entries named above —
 # lead r8's gate with (ii) plus whatever r8 changes.

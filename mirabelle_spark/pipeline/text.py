@@ -365,3 +365,38 @@ def remove_boilerplate_lines(
         kept.groupBy(id_col)
         .agg(F.array_join(ordered, "\n").alias("text_clean"))
     )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "quality_logit",
+) -> DataFrame:
+    """fastText-style hashed linear classifier INFERENCE (the
+    CCNet/LLaMA-lineage quality-filter shape): each token hashes to
+    a signed integer weight, the document's logit is the token-weight
+    sum. One Catalyst projection per doc — ``aggregate`` over the
+    token array, no explode, no shuffle, no UDF — so at 100 TB the
+    score rides the same scan as every other per-doc feature.
+
+    Weights here are a deterministic placeholder table,
+    ``w(tok) = (md5_int(tok) mod 1001) - 500`` (uniform in
+    [-500, 500], engine-portable via the same md5/conv trick as the
+    MinHash oracle); a production deployment swaps ``w`` for trained
+    weights as a literal array indexed by ``hash mod dim`` or a
+    broadcast map — the plan shape is identical. The logit is an
+    exact INTEGER sum (order-free on any partitioning) divided by
+    1000 once at the end; empty/whitespace docs score 0.
+    """
+    toks = tokens(F.col(text_col))
+    w = (
+        "aggregate(filter(__toks__, t -> t != ''), CAST(0 AS BIGINT), "
+        "(acc, t) -> acc + (pmod(CAST(conv(substring(md5(t), 1, 15), 16, 10) "
+        "AS BIGINT), 1001) - 500))"
+    )
+    return (
+        df.withColumn("__toks__", toks)
+        .withColumn(out, F.expr(w).cast("double") / F.lit(1000.0))
+        .drop("__toks__")
+    )

@@ -1234,3 +1234,25 @@ def video_frame_sample(spark, sf):
     return frames.select(
         "id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
     )
+
+
+@q(
+    "linear_quality_docs",
+    """
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       t -> t != ''),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1001 - 500
+       )), 0) AS DOUBLE) / 1000.0 AS quality_logit
+FROM documents
+""",
+)
+def linear_quality_docs(spark, sf):
+    """fastText-style hashed linear quality-classifier inference
+    (r7): deterministic md5-derived placeholder weights, exact
+    integer logit sum per doc — one Catalyst projection, no shuffle.
+    The oracle rebuilds every weight and sum in SQL."""
+    return text.linear_quality_score(docs(spark, sf)).select(
+        "doc_id", "quality_logit"
+    )

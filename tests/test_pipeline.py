@@ -901,3 +901,23 @@ def test_hot_bucket_cap_none_is_exact(doc_df):
         ).collect()
     }
     assert base == huge_cap
+
+
+def test_linear_quality_score_exact(spark):
+    """Hashed linear classifier: logit equals the hand-computed
+    md5-weight sum; empty/whitespace docs score exactly 0."""
+    import hashlib
+
+    from mirabelle_spark.pipeline import text as t
+
+    rows = [(0, "the quick fox"), (1, ""), (2, "   "), (3, "the the")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.quality_logit
+           for r in t.linear_quality_score(df).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 1001 - 500
+
+    assert got[0] == (w("the") + w("quick") + w("fox")) / 1000.0
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert got[3] == 2 * w("the") / 1000.0
