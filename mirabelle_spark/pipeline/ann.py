@@ -530,3 +530,46 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "l2_dist", "rank")
     )
+
+
+def cell_centroid_update(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE k-means update step as a relational plan — the training
+    half of the IVF quantizer, expressed so the trainer itself scales
+    like a query: assign every vector to its nearest centroid
+    (deterministic first-min argmin, same as :func:`_cell_assign`),
+    then per (cell, lane) emit member count and the mean coordinate.
+
+    Long form (cell, lane, n, mean_val) on purpose: the shuffle
+    carries 16-byte rows with map-side partial aggregation (never a
+    per-cell vector list), re-assembly to nlist×dim arrays is a
+    trivial collect of nlist·dim rows on the driver, and the DuckDB
+    oracle matches without array-ordering ambiguity. The lane sums
+    are DECIMAL(38,9)-exact, so the means are bit-identical on any
+    partitioning — iterate assign→update to a reproducible fixpoint
+    (pyspark.ml KMeans trains fine too, but its double accumulation
+    is partitioning-dependent; this step is the engine-portable
+    twin).
+    """
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    assigned = _cell_assign(c, centroids)
+    lanes = assigned.select(
+        "__cell__", F.posexplode(F.col("__cv__")).alias("lane", "v")
+    )
+    return (
+        lanes.groupBy("__cell__", "lane")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,9)")).cast("double").alias("__s__"),
+        )
+        .select(
+            F.col("__cell__").alias("cell"),
+            F.col("lane").cast("int").alias("lane"),
+            "n",
+            (F.col("__s__") / F.col("n").cast("double")).alias("mean_val"),
+        )
+    )

@@ -1256,3 +1256,38 @@ def linear_quality_docs(spark, sf):
     return text.linear_quality_score(docs(spark, sf)).select(
         "doc_id", "quality_logit"
     )
+
+
+def _ivf_centroid_update_oracle() -> str:
+    sqd = (
+        "list_transform(cs, c -> list_reduce("
+        "list_transform(list_zip(cv, c), x -> (x[1] - x[2]) * (x[1] - x[2])), "
+        "(acc, v) -> acc + v))"
+    )
+    return f"""
+WITH cent AS (SELECT {_centroids_sql()} AS cs),
+assigned AS (
+  SELECT CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell, cv
+  FROM (SELECT embedding::DOUBLE[] AS cv, {sqd} AS ds
+        FROM embeddings, cent)
+),
+lanes AS (
+  SELECT cell, CAST(g.i - 1 AS INT) AS lane, cv[g.i] AS v
+  FROM assigned, generate_series(1, 64) AS g(i)  -- dim fixed by IVF_CENTROIDS
+)
+SELECT cell, lane, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_val
+FROM lanes GROUP BY cell, lane
+"""
+
+
+@q("ivf_centroid_update", _ivf_centroid_update_oracle())
+def ivf_centroid_update(spark, sf):
+    """One relational k-means update step over the fixed quantizer's
+    assignment (r7): per (cell, lane) member count + decimal-exact
+    mean coordinate — the engine-portable trainer half of IVF (see
+    :func:`mirabelle_spark.pipeline.ann.cell_centroid_update`)."""
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+
+    return ann.cell_centroid_update(embs(spark, sf), IVF_CENTROIDS)

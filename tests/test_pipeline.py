@@ -921,3 +921,21 @@ def test_linear_quality_score_exact(spark):
     assert got[0] == (w("the") + w("quick") + w("fox")) / 1000.0
     assert got[1] == 0.0 and got[2] == 0.0
     assert got[3] == 2 * w("the") / 1000.0
+
+
+def test_cell_centroid_update_step(spark):
+    """One relational k-means step: per (cell, lane) counts and
+    decimal-exact means match hand computation on a split fixture."""
+    from mirabelle_spark.pipeline import ann
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    vecs = [(0, [1.0, 2.0]), (1, [3.0, 0.0]), (2, [9.0, 11.0]), (3, [11.0, 9.0])]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    out = {
+        (r.cell, r.lane): (r.n, r.mean_val)
+        for r in ann.cell_centroid_update(df, cents).collect()
+    }
+    assert out == {
+        (0, 0): (2, 2.0), (0, 1): (2, 1.0),
+        (1, 0): (2, 10.0), (1, 1): (2, 10.0),
+    }
