@@ -573,3 +573,46 @@ def cell_centroid_update(
             (F.col("__s__") / F.col("n").cast("double")).alias("mean_val"),
         )
     )
+
+
+def train_ivf(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means built from
+    :func:`cell_centroid_update` — the trained-quantizer path with
+    NONE of pyspark.ml KMeans' partitioning-dependence: init is the
+    ``nlist`` lowest-id vectors, every update is the decimal-exact
+    relational step, so the same corpus yields bit-identical
+    centroids under any repartitioning (pytest-pinned). Use where
+    reproducibility of the index matters more than clustering
+    finesse (k-means++ init beats lowest-id on quality; swap the
+    init rows in if that trade is wanted — the loop is unchanged).
+
+    Driver traffic per iteration is nlist·dim scalars (the long-form
+    means) — the loop state is quantizer-sized, never data-sized.
+    Empty cells keep their previous centroid.
+    """
+    init_rows = (
+        corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v__"))
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    )
+    if len(init_rows) < nlist:
+        raise ValueError(f"corpus has {len(init_rows)} vectors < nlist={nlist}")
+    cents = [[float(x) for x in r["__v__"]] for r in init_rows]
+    dim = len(cents[0])
+    for _ in range(iters):
+        upd = cell_centroid_update(corpus, cents, vec_col=vec_col, id_col=id_col)
+        rows = upd.collect()
+        nxt = [list(c) for c in cents]
+        for r in rows:
+            nxt[r.cell][r.lane] = float(r.mean_val)
+        if nxt == cents:
+            break
+        cents = nxt
+    return cents

@@ -939,3 +939,30 @@ def test_cell_centroid_update_step(spark):
         (0, 0): (2, 2.0), (0, 1): (2, 1.0),
         (1, 0): (2, 10.0), (1, 1): (2, 10.0),
     }
+
+
+def test_train_ivf_deterministic_and_improving(spark):
+    """The relational trainer is partitioning-independent (bit-equal
+    centroids after an adversarial repartition) and Lloyd-monotone
+    (distortion non-increasing across its iterates)."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ann.train_ivf(emb, nlist=4, iters=4)
+    c2 = ann.train_ivf(emb.repartition(7), nlist=4, iters=4)
+    assert c1 == c2
+
+    def distortion(cents):
+        c = emb.select(ann.as_double_vec(F.col("embedding")).alias("__cv__"))
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in ctr]) for ctr in cents]
+        )
+        d = F.array_min(F.transform(cent_lit, lambda ctr: ann._sqdist(F.col("__cv__"), ctr)))
+        return c.agg(F.sum(d.cast("decimal(38,9)")).cast("double")).collect()[0][0]
+
+    d0 = distortion(ann.train_ivf(emb, nlist=4, iters=1))
+    d2 = distortion(ann.train_ivf(emb, nlist=4, iters=2))
+    d4 = distortion(c1)
+    assert d0 >= d2 >= d4
