@@ -239,3 +239,32 @@ def test_paragraph_dedup_never_shuffles_text(spark, qs):
     # reassembly is an in-row filter of the row's own split — no
     # second explode of paragraphs with text through an aggregate
     assert plan.count("Generate explode") <= 1
+
+
+def test_linear_quality_shuffle_free_and_pruned(spark, qs):
+    """The hashed linear classifier must be a pure scan→project: no
+    exchange anywhere (the logit folds inside the row), and the scan
+    pruned to (doc_id, text)."""
+    plan = _plan(qs["linear_quality_docs"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "doc_id" in plan and "text" in plan
+
+
+def test_ivf_centroid_update_single_exchange(spark, qs):
+    """The k-means step = partial (cell, lane) aggregate → ONE
+    shuffle → final aggregate; the scan reads only the embedding
+    column."""
+    df = qs["ivf_centroid_update"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan
+    assert "ReadSchema: struct<embedding" in plan, plan
+
+
+def test_video_frame_sample_scans_ids_only(spark, qs):
+    """Frame sampling builds payloads in the plan: the parquet scan
+    must read ONLY doc_id (no text/binary column ever leaves the
+    scan), and no shuffle exists."""
+    plan = _plan(qs["video_frame_sample"](spark, SF_DIR))
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+    assert "Exchange" not in plan, plan
