@@ -44,7 +44,7 @@ GATE_PRIORITY = [
     "zscore_events", "semantic_dedup_survivors",
     # (b) implementation changed / added in round 7
     "minhash_lsh_pairs", "simhash_pairs", "video_frame_sample",
-    "linear_quality_docs", "ivf_centroid_update",
+    "linear_quality_docs", "ivf_centroid_update", "best_docs_per_lang",
     # (c) last gated in r4
     "where_not", "where_regex", "under_filter", "not_expired_events",
     "outside_dt_alert",
@@ -56,14 +56,15 @@ GATE_PRIORITY = [
     "ewma_smoothed", "coll_where_inside_window", "coll_sum_hourly",
     "coll_mean_hourly", "coll_percentiles_hourly", "dedup_clusters",
     "ann_bruteforce_topk", "ann_lsh_topk", "embedding_near_dups",
-    "contamination_docs", "pack_docs", "text_bpe_token_count",
+    "contamination_docs", "pack_docs",
     "text_repetition", "text_quality", "text_lang_id",
     "multimodal_features", "tpch_pricing_summary", "revenue_by_nation",
 ]
 
 # Round-8 rotation note: below-fold after r7 are (i) the r6 cohort
-# plus order_priority_counts and text_rolling_fp (slots yielded to
-# linear_quality_docs / ivf_centroid_update)
+# plus order_priority_counts, text_rolling_fp and text_bpe_token_count
+# (slots yielded to linear_quality_docs / ivf_centroid_update /
+# best_docs_per_lang)
 # gated green in CORRECTNESS_r06 (throttle ... segment_top_orders)
 # and (ii) the thirteen deferred r5-cohort entries named above —
 # lead r8's gate with (ii) plus whatever r8 changes.

@@ -230,3 +230,59 @@ def pack_documents(
         F.expr(f"__pre__ div {budget_tokens}").alias("pack_id"),
         (F.col("__pre__") % budget_tokens).alias("pack_offset"),
     )
+
+
+def stratified_topk(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str,
+    order_col: str,
+    key_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Best-``n`` rows per group by a SCORE column (quality-ranked
+    mixture/curriculum selection) — :func:`stratified_sample`'s
+    two-phase bounded top-n skeleton with the stable hash replaced
+    by the score, so no group ever funnels through one reducer:
+
+    1. per (group, input-partition) keep the n best (score, key)
+       pairs map-side (bounded sorted-array aggregate over the two
+       pruned columns);
+    2. exact-rank the ≤ n × partitions survivors per group (the only
+       window, over a trivially small set);
+    3. broadcast left-semi join the winners back — the corpus never
+       shuffles.
+
+    Ordering is (score desc|asc, key asc) with the descending case
+    realized by negating the score inside the struct sort (exact for
+    IEEE doubles). Null scores are dropped up front — a null can
+    never rank. Same partitioning-independence argument as
+    stratified_sample: a global top-n row is a top-n row of its own
+    slice."""
+    from pyspark.sql import Window as W
+
+    s = F.col(order_col).cast("double")
+    if descending:
+        s = -s
+    hk = F.struct(s.alias("s"), F.col(key_col).alias("k"))
+    cand = (
+        df.filter(F.col(order_col).isNotNull())
+        .select(F.col(group_col), hk.alias("__hk__"))
+        .withColumn("__pid__", F.spark_partition_id())
+        .groupBy(group_col, "__pid__")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("__hk__")), 1, n_per_group
+            ).alias("__top__")
+        )
+        .select(group_col, F.explode("__top__").alias("__hk__"))
+    )
+    w = W.partitionBy(group_col).orderBy(F.col("__hk__.s"), F.col("__hk__.k"))
+    sel = (
+        cand.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= n_per_group)
+        .select(F.col("__hk__.k").alias("__sel_key__"))
+    )
+    return df.join(
+        F.broadcast(sel), F.col(key_col) == F.col("__sel_key__"), "left_semi"
+    )

@@ -1291,3 +1291,37 @@ def ivf_centroid_update(spark, sf):
     from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
 
     return ann.cell_centroid_update(embs(spark, sf), IVF_CENTROIDS)
+
+
+@q(
+    "best_docs_per_lang",
+    """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(COALESCE(list_sum(list_transform(
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t != ''),
+             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1001 - 500
+         )), 0) AS DOUBLE) / 1000.0 AS quality_logit
+  FROM documents
+)
+SELECT doc_id, lang, quality_logit FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY quality_logit DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= 20
+""",
+)
+def best_docs_per_lang(spark, sf):
+    """Quality-ranked mixture selection (r7): the top 20 documents
+    per language by hashed-classifier logit, via the two-phase
+    bounded top-n (:func:`sampling.stratified_topk`) — no language
+    ever sorts in one reducer, the corpus never shuffles (left-semi
+    on broadcast winners). Oracle = plain rank window at sf scale."""
+    from mirabelle_spark.pipeline import sampling
+
+    scored = text.linear_quality_score(docs(spark, sf))
+    top = sampling.stratified_topk(
+        scored, 20, group_col="lang", order_col="quality_logit"
+    )
+    return top.select("doc_id", "lang", "quality_logit")

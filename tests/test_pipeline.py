@@ -966,3 +966,35 @@ def test_train_ivf_deterministic_and_improving(spark):
     d2 = distortion(ann.train_ivf(emb, nlist=4, iters=2))
     d4 = distortion(c1)
     assert d0 >= d2 >= d4
+
+
+def test_stratified_topk_partitioning_independent(spark):
+    """Best-n-per-group by score: identical winners under an
+    adversarial repartition; descending/ascending and null-score
+    semantics pinned against a plain rank window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from mirabelle_spark.pipeline import sampling
+
+    rows = [(i, f"g{i % 3}", None if i % 17 == 4 else float((i * 31) % 50))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, score double")
+
+    def reference(desc):
+        o = F.col("score").desc() if desc else F.col("score").asc()
+        w = W.partitionBy("grp").orderBy(o, F.col("doc_id"))
+        return {
+            r.doc_id
+            for r in df.filter(F.col("score").isNotNull())
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 5").collect()
+        }
+
+    for desc in (True, False):
+        exp = reference(desc)
+        got1 = {r.doc_id for r in sampling.stratified_topk(
+            df, 5, "grp", "score", descending=desc).collect()}
+        got2 = {r.doc_id for r in sampling.stratified_topk(
+            df.repartition(13), 5, "grp", "score", descending=desc).collect()}
+        assert got1 == exp and got2 == exp
