@@ -400,3 +400,50 @@ def linear_quality_score(
         .withColumn(out, F.expr(w).cast("double") / F.lit(1000.0))
         .drop("__toks__")
     )
+
+
+def token_chunks(
+    df: DataFrame,
+    divisor: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the
+    RAG/pretraining chunker): a chunk boundary opens BEFORE any
+    token whose portable hash divides ``divisor`` — like
+    rolling-hash CDC, boundaries depend only on content, so editing
+    one sentence re-chunks O(1) chunks instead of shifting every
+    fixed-size window downstream. Expected chunk length ≈ divisor
+    tokens.
+
+    Fully relational: posexplode tokens → boundary flag → running
+    boundary count per doc (a window ordered by token position —
+    per-DOC state, bounded by document length, never corpus-grain) →
+    per-(doc, chunk) aggregate emitting token count and the md5 of
+    the reassembled chunk text (chunks stay verifiable without
+    shipping their bodies). Empty docs yield no chunks.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    pe = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    h = F.expr(
+        "pmod(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT), "
+        f"{int(divisor)})"
+    )
+    flagged = pe.withColumn(
+        "__b__", ((h == 0) & (F.col("pos") > 0)).cast("long")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    chunked = flagged.withColumn("chunk_id", F.sum("__b__").over(w).cast("int"))
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+            ).getField("tok"))).alias("chunk_md5"),
+        )
+    )

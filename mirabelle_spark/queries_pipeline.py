@@ -1325,3 +1325,38 @@ def best_docs_per_lang(spark, sf):
         scored, 20, group_col="lang", order_col="quality_logit"
     )
     return top.select("doc_id", "lang", "quality_logit")
+
+
+@q(
+    "token_chunks_docs",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x != ''),
+           (x, i) -> {'pos': i - 1, 'tok': x}), recursive := true)
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos > 0
+               AND ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS chunk_id
+  FROM flagged
+)
+SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM chunked GROUP BY doc_id, chunk_id
+""",
+)
+def token_chunks_docs(spark, sf):
+    """Content-defined chunking at token granularity (r7): hash-
+    derived boundaries (expected length 16 tokens), per-chunk token
+    count + md5 of the reassembled chunk — the RAG/pretraining
+    chunker with every chunk byte-verified by the oracle."""
+    return text.token_chunks(docs(spark, sf), divisor=16)
