@@ -778,3 +778,23 @@ def paragraph_dedup(
         df.join(keep, id_col)
         .select(F.col(id_col), rebuilt.alias("text_clean"))
     )
+
+
+def neardup_degree_histogram(pairs: DataFrame) -> DataFrame:
+    """Degree distribution of the near-dup graph: how many documents
+    have exactly ``degree`` near-duplicates. THE pre-flight
+    diagnostic for candidate-generation tuning — a heavy right tail
+    means boilerplate cliques (size-c clique ⇒ c docs of degree
+    c-1), i.e. run :func:`dedup_exact` first and/or set
+    ``max_bucket``. Two tiny aggregations over the pair list; the
+    corpus itself is never touched."""
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -1360,3 +1360,25 @@ def token_chunks_docs(spark, sf):
     count + md5 of the reassembled chunk — the RAG/pretraining
     chunker with every chunk byte-verified by the oracle."""
     return text.token_chunks(docs(spark, sf), divisor=16)
+
+
+ORACLES["neardup_degree_histogram"] = f"""
+WITH pairs AS ({_minhash_lsh_oracle()}),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs
+  ) GROUP BY id
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree
+"""
+
+
+def neardup_degree_histogram(spark, sf):
+    """Near-dup graph degree histogram over the MinHash-LSH pair set
+    (r7): the clique-pressure diagnostic behind the hot-bucket cap —
+    two aggregations over pairs, corpus untouched."""
+    cands = dedup.minhash_lsh_candidates(docs(spark, sf))
+    return dedup.neardup_degree_histogram(cands)
+
+
+QUERIES["neardup_degree_histogram"] = neardup_degree_histogram

@@ -1033,3 +1033,14 @@ def test_token_chunks_content_defined(spark):
     cut = next(i for i in range(1, len(toks)) if h(toks[i]) == 0)
     exp_md5 = hashlib.md5(" ".join(toks[:cut]).encode()).hexdigest()
     assert by_doc[0][0] == (cut, exp_md5)
+
+
+def test_neardup_degree_histogram(spark):
+    """A size-3 clique + one isolated pair: degrees 2 (x3) and 1 (x2)."""
+    from mirabelle_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (8, 9)], "id_a bigint, id_b bigint"
+    )
+    got = {r.degree: r.n_docs for r in dedup.neardup_degree_histogram(pairs).collect()}
+    assert got == {2: 3, 1: 2}
