@@ -616,3 +616,74 @@ def train_ivf(
             break
         cents = nxt
     return cents
+
+
+# -- scalar quantization (SQ8): the third faiss-style compression ----------
+
+SQ_LO, SQ_HI = -2.0, 2.0  # fixed range; step (hi-lo)/256 = 2^-6 exactly
+
+
+def sq_encode(
+    corpus: DataFrame,
+    lo: float = SQ_LO,
+    hi: float = SQ_HI,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SQ8 scalar quantization: every lane snaps to one of 256
+    uniform codes in [lo, hi) — 4× smaller than float32, 8× than
+    float64, decode is one fma. The default range's step is exactly
+    2⁻⁶, so encode arithmetic ((v-lo)·2⁶) is EXACT in IEEE double
+    and the DuckDB oracle reproduces every code bit-for-bit.
+    Per-lane trained ranges drop in as literal arrays with the same
+    plan shape (cf. the PQ codebooks / IVF centroids contract).
+    One projection, no shuffle."""
+    step = (hi - lo) / 256.0
+    v = F.col(vec_col)
+    codes = F.transform(
+        as_double_vec(v),
+        lambda x: F.least(
+            F.greatest(F.floor((x - F.lit(lo)) / F.lit(step)), F.lit(0)),
+            F.lit(255),
+        ).cast("int"),
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = SQ_LO,
+    hi: float = SQ_HI,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k by squared L2 against SQ8-dequantized vectors (code
+    midpoints): the corpus scans only int codes, queries broadcast,
+    distances are a left-to-right zip_with fold (the engine-portable
+    order). Returns (query_id, vec_id, sq_dist, rank)."""
+    step = (hi - lo) / 256.0
+    codes = sq_encode(corpus, lo, hi, vec_col, id_col)
+    qv = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    )
+    dq = F.transform(
+        F.col("codes"),
+        lambda c: F.lit(lo) + (c.cast("double") + F.lit(0.5)) * F.lit(step),
+    )
+    scored = codes.crossJoin(F.broadcast(qv)).withColumn(
+        "sq_dist",
+        F.aggregate(
+            F.zip_with(F.col("__qv__"), dq, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("sq_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sq_dist", "rank")
+    )

@@ -1382,3 +1382,49 @@ def neardup_degree_histogram(spark, sf):
 
 
 QUERIES["neardup_degree_histogram"] = neardup_degree_histogram
+
+
+def _ann_sq_oracle(k: int = 5) -> str:
+    """SQ8 top-k in SQL: the fixed [-2, 2) range's step is exactly
+    2^-6, so encode arithmetic is IEEE-exact and every code (and the
+    fold-ordered dequantized distance) matches Spark bit-for-bit."""
+    return f"""
+WITH codes AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], v ->
+           CAST(least(greatest(floor((v - (-2.0)) / 0.015625), 0), 255)
+                AS INT)) AS codes
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce(list_transform(list_zip(q.qv,
+             list_transform(c.codes,
+                            cc -> -2.0 + (CAST(cc AS DOUBLE) + 0.5) * 0.015625)),
+           x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, v) -> acc + v) AS sq_dist
+  FROM codes c, q
+),
+ranked AS (
+  SELECT query_id, vec_id, sq_dist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sq_dist, vec_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, sq_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@q("ann_sq_topk", _ann_sq_oracle(k=5))
+def ann_sq_topk(spark, sf):
+    """SQ8 scalar-quantized top-k (r7): the third faiss-style
+    compression next to IVF and PQ — int8 codes corpus-wide,
+    broadcast queries, exact fold-ordered L2 on dequantized
+    midpoints."""
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.sq_topk(e, queries, k=5)

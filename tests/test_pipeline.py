@@ -1044,3 +1044,24 @@ def test_neardup_degree_histogram(spark):
     )
     got = {r.degree: r.n_docs for r in dedup.neardup_degree_histogram(pairs).collect()}
     assert got == {2: 3, 1: 2}
+
+
+def test_sq_topk_recall_vs_bruteforce(spark):
+    """SQ8 keeps high recall on the real embeddings (midpoint decode,
+    step 2^-6): recall@5 >= 0.8 mean; self-match always rank 1."""
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in ann.brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in ann.sq_topk(emb, queries, k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+        if r.rank == 1:
+            assert r.vec_id == r.query_id  # self-match survives quantization
+    recalls = [len(got[q] & exact[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
