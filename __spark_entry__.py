@@ -45,7 +45,7 @@ GATE_PRIORITY = [
     # (b) implementation changed / added in round 7
     "minhash_lsh_pairs", "simhash_pairs", "video_frame_sample",
     "linear_quality_docs", "ivf_centroid_update", "best_docs_per_lang",
-    "token_chunks_docs", "ann_sq_topk",
+    "token_chunks_docs", "ann_sq_topk", "ann_ivfpq_topk",
     # (c) last gated in r4
     "where_not", "where_regex", "under_filter", "not_expired_events",
     "outside_dt_alert",
@@ -58,7 +58,6 @@ GATE_PRIORITY = [
     "coll_mean_hourly", "coll_percentiles_hourly", "dedup_clusters",
     "ann_bruteforce_topk", "ann_lsh_topk", "embedding_near_dups",
     "contamination_docs", "pack_docs",
-    "text_repetition",
     "multimodal_features", "tpch_pricing_summary", "revenue_by_nation",
 ]
 
@@ -66,7 +65,8 @@ GATE_PRIORITY = [
 # plus order_priority_counts, text_rolling_fp and text_bpe_token_count
 # (slots yielded to linear_quality_docs / ivf_centroid_update /
 # best_docs_per_lang); text_lang_id / text_quality likewise yielded
-# to token_chunks_docs / ann_sq_topk
+# to token_chunks_docs / ann_sq_topk; text_repetition to
+# ann_ivfpq_topk
 # gated green in CORRECTNESS_r06 (throttle ... segment_top_orders)
 # and (ii) the thirteen deferred r5-cohort entries named above —
 # lead r8's gate with (ii), neardup_degree_histogram (added r7,

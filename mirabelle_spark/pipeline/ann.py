@@ -386,6 +386,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Product-quantization encode: split each vector into M
     subspaces, snap each sub-vector to its nearest codebook entry
@@ -411,22 +412,52 @@ def pq_encode(
     """
     m_count = len(codebooks)
     sub = len(codebooks[0][0])
+    keep = list(keep_cols)
     base = corpus.selectExpr(
-        id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __v__"
+        id_col, *keep, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __v__"
     )
     dist_cols = [
         f"({_pq_dist_sql('__v__', ctr, m * sub)}) AS __d{m}_{j}__"
         for m in range(m_count)
         for j, ctr in enumerate(codebooks[m])
     ]
-    dists = base.selectExpr(id_col, *dist_cols)
+    dists = base.selectExpr(id_col, *keep, *dist_cols)
     codes = [
         "CAST(array_position(array({ds}), array_min(array({ds}))) - 1 AS INT)".format(
             ds=", ".join(f"__d{m}_{j}__" for j in range(len(codebooks[m])))
         )
         for m in range(m_count)
     ]
-    return dists.selectExpr(id_col, f"array({', '.join(codes)}) AS codes")
+    return dists.selectExpr(id_col, *keep, f"array({', '.join(codes)}) AS codes")
+
+
+def _pq_lut_exprs(codebooks: list[list[list[float]]]) -> list[str]:
+    """Per-subspace LUT selectExpr strings over a ``__qv__`` column
+    (see pq_topk's docstring for why the lambda form, not unrolled
+    per-centroid projections, is right on the query side)."""
+    sub = len(codebooks[0][0])
+
+    def lut(m: int) -> str:
+        ctrs = ", ".join(
+            "array({})".format(", ".join(repr(v) for v in ctr))
+            for ctr in codebooks[m]
+        )
+        off = m * sub
+        terms = " + ".join(
+            f"(element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
+            f" * (element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
+            for i in range(sub)
+        )
+        return f"transform(array({ctrs}), c -> {terms}) AS __lut{m}__"
+
+    return [lut(m) for m in range(len(codebooks))]
+
+
+def _pq_score_sql(m_count: int) -> str:
+    return " + ".join(
+        f"element_at(__lut{m}__, element_at(codes, {m + 1}) + 1)"
+        for m in range(m_count)
+    )
 
 
 def pq_topk(
@@ -473,26 +504,10 @@ def pq_topk(
     # here; the arithmetic (element ops, left-assoc sum) is
     # bit-identical to the unrolled form, so the oracle still
     # matches exactly. Corpus-grain stages keep unrolled codegen.
-    def lut(m: int) -> str:
-        ctrs = ", ".join(
-            "array({})".format(", ".join(repr(v) for v in ctr))
-            for ctr in codebooks[m]
-        )
-        off = m * sub
-        terms = " + ".join(
-            f"(element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
-            f" * (element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
-            for i in range(sub)
-        )
-        return f"transform(array({ctrs}), c -> {terms}) AS __lut{m}__"
-
     luts = qbase.selectExpr(
-        query_id_col, *[lut(m) for m in range(m_count)]
+        query_id_col, *_pq_lut_exprs(codebooks)
     )
-    score = " + ".join(
-        f"element_at(__lut{m}__, element_at(codes, {m + 1}) + 1)"
-        for m in range(m_count)
-    )
+    score = _pq_score_sql(m_count)
     scored = codes.crossJoin(F.broadcast(luts)).selectExpr(
         query_id_col, id_col, f"({score}) AS adc_dist"
     )
@@ -686,4 +701,52 @@ def sq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sq_dist", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The full faiss production layout — IVF coarse pruning × PQ
+    compressed scan: corpus vectors are cell-assigned AND
+    PQ-encoded in one pass (write-once at 100 TB: a parquet table
+    partitioned by cell holding nibble codes), each query probes its
+    ``nprobe`` nearest cells and ADC-scores ONLY those cells' codes
+    with its broadcast lookup tables. Scan cost divides by
+    nlist/nprobe on top of PQ's dim/M compression; both quantizers
+    ship as plan literals (train once offline — :func:`train_ivf` /
+    the PQ codebooks).
+
+    Returns (query_id, vec_id, adc_dist, rank); identical ADC
+    arithmetic to :func:`pq_topk`, so at nprobe == nlist the result
+    IS pq_topk's (pytest-pinned equivalence)."""
+    m_count = len(codebooks)
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    assigned = _cell_assign(c, centroids)
+    enc = pq_encode(
+        assigned, codebooks, vec_col="__cv__", id_col=id_col,
+        keep_cols=("__cell__",),
+    )
+    probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
+    qbase = queries.selectExpr(
+        query_id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __qv__"
+    )
+    luts = qbase.selectExpr(query_id_col, *_pq_lut_exprs(codebooks))
+    probe_luts = probes.select(query_id_col, "__cell__").join(luts, query_id_col)
+    scored = enc.join(F.broadcast(probe_luts), "__cell__").selectExpr(
+        query_id_col, id_col, f"({_pq_score_sql(m_count)}) AS adc_dist"
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
     )

@@ -430,12 +430,12 @@ def ann_ivf_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-def _ann_pq_oracle(k: int = 5) -> str:
-    """ADC product-quantization top-k as DuckDB SQL. Every squared
+def _pq_oracle_parts() -> dict:
+    """Shared SQL fragments for the PQ/IVF-PQ oracles. Every squared
     distance is the same UNROLLED left-associated sum of the same
     repr() double literals as the Spark side — DuckDB's list_reduce
     is NOT a plain left fold (measured: 1-ulp divergence on some
-    subspaces), so the oracle never uses it. Each distance is
+    subspaces), so the oracles never use it. Each distance is
     projected once in a wide CTE, then argmin / LUT / score only
     reference those columns."""
     from mirabelle_spark.pipeline.pq_codebooks import (
@@ -482,6 +482,13 @@ def _ann_pq_oracle(k: int = 5) -> str:
         for m in range(PQ_M)
     )
     score = " + ".join(f"l.lut{m}[e.c{m} + 1]" for m in range(PQ_M))
+    return dict(ddefs=ddefs, codes=codes, qdefs=qdefs, luts=luts, score=score)
+
+
+def _ann_pq_oracle(k: int = 5) -> str:
+    parts = _pq_oracle_parts()
+    ddefs, codes = parts["ddefs"], parts["codes"]
+    qdefs, luts, score = parts["qdefs"], parts["luts"], parts["score"]
     return f"""
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1428,3 +1435,74 @@ def ann_sq_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann.sq_topk(e, queries, k=5)
+
+
+def _ann_ivfpq_oracle(k: int = 5, nprobe: int = 3, nlist: int = 8) -> str:
+    """IVF-PQ end to end in SQL: the IVF oracle's assignment/probe
+    CTEs feeding the PQ oracle's encode/LUT/score fragments — scored
+    pairs exist only where (cell matches a probe)."""
+    parts = _pq_oracle_parts()
+    sqd = (
+        "list_transform(cs, c -> list_reduce("
+        "list_transform(list_zip(v, c), x -> (x[1] - x[2]) * (x[1] - x[2])), "
+        "(acc, vv) -> acc + vv))"
+    )
+    cells = ", ".join(f"({i})" for i in range(1, nlist + 1))
+    return f"""
+WITH cent AS (SELECT {_centroids_sql()} AS cs),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v,
+         CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+  FROM (SELECT vec_id, v, {sqd} AS ds FROM c, cent)
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+qcell AS (
+  SELECT query_id, qv,
+         {sqd.replace('list_zip(v, c)', 'list_zip(qv, c)')} AS ds
+  FROM q, cent
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, i - 1 AS cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY ds[i], i) AS pr
+    FROM qcell, (VALUES {cells}) t(i)
+  ) WHERE pr <= {nprobe}
+),
+cdist AS (SELECT vec_id, cell, {parts['ddefs']} FROM assigned),
+enc AS (SELECT vec_id, cell, {parts['codes']} FROM cdist),
+qdist AS (SELECT query_id, {parts['qdefs']} FROM q),
+lut AS (SELECT query_id, {parts['luts']} FROM qdist),
+scored AS (
+  SELECT l.query_id, e.vec_id, {parts['score']} AS adc_dist
+  FROM enc e
+  JOIN probes p ON e.cell = p.cell
+  JOIN lut l ON l.query_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@q("ann_ivfpq_topk", _ann_ivfpq_oracle(k=5, nprobe=3))
+def ann_ivfpq_topk(spark, sf):
+    """The full faiss layout (r7): IVF coarse pruning × PQ
+    compressed ADC scan — cell-partitioned nibble codes, broadcast
+    per-query LUTs joined through the probe list; at nprobe=nlist it
+    degenerates to ann_pq_topk exactly."""
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivfpq_topk(
+        e, queries, PQ_CODEBOOKS, IVF_CENTROIDS, k=5, nprobe=3
+    )

@@ -1065,3 +1065,28 @@ def test_sq_topk_recall_vs_bruteforce(spark):
             assert r.vec_id == r.query_id  # self-match survives quantization
     recalls = [len(got[q] & exact[q]) / 5 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """IVF-PQ at nprobe == nlist must reproduce pq_topk exactly (the
+    pruning only ever REMOVES candidates), and at fractional probe
+    its results are a subset-ranked consistent top-k."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_dist)
+        for r in ann.pq_topk(emb, queries, PQ_CODEBOOKS, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_dist)
+        for r in ann.ivfpq_topk(
+            emb, queries, PQ_CODEBOOKS, IVF_CENTROIDS, k=5, nprobe=8
+        ).collect()
+    }
+    assert full == pq
