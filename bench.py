@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "zscore_events",          # range-frame rolling moments (decimal-exact)
     "tpch_pricing_summary",   # full-scan rollup (decimal-exact)
     "revenue_by_nation",      # star join: 2 shuffle + 2 broadcast joins
+    # r7 additions
+    "linear_quality_docs",    # hashed classifier inference (scan->project)
+    "token_chunks_docs",      # content-defined chunking (per-doc window)
+    "ann_sq_topk",            # SQ8 compressed scan
+    "ann_ivfpq_topk",         # IVF-PQ: cell pruning x ADC scan
+    "video_frame_sample",     # Arrow-batched container parse
 ]
 
 

@@ -750,3 +750,67 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF-PQ index: (id, codes) partitioned by
+    ``__cell__`` — cell-assign + PQ-encode run ONCE when the corpus
+    lands; the table stores M bytes of codes per vector and is
+    re-read by every query batch with partition pruning. This is the
+    write-once contract :func:`ivfpq_topk`'s docstring names (cf.
+    :func:`ivf_write_index`, :func:`minhash_lsh_candidates_from_signatures`)."""
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    assigned = _cell_assign(c, centroids)
+    enc = pq_encode(
+        assigned, codebooks, vec_col="__cv__", id_col=id_col,
+        keep_cols=("__cell__",),
+    )
+    enc.write.mode("overwrite").partitionBy("__cell__").parquet(path)
+
+
+def ivfpq_probe_index(
+    queries: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a :func:`ivfpq_write_index` table: identical results to
+    :func:`ivfpq_topk` with the same quantizers, but the corpus side
+    is a partition-pruned scan of nibble codes — files in unprobed
+    cells never open, no vector arithmetic happens corpus-side at
+    query time (the index already paid it). Probed cells collect as
+    ≤ nlist ints and push into the scan as a literal partition
+    filter (``PartitionFilters`` in the plan, pytest-pinned)."""
+    spark = queries.sparkSession
+    m_count = len(codebooks)
+    probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
+    cells = sorted(
+        r["__cell__"] for r in probes.select("__cell__").distinct().collect()
+    )
+    idx = spark.read.parquet(path).filter(F.col("__cell__").isin(cells))
+    qbase = queries.selectExpr(
+        query_id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __qv__"
+    )
+    luts = qbase.selectExpr(query_id_col, *_pq_lut_exprs(codebooks))
+    probe_luts = probes.select(query_id_col, "__cell__").join(luts, query_id_col)
+    scored = idx.join(F.broadcast(probe_luts), "__cell__").selectExpr(
+        query_id_col, id_col, f"({_pq_score_sql(m_count)}) AS adc_dist"
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

@@ -1090,3 +1090,34 @@ def test_ivfpq_full_probe_equals_pq(spark):
         ).collect()
     }
     assert full == pq
+
+
+def test_ivfpq_write_once_index(spark, tmp_path):
+    """The materialized IVF-PQ index reproduces the in-flight results
+    exactly, and the probe plan prunes partitions (PartitionFilters
+    carries the literal cell list)."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq_idx")
+    ann.ivfpq_write_index(emb, path, PQ_CODEBOOKS, IVF_CENTROIDS)
+    probed = ann.ivfpq_probe_index(
+        queries, path, PQ_CODEBOOKS, IVF_CENTROIDS, k=5, nprobe=3
+    )
+    inflight = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_dist)
+        for r in ann.ivfpq_topk(
+            emb, queries, PQ_CODEBOOKS, IVF_CENTROIDS, k=5, nprobe=3
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_dist) for r in probed.collect()
+    }
+    assert got == inflight
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell__" in plan, plan
