@@ -62,9 +62,9 @@ class Ctx:
     reference's per-op :delay overrides it via cfg). ``shards``
     (set per-fork via ``by``'s ``{"shards": N}`` config key, or
     session-wide here) flips the twins that have a sharded form
-    (ewma, the cond-dt family, changed, ddt/ddt-pos, zscore) to
-    shard-mapped keyed state — the high-cardinality shape, PERF
-    §39; None keeps per-key state."""
+    (ewma, the cond-dt family, changed, ddt/ddt-pos, zscore,
+    throttle) to shard-mapped keyed state — the high-cardinality
+    shape, PERF §39; None keeps per-key state."""
 
     by: tuple[str, ...] = ()
     time_col: str = "time"
@@ -475,6 +475,11 @@ def _s_ssort(df, ctx, cfg):
 def _s_throttle(df, ctx, cfg):
     from mirabelle_spark import streaming as stx
 
+    if ctx.shards:
+        return stx.stream_throttle_sharded(
+            df, cfg["count"], cfg["duration"], by=_need_by(ctx, "throttle"),
+            time_col=ctx.time_col, shards=ctx.shards,
+        )
     return stx.stream_throttle(
         df, cfg["count"], cfg["duration"], by=_need_by(ctx, "throttle"),
         time_col=ctx.time_col,

@@ -32,6 +32,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ssort,
     stream_stable,
     stream_throttle,
+    stream_throttle_sharded,
     stream_zscore,
     stream_zscore_sharded,
     reinject_sink,

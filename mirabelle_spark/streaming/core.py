@@ -1741,3 +1741,46 @@ def stream_zscore_sharded(
     return _sharded_keyed_batch_scan(
         df, by, time_col, shards, shard_fold, extra_out=f"{out} double"
     )
+
+
+def stream_throttle_sharded(
+    df: DataFrame,
+    count: int,
+    duration_s: float,
+    by: Sequence[str],
+    time_col: str = "time",
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_throttle`: the same
+    anchored (anchor_us, n) recurrence per key through the sharded
+    shell — `shards` Python calls per micro-batch instead of one per
+    key; identical kept rows (parity pytest)."""
+    import numpy as np
+
+    dur_us = int(round(duration_s * 1_000_000))
+
+    def shard_fold(carry, ks, pdf):
+        tv = _series_us(pdf[time_col])
+        keep = np.empty(len(tv), dtype=bool)
+        unset = object()
+        prev = unset
+        anchor, n = None, 0
+        for i, (k, t) in enumerate(zip(ks, tv.tolist())):
+            if k != prev:
+                if prev is not unset:
+                    carry[prev] = (anchor, n)
+                anchor, n = carry.get(k, (None, 0))
+                prev = k
+            if anchor is None or t >= anchor + dur_us:
+                anchor, n = t, 1
+                keep[i] = True
+            elif n < count:
+                n += 1
+                keep[i] = True
+            else:
+                keep[i] = False
+        if prev is not unset:
+            carry[prev] = (anchor, n)
+        return pdf[keep]
+
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)

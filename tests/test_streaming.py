@@ -2092,3 +2092,44 @@ def test_stream_sharded_changed_ddt_zscore_parity(spark, tmp_path):
         "sh3_zs_sh")}
     assert set(shd_z) == set(per_z)
     assert not {k for k in per_z if shd_z[k] != per_z[k]}
+
+
+def test_stream_throttle_sharded_parity(spark, tmp_path):
+    """Sharded throttle keeps exactly the per-key twin's rows across
+    a micro-batch split (anchored-window recurrence)."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for i in range(150):
+        for j in range(8):
+            rows.append((eid, f"h{i:03d}", float(j * 3)))  # 3s apart, 10s window
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    src_dir = str(tmp_path / "ths_in")
+    df.where("event_id % 8 < 4").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 8 >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(fn, name, **kw):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = fn(stream, 2, 10.0, by=["host"], time_col="time", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    per = run(core.stream_throttle, "ths_pk")
+    shd = run(core.stream_throttle_sharded, "ths_sh", shards=4)
+    assert shd == per and 0 < len(per) < 1200
