@@ -188,6 +188,16 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
         from mirabelle_spark.streaming import stream_ddt
 
         out = stream_ddt(stream, by=["host"], time_col="time")
+    elif mode == "throttle":
+        from mirabelle_spark.streaming import stream_throttle
+
+        out = stream_throttle(stream, 5, 30.0, by=["host"], time_col="time")
+    elif mode == "throttle_sharded":
+        from mirabelle_spark.streaming import stream_throttle_sharded
+
+        out = stream_throttle_sharded(
+            stream, 5, 30.0, by=["host"], time_col="time", shards=shards
+        )
     elif mode == "ddt_sharded":
         from mirabelle_spark.streaming import stream_ddt_sharded
 
