@@ -2133,3 +2133,62 @@ def test_stream_throttle_sharded_parity(spark, tmp_path):
     per = run(core.stream_throttle, "ths_pk")
     shd = run(core.stream_throttle_sharded, "ths_sh", shards=4)
     assert shd == per and 0 < len(per) < 1200
+
+
+def test_streaming_document_pipeline_end_to_end(spark, tmp_path):
+    """The training-data layer composes with Structured Streaming:
+    documents arrive as files → exact dedup within a watermark
+    horizon → hashed-classifier quality filter (stateless, so
+    streaming-transparent) → memory sink. Result matches the batch
+    composition over the same corpus."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import text as t
+
+    rows = [
+        (0, "2024-01-01T00:00:00", "the quick brown fox jumps over the lazy dog"),
+        (1, "2024-01-01T00:00:05", "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (2, "2024-01-01T00:00:09", "completely different content about spark engines"),
+        (3, "2024-01-01T00:10:00", "THE  QUICK brown fox jumps over the lazy dog"),  # dup, late file
+        (4, "2024-01-01T00:10:30", "a third unique document body for the stream"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, ts string, text string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "docstream")
+    df.where("doc_id < 3").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id >= 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    from mirabelle_spark.pipeline.dedup import normalized
+
+    deduped = (
+        stream.withColumn("__norm__", F.xxhash64(normalized(F.col("text"))))
+        .withWatermark("ts", "60 seconds")
+        .dropDuplicatesWithinWatermark(["__norm__"])
+        .drop("__norm__")
+    )
+    scored = t.linear_quality_score(deduped)
+    q = (
+        scored.writeStream.format("memory").queryName("docpipe")
+        .option("checkpointLocation", str(tmp_path / "docpipe_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.quality_logit
+           for r in spark.sql("SELECT * FROM docpipe").collect()}
+    # guaranteed: doc 1 (dup within the 60 s horizon) is dropped and
+    # every unique text survives. Doc 3 duplicates doc 0 ten minutes
+    # later — OUTSIDE the horizon — and Spark's contract there is
+    # "may or may not dedup" (state eviction is watermark-lazy; here
+    # the watermark at processing time hadn't yet passed doc 0's
+    # ts+delay, so it deduped). Assert the guaranteed core only.
+    assert {0, 2, 4} <= set(got) <= {0, 2, 3, 4}
+    assert 1 not in got
+    batch = {r.doc_id: r.quality_logit
+             for r in t.linear_quality_score(df).collect()}
+    assert all(got[k] == batch[k] for k in got)
