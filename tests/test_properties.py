@@ -466,3 +466,51 @@ def test_zscore_matches_reference_loop(spark, evs, win):
             assert got[i] is not None and abs(got[i] - expect) < 1e-9, (i, t, v)
         else:
             assert got[i] is None, (i, t, v)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo",
+                             "foxtrot", "golf", "hotel", "india", "x1", "y2"]),
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=6,
+    ),
+    divisor=st.sampled_from([2, 4, 8]),
+)
+def test_token_chunks_matches_reference_loop(spark, docs, divisor):
+    """CDC chunker vs a direct python re-implementation on random
+    token streams: chunk ids partition the stream in order, counts
+    and md5s match exactly, empty docs vanish."""
+    import hashlib
+
+    from mirabelle_spark.pipeline import text as t
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_md5)
+        for r in t.token_chunks(df, divisor=divisor).collect()
+    }
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % divisor
+
+    exp = {}
+    for i, words in enumerate(docs):
+        cid, cur = 0, []
+        for pos, w in enumerate(words):
+            if pos > 0 and h(w) == 0:
+                exp[(i, cid)] = (
+                    len(cur), hashlib.md5(" ".join(cur).encode()).hexdigest()
+                )
+                cid += 1
+                cur = []
+            cur.append(w)
+        if cur:
+            exp[(i, cid)] = (
+                len(cur), hashlib.md5(" ".join(cur).encode()).hexdigest()
+            )
+    assert got == exp
