@@ -46,6 +46,7 @@ _UNKEYED_SEQUENTIAL = frozenset({
     "throttle", "ewma-timeless", "fixed-event-window", "moving-event-window",
     "stable", "changed", "smax", "smin", "ddt", "ddt-pos",
     "above-dt", "below-dt", "between-dt", "outside-dt", "critical-dt",
+    "zscore",  # r7: unkeyed zscore = one global range-frame window
 })
 
 
