@@ -1426,14 +1426,26 @@ def _shard_key_strings(pdf, key_cols):
     ]
 
 
-def _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold, extra_out=None):
+def _sharded_keyed_batch_scan(
+    df, by, time_col, shards, shard_fold, extra_out=None, state_ttl_s=None
+):
     """Shared shell for the sharded twins: group on the shard id,
     state = one JSON carry map for the shard's keys, and per batch
     call ``shard_fold(carry, ks, pdf)`` with the shard slice sorted
     by (key, time) (stable on top of _keyed_batch_scan's time sort)
     and the shard column dropped; ``ks`` is the per-row key string.
     ``shard_fold`` mutates ``carry`` and returns the output rows.
-    ``extra_out`` appends DDL columns the fold adds (e.g. zscore)."""
+    ``extra_out`` appends DDL columns the fold adds (e.g. zscore).
+
+    ``state_ttl_s`` is the fork GC INSIDE the shard map (the
+    reference's :fork-ttl at per-key grain, which shard-level
+    GroupState timeouts cannot express): the shell tracks each key's
+    last event time next to the carry and, after the fold, drops
+    keys idle longer than the ttl relative to the shard's event
+    clock (its running max event time). An evicted key's next event
+    starts fresh — identical semantics to the per-key twins'
+    eviction — and shard state stays bounded by the ACTIVE key set
+    instead of the ever-seen key set."""
     import json as _json
 
     key_cols = list(by)
@@ -1446,13 +1458,48 @@ def _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold, extra_out=No
     )
     if extra_out:
         out_schema += f", {extra_out}"
+    ttl_us = int(round(state_ttl_s * 1_000_000)) if state_ttl_s else None
 
     def batch_fn(s, pdf):
         (carry_json,) = s
-        carry = _json.loads(carry_json) if carry_json else {}
+        blob = _json.loads(carry_json) if carry_json else {}
+        carry = blob.get("c", {})
+        seen = blob.get("t", {})
         pdf = pdf.sort_values(key_cols, kind="mergesort").drop(columns=[_SHARD_COL])
-        out = shard_fold(carry, _shard_key_strings(pdf, key_cols), pdf)
-        return (_json.dumps(carry),), out
+        ks = _shard_key_strings(pdf, key_cols)
+        if ttl_us is not None and len(pdf):
+            import numpy as np
+
+            tv = _series_us(pdf[time_col])
+            ks_arr = np.array(ks, dtype=object)
+            starts = np.flatnonzero(
+                np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+            )
+            ends = np.concatenate((starts[1:] - 1, [len(ks) - 1]))
+            # restart rule BEFORE the fold: a key whose gap since its
+            # last event exceeds the ttl folds from scratch (exactly
+            # the per-key twins' event-clock eviction)
+            for sidx in starts.tolist():
+                k = ks_arr[sidx]
+                prev = seen.get(k)
+                if prev is not None and int(tv[sidx]) - prev > ttl_us:
+                    seen.pop(k, None)
+                    carry.pop(k, None)
+            out = shard_fold(carry, ks, pdf)
+            # memory bound AFTER the fold: keys idle past the ttl on
+            # the shard's event clock drop even if they never return
+            for sidx, e in zip(starts.tolist(), ends.tolist()):
+                k = ks_arr[sidx]
+                t_last = int(tv[e])
+                prev = seen.get(k)
+                seen[k] = t_last if prev is None else max(prev, t_last)
+            cutoff = max(seen.values()) - ttl_us
+            for k in [k for k, t in seen.items() if t < cutoff]:
+                seen.pop(k, None)
+                carry.pop(k, None)
+        else:
+            out = shard_fold(carry, ks, pdf)
+        return (_json.dumps({"c": carry, "t": seen} if ttl_us else {"c": carry}),), out
 
     return _keyed_batch_scan(
         src, [_SHARD_COL], time_col, "carry STRING", (None,), batch_fn,
@@ -1467,6 +1514,7 @@ def stream_ewma_sharded(
     time_col: str = "time",
     metric_col: str = "metric",
     shards: int = 64,
+    state_ttl_s: float | None = None,
 ) -> DataFrame:
     """High-cardinality form of :func:`stream_ewma`: same double
     fold, bit-identical per key (parity pytest vs the batch
@@ -1499,7 +1547,9 @@ def stream_ewma_sharded(
         res[metric_col] = pd.array(out, dtype="float64")
         return res
 
-    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+    return _sharded_keyed_batch_scan(
+        df, by, time_col, shards, shard_fold, state_ttl_s=state_ttl_s
+    )
 
 
 def stream_cond_dt_sharded(

@@ -2192,3 +2192,48 @@ def test_streaming_document_pipeline_end_to_end(spark, tmp_path):
     batch = {r.doc_id: r.quality_logit
              for r in t.linear_quality_score(df).collect()}
     assert all(got[k] == batch[k] for k in got)
+
+
+def test_sharded_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """Shard-map fork GC: a key idle past state_ttl_s (on the shard's
+    event clock) loses its carry — its next event restarts the fold
+    from init, while a continuously-active key keeps folding."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = [
+        # host a: events at t=0 and t=1000 (idle 1000s > ttl 100)
+        (0, "a", 0.0, 1.0), (5, "a", 1000.0, 1.0),
+        # host b: steady every 50s (gap always <= ttl)
+        (1, "b", 0.0, 1.0), (2, "b", 50.0, 1.0),
+        (3, "b", 100.0, 1.0), (4, "b", 150.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    src_dir = str(tmp_path / "ttl_in")
+    # batch 1: t <= 50; batch 2: t >= 950 (the idle gap spans batches)
+    df.where("event_id in (0, 1, 2)").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id in (3, 4, 5)").coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = core.stream_ewma_sharded(
+        stream, 0.5, by=["host"], time_col="time", metric_col="metric",
+        shards=1, state_ttl_s=100.0,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ttl_ev")
+        .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.metric for r in spark.sql("SELECT * FROM ttl_ev").collect()}
+    # host a restarts: event 5 folds from None -> 0.5, not from 0.5 -> 0.75
+    assert got[0] == 0.5 and got[5] == 0.5
+    # host b never evicted: 0.5, 0.75, 0.875, 0.9375
+    assert (got[1], got[2], got[3], got[4]) == (0.5, 0.75, 0.875, 0.9375)
