@@ -1033,3 +1033,8 @@ def test_zscore_golden_batch_and_streaming(spark, tmp_path):
     q.awaitTermination(60)
     got_s = {(r.metric, r.zscore) for r in spark.sql("select * from golden_zs_dual").collect()}
     assert got_s == expected
+
+
+# Note: the r7 golden-dir additions (streams_r7.json / test_r7.json —
+# sessionize + zscore through the directory runner) ride
+# test_launch_tests_directory_runner above.
