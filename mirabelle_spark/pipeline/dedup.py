@@ -798,3 +798,38 @@ def neardup_degree_histogram(pairs: DataFrame) -> DataFrame:
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def soft_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1 << 20,
+) -> DataFrame:
+    """Frequency-weighted duplicate DOWNSAMPLING (the Gopher-lineage
+    alternative to hard dedup): every member of a duplicate group of
+    size c survives independently with probability 1/c — expected
+    one copy per distinct text, but common texts keep a diverse
+    random representative instead of always the lowest id, and the
+    decision is LOCAL: each row needs only (its stable hash, its
+    group count), no survivor-election join, no window.
+
+    Deterministic and engine-portable: keep iff
+    ``stable_hash_bucket(id, buckets) * c < buckets`` (exact integer
+    math, the md5-prefix hash the oracle reproduces). Plan: one
+    hash-grain count aggregate + one join on the 16-byte text hash —
+    (id, hash) rows shuffle, bodies never move. Returns
+    (id, dup_count) of the survivors."""
+    from mirabelle_spark.pipeline.sampling import stable_hash_bucket
+
+    key = F.md5(normalized(F.col(text_col)))
+    ids = df.select(F.col(id_col), key.alias("__k__"))
+    counts = ids.groupBy("__k__").agg(F.count(F.lit(1)).alias("dup_count"))
+    return (
+        ids.join(counts, "__k__")
+        .filter(
+            stable_hash_bucket(F.col(id_col), buckets) * F.col("dup_count")
+            < F.lit(buckets)
+        )
+        .select(id_col, "dup_count")
+    )

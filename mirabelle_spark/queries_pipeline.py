@@ -1506,3 +1506,25 @@ def ann_ivfpq_topk(spark, sf):
     return ann.ivfpq_topk(
         e, queries, PQ_CODEBOOKS, IVF_CENTROIDS, k=5, nprobe=3
     )
+
+
+@q(
+    "soft_dedup_docs",
+    """
+WITH k AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k
+  FROM documents
+),
+n AS (SELECT k, CAST(count(*) AS BIGINT) AS dup_count FROM k GROUP BY k)
+SELECT k.doc_id, n.dup_count
+FROM k JOIN n USING (k)
+WHERE (('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       % 1048576) * n.dup_count < 1048576
+""",
+)
+def soft_dedup_docs(spark, sf):
+    """Frequency-weighted duplicate downsampling (r7): each member of
+    a duplicate group survives with probability 1/group-size via the
+    portable per-doc hash — local decision, no survivor election."""
+    return dedup.soft_dedup(docs(spark, sf))

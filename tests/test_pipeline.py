@@ -1121,3 +1121,26 @@ def test_ivfpq_write_once_index(spark, tmp_path):
     assert got == inflight
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cell__" in plan, plan
+
+
+def test_soft_dedup_frequency_weighted(spark):
+    """Duplicate groups thin toward ~1 expected survivor (each member
+    keeps with probability 1/c); unique docs always survive; the
+    decision is deterministic and matches the hand rule."""
+    import hashlib
+
+    from mirabelle_spark.pipeline import dedup
+
+    clique = [(i, "same text every time") for i in range(200)]
+    uniq = [(1000 + i, f"unique document number {i}") for i in range(20)]
+    df = spark.createDataFrame(clique + uniq, "doc_id bigint, text string")
+    got = {r.doc_id: r.dup_count for r in dedup.soft_dedup(df).collect()}
+
+    def hb(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % (1 << 20)
+
+    exp_clique = {i for i, _ in clique if hb(i) * 200 < (1 << 20)}
+    assert {k for k in got if k < 1000} == exp_clique
+    assert 0 < len(exp_clique) <= 6  # ~Binomial(200, 1/200): near 1
+    assert all(1000 + i in got for i in range(20))  # uniques all survive
+    assert got[1000] == 1 and all(got[k] == 200 for k in exp_clique)
