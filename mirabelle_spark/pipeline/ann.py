@@ -494,7 +494,6 @@ def pq_topk(
     qbase = queries.selectExpr(
         query_id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __qv__"
     )
-    sub = len(codebooks[0][0])
     # LUTs as a transform over codebook array literals, NOT the
     # unrolled per-centroid form the corpus side uses: unrolling
     # 8×16 eight-term sums in one projection overflows janino's

@@ -558,13 +558,20 @@ def simhash_near_dups(
     if max_bucket is not None:
         # hot-piece cap: a boilerplate clique puts 10^4+ docs on one
         # (pid, pv) key, and the streaming self-join below still probes
-        # O(n²) rows for it. Identical simhashes land on the SAME hot
-        # key in every piece, so capping loses only clique-internal
-        # pairs — which dedup_exact upstream already collapses. Hot
-        # keys are by definition rare, so the exclusion list broadcasts;
-        # the frequency aggregate rides the same (pid, pv) hash
-        # partitioning the join needs anyway. The Observation records
-        # drops in the frequency job (bucket_cap_stats("simhash")).
+        # O(n²) rows for it. Loss semantics are WEAKER than MinHash's
+        # every-band-hot rule: a pair is dropped when ALL of its
+        # matching pieces are hot — that covers clique-internal pairs
+        # (which dedup_exact upstream collapses) but ALSO a clique
+        # OUTSIDER within the Hamming ball whose only matching pieces
+        # are the clique's hot keys. The cap is a recall/cost dial for
+        # degenerate corpora, not a free win (the MinHash cap's
+        # stronger guarantee comes from band hashes being 64-bit
+        # full-signature digests). Hot keys are by definition rare,
+        # so the exclusion list broadcasts; the frequency aggregate
+        # adds one pass over `entries`, bounded by the localCheckpoint
+        # above — it re-runs the piece explode, never the signature
+        # scan. The Observation records drops in the frequency job
+        # (bucket_cap_stats("simhash")).
         from pyspark.sql import Observation
 
         obs = Observation()

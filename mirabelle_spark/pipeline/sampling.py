@@ -109,10 +109,18 @@ def stratified_sample(
     Any true global top-n row of a group is a top-n row of its own
     partition slice, so the result is exactly the old single-window
     answer, independent of partitioning."""
+    order = stable_hash_bucket(F.col(key_col), 1 << 60)
+    return _two_phase_topn(df, n_per_group, group_col, order, key_col)
+
+
+def _two_phase_topn(df, n_per_group, group_col, order_col, key_col):
+    """Shared bounded top-n skeleton (see stratified_sample's
+    docstring for the scale argument): candidates ordered by
+    ``(order_col, key)`` ascending — callers shape ``order_col``
+    (stable hash for sampling, ±score for ranking)."""
     from pyspark.sql import Window as W
 
-    h = stable_hash_bucket(F.col(key_col), 1 << 60)
-    hk = F.struct(h.alias("h"), F.col(key_col).alias("k"))
+    hk = F.struct(order_col.alias("h"), F.col(key_col).alias("k"))
     cand = (
         df.select(F.col(group_col), hk.alias("__hk__"))
         .withColumn("__pid__", F.spark_partition_id())
@@ -259,30 +267,9 @@ def stratified_topk(
     never rank. Same partitioning-independence argument as
     stratified_sample: a global top-n row is a top-n row of its own
     slice."""
-    from pyspark.sql import Window as W
-
     s = F.col(order_col).cast("double")
     if descending:
         s = -s
-    hk = F.struct(s.alias("s"), F.col(key_col).alias("k"))
-    cand = (
-        df.filter(F.col(order_col).isNotNull())
-        .select(F.col(group_col), hk.alias("__hk__"))
-        .withColumn("__pid__", F.spark_partition_id())
-        .groupBy(group_col, "__pid__")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("__hk__")), 1, n_per_group
-            ).alias("__top__")
-        )
-        .select(group_col, F.explode("__top__").alias("__hk__"))
-    )
-    w = W.partitionBy(group_col).orderBy(F.col("__hk__.s"), F.col("__hk__.k"))
-    sel = (
-        cand.withColumn("__rk__", F.row_number().over(w))
-        .filter(F.col("__rk__") <= n_per_group)
-        .select(F.col("__hk__.k").alias("__sel_key__"))
-    )
-    return df.join(
-        F.broadcast(sel), F.col(key_col) == F.col("__sel_key__"), "left_semi"
+    return _two_phase_topn(
+        df.filter(F.col(order_col).isNotNull()), n_per_group, group_col, s, key_col
     )

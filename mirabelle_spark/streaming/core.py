@@ -1412,16 +1412,33 @@ _NULL_KEY = "\x00null"
 _KEY_SEP = "\x1f"
 
 
-def _shard_key_strings(pdf, key_cols):
+def _shard_key_strings(pdf, key_cols, key_dtypes):
     """Composite string key per row (JSON-map-safe); nulls fold
     under a sentinel distinct from any real value, matching the
-    per-key twins' null-group semantics."""
+    per-key twins' null-group semantics.
+
+    ``key_dtypes`` (Spark simpleString per key col) makes the string
+    TYPE-STABLE across micro-batches: Arrow hands an int64 slice
+    that contains any NULL to pandas as float64, so a bare str(v)
+    would serialize the same key as "7" in one batch and "7.0" in
+    the next — silently resetting its state. Integral Spark types
+    therefore format through int(v); everything else through str."""
+
+    def conv_for(dtype):
+        if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
+            return lambda v: str(int(v))
+        return str
+
+    convs = [conv_for(t) for t in key_dtypes]
     if len(key_cols) == 1:
-        col = pdf[key_cols[0]]
-        return [(_NULL_KEY if v is None or v != v else str(v)) for v in col.tolist()]
+        col, conv = pdf[key_cols[0]], convs[0]
+        return [(_NULL_KEY if v is None or v != v else conv(v)) for v in col.tolist()]
     cols = [pdf[c].tolist() for c in key_cols]
     return [
-        _KEY_SEP.join(_NULL_KEY if v is None or v != v else str(v) for v in row)
+        _KEY_SEP.join(
+            _NULL_KEY if v is None or v != v else conv(v)
+            for conv, v in zip(convs, row)
+        )
         for row in zip(*cols)
     ]
 
@@ -1449,6 +1466,8 @@ def _sharded_keyed_batch_scan(
     import json as _json
 
     key_cols = list(by)
+    dtypes = dict(df.dtypes)
+    key_dtypes = [dtypes[c] for c in key_cols]
     src = df.withColumn(
         _SHARD_COL,
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(shards)),
@@ -1466,7 +1485,7 @@ def _sharded_keyed_batch_scan(
         carry = blob.get("c", {})
         seen = blob.get("t", {})
         pdf = pdf.sort_values(key_cols, kind="mergesort").drop(columns=[_SHARD_COL])
-        ks = _shard_key_strings(pdf, key_cols)
+        ks = _shard_key_strings(pdf, key_cols, key_dtypes)
         if ttl_us is not None and len(pdf):
             import numpy as np
 
@@ -1618,8 +1637,43 @@ def stream_changed_sharded(
     SEGMENT STARTS (first row of each key in the batch) read the
     carry map, and only segment ends write it, so the Python work is
     O(distinct keys in batch), not O(rows). Null-safe compare and
-    :init semantics identical to the per-key twin (parity pytest)."""
+    :init semantics identical to the per-key twin (parity pytest).
+
+    The carried last-value must survive the shard map's JSON round
+    trip: timestamp fields encode as isoformat (revived to
+    pd.Timestamp for the compare), binary as hex; JSON-native types
+    pass through. Other field dtypes (decimal, arrays) raise a named
+    error up front — use the per-key twin's typed state for those."""
     import numpy as np
+    import pandas as pd
+
+    dtype = dict(df.dtypes)[fieldname]
+    is_ts = dtype.startswith("timestamp")
+    is_bin = dtype == "binary"
+    if not (is_ts or is_bin) and not any(
+        dtype.startswith(t)
+        for t in ("string", "boolean", "double", "float", "tinyint",
+                  "smallint", "int", "bigint", "long")
+    ):
+        raise NotImplementedError(
+            f"stream_changed_sharded cannot JSON-carry field dtype "
+            f"{dtype!r}; use the per-key stream_changed (typed state)"
+        )
+
+    def enc(v):
+        v = _native(v.isoformat() if is_ts and v is not None and v == v else v)
+        if is_bin and v is not None:
+            return bytes(v).hex()
+        return v
+
+    def dec(v):
+        if v is None:
+            return None
+        if is_ts:
+            return pd.Timestamp(v)
+        if is_bin:
+            return bytes.fromhex(v)
+        return v
 
     def shard_fold(carry, ks, pdf):
         n = len(pdf)
@@ -1634,11 +1688,11 @@ def stream_changed_sharded(
         start_keys = ks_arr[starts].tolist()
         # ONE positional gather/scatter per batch — per-element .iloc
         # writes cost more than the whole fold at 1-row segments
-        prev.iloc[starts] = [carry.get(k, init) for k in start_keys]
+        prev.iloc[starts] = [dec(carry.get(k, enc(init))) for k in start_keys]
         same = (vals == prev) | (vals.isna() & prev.isna())
         ends = np.concatenate((starts[1:] - 1, [n - 1]))
         for k, v in zip(start_keys, vals.iloc[ends].tolist()):
-            carry[k] = _native(v)
+            carry[k] = enc(v)
         return pdf[~same.to_numpy(dtype=bool)]
 
     return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)

@@ -2237,3 +2237,102 @@ def test_sharded_state_ttl_evicts_idle_keys(spark, tmp_path):
     assert got[0] == 0.5 and got[5] == 0.5
     # host b never evicted: 0.5, 0.75, 0.875, 0.9375
     assert (got[1], got[2], got[3], got[4]) == (0.5, 0.75, 0.875, 0.9375)
+
+
+def test_sharded_key_strings_type_stable_with_null_keys(spark, tmp_path):
+    """r7 review fix: an int64 key column that contains NULLs arrives
+    in pandas as float64, so naive str(key) would flip \"7\" to
+    \"7.0\" between micro-batches and reset state. With typed key
+    conversion the fold carries across the null-bearing batch."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = [
+        # service 7: two events in batch 1 (no nulls), two in batch 2
+        # (which ALSO contains a null-key row -> float64 slice)
+        (0, 7, 0.0, 1.0), (1, 7, 10.0, 1.0),
+        (2, 7, 20.0, 1.0), (3, 7, 30.0, 1.0),
+        (4, None, 25.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, service_id bigint, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    src_dir = str(tmp_path / "nk_in")
+    df.where("event_id < 2").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id >= 2").coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = core.stream_ewma_sharded(
+        stream, 0.5, by=["service_id"], time_col="time", metric_col="metric",
+        shards=1,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("nk_parity")
+        .option("checkpointLocation", str(tmp_path / "nk_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.metric for r in spark.sql("SELECT * FROM nk_parity").collect()}
+    # continuous fold for service 7: 0.5, 0.75, 0.875, 0.9375 — a
+    # state reset at the batch boundary would restart event 2 at 0.5
+    assert (got[0], got[1], got[2], got[3]) == (0.5, 0.75, 0.875, 0.9375)
+    assert got[4] == 2.5  # null key folds under its own sentinel
+
+
+def test_stream_changed_sharded_timestamp_field(spark, tmp_path):
+    """r7 review fix: a timestamp watched field must survive the
+    shard map's JSON round trip (isoformat encode / Timestamp
+    revive) — parity with the per-key twin across a batch split."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = [
+        (0, "a", 0.0, "2024-01-01T00:00:00"),
+        (1, "a", 10.0, "2024-01-01T00:00:00"),   # unchanged -> dropped
+        (2, "a", 20.0, "2024-01-02T00:00:00"),   # changed (batch 2)
+        (3, "a", 30.0, "2024-01-02T00:00:00"),   # unchanged -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, updated_at string"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))) \
+     .withColumn("updated_at", F.col("updated_at").cast("timestamp")).drop("t")
+
+    src_dir = str(tmp_path / "tsf_in")
+    df.where("event_id < 2").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id >= 2").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(fn, name, **kw):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = fn(stream, "updated_at", by=["host"], time_col="time", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    per = run(core.stream_changed, "tsf_pk")
+    shd = run(core.stream_changed_sharded, "tsf_sh", shards=2)
+    assert shd == per == {0, 2}
+
+    # non-JSON-carryable dtypes raise a NAMED error up front
+    import pytest as _pytest
+
+    dec_df = df.withColumn("updated_at", F.col("event_id").cast("decimal(10,2)"))
+    stream = spark.readStream.schema(dec_df.schema).parquet(src_dir)
+    with _pytest.raises(NotImplementedError, match="decimal"):
+        core.stream_changed_sharded(
+            stream.withColumn("updated_at", F.col("event_id").cast("decimal(10,2)")),
+            "updated_at", by=["host"], time_col="time",
+        )

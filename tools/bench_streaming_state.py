@@ -207,10 +207,14 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
 
     ck = os.path.join(ck_root, mode)
     t0 = time.monotonic()
+    # jvm uses update mode so the windowed aggregate actually EMITS
+    # under availableNow (append + 0s watermark seals no window on a
+    # finite input -> zero rows written, flattering the baseline);
+    # the keyed twins are append-per-event by construction
     q = (
         out.writeStream.format("noop")
         .option("checkpointLocation", ck)
-        .outputMode("append" if mode != "jvm" else "append")
+        .outputMode("update" if mode == "jvm" else "append")
         .trigger(availableNow=True)
         .start()
     )
