@@ -69,9 +69,10 @@ GATE_PRIORITY = [
 # ann_ivfpq_topk
 # gated green in CORRECTNESS_r06 (throttle ... segment_top_orders)
 # and (ii) the thirteen deferred r5-cohort entries named above —
-# lead r8's gate with (ii), neardup_degree_histogram and
-# soft_dedup_docs (added r7, local exact-compare green, never
-# driver-gated), plus whatever r8 changes.
+# lead r8's gate with (ii), neardup_degree_histogram,
+# soft_dedup_docs and corpus_split_docs (added r7, local
+# exact-compare green, never driver-gated), plus whatever r8
+# changes.
 
 
 def _ordered(mapping: dict) -> dict:

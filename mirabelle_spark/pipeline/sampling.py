@@ -273,3 +273,41 @@ def stratified_topk(
     return _two_phase_topn(
         df.filter(F.col(order_col).isNotNull()), n_per_group, group_col, s, key_col
     )
+
+
+def corpus_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    out: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in the
+    named split whose cumulative-weight interval contains its stable
+    hash bucket — reproducible across engines, partitionings, runs,
+    and CORPUS VERSIONS (a doc keeps its split when other docs are
+    added/removed, unlike randomSplit, which reshuffles assignment
+    with the partition layout). Pure projection: rides any scan,
+    nothing moves.
+
+    ``weights`` is an ordered name→weight map (normalized
+    internally); boundaries are exact integer bucket counts, so the
+    realized proportions are within 1/buckets of the request."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    b = stable_hash_bucket(F.col(key_col), buckets)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = int(round(acc * buckets))
+        clause = F.when(b < F.lit(bound), F.lit(name))
+        expr = clause if expr is None else expr.when(b < F.lit(bound), F.lit(name))
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(out, expr)

@@ -1528,3 +1528,28 @@ def soft_dedup_docs(spark, sf):
     a duplicate group survives with probability 1/group-size via the
     portable per-doc hash — local decision, no survivor election."""
     return dedup.soft_dedup(docs(spark, sf))
+
+
+@q(
+    "corpus_split_docs",
+    """
+SELECT doc_id, lang,
+       CASE
+         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 < 9000 THEN 'train'
+         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 < 9500 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+""",
+)
+def corpus_split_docs(spark, sf):
+    """Deterministic 90/5/5 train/val/test split by stable doc hash
+    (r7): a document keeps its split across corpus versions and
+    partitionings — pure projection, full-value oracle."""
+    from mirabelle_spark.pipeline import sampling
+
+    return sampling.corpus_split(
+        docs(spark, sf), {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "lang", "split")

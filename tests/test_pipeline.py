@@ -1144,3 +1144,33 @@ def test_soft_dedup_frequency_weighted(spark):
     assert 0 < len(exp_clique) <= 6  # ~Binomial(200, 1/200): near 1
     assert all(1000 + i in got for i in range(20))  # uniques all survive
     assert got[1000] == 1 and all(got[k] == 200 for k in exp_clique)
+
+
+def test_corpus_split_stable_across_corpus_versions(spark):
+    """The split is a pure function of the key: removing half the
+    corpus (or repartitioning) never moves a surviving doc's split;
+    proportions land within 1/buckets of the request; weights
+    normalize; non-positive weights raise."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id bigint"
+    )
+    w = {"train": 8, "val": 1, "test": 1}  # unnormalized on purpose
+    full = {r.doc_id: r.split for r in sampling.corpus_split(df, w).collect()}
+    half = {
+        r.doc_id: r.split
+        for r in sampling.corpus_split(
+            df.where("doc_id % 2 = 0").repartition(7), w
+        ).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert abs(c["train"] / 4000 - 0.8) < 0.02
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    with _pytest.raises(ValueError):
+        sampling.corpus_split(df, {"train": 0.0})
