@@ -1553,3 +1553,57 @@ def corpus_split_docs(spark, sf):
     return sampling.corpus_split(
         docs(spark, sf), {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select("doc_id", "lang", "split")
+
+
+@q(
+    "search_quality_docs",
+    f"""
+WITH ok AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(COALESCE(list_sum(list_transform(
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                      t -> t != ''),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1001 - 500
+        )), 0) AS DOUBLE) / 1000.0 > 0
+),
+c AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS cv
+  FROM embeddings e JOIN ok ON e.vec_id = ok.doc_id
+),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {{dot}} / ({{qn}} * {{cn}}) AS cosine
+  FROM c, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+""".format(
+        dot=_DOT.format(a="q.qv", b="c.cv"),
+        qn=_NORM.format(a="q.qv"),
+        cn=_NORM.format(a="c.cv"),
+    ),
+)
+def search_quality_docs(spark, sf):
+    """Quality-filtered semantic search (r7): restrict the search
+    corpus to documents the hashed classifier scores positive (a
+    left-semi join on ids — bodies and vectors never widen the
+    shuffle), then exact cosine top-5. The cross-modal compose every
+    curation+retrieval pipeline runs; full-value oracle."""
+    d = text.linear_quality_score(docs(spark, sf))
+    ok = d.filter(F.col("quality_logit") > 0).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    e = embs(spark, sf)
+    corpus = e.join(ok, "vec_id", "left_semi")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_topk(corpus, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
