@@ -70,7 +70,8 @@ GATE_PRIORITY = [
 # gated green in CORRECTNESS_r06 (throttle ... segment_top_orders)
 # and (ii) the thirteen deferred r5-cohort entries named above —
 # lead r8's gate with (ii), neardup_degree_histogram,
-# soft_dedup_docs, corpus_split_docs and search_quality_docs (added
+# soft_dedup_docs, corpus_split_docs, search_quality_docs and
+# doc_length_profile (added
 # r7, local
 # exact-compare green, never driver-gated), plus whatever r8
 # changes.

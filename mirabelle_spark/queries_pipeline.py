@@ -1607,3 +1607,44 @@ def search_quality_docs(spark, sf):
     )
     out = ann.brute_force_topk(corpus, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@q(
+    "doc_length_profile",
+    """
+WITH t AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+              END AS BIGINT) AS n
+  FROM documents
+),
+w AS (SELECT lang, list(n ORDER BY n) AS m FROM t GROUP BY lang),
+qs AS (SELECT unnest([0.0, 0.5, 0.95, 1.0]) AS quantile)
+SELECT lang, quantile,
+       m[CAST(least(len(m) - 1, CAST(floor(len(m) * quantile) AS BIGINT))
+              AS BIGINT) + 1] AS n_tokens
+FROM w, qs
+""",
+)
+def doc_length_profile(spark, sf):
+    """Per-language token-length percentiles (r7): the corpus report
+    every curation run starts from — exact nearest-rank quantiles
+    (same index rule as the percentiles operator, stricter than a
+    sketch), one hash aggregate per language."""
+    d = text.token_count(docs(spark, sf))
+    prof = d.groupBy("lang").agg(
+        F.sort_array(F.collect_list(F.col("n_tokens").cast("bigint"))).alias("__m__")
+    )
+    qs = F.array(*[F.lit(q) for q in (0.0, 0.5, 0.95, 1.0)])
+    n = F.size("__m__")
+    idx = (
+        F.least(n - 1, F.floor(n.cast("double") * F.col("quantile")).cast("int")) + 1
+    )
+    return (
+        prof.select("lang", "__m__", F.explode(qs).alias("quantile"))
+        .select(
+            "lang", "quantile",
+            F.element_at(F.col("__m__"), idx).alias("n_tokens"),
+        )
+    )
