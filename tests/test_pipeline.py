@@ -1174,3 +1174,27 @@ def test_corpus_split_stable_across_corpus_versions(spark):
     assert abs(c["val"] / 4000 - 0.1) < 0.02
     with _pytest.raises(ValueError):
         sampling.corpus_split(df, {"train": 0.0})
+
+
+def test_trained_centroids_through_write_once_index(spark, tmp_path):
+    """The full production chain: train_ivf -> ivf_write_index with
+    the TRAINED centroids -> ivf_probe_index reproduces ivf_topk on
+    the same quantizer (write-once path is quantizer-agnostic)."""
+    from mirabelle_spark.pipeline import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ann.train_ivf(emb, nlist=4, iters=3)
+    path = str(tmp_path / "trained_idx")
+    ann.ivf_write_index(emb, path, cents)
+    probed = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ann.ivf_probe_index(queries, path, cents, k=5, nprobe=2).collect()
+    }
+    inflight = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ann.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents).collect()
+    }
+    assert probed == inflight and len(probed) == 25

@@ -138,6 +138,13 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
         out = stream_ewma_sharded(
             stream, 0.25, by=["host"], time_col="time", shards=shards
         )
+    elif mode == "sharded_ttl":
+        from mirabelle_spark.streaming import stream_ewma_sharded
+
+        out = stream_ewma_sharded(
+            stream, 0.25, by=["host"], time_col="time", shards=shards,
+            state_ttl_s=3600.0,
+        )
     elif mode == "tws":
         out = stream.groupBy("host").transformWithStateInPandas(
             EwmaTws(0.25).build(),
@@ -205,7 +212,9 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
-    ck = os.path.join(ck_root, mode)
+    # unique checkpoint per invocation: reusing one lets a repeated
+    # mode see "no new files" under availableNow and do zero work
+    ck = os.path.join(ck_root, f"{mode}_{time.monotonic_ns()}")
     t0 = time.monotonic()
     # jvm uses update mode so the windowed aggregate actually EMITS
     # under availableNow (append + 0s watermark seals no window on a
