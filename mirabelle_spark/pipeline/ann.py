@@ -598,13 +598,15 @@ def train_ivf(
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means built from
     :func:`cell_centroid_update` — the trained-quantizer path with
-    NONE of pyspark.ml KMeans' partitioning-dependence: init is the
-    ``nlist`` lowest-id vectors, every update is the decimal-exact
-    relational step, so the same corpus yields bit-identical
-    centroids under any repartitioning (pytest-pinned). Use where
-    reproducibility of the index matters more than clustering
-    finesse (k-means++ init beats lowest-id on quality; swap the
-    init rows in if that trade is wanted — the loop is unchanged).
+    NONE of pyspark.ml KMeans' partitioning-dependence: init is a
+    deterministic pseudo-random spread — the ``nlist`` vectors with
+    the smallest md5(id) (id-adjacent rows are often near-identical
+    neighbors, a poor seeding; the hash order decorrelates them at
+    the cost of one orderBy+limit) — and every update is the
+    decimal-exact relational step, so the same corpus yields
+    bit-identical centroids under any repartitioning
+    (pytest-pinned). k-means++ would still seed better; swap the
+    init rows in if that trade is wanted — the loop is unchanged.
 
     Driver traffic per iteration is nlist·dim scalars (the long-form
     means) — the loop state is quantizer-sized, never data-sized.
@@ -612,7 +614,7 @@ def train_ivf(
     """
     init_rows = (
         corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v__"))
-        .orderBy(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(nlist)
         .collect()
     )
@@ -813,3 +815,37 @@ def ivfpq_probe_index(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook training: per subspace, the SAME
+    relational Lloyd's loop as :func:`train_ivf` over the sliced
+    sub-vectors — both quantizers of the faiss layout now train
+    engine-portably (bit-equal codebooks under any repartitioning,
+    inherited from the decimal-exact update step). m × iters
+    aggregate jobs, each over (id, sub-vector) projections; driver
+    state is codebook-sized."""
+    dim = _vec_dim(corpus, vec_col, dim)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for mi in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(as_double_vec(F.col(vec_col)), mi * sub + 1, sub).alias(
+                "__sv__"
+            ),
+        )
+        books.append(
+            train_ivf(sliced, nlist=k, iters=iters, vec_col="__sv__", id_col=id_col)
+        )
+    return books

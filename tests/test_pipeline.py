@@ -1198,3 +1198,51 @@ def test_trained_centroids_through_write_once_index(spark, tmp_path):
         for r in ann.ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents).collect()
     }
     assert probed == inflight and len(probed) == 25
+
+
+def test_train_pq_deterministic_and_competitive(spark):
+    """Trained PQ codebooks: bit-equal under repartitioning; LOWER
+    encode distortion than the inlined fixed books on the corpus
+    they were fit to (distortion is what Lloyd's optimizes — raw
+    32-bit ADC recall is too noisy to rank codebooks, measured 0.26
+    trained vs 0.32 fixed while distortion was 272 vs 312); and with
+    the production rerank refinement the trained books reach high
+    recall."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    trained = ann.train_pq(emb, m=8, k=16, iters=3)
+    again = ann.train_pq(emb.repartition(7), m=8, k=16, iters=3)
+    assert trained == again
+
+    def distortion(books):
+        tot = 0.0
+        for mi in range(8):
+            sliced = emb.select(
+                F.slice(
+                    ann.as_double_vec(F.col("embedding")), mi * 8 + 1, 8
+                ).alias("__cv__")
+            )
+            cent_lit = F.array(
+                *[F.array(*[F.lit(float(v)) for v in c]) for c in books[mi]]
+            )
+            d = F.array_min(
+                F.transform(cent_lit, lambda c: ann._sqdist(F.col("__cv__"), c))
+            )
+            tot += sliced.agg(F.sum(d)).collect()[0][0]
+        return tot
+
+    assert distortion(trained) < distortion(PQ_CODEBOOKS)
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in ann.brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in ann.pq_topk(emb, queries, trained, k=5, rerank=100).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = sum(len(got[q] & exact[q]) for q in exact) / (5.0 * len(exact))
+    assert rec >= 0.8, rec
