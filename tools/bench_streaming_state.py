@@ -3,13 +3,15 @@
 
 Measures events/s through one availableNow pass for each mode:
 
-  jvm      windowed sum aggregate (pure-JVM upper bound, §32 shape)
-  apws     stream_ewma — per-key applyInPandasWithState (the r5 twin)
-  sharded  stream_ewma_sharded — shard-mapped keyed state (r7)
-  tws      transformWithStateInPandas ewma prototype (per-key state
-           in the JVM/RocksDB store, Python fold per key)
-  cond_dt  stream_cond_dt — the alerting-core buffered twin
-  coalesce stream_coalesce — the heaviest buffered twin
+  jvm              windowed sum aggregate (JVM baseline, update mode)
+  apws             stream_ewma — per-key applyInPandasWithState
+  sharded          stream_ewma_sharded (r7 shard-mapped keyed state)
+  sharded_ttl      same + state_ttl_s=3600 (prices the fork GC)
+  tws              transformWithStateInPandas ewma prototype (needs
+                   the google.protobuf package; import-gated)
+  cond_dt[_sharded], changed[_sharded], ddt[_sharded],
+  zscore[_sharded], throttle[_sharded], coalesce
+                   the other keyed twins, per-key and sharded
 
 Usage:
   python tools/bench_streaming_state.py [--events 1000000]
