@@ -71,7 +71,7 @@ GATE_PRIORITY = [
 # and (ii) the thirteen deferred r5-cohort entries named above —
 # lead r8's gate with (ii), neardup_degree_histogram,
 # soft_dedup_docs, corpus_split_docs, search_quality_docs and
-# doc_length_profile (added
+# doc_length_profile and split_token_budget (added
 # r7, local
 # exact-compare green, never driver-gated), plus whatever r8
 # changes.

@@ -1648,3 +1648,40 @@ def doc_length_profile(spark, sf):
             F.element_at(F.col("__m__"), idx).alias("n_tokens"),
         )
     )
+
+
+@q(
+    "split_token_budget",
+    """
+WITH t AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 10000 < 9000 THEN 'train'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 10000 < 9500 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+              END AS BIGINT) AS n
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM t GROUP BY split
+""",
+)
+def split_token_budget(spark, sf):
+    """Token budget per train/val/test split (r7): the number every
+    training plan starts from — corpus_split composed with
+    token_count, one aggregate."""
+    from mirabelle_spark.pipeline import sampling
+
+    d = sampling.corpus_split(
+        text.token_count(docs(spark, sf)),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("n_tokens"),
+    )
