@@ -559,9 +559,14 @@ def simhash_near_dups(
         # hot-piece cap: a boilerplate clique puts 10^4+ docs on one
         # (pid, pv) key, and the streaming self-join below still probes
         # O(n²) rows for it. Loss semantics are WEAKER than MinHash's
-        # every-band-hot rule: a pair is dropped when ALL of its
-        # matching pieces are hot — that covers clique-internal pairs
-        # (which dedup_exact upstream collapses) but ALSO a clique
+        # every-band-hot rule, and grade with piece_match: at
+        # piece_match=1 a pair is dropped only when ALL of its
+        # matching pieces are hot; at piece_match>=2 it is dropped as
+        # soon as hot pieces push the SURVIVING match count below the
+        # threshold (one hot + one cold matching piece at
+        # piece_match=2 ⇒ dropped despite a cold surviving match).
+        # The all-hot case covers clique-internal pairs (which
+        # dedup_exact upstream collapses) but ALSO a clique
         # OUTSIDER within the Hamming ball whose only matching pieces
         # are the clique's hot keys. The cap is a recall/cost dial for
         # degenerate corpora, not a free win (the MinHash cap's

@@ -1291,6 +1291,42 @@ def stream_sessionize(
     )
 
 
+# The zscore twins fold Decimal moments under this precision (a
+# DECIMAL(38,9) term has up to 38 significant digits; 60 keeps the
+# running sums exact past ~1e21 such terms — the default context's
+# 28 would silently round sums AND raise InvalidOperation quantizing
+# m*m for |metric| >= ~3.2e9).
+_ZSCORE_PREC = 60
+
+
+def _zscore_q9(x: float):
+    """Spark's non-ANSI double -> DECIMAL(38,9) cast: shortest-repr
+    HALF_UP rounding at scale 9; values past 38 total digits
+    (|q| >= 1e29) overflow to NULL (None) — the windowed SUM skips
+    the term while COUNT still sees the row. (The batch twin runs
+    under this session's ANSI mode and *raises* on such inputs, so
+    bit-exact parity on every input the batch accepts is unaffected;
+    the streaming twin degrades per the non-ANSI cast instead of
+    crashing the query.) Call under a localcontext with
+    prec >= _ZSCORE_PREC.
+
+    The magnitude gate runs BEFORE the quantize: a double can reach
+    ~1.8e308 (and m*m arrives here too), whose scale-9 quantize needs
+    ~317 digits — InvalidOperation at any reasonable prec. |x| < 1e29
+    (incl. every in-range double: ≤17 significant digits + 9 scale =
+    ≤38 ≤ prec) is the only region that reaches Decimal; it also
+    screens inf. Doubles near 1e29 are ~1.6e13 apart, so no in-range
+    value can round UP across the bound at scale 9 — the belt-and-
+    braces adjusted() check never fires, but keeps the invariant
+    local."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not (-1e29 < x < 1e29):
+        return None
+    q = Decimal(repr(x)).quantize(Decimal("0.000000001"), rounding=ROUND_HALF_UP)
+    return None if q.adjusted() >= 29 else q
+
+
 def stream_zscore(
     df: DataFrame,
     window_s: float,
@@ -1324,55 +1360,70 @@ def stream_zscore(
     import json as _json
     import math
     from collections import deque
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal, localcontext
 
     import numpy as np
     import pandas as pd
 
     win_us = int(round(window_s * 1_000_000))
-    Q9 = Decimal("0.000000001")
-
-    def _q(x: float) -> Decimal:
-        return Decimal(repr(x)).quantize(Q9, rounding=ROUND_HALF_UP)
 
     def batch_fn(st, pdf):
         (sj,) = st
         if sj:
             d = _json.loads(sj)
-            buf = deque((t, Decimal(a), Decimal(b)) for t, a, b in d["b"])
+            buf = deque(
+                (t, None if a is None else Decimal(a), None if b is None else Decimal(b))
+                for t, a, b in d["b"]
+            )
             s1, s2 = Decimal(d["s1"]), Decimal(d["s2"])
+            c1, c2 = d["c1"], d["c2"]
         else:
-            buf, s1, s2 = deque(), Decimal(0), Decimal(0)
+            buf, s1, s2, c1, c2 = deque(), Decimal(0), Decimal(0), 0, 0
         t = _series_us(pdf[time_col])
         vals = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
         zs = np.full(len(pdf), np.nan)
-        for i in range(len(pdf)):
-            ti = int(t[i])
-            v = vals[i]
-            m = 0.0 if v != v else float(v)
-            q1, q2 = _q(m), _q(m * m)
-            buf.append((ti, q1, q2))
-            s1 += q1
-            s2 += q2
-            lo = ti - win_us
-            while buf and buf[0][0] < lo:
-                _, a, b = buf.popleft()
-                s1 -= a
-                s2 -= b
-            n = len(buf)
-            if n >= min_n and v == v:
-                nd = float(n)
-                mean = float(s1) / nd
-                var = max(float(s2) / nd - mean * mean, 0.0)
-                if var > 0.0:
-                    zs[i] = (float(v) - mean) / math.sqrt(var)
+        with localcontext() as ctx:
+            ctx.prec = _ZSCORE_PREC
+            for i in range(len(pdf)):
+                ti = int(t[i])
+                v = vals[i]
+                m = 0.0 if v != v else float(v)
+                q1, q2 = _zscore_q9(m), _zscore_q9(m * m)
+                buf.append((ti, q1, q2))
+                if q1 is not None:
+                    s1 += q1
+                    c1 += 1
+                if q2 is not None:
+                    s2 += q2
+                    c2 += 1
+                lo = ti - win_us
+                while buf and buf[0][0] < lo:
+                    _, a, b = buf.popleft()
+                    if a is not None:
+                        s1 -= a
+                        c1 -= 1
+                    if b is not None:
+                        s2 -= b
+                        c2 -= 1
+                n = len(buf)
+                if n >= min_n and v == v and c1 and c2:
+                    nd = float(n)
+                    mean = float(s1) / nd
+                    var = max(float(s2) / nd - mean * mean, 0.0)
+                    if var > 0.0:
+                        zs[i] = (float(v) - mean) / math.sqrt(var)
         res = pdf.copy()
         res[out] = pd.array(zs, dtype="float64")
         sj2 = _json.dumps(
             {
-                "b": [[tt, str(a), str(b)] for tt, a, b in buf],
+                "b": [
+                    [tt, None if a is None else str(a), None if b is None else str(b)]
+                    for tt, a, b in buf
+                ],
                 "s1": str(s1),
                 "s2": str(s2),
+                "c1": c1,
+                "c2": c2,
             }
         )
         return (sj2,), res
@@ -1422,12 +1473,26 @@ def _shard_key_strings(pdf, key_cols, key_dtypes):
     that contains any NULL to pandas as float64, so a bare str(v)
     would serialize the same key as "7" in one batch and "7.0" in
     the next — silently resetting its state. Integral Spark types
-    therefore format through int(v); everything else through str."""
+    therefore format through int(v); everything else through str.
+
+    INJECTIVE under adversarial string values: a value containing
+    the separator or the escape byte is escaped (\\x00 -> \\x00"0",
+    \\x1f -> \\x00"1") before joining, so escaped values never
+    contain a bare separator and can never spell the null sentinel
+    (whose second byte 'n' follows \\x00 only in the sentinel) —
+    two distinct key tuples can't alias one state slot. Non-string
+    key types (numeric formatting) never produce either byte, so
+    the common path pays one containment check per value."""
+
+    def esc(s):
+        if "\x00" in s or _KEY_SEP in s:
+            return s.replace("\x00", "\x00" + "0").replace(_KEY_SEP, "\x00" + "1")
+        return s
 
     def conv_for(dtype):
         if dtype in ("tinyint", "smallint", "int", "bigint", "long"):
             return lambda v: str(int(v))
-        return str
+        return lambda v: esc(str(v))
 
     convs = [conv_for(t) for t in key_dtypes]
     if len(key_cols) == 1:
@@ -1648,12 +1713,14 @@ def stream_changed_sharded(
     import pandas as pd
 
     dtype = dict(df.dtypes)[fieldname]
-    is_ts = dtype.startswith("timestamp")
+    is_ts = dtype in ("timestamp", "timestamp_ntz")
     is_bin = dtype == "binary"
-    if not (is_ts or is_bin) and not any(
-        dtype.startswith(t)
-        for t in ("string", "boolean", "double", "float", "tinyint",
-                  "smallint", "int", "bigint", "long")
+    # exact simpleString names, not prefixes: 'int' as a prefix would
+    # also admit 'interval day to second', whose timedelta then fails
+    # at runtime inside json.dumps instead of this up-front error
+    if not (is_ts or is_bin) and dtype not in (
+        "string", "boolean", "double", "float", "tinyint",
+        "smallint", "int", "bigint", "long",
     ):
         raise NotImplementedError(
             f"stream_changed_sharded cannot JSON-carry field dtype "
@@ -1766,16 +1833,12 @@ def stream_zscore_sharded(
     (identical quantization and fold order — bit-exact parity with
     the per-key twin and the batch range frame on in-order input)."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal, localcontext
 
     import numpy as np
     import pandas as pd
 
     win_us = int(round(window_s * 1_000_000))
-    Q9 = Decimal("0.000000001")
-
-    def _q(x: float) -> Decimal:
-        return Decimal(repr(x)).quantize(Q9, rounding=ROUND_HALF_UP)
 
     def shard_fold(carry, ks, pdf):
         t = _series_us(pdf[time_col])
@@ -1783,7 +1846,7 @@ def stream_zscore_sharded(
         zs = np.full(len(pdf), np.nan)
         unset = object()
         prev = unset
-        buf = s1 = s2 = None
+        cur = None
         live: dict = {}  # decoded states this batch (decimal objects)
 
         def _load(k):
@@ -1791,52 +1854,75 @@ def stream_zscore_sharded(
                 return live[k]
             st = carry.get(k)
             if st is None:
-                cur = [[], Decimal(0), Decimal(0)]
+                c = [[], Decimal(0), Decimal(0), 0, 0]
             else:
-                cur = [
-                    [(tt, Decimal(a), Decimal(b)) for tt, a, b in st["b"]],
+                c = [
+                    [
+                        (
+                            tt,
+                            None if a is None else Decimal(a),
+                            None if b is None else Decimal(b),
+                        )
+                        for tt, a, b in st["b"]
+                    ],
                     Decimal(st["s1"]),
                     Decimal(st["s2"]),
+                    st["c1"],
+                    st["c2"],
                 ]
-            live[k] = cur
-            return cur
+            live[k] = c
+            return c
 
-        for i in range(len(pdf)):
-            k = ks[i]
-            if k != prev:
-                cur = _load(k)
-                buf, s1, s2 = cur[0], cur[1], cur[2]
-                prev = k
-            ti = int(t[i])
-            v = vals[i]
-            m = 0.0 if v != v else float(v)
-            q1, q2 = _q(m), _q(m * m)
-            buf.append((ti, q1, q2))
-            s1 += q1
-            s2 += q2
-            lo = ti - win_us
-            drop = 0
-            for tt, a, b in buf:
-                if tt >= lo:
-                    break
-                s1 -= a
-                s2 -= b
-                drop += 1
-            if drop:
-                del buf[:drop]
-            live[k][1], live[k][2] = s1, s2
-            n = len(buf)
-            if n >= min_n and v == v:
-                nd = float(n)
-                mean = float(s1) / nd
-                var = max(float(s2) / nd - mean * mean, 0.0)
-                if var > 0.0:
-                    zs[i] = (float(v) - mean) / math.sqrt(var)
-        for k, (b, a1, a2) in live.items():
+        with localcontext() as ctx:
+            ctx.prec = _ZSCORE_PREC
+            for i in range(len(pdf)):
+                k = ks[i]
+                if k != prev:
+                    cur = _load(k)
+                    prev = k
+                buf = cur[0]
+                ti = int(t[i])
+                v = vals[i]
+                m = 0.0 if v != v else float(v)
+                q1, q2 = _zscore_q9(m), _zscore_q9(m * m)
+                buf.append((ti, q1, q2))
+                if q1 is not None:
+                    cur[1] += q1
+                    cur[3] += 1
+                if q2 is not None:
+                    cur[2] += q2
+                    cur[4] += 1
+                lo = ti - win_us
+                drop = 0
+                for tt, a, b in buf:
+                    if tt >= lo:
+                        break
+                    if a is not None:
+                        cur[1] -= a
+                        cur[3] -= 1
+                    if b is not None:
+                        cur[2] -= b
+                        cur[4] -= 1
+                    drop += 1
+                if drop:
+                    del buf[:drop]
+                n = len(buf)
+                if n >= min_n and v == v and cur[3] and cur[4]:
+                    nd = float(n)
+                    mean = float(cur[1]) / nd
+                    var = max(float(cur[2]) / nd - mean * mean, 0.0)
+                    if var > 0.0:
+                        zs[i] = (float(v) - mean) / math.sqrt(var)
+        for k, (b, a1, a2, k1, k2) in live.items():
             carry[k] = {
-                "b": [[tt, str(x), str(y)] for tt, x, y in b],
+                "b": [
+                    [tt, None if x is None else str(x), None if y is None else str(y)]
+                    for tt, x, y in b
+                ],
                 "s1": str(a1),
                 "s2": str(a2),
+                "c1": k1,
+                "c2": k2,
             }
         res = pdf.copy()
         res[out] = pd.array(zs, dtype="float64")

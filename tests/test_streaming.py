@@ -2336,3 +2336,137 @@ def test_stream_changed_sharded_timestamp_field(spark, tmp_path):
             stream.withColumn("updated_at", F.col("event_id").cast("decimal(10,2)")),
             "updated_at", by=["host"], time_col="time",
         )
+
+
+def test_stream_zscore_huge_values_fold_exact(spark, tmp_path):
+    """ADVICE r7 (high): the zscore twins' decimal fold must survive
+    |metric| >= ~3.2e9 (default 28-digit context raised
+    InvalidOperation quantizing m*m) and keep running sums exact past
+    28 significant digits. Expected values come from an independent
+    exact fold (python Fraction — no rounding at all — over the
+    scale-9 HALF_UP quantized terms, the documented semantics); terms
+    whose quantization exceeds DECIMAL(38,9) fold as NULL (sum skips,
+    count sees the row; the ANSI batch twin would raise on those, so
+    twin parity on accepted inputs is unaffected)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+    from fractions import Fraction
+
+    from mirabelle_spark.streaming import core
+
+    # 4.2e9: m*m needs 29 digits at scale 9 (the old crash);
+    # 1e15: m*m = 1e30 overflows DECIMAL(38,9) -> q2 NULL;
+    # 2e29: m itself overflows -> q1 and q2 NULL;
+    # plus small values so variance is nonzero and sums mix scales.
+    vals = [4.2e9, 4.2e9 + 3.25, 1.0, 2.5, 1e15, 2e29, 7.75, 4.2e9 - 1.5]
+    rows = [
+        (i, "k", float(i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    def q9(x):
+        if not (-1e29 < x < 1e29):
+            return None
+        with localcontext() as ctx:
+            ctx.prec = 60
+            q = Decimal(repr(x)).quantize(
+                Decimal("0.000000001"), rounding=ROUND_HALF_UP
+            )
+        return None if q.adjusted() >= 29 else Fraction(q)
+
+    # independent reference: window = all prior events within 1000 s
+    # (all of them here), Fraction sums (exact), double-space z
+    expect = {}
+    buf = []
+    for i, v in enumerate(vals):
+        buf.append((q9(v), q9(v * v)))
+        n = len(buf)
+        c1 = [a for a, _ in buf if a is not None]
+        c2 = [b for _, b in buf if b is not None]
+        z = None
+        if n >= 2 and c1 and c2:
+            mean = float(sum(c1)) / n
+            var = max(float(sum(c2)) / n - mean * mean, 0.0)
+            if var > 0.0:
+                z = (v - mean) / math.sqrt(var)
+        expect[i] = z
+
+    src_dir = str(tmp_path / "zsh_in")
+    df.where("event_id < 4").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+
+    for fn, name, kw in (
+        (core.stream_zscore, "zsh_pk", {}),
+        (core.stream_zscore_sharded, "zsh_sh", {"shards": 2}),
+    ):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = fn(
+            stream, 1000.0, by=["host"], time_col="time",
+            metric_col="metric", min_n=2, out="zscore", **kw,
+        )
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        got = {
+            r.event_id: r.zscore
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == expect, (name, got, expect)
+    # the test exercised a real z (pre-overflow) and both overflow
+    # classes (q2-only at 1e15, q1+q2 at 2e29 — those windows clamp
+    # var to 0 because s1 keeps the 1e15 term s2 skips: the non-ANSI
+    # cast semantics being mirrored, not a bug)
+    assert expect[3] is not None
+    assert expect[4] is None and expect[5] is None
+
+
+def test_shard_key_strings_injective_adversarial():
+    """ADVICE r7 (low): composite key values containing the \\x1f
+    separator (or spelling the null sentinel) must not alias another
+    key tuple's state slot — the encoding escapes both bytes."""
+    import pandas as pd
+
+    from mirabelle_spark.streaming.core import _shard_key_strings
+
+    tuples = [
+        ("a\x1fb", "c"),      # separator inside a value
+        ("a", "b\x1fc"),      # would alias the row above unescaped
+        ("a\x1fb\x1fc", ""),  # and this one
+        ("\x00null", "x"),    # spells the null sentinel
+        (None, "x"),          # the real null
+        ("\x00", "\x1f"),     # bare escape + bare separator
+        ("\x000", "1"),       # pre-escaped-looking value
+        ("plain", "key"),
+    ]
+    pdf = pd.DataFrame(tuples, columns=["k1", "k2"])
+    ks = _shard_key_strings(pdf, ["k1", "k2"], ["string", "string"])
+    assert len(set(ks)) == len(tuples), ks
+    # single-column form: sentinel-spelling value differs from null
+    pdf1 = pd.DataFrame({"k": ["\x00null", None, "v"]})
+    ks1 = _shard_key_strings(pdf1, ["k"], ["string"])
+    assert len(set(ks1)) == 3
+
+
+def test_stream_changed_sharded_rejects_interval(spark, tmp_path):
+    """ADVICE r7 (low): an interval-typed field must hit the up-front
+    NotImplementedError (exact dtype names), not a runtime json.dumps
+    failure inside the executor."""
+    df = spark.createDataFrame(
+        [(0, "a", 1.0)], "event_id bigint, host string, t double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))) \
+     .withColumn("gap", F.expr("make_dt_interval(0, 0, 0, event_id)")).drop("t")
+    assert dict(df.dtypes)["gap"].startswith("interval")
+
+    from mirabelle_spark.streaming import core
+
+    with pytest.raises(NotImplementedError, match="interval"):
+        core.stream_changed_sharded(df, "gap", by=["host"], time_col="time")
