@@ -27,54 +27,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-7 rotation: (a) the eleven
-# round-6 queries that have never been driver-gated (VERDICT r6 ask
-# #1) lead; (b) queries whose implementation changed this round —
-# the LSH/SimHash hot-bucket cap — plus the new video_frame_sample
-# re-gate on the new code; (c) the five queries last gated in r4;
-# (d) the r5 cohort, minus the thirteen simplest multi-gated,
-# unchanged entries (where_basic, over/tagged/tag-untag/split,
-# event-window ids, ssort, token-count, fingerprint, hash-sample,
-# mask-pii), which rotate below the fold for r8.
+# so ordering is coverage policy. Round-8 rotation (VERDICT r7 ask
+# #2: every registered query driver-gated within the last two
+# rounds): (a) the six r7-added queries that have never been
+# driver-gated; (b) queries added or whose implementation changed in
+# round 8; (c) the nineteen r5-cohort entries last gated in
+# CORRECTNESS_r05; (d) as many of the r6 cohort (48 entries, all
+# last gated in CORRECTNESS_r06) as fit — the remainder plus the
+# whole r7-gated cohort sit below the fold for r9.
 GATE_PRIORITY = [
-    # (a) never driver-gated (added r6)
-    "gopher_quality_docs", "vocab_top100", "token_rarity_docs",
-    "mixture_sample_docs", "paragraph_dedup_docs", "dedup_survivors_docs",
-    "ann_pq_topk", "clean_corpus_docs", "sessionize_user_events",
-    "zscore_events", "semantic_dedup_survivors",
-    # (b) implementation changed / added in round 7
-    "minhash_lsh_pairs", "simhash_pairs", "video_frame_sample",
-    "linear_quality_docs", "ivf_centroid_update", "best_docs_per_lang",
-    "token_chunks_docs", "ann_sq_topk", "ann_ivfpq_topk",
-    # (c) last gated in r4
-    "where_not", "where_regex", "under_filter", "not_expired_events",
-    "outside_dt_alert",
-    # (d) the r5 cohort (last gated r5)
-    "expired_events", "changed_transitions", "above_dt_alert",
-    "moving_time_window_count", "coalesce_latest",
-    "agg_ratio_error_click", "agg_percentiles_hourly",
-    "coll_increase_daily", "by_sum_daily", "smax_running", "ddt_rate",
-    "ewma_smoothed", "coll_where_inside_window", "coll_sum_hourly",
-    "coll_mean_hourly", "coll_percentiles_hourly", "dedup_clusters",
-    "ann_bruteforce_topk", "ann_lsh_topk", "embedding_near_dups",
-    "contamination_docs", "pack_docs",
-    "multimodal_features", "tpch_pricing_summary", "revenue_by_nation",
+    # (a) never driver-gated (added r7; judge-verified locally in r7)
+    "neardup_degree_histogram", "soft_dedup_docs", "corpus_split_docs",
+    "search_quality_docs", "doc_length_profile", "split_token_budget",
+    # (b) added / implementation changed in round 8
+    "ann_ivf_trained_topk",
+    # (c) last gated r5
+    "where_basic", "over_filter", "tagged_all", "split_routing",
+    "tag_untag", "fixed_time_window_ids", "fixed_event_window_ids",
+    "moving_event_window_vals", "ssort_sorted", "hash_sample_docs",
+    "mask_pii_docs", "text_token_count", "text_bpe_token_count",
+    "text_repetition", "text_quality", "text_lang_id",
+    "text_fingerprint", "text_rolling_fp", "order_priority_counts",
+    # (d) r6 cohort, oldest-area-first slice (stateful/threshold ops,
+    # the DSL pipeline, and the transforms family)
+    "throttle", "stable_states", "dsl_pipeline", "coalesce_fill",
+    "below_dt_alert", "between_dt_alert", "critical_dt_alert",
+    "ddt_pos_rate", "smin_running", "project_correlate",
+    "with_const", "default_missing", "scale_metric",
+    "increment_metric", "decrement_metric", "sformat_label",
+    "to_string_field", "base64_roundtrip", "from_json_props",
+    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj",
+    "iterate_on_explode", "extract_nested",
 ]
 
-# Round-8 rotation note: below-fold after r7 are (i) the r6 cohort
-# plus order_priority_counts, text_rolling_fp and text_bpe_token_count
-# (slots yielded to linear_quality_docs / ivf_centroid_update /
-# best_docs_per_lang); text_lang_id / text_quality likewise yielded
-# to token_chunks_docs / ann_sq_topk; text_repetition to
-# ann_ivfpq_topk
-# gated green in CORRECTNESS_r06 (throttle ... segment_top_orders)
-# and (ii) the thirteen deferred r5-cohort entries named above —
-# lead r8's gate with (ii), neardup_degree_histogram,
-# soft_dedup_docs, corpus_split_docs, search_quality_docs and
-# doc_length_profile and split_token_budget (added
-# r7, local
-# exact-compare green, never driver-gated), plus whatever r8
-# changes.
+# Round-9 rotation note: still last-gated-r6 after this round's gate
+# (the r6-cohort tail that did not fit the 50): sflatten_roundtrip,
+# agg_sum_hourly, agg_sum_delayed_hourly, agg_mean_hourly,
+# agg_top_event, agg_bottom_event, agg_rate_hourly,
+# coll_count_hourly, coll_max_hourly, coll_min_hourly,
+# coll_rate_hourly, coll_quotient_daily, coll_top3, coll_bottom3,
+# coll_sort_ids, dedup_exact_docs, ngram_jaccard_pairs,
+# ann_ivf_topk, stratified_sample_docs, boilerplate_removed_docs,
+# top_suppliers, priority_conditional_counts, brand_part_revenue,
+# segment_top_orders — lead r9's gate with these 24, plus whatever
+# r9 changes; everything else is r7/r8-gated.
 
 
 def _ordered(mapping: dict) -> dict:

@@ -358,18 +358,20 @@ def ann_lsh_topk(spark, sf):
 ORACLES["ann_lsh_topk"] = _ann_lsh_oracle(k=5, planes=6, tables=3)
 
 
-def _centroids_sql() -> str:
-    """The fixed quantizer as a SQL list-of-lists literal (same
-    doubles as IVF_CENTROIDS — full repr round-trips exactly)."""
-    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+def _centroids_sql(centroids=None) -> str:
+    """A quantizer as a SQL list-of-lists literal (full-repr doubles
+    round-trip exactly); defaults to the fixed IVF_CENTROIDS."""
+    if centroids is None:
+        from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
 
+        centroids = IVF_CENTROIDS
     rows = ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in IVF_CENTROIDS
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in centroids
     )
     return "[" + rows + "]"
 
 
-def _ann_ivf_oracle(k: int, nprobe: int, nlist: int = 8) -> str:
+def _ann_ivf_oracle(k: int, nprobe: int, nlist: int = 8, centroids=None) -> str:
     """IVF with the fixed quantizer, end to end in SQL: per-vector
     squared distances to every centroid (left-to-right fold, same
     order as the Spark zip_with), cell = first argmin
@@ -383,7 +385,7 @@ def _ann_ivf_oracle(k: int, nprobe: int, nlist: int = 8) -> str:
     )
     cells = ", ".join(f"({i})" for i in range(1, nlist + 1))
     return f"""
-WITH cent AS (SELECT {_centroids_sql()} AS cs),
+WITH cent AS (SELECT {_centroids_sql(centroids)} AS cs),
 assigned AS (
   SELECT vec_id, embedding::DOUBLE[] AS cv,
          CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
@@ -427,6 +429,37 @@ def ann_ivf_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ann.ivf_topk(e, queries, k=5, nprobe=3, centroids=IVF_CENTROIDS)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _trained_centroids():
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    return TRAINED_IVF_CENTROIDS
+
+
+@q("ann_ivf_trained_topk", _ann_ivf_oracle(k=5, nprobe=3, centroids=_trained_centroids()))
+def ann_ivf_trained_topk(spark, sf):
+    """IVF search with the TRAINED quantizer — the faiss
+    train→add→search lifecycle on the gated path: centroids come from
+    :func:`ann.train_ivf` (deterministic decimal-exact Lloyd's on the
+    sf0.01 corpus, persisted in ivf_centroids_trained.py; the pin
+    test re-runs the trainer and asserts byte equality), not the
+    md5-placeholder spread. Same plan as ann_ivf_topk — only the
+    quantizer literals differ, which is the point: training is an
+    offline job, search cost is invariant to where the centroids
+    came from."""
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.ivf_topk(e, queries, k=5, nprobe=3, centroids=TRAINED_IVF_CENTROIDS)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 

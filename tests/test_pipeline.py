@@ -968,6 +968,29 @@ def test_train_ivf_deterministic_and_improving(spark):
     assert d0 >= d2 >= d4
 
 
+def test_trained_ivf_centroids_match_pinned(spark):
+    """The persisted quantizer (ivf_centroids_trained.py) IS the
+    trainer's output: re-run train_ivf on the same corpus with the
+    recorded hyperparameters and require bit equality. Guards the
+    faiss-style train-once lifecycle behind ann_ivf_trained_topk —
+    a trainer change that shifts any centroid bit fails here until
+    gen_trained_centroids is re-run (keeping query and oracle
+    literals in lockstep). Also pins that training MOVED the
+    quantizer (trained != the md5-spread init it started from)."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAIN_ITERS, TRAIN_NLIST, TRAIN_SF_DIR, TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    cents = ann.train_ivf(
+        embs(spark, TRAIN_SF_DIR), nlist=TRAIN_NLIST, iters=TRAIN_ITERS
+    )
+    assert cents == TRAINED_IVF_CENTROIDS
+    assert cents != IVF_CENTROIDS
+
+
 def test_stratified_topk_partitioning_independent(spark):
     """Best-n-per-group by score: identical winners under an
     adversarial repartition; descending/ascending and null-score
