@@ -456,6 +456,14 @@ def _s_mew(df, ctx, cfg):
 def _s_coalesce(df, ctx, cfg):
     from mirabelle_spark import streaming as stx
 
+    if ctx.shards and ctx.by:
+        # keyed coalesce shards bit-exactly (per-key tick clocks);
+        # the UNKEYED form has ONE global tick clock and must stay a
+        # single state group
+        return stx.stream_coalesce_sharded(
+            df, cfg["duration"], cfg["fields"], by=list(ctx.by),
+            time_col=ctx.time_col, shards=ctx.shards,
+        )
     return stx.stream_coalesce(
         df, cfg["duration"], cfg["fields"], by=list(ctx.by),
         time_col=ctx.time_col,
@@ -585,6 +593,11 @@ stream_action("ddt-pos")(_s_ddt_any("ddt-pos", True))
 def _s_stable(df, ctx, dt, fieldname):
     from mirabelle_spark import streaming as stx
 
+    if ctx.shards:
+        return stx.stream_stable_sharded(
+            df, dt, fieldname, by=_need_by(ctx, "stable"),
+            time_col=ctx.time_col, shards=ctx.shards,
+        )
     return stx.stream_stable(
         df, dt, fieldname, by=_need_by(ctx, "stable"), time_col=ctx.time_col
     )

@@ -27,10 +27,14 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_fixed_time_window,
     stream_moving_event_window,
     stream_moving_time_window,
+    stream_coalesce_sharded,
     stream_smax,
+    stream_smax_jvm,
     stream_smin,
+    stream_smin_jvm,
     stream_ssort,
     stream_stable,
+    stream_stable_sharded,
     stream_throttle,
     stream_throttle_sharded,
     stream_zscore,

@@ -1974,3 +1974,379 @@ def stream_throttle_sharded(
         return pdf[keep]
 
     return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def stream_smax_jvm(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Pure-JVM smax tier (VERDICT r7 ask #1b): keyed streaming
+    aggregation ``max(struct(metric, -t, row))`` — scalar-struct
+    state in Spark's own state store, NO Python on the path at all.
+
+    Emission grain is the trade vs :func:`stream_smax`: the per-key
+    twin forwards the best-so-far event for EVERY input event
+    (action.clj:2742-2772's per-event Riemann semantics); this tier
+    emits one best-so-far row per key per micro-batch that touched
+    the key (update output mode) — at 1M+ hot keys that is the
+    emission grain an alert consumer can absorb anyway, and the last
+    update per key is bit-equal to the batch twin's final best
+    (parity pytest). Tie-breaks deterministically: strictly greater
+    metric wins, then the EARLIEST event (the per-key twin's
+    first-winner-on-ties rule under time-ordered arrival); a NULL
+    metric never beats a non-null one (struct ordering sorts nulls
+    lowest), diverging from the per-key twin's "a null first event
+    occupies the slot" edge.
+
+    State per key is one struct row (bounded by key cardinality, no
+    row buffers); use ``.outputMode("update")`` on the writer."""
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    tnum = (
+        F.unix_micros(F.col(time_col))
+        if is_ts
+        else F.col(time_col).cast("double")
+    )
+    best = F.max(
+        F.struct(
+            F.col(metric_col).alias("__m__"),
+            (-tnum).alias("__nt__"),
+            F.struct(*[F.col(c) for c in df.columns]).alias("__row__"),
+        )
+    ).alias("__best__")
+    return df.groupBy(*[F.col(c) for c in by]).agg(best).select("__best__.__row__.*")
+
+
+def stream_smin_jvm(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Pure-JVM smin tier: :func:`stream_smax_jvm` over the negated
+    metric, negated back (the same composition as the per-key
+    :func:`stream_smin`; -NULL = NULL so null metrics still lose)."""
+    neg = df.withColumn(metric_col, -F.col(metric_col))
+    out = stream_smax_jvm(neg, by, time_col, metric_col)
+    return out.withColumn(metric_col, -F.col(metric_col))
+
+
+def _col_json_native(series, i, j):
+    """One buffered-row column slice → JSON-able python list
+    (timestamps to isoformat — the same per-value rule as the
+    per-key twins' _row_ser, applied column-wise)."""
+    return [
+        _native(v.isoformat() if hasattr(v, "isoformat") else v)
+        for v in series.iloc[i:j]
+    ]
+
+
+def _revive_datetime_cols(bdf, like_pdf):
+    import pandas as pd
+
+    for c in like_pdf.columns:
+        if str(like_pdf[c].dtype).startswith("datetime64"):
+            bdf[c] = pd.to_datetime(bdf[c])
+    return bdf
+
+
+def stream_stable_sharded(
+    df: DataFrame,
+    dt_s: float,
+    field: str,
+    by: Sequence[str],
+    time_col: str = "time",
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_stable` (VERDICT r7
+    ask #1a): the identical per-key value-run state machine
+    (action.clj:2053-2138) through the sharded shell, with each
+    key's unconfirmed-run buffer carried as PARALLEL COLUMN ARRAYS
+    ({col: [values]}) instead of dict-per-row — the §39 micro-lesson
+    applied to row-buffer state. Python work per batch is
+    O(value-runs), not O(rows): run boundaries come from one
+    vectorized null-safe shift compare, confirmation points from
+    searchsorted, confirmed-run emission from slice coalescing (one
+    concat at the end), and only UNCONFIRMED rows (the flap buffer)
+    pay per-value JSON conversion. Bit-exact kept rows vs the
+    per-key twin (parity pytest)."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    dt_us = int(round(dt_s * 1_000_000))
+
+    def _eq(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+            return True
+        return a == b
+
+    def shard_fold(carry, ks, pdf):
+        n = len(pdf)
+        if not n:
+            return pdf
+        t = _series_us(pdf[time_col])
+        ks_arr = np.asarray(ks, dtype=object)
+        kstart = np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+        starts = np.flatnonzero(kstart)
+        ends = np.concatenate((starts[1:], [n]))
+        # out-of-order drop + running-max update per key, vectorized
+        # per segment: the slice is (key, time)-sorted so only rows
+        # below the key's STORED max can drop, and the new max is the
+        # segment's last timestamp
+        keep = np.ones(n, dtype=bool)
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            st = carry.get(ks_arr[s0])
+            if st is not None and st["s"][0] is not None:
+                keep[s0:e0] = t[s0:e0] >= st["s"][0]
+                st["s"][0] = max(st["s"][0], int(t[e0 - 1]))
+            elif st is not None:
+                st["s"][0] = int(t[e0 - 1])
+        if not keep.all():
+            pdf = pdf[keep].reset_index(drop=True)
+            ks_arr = ks_arr[keep]
+            t = t[keep]
+            n = len(pdf)
+            if not n:
+                return pdf
+            kstart = np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+            starts = np.flatnonzero(kstart)
+            ends = np.concatenate((starts[1:], [n]))
+        # run boundaries: key change OR null-safe field value change
+        fs = pdf[field]
+        same_val = (fs.eq(fs.shift()) | (fs.isna() & fs.isna().shift(fill_value=False))).to_numpy(dtype=bool)
+        run_start = kstart | ~same_val
+        rstarts = np.flatnonzero(run_start)
+        rends = np.concatenate((rstarts[1:], [n]))
+        vals = fs.tolist()
+        cols = list(pdf.columns)
+
+        parts: list = []  # ordered mix of (i, j) slices and DataFrames
+
+        def emit_slice(i, j):
+            if parts and isinstance(parts[-1], list) and parts[-1][1] == i:
+                parts[-1][1] = j  # coalesce adjacent confirmed slices
+            else:
+                parts.append([i, j])
+
+        cur_key = None
+        st = None
+        for i, j in zip(rstarts.tolist(), rends.tolist()):
+            k = ks_arr[i]
+            if k != cur_key:
+                if cur_key is not None:
+                    carry[cur_key] = st
+                st = carry.get(k)
+                if st is None:
+                    # s = [max_us, has, value, flip_us, confirmed]
+                    st = {"s": [int(t[j - 1]), False, None, None, False],
+                          "b": None}
+                    # max over the FULL key segment was set above only
+                    # for existing states; find this key's segment end
+                    e0 = ends[np.searchsorted(starts, i, side="right") - 1]
+                    st["s"][0] = int(t[e0 - 1])
+                cur_key = k
+            v = vals[i]
+            if not (st["s"][1] and _eq(v, st["s"][2])):
+                st["s"][1] = True
+                st["s"][2] = _native(v)
+                st["s"][3] = int(t[i])
+                st["s"][4] = False
+                st["b"] = None
+            if not st["s"][4]:
+                thresh = st["s"][3] + dt_us
+                kk = i + int(np.searchsorted(t[i:j], thresh, side="right"))
+                if kk == j:  # run not yet stable: buffer the segment
+                    if st["b"] is None:
+                        st["b"] = {c: [] for c in cols}
+                    for c in cols:
+                        st["b"][c].extend(_col_json_native(pdf[c], i, j))
+                else:  # confirmed at kk: flush buffer + whole segment
+                    st["s"][4] = True
+                    if st["b"] is not None and next(iter(st["b"].values())):
+                        bdf = pd.DataFrame(
+                            {c: st["b"][c] for c in cols}, columns=cols
+                        )
+                        parts.append(_revive_datetime_cols(bdf, pdf))
+                    st["b"] = None
+                    emit_slice(i, j)
+            else:
+                emit_slice(i, j)
+        if cur_key is not None:
+            carry[cur_key] = st
+        if not parts:
+            return pdf.iloc[0:0]
+        frames = [
+            pdf.iloc[p[0]:p[1]] if isinstance(p, list) else p for p in parts
+        ]
+        return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def stream_coalesce_sharded(
+    df: DataFrame,
+    duration_s: float,
+    fields: Sequence[str],
+    by: Sequence[str],
+    time_col: str = "time",
+    ttl_col: str = "ttl",
+    state_col: str = "state",
+    default_ttl_s: float = 120.0,
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_coalesce` (keyed form
+    only — the reference's UNKEYED coalesce has one global tick
+    clock and stays a single state group by definition). Identical
+    per-key recurrence (action.clj:721-791: latest event per fields
+    tuple, flush on event-time tick, event.clj:12-19 expiry), with
+    each key's buffer carried COLUMNAR and batch rows referenced by
+    POSITION until the end of the batch: the per-event loop touches
+    only scalars/tuples (tick clock, dict upsert, expiry compare) —
+    no dict-per-row serialization; JSON conversion happens once per
+    batch for the rows still buffered at its end, and emission is
+    two positional gathers (batch-sourced + carry-sourced) merged
+    back into flush order. Bit-exact emitted rows vs the per-key
+    twin (parity pytest)."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    dur_us = int(round(duration_s * 1_000_000))
+    default_ttl_us = int(round(default_ttl_s * 1_000_000))
+    has_ttl_col = ttl_col in df.columns
+    has_state_col = state_col in df.columns
+
+    def shard_fold(carry, ks, pdf):
+        n = len(pdf)
+        if not n:
+            return pdf
+        t = _series_us(pdf[time_col])
+        null_t = pdf[time_col].isna().to_numpy(dtype=bool)
+        cols = list(pdf.columns)
+        f_arrs = [pdf[f].tolist() for f in fields]
+        st_arr = pdf[state_col].tolist() if has_state_col else None
+        ttl_arr = (
+            pdf[ttl_col].to_numpy(dtype="float64", na_value=np.nan)
+            if has_ttl_col
+            else None
+        )
+
+        def batch_expired(i, ti, ct):
+            if st_arr is not None and st_arr[i] == "expired":
+                return True
+            ttl_us = default_ttl_us
+            if ttl_arr is not None and ttl_arr[i] == ttl_arr[i]:
+                ttl_us = int(round(float(ttl_arr[i]) * 1_000_000))
+            return ct - ti > ttl_us
+
+        def old_expired(store, idx, ti, ct):
+            if has_state_col and store[state_col][idx] == "expired":
+                return True
+            ttl_us = default_ttl_us
+            if has_ttl_col and store[ttl_col][idx] is not None:
+                ttl_us = int(round(float(store[ttl_col][idx]) * 1_000_000))
+            return ct - ti > ttl_us
+
+        ks_arr = np.asarray(ks, dtype=object)
+        emit: list = []  # (src 0=batch/1=old_of_key, row idx, store ref)
+        live: dict = {}  # key -> [ct, lt, buf{ftk: [src, idx, t_us]}, store]
+
+        def _load(k):
+            got = live.get(k)
+            if got is not None:
+                return got
+            c = carry.get(k)
+            if c is None:
+                cur = [0, None, {}, None]
+            else:
+                store = c["bc"]
+                buf = {
+                    fk: [1, x, c["bt"][x]] for x, fk in enumerate(c["bf"])
+                }
+                cur = [c["ct"], c["lt"], buf, store]
+            live[k] = cur
+            return cur
+
+        cur_key = None
+        cur = None
+        for i in range(n):
+            if null_t[i]:
+                continue
+            k = ks_arr[i]
+            if k != cur_key:
+                cur = _load(k)
+                cur_key = k
+            ti = int(t[i])
+            if ti > cur[0]:
+                cur[0] = ti
+            if batch_expired(i, ti, cur[0]):
+                continue
+            ftk = _json.dumps([_native(a[i]) for a in f_arrs])
+            buf = cur[2]
+            ent = buf.get(ftk)
+            # e/most-recent?: the stored event wins ties
+            if ent is None or ent[2] < ti:
+                buf[ftk] = [0, i, ti]
+            if cur[1] is None:
+                cur[1] = ti
+            elif cur[0] >= cur[1] + dur_us:
+                alive = {}
+                for fk, e in buf.items():
+                    if e[0] == 0:
+                        dead = batch_expired(e[1], e[2], cur[0])
+                    else:
+                        dead = old_expired(cur[3], e[1], e[2], cur[0])
+                    if not dead:
+                        alive[fk] = e
+                        emit.append((e[0], e[1], cur[3]))
+                cur[2] = alive
+                cur[1] = cur[0]
+        # rebuild each touched key's carry: surviving buffer rows go
+        # columnar (batch-sourced rows pay JSON conversion HERE, once)
+        for k, cur in live.items():
+            buf = cur[2]
+            if not buf:
+                carry[k] = {"ct": cur[0], "lt": cur[1], "bf": [], "bt": [],
+                            "bc": {c: [] for c in cols}}
+                continue
+            bf, bt = [], []
+            bc: dict = {c: [] for c in cols}
+            for fk, e in buf.items():
+                bf.append(fk)
+                bt.append(e[2])
+                if e[0] == 0:
+                    i = e[1]
+                    for c in cols:
+                        bc[c].append(_col_json_native(pdf[c], i, i + 1)[0])
+                else:
+                    store = cur[3]
+                    for c in cols:
+                        bc[c].append(store[c][e[1]])
+            carry[k] = {"ct": cur[0], "lt": cur[1], "bf": bf, "bt": bt, "bc": bc}
+        if not emit:
+            return pdf.iloc[0:0]
+        b_pos = [p for p, e in enumerate(emit) if e[0] == 0]
+        o_pos = [p for p, e in enumerate(emit) if e[0] == 1]
+        frames = []
+        if b_pos:
+            frames.append(pdf.iloc[[emit[p][1] for p in b_pos]])
+        if o_pos:
+            odf = pd.DataFrame(
+                {c: [emit[p][2][c][emit[p][1]] for p in o_pos] for c in cols},
+                columns=cols,
+            )
+            frames.append(_revive_datetime_cols(odf, pdf))
+        if len(frames) == 1:
+            return frames[0]
+        out = pd.concat(frames, ignore_index=True)
+        # concat row q holds emit position (b_pos+o_pos)[q]; restore
+        # flush order by sorting rows on that position
+        return out.iloc[np.argsort(np.asarray(b_pos + o_pos), kind="stable")]
+
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)

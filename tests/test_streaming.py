@@ -2470,3 +2470,205 @@ def test_stream_changed_sharded_rejects_interval(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="interval"):
         core.stream_changed_sharded(df, "gap", by=["host"], time_col="time")
+
+
+def _two_batch_runner(spark, tmp_path, df, split_pred, tag):
+    """Write df as two parquet files (two micro-batches under
+    maxFilesPerTrigger=1) and return a run(fn_builder, name) helper."""
+    src_dir = str(tmp_path / f"{tag}_in")
+    df.where(split_pred).coalesce(1).write.mode("append").parquet(src_dir)
+    df.where(f"NOT ({split_pred})").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(build, name, mode="append"):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            build(stream).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode(mode).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    return run
+
+
+def test_stream_stable_sharded_parity(spark, tmp_path):
+    """Columnar-carry sharded stable emits exactly the per-key twin's
+    rows: flapping runs (unconfirmed buffers dropped), confirmation
+    inside and across the micro-batch boundary, buffer flushes whose
+    rows came from the PREVIOUS batch, and null field values."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    # deterministic varied run lengths per host; dt=5s, events 2s apart
+    for h in range(60):
+        seq = []
+        x = h * 2654435761 % 97
+        for i in range(16):
+            x = (x * 1103515245 + 12345) % 97
+            seq.append(None if x % 13 == 7 else ("up" if x % 3 else "down"))
+        for i, v in enumerate(seq):
+            rows.append((eid, f"h{h:02d}", float(i * 2), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, status string"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    run = _two_batch_runner(spark, tmp_path, df, "event_id % 16 < 9", "sts")
+    per = sorted(
+        r.event_id
+        for r in run(lambda s: core.stream_stable(s, 5.0, "status", by=["host"],
+                                                  time_col="time"), "sts_pk")
+    )
+    shd = sorted(
+        r.event_id
+        for r in run(lambda s: core.stream_stable_sharded(
+            s, 5.0, "status", by=["host"], time_col="time", shards=4), "sts_sh")
+    )
+    assert shd == per
+    assert 0 < len(per) < len(rows)
+
+
+def test_stream_stable_sharded_out_of_order_drop(spark, tmp_path):
+    """Rows behind a key's running-max clock drop in BOTH tiers (the
+    reference's out-of-order rule), exercised across the batch
+    boundary: batch 2 opens with times before batch 1's max."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = [
+        # (eid, host, t, status) — batch 1: eid<4, batch 2: rest
+        (0, "a", 0.0, "up"), (1, "a", 10.0, "up"), (2, "a", 20.0, "up"),
+        (3, "b", 50.0, "ok"),
+        (4, "a", 5.0, "up"),   # behind a's max=20 -> dropped
+        (5, "a", 25.0, "up"),  # advances
+        (6, "b", 40.0, "ok"),  # behind b's max=50 -> dropped
+        (7, "b", 60.0, "ok"),  # confirms b's run
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, status string"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    run = _two_batch_runner(spark, tmp_path, df, "event_id < 4", "sto")
+    per = sorted(r.event_id for r in run(
+        lambda s: core.stream_stable(s, 5.0, "status", by=["host"],
+                                     time_col="time"), "sto_pk"))
+    shd = sorted(r.event_id for r in run(
+        lambda s: core.stream_stable_sharded(s, 5.0, "status", by=["host"],
+                                             time_col="time", shards=2), "sto_sh"))
+    assert shd == per
+    assert 4 not in per and 6 not in per
+
+
+def test_stream_coalesce_sharded_parity(spark, tmp_path):
+    """Columnar-carry sharded coalesce emits exactly the per-key
+    twin's rows (same multiset — a kept row re-emits on every tick it
+    survives): latest-per-fields election with stored-wins ties, the
+    event-time tick clock, ttl and state=='expired' expiry, and
+    carry-sourced re-emission from the previous batch."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for h in range(40):
+        for i in range(12):
+            svc = f"s{(h * 7 + i * 3) % 4}"
+            state = "expired" if (h + i) % 11 == 5 else "ok"
+            ttl = None if i % 3 else 25.0
+            rows.append((eid, f"h{h:02d}", svc, state, ttl, float(i * 4)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, host string, service string, state string, "
+        "ttl double, t double",
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    run = _two_batch_runner(spark, tmp_path, df, "event_id % 12 < 7", "cls")
+
+    def counts(rows_):
+        out = {}
+        for r in rows_:
+            out[r.event_id] = out.get(r.event_id, 0) + 1
+        return out
+
+    per = counts(run(lambda s: core.stream_coalesce(
+        s, 10.0, ["service"], by=["host"], time_col="time"), "cls_pk"))
+    shd = counts(run(lambda s: core.stream_coalesce_sharded(
+        s, 10.0, ["service"], by=["host"], time_col="time", shards=4), "cls_sh"))
+    assert shd == per
+    assert per and max(per.values()) >= 2  # re-emission actually exercised
+
+
+def test_stream_smax_jvm_final_best_matches_batch(spark, tmp_path):
+    """The pure-JVM smax tier (update-mode max(struct(metric,-t,row))
+    aggregation): the best-so-far row it converges to per key is
+    bit-equal to the per-key twin's FINAL emission (and the batch
+    smax's last row) — the per-event emission grain is the documented
+    trade. Also smin via negation."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.operators import stateful as st
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for h in range(30):
+        x = h + 3
+        for i in range(10):
+            x = (x * 48271) % 99991
+            v = None if (h + i) % 17 == 4 else float(x % 1000)
+            rows.append((eid, f"h{h:02d}", float(i * 2), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    run = _two_batch_runner(spark, tmp_path, df, "event_id % 10 < 5", "sxj")
+
+    def final_best(rows_, flip=1.0):
+        best = {}
+        for r in rows_:
+            key = r.host
+            cand = (
+                -float("inf") if r.metric is None else flip * r.metric,
+                -r.time.timestamp(),
+                r.event_id,
+            )
+            if key not in best or cand > best[key][0]:
+                best[key] = (cand, r)
+        return {k: (v[1].event_id, v[1].metric) for k, v in best.items()}
+
+    # per-key twin: last emission per key is its final best
+    per_rows = run(lambda s: core.stream_smax(
+        s, by=["host"], time_col="time"), "sxj_pk")
+    jvm_rows = run(lambda s: core.stream_smax_jvm(
+        s, by=["host"], time_col="time"), "sxj_jvm", mode="update")
+    assert final_best(jvm_rows) == final_best(per_rows)
+    # and both equal the batch twin's final row per key
+    batch = st.smax(df, by=["host"], time_col="time")
+    last = {
+        r.host: (r.event_id, r.metric)
+        for r in batch.orderBy("time").collect()
+    }
+    assert final_best(jvm_rows) == last
+    # emission volume: at most one row per key per batch (2 batches)
+    from collections import Counter
+
+    c = Counter(r.host for r in jvm_rows)
+    assert max(c.values()) <= 2 and len(jvm_rows) < len(per_rows)
+
+    smin_rows = run(lambda s: core.stream_smin_jvm(
+        s, by=["host"], time_col="time"), "sxj_jmin", mode="update")
+    per_min = run(lambda s: core.stream_smin(
+        s, by=["host"], time_col="time"), "sxj_pmin")
+    assert final_best(smin_rows, flip=-1.0) == final_best(per_min, flip=-1.0)

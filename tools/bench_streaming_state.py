@@ -10,8 +10,12 @@ Measures events/s through one availableNow pass for each mode:
   tws              transformWithStateInPandas ewma prototype (needs
                    the google.protobuf package; import-gated)
   cond_dt[_sharded], changed[_sharded], ddt[_sharded],
-  zscore[_sharded], throttle[_sharded], coalesce
-                   the other keyed twins, per-key and sharded
+  zscore[_sharded], throttle[_sharded], coalesce[_sharded],
+  stable[_sharded]  the other keyed twins, per-key and sharded
+                    (r8: the row-buffer twins stable/coalesce shard
+                    with columnar carries)
+  smax / smax_jvm   per-key row state vs the pure-JVM max_by tier
+                    (update mode; per-batch emission grain)
 
 Usage:
   python tools/bench_streaming_state.py [--events 1000000]
@@ -211,6 +215,38 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
         from mirabelle_spark.streaming import stream_ddt_sharded
 
         out = stream_ddt_sharded(stream, by=["host"], time_col="time", shards=shards)
+    elif mode in ("stable", "stable_sharded"):
+        # status flips when the metric ramp crosses the threshold —
+        # long confirmed runs (the steady-state fast path) with
+        # periodic flaps that exercise the buffer machinery
+        st = stream.withColumn(
+            "status", F.when(F.col("metric") > 70.0, "hi").otherwise("lo")
+        )
+        if mode == "stable":
+            from mirabelle_spark.streaming import stream_stable
+
+            out = stream_stable(st, 5.0, "status", by=["host"], time_col="time")
+        else:
+            from mirabelle_spark.streaming import stream_stable_sharded
+
+            out = stream_stable_sharded(
+                st, 5.0, "status", by=["host"], time_col="time", shards=shards
+            )
+    elif mode == "coalesce_sharded":
+        from mirabelle_spark.streaming import stream_coalesce_sharded
+
+        out = stream_coalesce_sharded(
+            stream, 60.0, fields=["host"], by=["host"], time_col="time",
+            shards=shards,
+        )
+    elif mode == "smax":
+        from mirabelle_spark.streaming import stream_smax
+
+        out = stream_smax(stream, by=["host"], time_col="time")
+    elif mode == "smax_jvm":
+        from mirabelle_spark.streaming import stream_smax_jvm
+
+        out = stream_smax_jvm(stream, by=["host"], time_col="time")
     else:
         raise SystemExit(f"unknown mode {mode}")
 
@@ -225,7 +261,7 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
     q = (
         out.writeStream.format("noop")
         .option("checkpointLocation", ck)
-        .outputMode("update" if mode == "jvm" else "append")
+        .outputMode("update" if mode in ("jvm", "smax_jvm") else "append")
         .trigger(availableNow=True)
         .start()
     )
