@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "ann_sq_topk",            # SQ8 compressed scan
     "ann_ivfpq_topk",         # IVF-PQ: cell pruning x ADC scan
     "video_frame_sample",     # Arrow-batched container parse
+    # r8 additions
+    "ann_ivf_trained_topk",   # IVF with the TRAINED quantizer (same plan shape)
 ]
 
 
@@ -134,6 +136,9 @@ def main() -> None:
         sf1_queries = [
             "dedup_clusters", "ngram_jaccard_pairs", "ann_ivf_topk",
             "minhash_lsh_pairs", "revenue_by_nation", "simhash_pairs",
+            # r7 additions (VERDICT r7 ask #6)
+            "ann_ivfpq_topk", "token_chunks_docs", "ann_sq_topk",
+            "linear_quality_docs", "video_frame_sample", "soft_dedup_docs",
         ]
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}

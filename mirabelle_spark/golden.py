@@ -119,11 +119,67 @@ def _norm(v: Any) -> Any:
     return v
 
 
+def _stream_from_events(spark: SparkSession, rows: list[dict], src_dir: str):
+    """File-source streaming twin of :func:`_df_from_events`: the
+    same rows as JSON lines → readStream with the identical schema.
+    One file here means one micro-batch — the dual-mode runner's
+    point is streaming-twin dispatch + sink semantics (the per-twin
+    cross-batch state tests live in test_streaming.py)."""
+    import json
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, "input.json"), "w") as f:
+        for i, r in enumerate(rows):
+            f.write(json.dumps({
+                "time_s": float(r["time"]) if r.get("time") is not None else None,
+                "metric": float(r["metric"]) if r.get("metric") is not None else None,
+                "host": r.get("host"),
+                "service": r.get("service"),
+                "state": r.get("state"),
+                "tags": r.get("tags"),
+                "ttl": float(r["ttl"]) if r.get("ttl") is not None else None,
+                "seq": i,
+            }) + "\n")
+    stream = (
+        spark.readStream.format("json")
+        .schema(
+            "time_s double, metric double, host string, service string, "
+            "state string, tags array<string>, ttl double, seq bigint"
+        )
+        .load(src_dir)
+    )
+    return stream.withColumn("time", F.timestamp_seconds("time_s")).drop("time_s")
+
+
+_DUAL_SEQ = [0]  # unique memory-sink names across a session's runs
+
+
+def _collect_tap_streaming(spark, tap_df) -> list:
+    """Drain one streaming tap through an availableNow memory sink.
+    Aggregation taps (windowed/sessionized `Aggregate` in the
+    analyzed plan) run in COMPLETE mode — append only emits windows
+    the watermark has sealed, which on a finite input silently drops
+    the final window/session (it wouldn't raise, it would just lose
+    rows); everything else (per-event twins, keyed state) appends —
+    the same mode split the dual-mode parity tests apply by hand."""
+    from mirabelle_spark.streaming.core import to_memory
+
+    _DUAL_SEQ[0] += 1
+    name = f"golden_dual_{_DUAL_SEQ[0]}"
+    plan = tap_df._jdf.queryExecution().analyzed().toString()
+    mode = "complete" if "Aggregate" in plan else "append"
+    q = to_memory(tap_df, name, output_mode=mode)
+    q.awaitTermination(300)
+    return spark.sql(f"select * from {name}").collect()
+
+
 def launch_tests(
     spark: SparkSession,
     stream_dirs: list[str],
     test_dirs: list[str],
     custom_actions: dict | None = None,
+    mode: str = "batch",
 ) -> str:
     """The reference's product test runner (test.clj:41-90 /
     ``mirabelle test``): stream configs and test cases load from
@@ -144,6 +200,11 @@ def launch_tests(
     ``:custom-actions`` config (test.clj:52-54 wires e.g.
     ``{:custom where*}``); entries shadow built-in actions for the
     duration of the run.
+
+    ``mode``: ``"batch"`` (the reference runner's shape),
+    ``"streaming"`` (the same trees compiled over an availableNow
+    file source, dispatching to the streaming twins), or ``"dual"``
+    (every case must pass BOTH — errors name the failing mode).
     """
     import json
     import os
@@ -175,7 +236,8 @@ def launch_tests(
     tests = read_dirs(test_dirs)
     errors: list[str] = []
     try:
-        _run_tests(spark, streams, tests, errors)
+        for m in ("batch", "streaming") if mode == "dual" else (mode,):
+            _run_tests(spark, streams, tests, errors, mode=m)
     finally:
         for cname, old in shadowed.items():
             if old is None:
@@ -189,10 +251,19 @@ def launch_tests(
     return f"{len(errors)} errors\n" + "\n\n----\n\n".join(errors)
 
 
-def _run_tests(spark, streams: dict, tests: dict, errors: list[str]) -> None:
+def _run_tests(
+    spark, streams: dict, tests: dict, errors: list[str], mode: str = "batch"
+) -> None:
+    import tempfile
+
+    label = "" if mode == "batch" else f" ({mode})"
     for test_name, cfg in tests.items():
         try:
-            df = _df_from_events(spark, cfg["input"])
+            if mode == "streaming":
+                src = tempfile.mkdtemp(prefix=f"golden_{test_name}_")
+                df = _stream_from_events(spark, cfg["input"], src)
+            else:
+                df = _df_from_events(spark, cfg["input"])
             target = cfg.get("target")
             if target:
                 run = {target: streams[target]}
@@ -201,7 +272,11 @@ def _run_tests(spark, streams: dict, tests: dict, errors: list[str]) -> None:
             taps: dict[str, Any] = {}
             for _, stream_cfg in run.items():
                 ctx = compile_stream(
-                    df, stream_cfg["actions"], Ctx(order_cols=("seq",), test_mode=True)
+                    df,
+                    stream_cfg["actions"],
+                    Ctx(streaming=True, test_mode=True)
+                    if mode == "streaming"
+                    else Ctx(order_cols=("seq",), test_mode=True),
                 )
                 for tap_name, tap_df in ctx.taps.items():
                     taps[tap_name] = (
@@ -210,7 +285,12 @@ def _run_tests(spark, streams: dict, tests: dict, errors: list[str]) -> None:
                         else tap_df
                     )
             for tap_name, expected in cfg.get("taps", {}).items():
-                got_rows = taps[tap_name].collect() if tap_name in taps else []
+                if tap_name not in taps:
+                    got_rows = []
+                elif mode == "streaming":
+                    got_rows = _collect_tap_streaming(spark, taps[tap_name])
+                else:
+                    got_rows = taps[tap_name].collect()
                 got = [
                     {k: _norm(v) for k, v in r.asDict().items() if v is not None}
                     for r in got_rows
@@ -219,8 +299,10 @@ def _run_tests(spark, streams: dict, tests: dict, errors: list[str]) -> None:
                 matched = not _multiset_mismatches(got, exp)
                 if not matched:
                     errors.append(
-                        f"Error in test :{test_name}\nInvalid result for tap "
-                        f"{tap_name}\nExpected:\n\n{exp}\n\nActual:\n\n{got}"
+                        f"Error in test :{test_name}{label}\nInvalid result for "
+                        f"tap {tap_name}\nExpected:\n\n{exp}\n\nActual:\n\n{got}"
                     )
         except Exception as e:  # noqa: BLE001 - mirror :type :exception
-            errors.append(f"Error in test :{test_name}\nException during test\n{e}")
+            errors.append(
+                f"Error in test :{test_name}{label}\nException during test\n{e}"
+            )

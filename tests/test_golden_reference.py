@@ -463,11 +463,14 @@ def test_multiset_matcher_consumes_rows():
 def test_launch_tests_directory_runner(spark):
     """test_test.clj:7-19 ported: the directory-based product runner
     over the JSON mirror of test/resources/test/{successful,failed}.
-    The successful corpus passes wholesale (t1/t2 use the ignored
-    :tap-results key, exactly like the reference); the failed corpus
-    reports 1 error naming :t2. :custom resolves through
-    custom_actions to the where compiler (:custom-actions
-    {:custom where*})."""
+    The successful corpus passes wholesale IN BOTH MODES (r8, VERDICT
+    r7 ask #8): mode="dual" runs every case batch AND availableNow-
+    streaming — every action in the corpus (custom/where/by/
+    sessionize/zscore/tap) has a streaming twin, so the same trees
+    and the same expectations must hold under twin dispatch. The
+    failed corpus reports one error per mode, each naming :t2 and
+    the mode that failed. :custom resolves through custom_actions to
+    the where compiler (:custom-actions {:custom where*})."""
     import os
 
     from mirabelle_spark.golden import launch_tests
@@ -481,6 +484,7 @@ def test_launch_tests_directory_runner(spark):
         [os.path.join(base, "successful", "streams")],
         [os.path.join(base, "successful", "tests")],
         custom_actions=custom,
+        mode="dual",
     )
     assert ok == "All tests successful"
 
@@ -489,9 +493,11 @@ def test_launch_tests_directory_runner(spark):
         [os.path.join(base, "failed", "streams")],
         [os.path.join(base, "failed", "tests")],
         custom_actions=custom,
+        mode="dual",
     )
-    assert "1 errors" in bad
-    assert "in test :t2" in bad
+    assert "2 errors" in bad
+    assert "in test :t2\n" in bad
+    assert "in test :t2 (streaming)\n" in bad
     # the custom-action shadow is restored after the run
     from mirabelle_spark.plans.builder import _ACTIONS
 

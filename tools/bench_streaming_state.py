@@ -278,6 +278,30 @@ def main() -> None:
     ap.add_argument("--modes", default="jvm,apws,sharded,tws")
     args = ap.parse_args()
 
+    if "tws" in args.modes:
+        # transformWithStateInPandas speaks protobuf to the JVM state
+        # server; this container has no google.protobuf package, but
+        # the gcloud SDK's App Engine dir bundles a pure-python
+        # runtime. The sitecustomize shim (tools/tws_pythonpath)
+        # inserts it and relaxes the gencode-minor-version check —
+        # set PYTHONPATH BEFORE the session so every python worker
+        # inherits it, and import it here for the driver process.
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            shim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tws_pythonpath")
+            os.environ["PYTHONPATH"] = shim + (
+                os.pathsep + os.environ["PYTHONPATH"]
+                if os.environ.get("PYTHONPATH") else ""
+            )
+            sys.path.insert(0, shim)
+            try:
+                import sitecustomize  # noqa: F401
+                from google.protobuf import descriptor  # noqa: F401
+            except ImportError:
+                pass
+
     spark = make_spark(args.cpus)
     spark.sparkContext.setLogLevel("WARN")
     work = tempfile.mkdtemp(prefix="bench_state_")
