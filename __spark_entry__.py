@@ -40,7 +40,7 @@ GATE_PRIORITY = [
     "neardup_degree_histogram", "soft_dedup_docs", "corpus_split_docs",
     "search_quality_docs", "doc_length_profile", "split_token_budget",
     # (b) added / implementation changed in round 8
-    "ann_ivf_trained_topk",
+    "ann_ivf_trained_topk", "ann_pq_trained_topk",
     # (c) last gated r5
     "where_basic", "over_filter", "tagged_all", "split_routing",
     "tag_untag", "fixed_time_window_ids", "fixed_event_window_ids",
@@ -57,11 +57,12 @@ GATE_PRIORITY = [
     "increment_metric", "decrement_metric", "sformat_label",
     "to_string_field", "base64_roundtrip", "from_json_props",
     "rename_keys_proj", "keep_keys_proj", "sdissoc_proj",
-    "iterate_on_explode", "extract_nested",
+    "iterate_on_explode",
 ]
 
 # Round-9 rotation note: still last-gated-r6 after this round's gate
-# (the r6-cohort tail that did not fit the 50): sflatten_roundtrip,
+# (the r6-cohort tail that did not fit the 50): extract_nested,
+# sflatten_roundtrip,
 # agg_sum_hourly, agg_sum_delayed_hourly, agg_mean_hourly,
 # agg_top_event, agg_bottom_event, agg_rate_hourly,
 # coll_count_hourly, coll_max_hourly, coll_min_hourly,

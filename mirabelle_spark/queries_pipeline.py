@@ -463,17 +463,20 @@ def ann_ivf_trained_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-def _pq_oracle_parts() -> dict:
+def _pq_oracle_parts(codebooks=None) -> dict:
     """Shared SQL fragments for the PQ/IVF-PQ oracles. Every squared
     distance is the same UNROLLED left-associated sum of the same
     repr() double literals as the Spark side — DuckDB's list_reduce
     is NOT a plain left fold (measured: 1-ulp divergence on some
     subspaces), so the oracles never use it. Each distance is
     projected once in a wide CTE, then argmin / LUT / score only
-    reference those columns."""
+    reference those columns. ``codebooks`` defaults to the fixed
+    PQ_CODEBOOKS; pass the trained books for the trained query."""
     from mirabelle_spark.pipeline.pq_codebooks import (
-        PQ_CODEBOOKS, PQ_M, PQ_SUBDIM,
+        PQ_CODEBOOKS as _FIXED, PQ_M, PQ_SUBDIM,
     )
+
+    PQ_CODEBOOKS = _FIXED if codebooks is None else codebooks
 
     def dlit(v: float) -> str:
         # exponent suffix forces DuckDB to parse the literal
@@ -518,8 +521,8 @@ def _pq_oracle_parts() -> dict:
     return dict(ddefs=ddefs, codes=codes, qdefs=qdefs, luts=luts, score=score)
 
 
-def _ann_pq_oracle(k: int = 5) -> str:
-    parts = _pq_oracle_parts()
+def _ann_pq_oracle(k: int = 5, codebooks=None) -> str:
+    parts = _pq_oracle_parts(codebooks)
     ddefs, codes = parts["ddefs"], parts["codes"]
     qdefs, luts, score = parts["qdefs"], parts["luts"], parts["score"]
     return f"""
@@ -553,6 +556,34 @@ def ann_pq_topk(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann.pq_topk(e, queries, PQ_CODEBOOKS, k=5)
+
+
+def _trained_pq_books():
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+
+    return TRAINED_PQ_CODEBOOKS
+
+
+@q("ann_pq_trained_topk", _ann_pq_oracle(k=5, codebooks=_trained_pq_books()))
+def ann_pq_trained_topk(spark, sf):
+    """PQ ADC top-k with codebooks trained by the ENGINE'S OWN
+    relational trainer (:func:`ann.train_pq`, decimal-exact Lloyd's
+    per subspace on the sf0.01 corpus, persisted in
+    pq_codebooks_trained.py with a byte-equality pin test) — the
+    second half of the faiss train→add→search lifecycle on the gated
+    path, next to ann_ivf_trained_topk. Identical plan to
+    ann_pq_topk; only the codebook literals differ."""
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.pq_topk(e, queries, TRAINED_PQ_CODEBOOKS, k=5)
 
 
 

@@ -991,6 +991,25 @@ def test_trained_ivf_centroids_match_pinned(spark):
     assert cents != IVF_CENTROIDS
 
 
+def test_trained_pq_codebooks_match_pinned(spark):
+    """Same pin contract for the PQ half (ann_pq_trained_topk):
+    re-running train_pq with the recorded hyperparameters must
+    reproduce pq_codebooks_trained.py bit-for-bit, and differ from
+    the older offline-kmeans books."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAIN_ITERS, TRAIN_K, TRAIN_M, TRAIN_SF_DIR, TRAINED_PQ_CODEBOOKS,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    books = ann.train_pq(
+        embs(spark, TRAIN_SF_DIR), m=TRAIN_M, k=TRAIN_K, iters=TRAIN_ITERS
+    )
+    assert books == TRAINED_PQ_CODEBOOKS
+    assert books != PQ_CODEBOOKS
+
+
 def test_stratified_topk_partitioning_independent(spark):
     """Best-n-per-group by score: identical winners under an
     adversarial repartition; descending/ascending and null-score
