@@ -251,16 +251,19 @@ def ivf_write_index(
     scan opens only the ``nprobe``/``nlist`` fraction of the files
     (see :func:`ivf_probe_index` and the plan-shape test pinning
     ``PartitionFilters``). Store once, probe forever; re-quantization
-    only on centroid retrain.
+    only on centroid retrain. One writer per cell (see
+    :func:`ivfpq_write_index` — same layout rationale).
     """
     c = corpus.withColumn("__cv__", as_double_vec(F.col(vec_col)))
     assigned = _cell_assign(c, centroids).drop("__cv__")
-    assigned.write.mode("overwrite").partitionBy("__cell__").parquet(path)
+    assigned.repartition(F.col("__cell__")).write.mode("overwrite").partitionBy(
+        "__cell__"
+    ).parquet(path)
 
 
 def ivf_probe_index(
     queries: DataFrame,
-    path: str,
+    path,
     centroids: list[list[float]],
     k: int = 5,
     nprobe: int = 4,
@@ -278,18 +281,26 @@ def ivf_probe_index(
     broadcast-size work) — and pushed into the scan as a literal
     ``__cell__ IN (...)`` partition filter, so pruning is static and
     visible in the plan (``PartitionFilters``). Files in unprobed
-    cells are never opened.
+    cells are never opened. ``path`` also accepts a pre-opened index
+    DataFrame, and the top-k exchange is sized to the query batch —
+    the same warm-probe amortizations as :func:`ivfpq_probe_index`
+    (PERF §42).
     """
     spark = queries.sparkSession
     probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
     cells = sorted(
         r["__cell__"] for r in probes.select("__cell__").distinct().collect()
     )
-    idx = spark.read.parquet(path).filter(F.col("__cell__").isin(cells))
+    idx = spark.read.parquet(path) if isinstance(path, str) else path
+    idx = idx.filter(F.col("__cell__").isin(cells))
     cand = idx.withColumn("__cv__", as_double_vec(F.col(vec_col))).join(
         F.broadcast(probes), "__cell__"
     )
     scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
+    # size the top-k exchange to probe-batch scale, not the session
+    # default (32+ tasks over a few thousand candidate rows is pure
+    # scheduling overhead — PERF §42)
+    scored = scored.repartition(16, F.col(query_id_col))
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
