@@ -126,6 +126,15 @@ def mapping_of(kv: Validator, vv: Validator | None = None):
     return check
 
 
+def one_of(*allowed):
+    def check(v):
+        if v not in allowed:
+            return f"expected one of {allowed!r}, got {v!r}"
+        return None
+
+    return check
+
+
 def any_value(v):
     return None
 
@@ -348,8 +357,14 @@ SPECS: dict[str, Sig] = {
                                      opt={"init": any_value}))),
     "ddt": Sig(),
     "ddt-pos": Sig(),
-    "smax": Sig(),
-    "smin": Sig(),
+    # optional config is a BEYOND-REFERENCE streaming knob:
+    # {"emission": "per-batch"} routes to the pure-JVM max_by tier
+    # (one best-so-far per key per micro-batch, update mode) instead
+    # of the per-event twin — the 1M-key scale path (PERF §43)
+    "smax": Sig(optional=(("config", config(
+        {}, opt={"emission": one_of("per-event", "per-batch")})),)),
+    "smin": Sig(optional=(("config", config(
+        {}, opt={"emission": one_of("per-event", "per-batch")})),)),
     "above-dt": Sig(("config", config({"threshold": number, **_DUR}))),
     "below-dt": Sig(("config", config({"threshold": number, **_DUR}))),
     "between-dt": Sig(("config", config({"low": number, "high": number,

@@ -2672,3 +2672,46 @@ def test_stream_smax_jvm_final_best_matches_batch(spark, tmp_path):
     per_min = run(lambda s: core.stream_smin(
         s, by=["host"], time_col="time"), "sxj_pmin")
     assert final_best(smin_rows, flip=-1.0) == final_best(per_min, flip=-1.0)
+
+
+def test_dsl_smax_emission_per_batch_routes_jvm_tier(spark, tmp_path):
+    """`smax {"emission": "per-batch"}` in a streaming tree compiles
+    to the pure-JVM max_by tier (an Aggregate plan, zero Python);
+    default params keep the per-event twin (keyed-state plan). The
+    spec rejects unknown emission values, and the batch compile
+    accepts (and ignores) the knob."""
+    import pytest as _pytest
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0, 5.0)], "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+    src_dir = str(tmp_path / "sxe_in")
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+
+    def tree(params):
+        return {"action": "by", "params": [{"fields": ["host"]}],
+                "children": [{"action": "smax", "params": params,
+                              "children": [{"action": "tap", "params": ["s"]}]}]}
+
+    ctx = compile_stream(stream, tree([{"emission": "per-batch"}]),
+                         Ctx(streaming=True, test_mode=True))
+    plan = ctx.taps["s"]._jdf.queryExecution().analyzed().toString()
+    assert "Aggregate" in plan  # JVM max_by tier, no Python eval node
+    assert "FlatMapGroupsInPandas" not in plan
+
+    ctx2 = compile_stream(stream, tree([]), Ctx(streaming=True, test_mode=True))
+    plan2 = ctx2.taps["s"]._jdf.queryExecution().analyzed().toString()
+    assert "Aggregate" not in plan2  # per-event keyed-state twin
+
+    with _pytest.raises(InvalidActionParams, match="emission"):
+        compile_stream(stream, tree([{"emission": "bogus"}]),
+                       Ctx(streaming=True, test_mode=True))
+
+    # batch compile accepts the knob and stays the per-event window op
+    bctx = compile_stream(df, tree([{"emission": "per-batch"}]),
+                          Ctx(order_cols=("event_id",), test_mode=True))
+    assert bctx.taps["s"].collect()[0].metric == 5.0
