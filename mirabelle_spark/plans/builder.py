@@ -64,8 +64,9 @@ class Ctx:
     (set per-fork via ``by``'s ``{"shards": N}`` config key, or
     session-wide here) flips the twins that have a sharded form
     (ewma, the cond-dt family, changed, ddt/ddt-pos, zscore,
-    throttle) to shard-mapped keyed state — the high-cardinality
-    shape, PERF §39; None keeps per-key state."""
+    throttle; r8 adds stable and KEYED coalesce via columnar
+    carries) to shard-mapped keyed state — the high-cardinality
+    shape, PERF §39/§43; None keeps per-key state."""
 
     by: tuple[str, ...] = ()
     time_col: str = "time"
