@@ -1376,7 +1376,10 @@ def stream_zscore(
                 for t, a, b in d["b"]
             )
             s1, s2 = Decimal(d["s1"]), Decimal(d["s2"])
-            c1, c2 = d["c1"], d["c2"]
+            # pre-r8 checkpoints carried no term counters: every
+            # stored term was non-NULL then, so recompute from buf
+            c1 = d.get("c1", sum(1 for _, a, _b in buf if a is not None))
+            c2 = d.get("c2", sum(1 for _, _a, b in buf if b is not None))
         else:
             buf, s1, s2, c1, c2 = deque(), Decimal(0), Decimal(0), 0, 0
         t = _series_us(pdf[time_col])
@@ -1867,8 +1870,9 @@ def stream_zscore_sharded(
                     ],
                     Decimal(st["s1"]),
                     Decimal(st["s2"]),
-                    st["c1"],
-                    st["c2"],
+                    # pre-r8 carries had no counters (no NULL terms then)
+                    st.get("c1", sum(1 for e in st["b"] if e[1] is not None)),
+                    st.get("c2", sum(1 for e in st["b"] if e[2] is not None)),
                 ]
             live[k] = c
             return c
