@@ -143,11 +143,18 @@ def main() -> None:
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
         for name in sf1_queries:
+            base = timings.get(name)
+            if base is None:
+                # sf1-only entry (not in the headline set): take its
+                # sf0.1 reference timing here, single run
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                base = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             sf1_timings[name] = dt
-            ratios[name] = round(dt / timings[name], 2)
+            ratios[name] = round(dt / base, 2)
             print(f"# sf1 {name}: {dt:.3f}s ({ratios[name]}x sf0.1)",
                   file=sys.stderr)
         payload["sf1"] = {

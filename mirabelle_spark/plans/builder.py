@@ -439,20 +439,25 @@ def _s_ftw(df, ctx, cfg):
 def _s_few(df, ctx, cfg):
     from mirabelle_spark import streaming as stx
 
-    return stx.stream_fixed_event_window(
-        df, cfg["size"], by=_need_by(ctx, "fixed-event-window"),
-        time_col=ctx.time_col, fork_ttl_s=cfg.get("fork-ttl"),
-    )
+    kw = dict(by=_need_by(ctx, "fixed-event-window"), time_col=ctx.time_col,
+              fork_ttl_s=cfg.get("fork-ttl"))
+    if ctx.shards:
+        return stx.stream_fixed_event_window_sharded(
+            df, cfg["size"], shards=ctx.shards, **kw
+        )
+    return stx.stream_fixed_event_window(df, cfg["size"], **kw)
 
 
 @stream_action("moving-event-window")
 def _s_mew(df, ctx, cfg):
     from mirabelle_spark import streaming as stx
 
-    return stx.stream_moving_event_window(
-        df, cfg["size"], by=_need_by(ctx, "moving-event-window"),
-        time_col=ctx.time_col,
-    )
+    kw = dict(by=_need_by(ctx, "moving-event-window"), time_col=ctx.time_col)
+    if ctx.shards:
+        return stx.stream_moving_event_window_sharded(
+            df, cfg["size"], shards=ctx.shards, **kw
+        )
+    return stx.stream_moving_event_window(df, cfg["size"], **kw)
 
 
 @stream_action("coalesce")

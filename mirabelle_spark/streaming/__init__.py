@@ -24,8 +24,10 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ewma_sharded,
     stream_expired,
     stream_fixed_event_window,
+    stream_fixed_event_window_sharded,
     stream_fixed_time_window,
     stream_moving_event_window,
+    stream_moving_event_window_sharded,
     stream_moving_time_window,
     stream_coalesce_sharded,
     stream_smax,

@@ -1512,7 +1512,8 @@ def _shard_key_strings(pdf, key_cols, key_dtypes):
 
 
 def _sharded_keyed_batch_scan(
-    df, by, time_col, shards, shard_fold, extra_out=None, state_ttl_s=None
+    df, by, time_col, shards, shard_fold, extra_out=None, state_ttl_s=None,
+    out_schema=None,
 ):
     """Shared shell for the sharded twins: group on the shard id,
     state = one JSON carry map for the shard's keys, and per batch
@@ -1540,11 +1541,15 @@ def _sharded_keyed_batch_scan(
         _SHARD_COL,
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(shards)),
     )
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    )
-    if extra_out:
-        out_schema += f", {extra_out}"
+    if out_schema is None:
+        # default: input columns (+ extra_out appendix); a fold whose
+        # rows are shaped differently (window emission) passes its
+        # own DDL
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        if extra_out:
+            out_schema += f", {extra_out}"
     ttl_us = int(round(state_ttl_s * 1_000_000)) if state_ttl_s else None
 
     def batch_fn(s, pdf):
@@ -2354,3 +2359,182 @@ def stream_coalesce_sharded(
         return out.iloc[np.argsort(np.asarray(b_pos + o_pos), kind="stable")]
 
     return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def _json_row(pdf, i, time_col):
+    """One row → JSON-native dict (the per-key twins' _row_ser)."""
+    return {
+        k: _native(v.isoformat() if hasattr(v, "isoformat") else v)
+        for k, v in pdf.iloc[i].items()
+    }
+
+
+def stream_fixed_event_window_sharded(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    time_col: str = "time",
+    fork_ttl_s: float | None = None,
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_fixed_event_window`
+    (r8 — the event-window half of the row-buffer tier): identical
+    per-key count-buffer + event-clock :fork-ttl gap eviction
+    (stream_test.clj:331-408 semantics) through the sharded shell.
+    Each key's partial window carries COLUMNAR ({col: [...]}, ≤ n-1
+    rows); batch rows are referenced by position and serialize at
+    most once — when they emit into a window or remain buffered at
+    batch end. Bit-exact emitted windows vs the per-key twin
+    (parity pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    ttl_us = int(round(fork_ttl_s * 1_000_000)) if fork_ttl_s else None
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    key_cols = list(by)
+    ev_struct = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    by_struct = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name in by
+    )
+    out_schema = (
+        f"{by_struct}, window_start double, events array<struct<{ev_struct}>>"
+    )
+
+    def shard_fold(carry, ks, pdf):
+        cols = list(pdf.columns)
+        out_rows: list = []
+        m = len(pdf)
+        if m:
+            t = _series_us(pdf[time_col])
+            ks_arr = np.asarray(ks, dtype=object)
+            starts = np.flatnonzero(
+                np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [m]))
+
+            def revive(e):
+                if is_ts and e.get(time_col) is not None:
+                    return {**e, time_col: pd.Timestamp(e[time_col])}
+                return e
+
+            for s0, e0 in zip(starts.tolist(), ends.tolist()):
+                k = ks_arr[s0]
+                st = carry.get(k)
+                if st is None:
+                    last_us = None
+                    buf: list = []
+                else:
+                    last_us = st["l"]
+                    bc = st["b"]
+                    blen = len(next(iter(bc.values()))) if bc else 0
+                    buf = [
+                        {c: bc[c][x] for c in cols} for x in range(blen)
+                    ]
+                keyvals = {c: pdf.iloc[s0][c] for c in key_cols}
+                for i in range(s0, e0):
+                    ti = int(t[i])
+                    if (
+                        ttl_us is not None
+                        and last_us is not None
+                        and ti - last_us > ttl_us
+                    ):
+                        buf = []  # stale fork: GC dropped it pre-event
+                    buf.append(i)
+                    last_us = ti
+                    if len(buf) == n:
+                        evs = [
+                            revive(e if isinstance(e, dict)
+                                   else _json_row(pdf, e, time_col))
+                            for e in buf
+                        ]
+                        first = evs[0][time_col]
+                        start = (
+                            first.timestamp()
+                            if hasattr(first, "timestamp")
+                            else float(first)
+                        )
+                        out_rows.append(
+                            {**keyvals, "window_start": start, "events": evs}
+                        )
+                        buf = []
+                rest = [
+                    e if isinstance(e, dict) else _json_row(pdf, e, time_col)
+                    for e in buf
+                ]
+                carry[k] = {
+                    "l": last_us,
+                    "b": {c: [e[c] for e in rest] for c in cols} if rest else {},
+                }
+        if not out_rows:
+            return pd.DataFrame(
+                columns=key_cols + ["window_start", "events"]
+            )
+        return pd.DataFrame(out_rows)
+
+    return _sharded_keyed_batch_scan(
+        df, by, time_col, shards, shard_fold, out_schema=out_schema
+    )
+
+
+def stream_moving_event_window_sharded(
+    df: DataFrame,
+    n: int,
+    by: Sequence[str],
+    time_col: str = "time",
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_moving_event_window`:
+    per event, the trailing ≤ n events of its key as an ``events``
+    array — the same sliding dict buffer, one shard call instead of
+    one per key. Emission cost is O(rows·n) dict lists in BOTH
+    tiers (the output shape demands it); sharding removes only the
+    per-key interpreter round-trips. Bit-exact vs the per-key twin
+    (parity pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    ev_struct = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    extra_out = f"events array<struct<{ev_struct}>>"
+
+    def shard_fold(carry, ks, pdf):
+        m = len(pdf)
+        cols = list(pdf.columns)
+        events_col: list = [None] * m
+        if m:
+            ks_arr = np.asarray(ks, dtype=object)
+            starts = np.flatnonzero(
+                np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [m]))
+
+            def revive(e):
+                if is_ts and e.get(time_col) is not None:
+                    return {**e, time_col: pd.Timestamp(e[time_col])}
+                return e
+
+            for s0, e0 in zip(starts.tolist(), ends.tolist()):
+                k = ks_arr[s0]
+                bc = carry.get(k)
+                if bc:
+                    blen = len(next(iter(bc.values())))
+                    buf = [{c: bc[c][x] for c in cols} for x in range(blen)]
+                else:
+                    buf = []
+                for i in range(s0, e0):
+                    buf.append(_json_row(pdf, i, time_col))
+                    buf = buf[-n:]
+                    events_col[i] = [revive(e) for e in buf]
+                carry[k] = {c: [e[c] for e in buf] for c in cols} if buf else {}
+        out = pdf.copy()
+        out["events"] = events_col
+        return out
+
+    return _sharded_keyed_batch_scan(
+        df, by, time_col, shards, shard_fold, extra_out=extra_out
+    )

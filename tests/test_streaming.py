@@ -2715,3 +2715,58 @@ def test_dsl_smax_emission_per_batch_routes_jvm_tier(spark, tmp_path):
     bctx = compile_stream(df, tree([{"emission": "per-batch"}]),
                           Ctx(order_cols=("event_id",), test_mode=True))
     assert bctx.taps["s"].collect()[0].metric == 5.0
+
+
+def test_stream_event_window_sharded_parity(spark, tmp_path):
+    """The sharded event-window twins emit exactly the per-key
+    twins' rows across a micro-batch boundary: fixed windows
+    (including partial buffers carried between batches and the
+    event-clock fork-ttl gap reset) and moving trailing-n arrays."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for h in range(40):
+        for i in range(11):
+            # one deliberate >ttl gap per key at i==7 (dt jumps 120s)
+            tt = float(i * 10 + (120 if i >= 7 else 0))
+            rows.append((eid, f"h{h:02d}", tt, float((h * 7 + i) % 13)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    run = _two_batch_runner(spark, tmp_path, df, "event_id % 11 < 6", "ews")
+
+    def fixed_rows(rows_):
+        return sorted(
+            (r.host, r.window_start, tuple(e.event_id for e in r.events))
+            for r in rows_
+        )
+
+    per_f = fixed_rows(run(lambda s: core.stream_fixed_event_window(
+        s, 4, by=["host"], time_col="time", fork_ttl_s=60.0), "ews_pf"))
+    shd_f = fixed_rows(run(lambda s: core.stream_fixed_event_window_sharded(
+        s, 4, by=["host"], time_col="time", fork_ttl_s=60.0, shards=4), "ews_sf"))
+    assert shd_f == per_f
+    assert per_f  # windows actually emitted
+    # the ttl gap dropped a partial buffer mid-key, so the second
+    # window of each key starts AFTER the gap — different membership
+    # than the no-ttl run (same count, different content)
+    no_ttl = fixed_rows(run(lambda s: core.stream_fixed_event_window(
+        s, 4, by=["host"], time_col="time"), "ews_pf0"))
+    assert per_f != no_ttl
+
+    def moving_rows(rows_):
+        return sorted(
+            (r.event_id, tuple(e.event_id for e in r.events)) for r in rows_
+        )
+
+    per_m = moving_rows(run(lambda s: core.stream_moving_event_window(
+        s, 3, by=["host"], time_col="time"), "ews_pm"))
+    shd_m = moving_rows(run(lambda s: core.stream_moving_event_window_sharded(
+        s, 3, by=["host"], time_col="time", shards=4), "ews_sm"))
+    assert shd_m == per_m
+    assert len(per_m) == len(rows)
