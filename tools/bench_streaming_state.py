@@ -239,6 +239,24 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
             stream, 60.0, fields=["host"], by=["host"], time_col="time",
             shards=shards,
         )
+    elif mode in ("few", "few_sharded"):
+        if mode == "few":
+            from mirabelle_spark.streaming import stream_fixed_event_window as f
+        else:
+            from mirabelle_spark.streaming import (
+                stream_fixed_event_window_sharded as f,
+            )
+        kw = {"shards": shards} if mode.endswith("sharded") else {}
+        out = f(stream, 5, by=["host"], time_col="time", **kw)
+    elif mode in ("mew", "mew_sharded"):
+        if mode == "mew":
+            from mirabelle_spark.streaming import stream_moving_event_window as f
+        else:
+            from mirabelle_spark.streaming import (
+                stream_moving_event_window_sharded as f,
+            )
+        kw = {"shards": shards} if mode.endswith("sharded") else {}
+        out = f(stream, 5, by=["host"], time_col="time", **kw)
     elif mode == "smax":
         from mirabelle_spark.streaming import stream_smax
 
