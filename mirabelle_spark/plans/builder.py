@@ -179,9 +179,15 @@ action("moving-time-window")(
 action("ssort")(
     lambda df, ctx, cfg: win.ssort(df, cfg["duration"], cfg["field"], **_tw(ctx))
 )
+# fork isolation (stream.clj:38-44): a `by` upstream gives every fork
+# its own coalesce state in the reference, so the fork keys join the
+# latest-per-fields grouping — without this, two forks sharing a
+# fields-combination would elect ONE survivor across forks
 action("coalesce")(
     lambda df, ctx, cfg: win.coalesce_op(
-        df, cfg["duration"], cfg["fields"], time_col=ctx.time_col,
+        df, cfg["duration"],
+        list(dict.fromkeys(list(ctx.by) + list(cfg["fields"]))),
+        time_col=ctx.time_col,
         order_cols=list(ctx.order_cols),
     )
 )

@@ -268,3 +268,34 @@ def test_video_frame_sample_scans_ids_only(spark, qs):
     plan = _plan(qs["video_frame_sample"](spark, SF_DIR))
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_by_coalesce_isolates_forks(spark):
+    """A `by` upstream of coalesce gives every fork its own election
+    (the reference forks the whole substream, stream.clj:38-44):
+    two hosts sharing a service must BOTH keep their latest event —
+    before r8 the batch dispatch grouped by fields only and elected
+    one survivor across forks."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    rows = [
+        (0, "h1", "api", 1.0, 0.0),
+        (1, "h2", "api", 2.0, 1.0),   # same service, other fork
+        (2, "h1", "api", 3.0, 5.0),   # h1's latest
+    ]
+    df = spark.createDataFrame(
+        rows, "seq bigint, host string, service string, metric double, t double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+    tree = {
+        "action": "by", "params": [{"fields": ["host"]}],
+        "children": [{
+            "action": "coalesce",
+            "params": [{"duration": 10, "fields": ["service"]}],
+            "children": [{"action": "tap", "params": ["c"]}],
+        }],
+    }
+    ctx = compile_stream(df, tree, Ctx(order_cols=("seq",), test_mode=True))
+    got = sorted((r.host, r.metric) for r in ctx.taps["c"].collect())
+    assert got == [("h1", 3.0), ("h2", 2.0)]
