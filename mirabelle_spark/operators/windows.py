@@ -194,14 +194,17 @@ def project(
     time_col: str = "time",
     metric_col: str = "metric",
     order_cols: Sequence[str] = (),
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Latest event matching each of N conditions, correlated per
     tumbling window (action.clj:1377-1463) — the reference's only
     join-like operator, expressed as N conditional ``max_by``
     aggregates in ONE groupBy (no self-join, no second shuffle).
 
-    Returns (window_start, metric_1 … metric_N): the metric of the
-    latest event matching condition i within the window.
+    Returns (window_start[, by…], metric_1 … metric_N): the metric of
+    the latest event matching condition i within the window. ``by``
+    is the fork isolation a `by` upstream implies (each fork
+    correlates its own events — same keying as the streaming twin).
     """
     from mirabelle_spark.conditions import compile_condition
 
@@ -215,7 +218,7 @@ def project(
                 f"metric_{i}"
             )
         )
-    return df.groupBy(bucket).agg(*aggs)
+    return df.groupBy(bucket, *_cols(by)).agg(*aggs)
 
 
 def coalesce_ticks(

@@ -195,6 +195,7 @@ action("project")(
     lambda df, ctx, conds, cfg=None: win.project(
         df, conds, (cfg or {}).get("duration", 60.0), time_col=ctx.time_col,
         metric_col=ctx.metric_col, order_cols=list(ctx.order_cols),
+        by=list(ctx.by),  # fork isolation, same keying as the twin
     )
 )
 

@@ -299,3 +299,33 @@ def test_by_coalesce_isolates_forks(spark):
     ctx = compile_stream(df, tree, Ctx(order_cols=("seq",), test_mode=True))
     got = sorted((r.host, r.metric) for r in ctx.taps["c"].collect())
     assert got == [("h1", 3.0), ("h2", 2.0)]
+
+
+def test_by_project_isolates_forks(spark):
+    """`by host -> project` correlates per fork: each host gets its
+    own latest-matching election per window, mirroring the streaming
+    twin's (window, by) grouping."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    rows = [
+        (0, "h1", "error", 1.0, 0.0),
+        (1, "h2", "error", 2.0, 1.0),
+        (2, "h1", "ok", 7.0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq bigint, host string, state string, metric double, t double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+    tree = {
+        "action": "by", "params": [{"fields": ["host"]}],
+        "children": [{
+            "action": "project",
+            "params": [[[":=", "state", "error"], [":=", "state", "ok"]],
+                       {"duration": 60}],
+            "children": [{"action": "tap", "params": ["p"]}],
+        }],
+    }
+    ctx = compile_stream(df, tree, Ctx(order_cols=("seq",), test_mode=True))
+    got = {(r.host, r.metric_1, r.metric_2) for r in ctx.taps["p"].collect()}
+    assert got == {("h1", 1.0, 7.0), ("h2", 2.0, None)}
