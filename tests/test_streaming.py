@@ -2770,3 +2770,47 @@ def test_stream_event_window_sharded_parity(spark, tmp_path):
         s, 3, by=["host"], time_col="time", shards=4), "ews_sm"))
     assert shd_m == per_m
     assert len(per_m) == len(rows)
+
+
+def test_by_shards_dsl_dispatches_row_buffer_twins(spark):
+    """`by {"shards": N}` routes the r8 row-buffer actions (stable,
+    keyed coalesce, fixed/moving-event-window) to their sharded
+    twins — asserted structurally: the compiled plan groups on the
+    __shard__ column; without shards it groups on the fork keys.
+    Unkeyed coalesce must IGNORE shards (one global tick clock)."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.plans.builder import Ctx, compile_stream
+
+    df = spark.createDataFrame(
+        [(0, "a", "ok", 1.0, 0.0)],
+        "seq bigint, host string, state string, metric double, t double",
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+    src = df  # batch df is enough: dispatch happens at compile time
+
+    def plan_of(action, params, shards, by_fields=("host",)):
+        by_cfg = {"fields": list(by_fields)}
+        if shards:
+            by_cfg["shards"] = shards
+        tree = {"action": "by", "params": [by_cfg], "children": [{
+            "action": action, "params": params,
+            "children": [{"action": "tap", "params": ["x"]}]}]}
+        ctx = compile_stream(src, tree, Ctx(streaming=True, test_mode=True))
+        return ctx.taps["x"]._jdf.queryExecution().analyzed().toString()
+
+    cases = [
+        ("stable", [5, "state"]),
+        ("coalesce", [{"duration": 10, "fields": ["state"]}]),
+        ("fixed-event-window", [{"size": 3}]),
+        ("moving-event-window", [{"size": 3}]),
+    ]
+    for action, params in cases:
+        assert "__shard__" in plan_of(action, params, 2), action
+        assert "__shard__" not in plan_of(action, params, None), action
+
+    # unkeyed coalesce: single global state group, shards ignored
+    tree = {"action": "coalesce",
+            "params": [{"duration": 10, "fields": ["state"]}],
+            "children": [{"action": "tap", "params": ["x"]}]}
+    ctx = compile_stream(src, tree, Ctx(streaming=True, test_mode=True, shards=4))
+    assert "__shard__" not in ctx.taps["x"]._jdf.queryExecution().analyzed().toString()
