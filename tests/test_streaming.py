@@ -2814,3 +2814,25 @@ def test_by_shards_dsl_dispatches_row_buffer_twins(spark):
             "children": [{"action": "tap", "params": ["x"]}]}
     ctx = compile_stream(src, tree, Ctx(streaming=True, test_mode=True, shards=4))
     assert "__shard__" not in ctx.taps["x"]._jdf.queryExecution().analyzed().toString()
+
+
+def test_control_plane_soak_small(spark):
+    """CI-sized replica of the 1M soak (PERF §44,
+    tools/soak_control_plane.py): three streams behind the live TCP
+    edge, concurrent clients, one mid-run reload isolated to the
+    changed stream — zero loss, every stream's count and sum equal
+    what its client sent, and the reloaded stream's totals include
+    pre-reload events (checkpoint state survived)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.soak_control_plane import run_soak
+
+    out = run_soak(spark, events=6000, batch=500)
+    assert out["lost"] == 0
+    assert out["reload"]["to_reload"] == ["soak2"]
+    assert out["reload"]["to_remove"] == [] and out["reload"]["to_add"] == []
+    assert not out["reload"]["failed"]
+    for name, s in out["streams"].items():
+        assert s["sent"] == s["count"] == s["sum"], (name, s)

@@ -91,23 +91,18 @@ def read_frame(sock) -> bytes:
     return body
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=1_000_000)
-    ap.add_argument("--batch", type=int, default=10_000)
-    ap.add_argument("--cpus", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
-    args = ap.parse_args()
-
-    os.environ.setdefault("SPARK_GRAFT_SILENT", "1")
+def run_soak(spark, events: int, batch: int) -> dict:
+    """The soak as a callable (pytest runs it small; main() runs it
+    at 1M): returns the summary dict printed by the CLI."""
     from pyspark.sql import functions as F
 
     from mirabelle_spark import streaming as stx
-    from mirabelle_spark.session import get_spark
     from mirabelle_spark.streaming import RiemannTcpServer, StreamHandler
 
-    spark = get_spark("soak_control_plane", cpus=args.cpus)
-    spark.sparkContext.setLogLevel("ERROR")
+    class args:  # noqa: N801 - mirrors the CLI namespace
+        pass
+
+    args.events, args.batch = events, batch
     work = tempfile.mkdtemp(prefix="soak_cp_")
     schema = "time_s bigint, service string, metric_sint64 bigint"
 
@@ -190,7 +185,7 @@ def main() -> None:
     edge_s = t_acked - (t_first[0] or t0)
     e2e_s = t_drained - (t_first[0] or t0)
     total_sent = sum(sent.values())
-    print(json.dumps({
+    return {
         "events": total_sent,
         "streams": results,
         "lost": int(lost),
@@ -200,7 +195,22 @@ def main() -> None:
         "edge_ev_per_s": int(total_sent / edge_s),
         "e2e_sec": round(e2e_s, 2),
         "e2e_ev_per_s": int(total_sent / e2e_s),
-    }))
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    args = ap.parse_args()
+    os.environ.setdefault("SPARK_GRAFT_SILENT", "1")
+    from mirabelle_spark.session import get_spark
+
+    spark = get_spark("soak_control_plane", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run_soak(spark, args.events, args.batch)))
 
 
 if __name__ == "__main__":
