@@ -738,20 +738,22 @@ def _s_mtw(df, ctx, cfg):
 def _s_expired(df, ctx):
     from mirabelle_spark import streaming as stx
 
-    return stx.stream_expired(
-        df, by=_need_by(ctx, "expired"), time_col=ctx.time_col,
-        keep_expired=True,
-    )
+    kw = dict(by=_need_by(ctx, "expired"), time_col=ctx.time_col,
+              keep_expired=True)
+    if ctx.shards:
+        return stx.stream_expired_sharded(df, shards=ctx.shards, **kw)
+    return stx.stream_expired(df, **kw)
 
 
 @stream_action("not-expired")
 def _s_not_expired(df, ctx):
     from mirabelle_spark import streaming as stx
 
-    return stx.stream_expired(
-        df, by=_need_by(ctx, "not-expired"), time_col=ctx.time_col,
-        keep_expired=False,
-    )
+    kw = dict(by=_need_by(ctx, "not-expired"), time_col=ctx.time_col,
+              keep_expired=False)
+    if ctx.shards:
+        return stx.stream_expired_sharded(df, shards=ctx.shards, **kw)
+    return stx.stream_expired(df, **kw)
 
 
 # every remaining action is either stateless (streaming-transparent)

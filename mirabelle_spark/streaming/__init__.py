@@ -23,6 +23,7 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_ewma,
     stream_ewma_sharded,
     stream_expired,
+    stream_expired_sharded,
     stream_fixed_event_window,
     stream_fixed_event_window_sharded,
     stream_fixed_time_window,

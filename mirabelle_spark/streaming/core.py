@@ -2575,3 +2575,60 @@ def stream_moving_event_window_sharded(
     return _sharded_keyed_batch_scan(
         df, by, time_col, shards, shard_fold, extra_out=extra_out
     )
+
+
+def stream_expired_sharded(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    ttl_col: str | None = "ttl",
+    state_col: str | None = "state",
+    keep_expired: bool = True,
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality form of :func:`stream_expired` (completing
+    the scalar-state tier): the per-key running-max clock carries in
+    the shard map, the whole shard slice evaluates in ONE vectorized
+    pass — segment starts seed each key's accumulate from the carry,
+    segment ends write it back; Python work is O(distinct keys in
+    batch). Bit-exact kept rows vs the per-key twin (parity
+    pytest)."""
+    import numpy as np
+
+    has_ttl = ttl_col is not None and ttl_col in df.columns
+    has_state = state_col is not None and state_col in df.columns
+
+    def shard_fold(carry, ks, pdf):
+        n = len(pdf)
+        if not n:
+            return pdf
+        has_time = pdf[time_col].notna().to_numpy(dtype=bool)
+        t = _series_us(pdf[time_col]).astype("float64")
+        t = np.where(has_time, t, -np.inf)  # null time: no age, no clock
+        ks_arr = np.asarray(ks, dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [n]))
+        run = np.empty(n, dtype="float64")
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            k = ks_arr[s0]
+            seg = np.maximum.accumulate(t[s0:e0])
+            mx = carry.get(k)
+            if mx is not None:
+                seg = np.maximum(seg, float(mx))
+            run[s0:e0] = seg
+            fin = seg[np.isfinite(seg)]
+            if len(fin):
+                carry[k] = float(fin[-1])
+        age_s = (run - t) / 1_000_000.0
+        if has_ttl:
+            ttl = pdf[ttl_col].astype("float64").fillna(120.0).to_numpy()
+        else:
+            ttl = np.full(n, 120.0)
+        exp = (age_s > ttl) & has_time
+        if has_state:
+            exp |= (pdf[state_col] == "expired").to_numpy(dtype=bool)
+        return pdf[exp if keep_expired else ~exp]
+
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)

@@ -2836,3 +2836,38 @@ def test_control_plane_soak_small(spark):
     assert not out["reload"]["failed"]
     for name, s in out["streams"].items():
         assert s["sent"] == s["count"] == s["sum"], (name, s)
+
+
+def test_stream_expired_sharded_parity(spark, tmp_path):
+    """Sharded expired/not-expired keeps exactly the per-key twin's
+    rows across a micro-batch boundary: per-key running-max clocks
+    seeded from the carry, null-time rows never expire by age,
+    state=='expired' forces, per-event ttl respected."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for h in range(50):
+        for i in range(8):
+            tt = None if (h + i) % 13 == 6 else float(i * 40 + (h % 3))
+            state = "expired" if (h * 5 + i) % 17 == 3 else "ok"
+            ttl = 90.0 if i % 2 else None
+            rows.append((eid, f"h{h:02d}", state, ttl, tt))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, state string, ttl double, t double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    run = _two_batch_runner(spark, tmp_path, df, "event_id % 8 < 4", "exs")
+    for keep, tag in ((True, "e"), (False, "ne")):
+        per = sorted(r.event_id for r in run(
+            lambda s: core.stream_expired(s, by=["host"], time_col="time",
+                                          keep_expired=keep), f"exs_pk_{tag}"))
+        shd = sorted(r.event_id for r in run(
+            lambda s: core.stream_expired_sharded(
+                s, by=["host"], time_col="time", keep_expired=keep,
+                shards=4), f"exs_sh_{tag}"))
+        assert shd == per
+        assert 0 < len(per) < len(rows)

@@ -16,6 +16,9 @@ Measures events/s through one availableNow pass for each mode:
                     with columnar carries)
   smax / smax_jvm   per-key row state vs the pure-JVM max_by tier
                     (update mode; per-batch emission grain)
+  few[_sharded], mew[_sharded], expired[_sharded]
+                    fixed/moving event windows and the expiry clock,
+                    per-key and sharded
 
 Usage:
   python tools/bench_streaming_state.py [--events 1000000]
@@ -257,6 +260,13 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
             )
         kw = {"shards": shards} if mode.endswith("sharded") else {}
         out = f(stream, 5, by=["host"], time_col="time", **kw)
+    elif mode in ("expired", "expired_sharded"):
+        if mode == "expired":
+            from mirabelle_spark.streaming import stream_expired as f
+        else:
+            from mirabelle_spark.streaming import stream_expired_sharded as f
+        kw = {"shards": shards} if mode.endswith("sharded") else {}
+        out = f(stream, by=["host"], time_col="time", **kw)
     elif mode == "smax":
         from mirabelle_spark.streaming import stream_smax
 
