@@ -2632,3 +2632,100 @@ def stream_expired_sharded(
         return pdf[exp if keep_expired else ~exp]
 
     return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def stream_smax_sharded(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+    shards: int = 64,
+    _flip: bool = False,
+) -> DataFrame:
+    """High-cardinality smax with the per-key twin's PER-EVENT
+    emission (action.clj:2742-2772 — forward the best-so-far event
+    for every input event; :func:`stream_smax_jvm` is the
+    per-batch-grain alternative): the stored-best row carries in the
+    shard map as one JSON dict per key, the fold walks the shard
+    slice with carry reload at key boundaries only, and the output
+    materializes as two positional gathers (batch-sourced winners +
+    carry-sourced re-emits) merged back into event order — no
+    per-event dict building. Bit-exact vs :func:`stream_smax`
+    (parity pytest). ``_flip`` negates the comparison for smin."""
+    import numpy as np
+    import pandas as pd
+
+    def shard_fold(carry, ks, pdf):
+        n = len(pdf)
+        if not n:
+            return pdf
+        cols = list(pdf.columns)
+        raw = _RawCols(pdf)
+        v = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
+        if _flip:
+            v = -v
+        ks_arr = np.asarray(ks, dtype=object)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [n]))
+        emit: list = []  # ("b", idx) batch winner | ("o", dict) carried best
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            k = ks_arr[s0]
+            st = carry.get(k)
+            if st is None:
+                have = False
+                best_v = -np.inf
+                best_ref = None
+            else:
+                have = True
+                best_v = -np.inf if st["m"] is None else float(st["m"])
+                best_ref = ("o", st["b"])
+            for i in range(s0, e0):
+                x = v[i]
+                if not have or (x == x and x > best_v):
+                    best_ref = ("b", i)
+                    have = True
+                    if x == x:
+                        best_v = x
+                emit.append(best_ref)
+            # save state: winner row serialized once per batch per key
+            if best_ref is not None and best_ref[0] == "b":
+                i = best_ref[1]
+                carry[k] = {
+                    "m": None if v[i] != v[i] else float(v[i]),
+                    "b": raw.row(cols, i),
+                }
+        b_pos = [p for p, e in enumerate(emit) if e[0] == "b"]
+        o_pos = [p for p, e in enumerate(emit) if e[0] == "o"]
+        frames = []
+        if b_pos:
+            frames.append(pdf.iloc[[emit[p][1] for p in b_pos]])
+        if o_pos:
+            odf = pd.DataFrame(
+                {c: [emit[p][1][c] for p in o_pos] for c in cols}, columns=cols
+            )
+            frames.append(_revive_datetime_cols(odf, pdf))
+        if len(frames) == 1:
+            return frames[0]
+        out = pd.concat(frames, ignore_index=True)
+        return out.iloc[np.argsort(np.asarray(b_pos + o_pos), kind="stable")]
+
+    return _sharded_keyed_batch_scan(df, by, time_col, shards, shard_fold)
+
+
+def stream_smin_sharded(
+    df: DataFrame,
+    by: Sequence[str],
+    time_col: str = "time",
+    metric_col: str = "metric",
+    shards: int = 64,
+) -> DataFrame:
+    """High-cardinality smin with per-event emission: the negate-
+    compare-negate composition of :func:`stream_smin`, through the
+    sharded smax fold (the stored metric stays un-negated)."""
+    neg = df.withColumn(metric_col, -F.col(metric_col))
+    out = stream_smax_sharded(
+        neg, by, time_col, metric_col, shards=shards
+    )
+    return out.withColumn(metric_col, -F.col(metric_col))
