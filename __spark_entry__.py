@@ -27,51 +27,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-8 rotation (VERDICT r7 ask
-# #2: every registered query driver-gated within the last two
-# rounds): (a) the six r7-added queries that have never been
-# driver-gated; (b) queries added or whose implementation changed in
-# round 8; (c) the nineteen r5-cohort entries last gated in
-# CORRECTNESS_r05; (d) as many of the r6 cohort (48 entries, all
-# last gated in CORRECTNESS_r06) as fit — the remainder plus the
-# whole r7-gated cohort sit below the fold for r9.
+# so ordering is coverage policy. Round-9 rotation (VERDICT r8 ask
+# #3: every registered query driver-gated within rounds 8–9):
+# (a) queries added or changed in round 9; (b) the 25 r6-cohort
+# entries last gated in CORRECTNESS_r06 (the tail that did not fit
+# r8's 50); (c) fill the remaining slots with the oldest r7-gated
+# entries so the freshness window keeps rolling.
 GATE_PRIORITY = [
-    # (a) never driver-gated (added r7; judge-verified locally in r7)
-    "neardup_degree_histogram", "soft_dedup_docs", "corpus_split_docs",
-    "search_quality_docs", "doc_length_profile", "split_token_budget",
-    # (b) added / implementation changed in round 8
-    "ann_ivf_trained_topk", "ann_pq_trained_topk",
-    # (c) last gated r5
-    "where_basic", "over_filter", "tagged_all", "split_routing",
-    "tag_untag", "fixed_time_window_ids", "fixed_event_window_ids",
-    "moving_event_window_vals", "ssort_sorted", "hash_sample_docs",
-    "mask_pii_docs", "text_token_count", "text_bpe_token_count",
-    "text_repetition", "text_quality", "text_lang_id",
-    "text_fingerprint", "text_rolling_fp", "order_priority_counts",
-    # (d) r6 cohort, oldest-area-first slice (stateful/threshold ops,
-    # the DSL pipeline, and the transforms family)
-    "throttle", "stable_states", "dsl_pipeline", "coalesce_fill",
-    "below_dt_alert", "between_dt_alert", "critical_dt_alert",
-    "ddt_pos_rate", "smin_running", "project_correlate",
-    "with_const", "default_missing", "scale_metric",
-    "increment_metric", "decrement_metric", "sformat_label",
-    "to_string_field", "base64_roundtrip", "from_json_props",
-    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj",
-    "iterate_on_explode",
+    # (a) added / implementation changed in round 9
+    "ann_ivfpq_trained_topk",
+    # (b) last gated r6 — the whole remaining tail
+    "extract_nested", "sflatten_roundtrip",
+    "agg_sum_hourly", "agg_sum_delayed_hourly", "agg_mean_hourly",
+    "agg_top_event", "agg_bottom_event", "agg_rate_hourly",
+    "coll_count_hourly", "coll_max_hourly", "coll_min_hourly",
+    "coll_rate_hourly", "coll_quotient_daily", "coll_top3",
+    "coll_bottom3", "coll_sort_ids", "dedup_exact_docs",
+    "ngram_jaccard_pairs", "ann_ivf_topk", "stratified_sample_docs",
+    "boilerplate_removed_docs", "top_suppliers",
+    "priority_conditional_counts", "brand_part_revenue",
+    "segment_top_orders",
+    # (c) oldest r7-gated entries (gated CORRECTNESS_r07, area-diverse)
+    "where_not", "where_regex", "under_filter",
+    "expired_events", "not_expired_events", "changed_transitions",
+    "above_dt_alert", "outside_dt_alert", "smax_running",
+    "ddt_rate", "ewma_smoothed", "moving_time_window_count",
+    "coalesce_latest", "by_sum_daily", "agg_ratio_error_click",
+    "agg_percentiles_hourly", "coll_percentiles_hourly",
+    "coll_increase_daily", "minhash_lsh_pairs", "simhash_pairs",
+    "paragraph_dedup_docs", "semantic_dedup_survivors",
+    "coll_where_inside_window",
 ]
 
-# Round-9 rotation note: still last-gated-r6 after this round's gate
-# (the r6-cohort tail that did not fit the 50): extract_nested,
-# sflatten_roundtrip,
-# agg_sum_hourly, agg_sum_delayed_hourly, agg_mean_hourly,
-# agg_top_event, agg_bottom_event, agg_rate_hourly,
-# coll_count_hourly, coll_max_hourly, coll_min_hourly,
-# coll_rate_hourly, coll_quotient_daily, coll_top3, coll_bottom3,
-# coll_sort_ids, dedup_exact_docs, ngram_jaccard_pairs,
-# ann_ivf_topk, stratified_sample_docs, boilerplate_removed_docs,
-# top_suppliers, priority_conditional_counts, brand_part_revenue,
-# segment_top_orders — lead r9's gate with these 24, plus whatever
-# r9 changes; everything else is r7/r8-gated.
+# Round-10 rotation note: after this round's gate every registry
+# entry will have been driver-gated in rounds 7–9; lead r10 with
+# whatever r10 changes, then the oldest r7/r8-gated remainder
+# (ann_lsh_topk, ann_sq8_topk, ann_ivfpq_topk, zscore_window,
+# sessionize_docs, contamination_docs, pack_sequences,
+# mixture_sample_docs, the curation composes, and the r8 head).
 
 
 def _ordered(mapping: dict) -> dict:
