@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import logging
 import os
+import shutil
+import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,7 +78,7 @@ class StreamHandler:
 
     # -- internals ----------------------------------------------------------
 
-    def _start(self, name: str, config: dict):
+    def _start(self, name: str, config: dict, _retry: bool = True):
         df = self.compile_fn(self.spark, name, config)
         writer = (
             df.writeStream.queryName(name)
@@ -88,14 +90,96 @@ class StreamHandler:
         )
         for k, v in config.get("sink_options", {}).items():
             writer = writer.option(k, v)
-        self.queries[name] = writer.start()
+        try:
+            self.queries[name] = writer.start()
+        except Exception as e:  # noqa: BLE001 - inspect, repair, retry once
+            if (
+                _retry
+                and "STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY" in str(e)
+                and self._reconcile_checkpoint(name)
+            ):
+                return self._start(name, config, _retry=False)
+            raise
         self.configs[name] = config
 
-    def _stop(self, name: str):
+    @staticmethod
+    def _log_count(ckpt: str, log: str) -> int:
+        """Count entries in a checkpoint metadata log (``offsets`` /
+        ``commits``); filenames are batch ids (possibly ``N.compact``)."""
+        try:
+            return sum(
+                1
+                for f in os.listdir(os.path.join(ckpt, log))
+                if f.partition(".")[0].isdigit()
+            )
+        except FileNotFoundError:
+            return 0
+
+    def _reconcile_checkpoint(self, name: str) -> bool:
+        """Repair a checkpoint left by a query stopped mid-batch-0.
+
+        If a query is stopped after the offset log recorded batch 0
+        but before the commit log did, Spark 4 refuses to restart
+        against the checkpoint (STATE_STORE_CHECKPOINT_LOCATION_NOT_
+        EMPTY: "the checkpoint location ... should be empty on batch
+        0"). Nothing was durably produced (zero commits), so the
+        correct repair is to clear the checkpoint and let the restart
+        re-read the sources from scratch. A trailing uncommitted
+        offset AFTER ≥1 commit is normal Spark replay and is left
+        alone. Returns True if the checkpoint was cleared."""
+        ckpt = os.path.join(self.checkpoint_root, name)
+        if (
+            self._log_count(ckpt, "commits") > 0
+            or self._log_count(ckpt, "offsets") == 0
+        ):
+            return False
+        _LOG.warning(
+            "Stream %s stopped before committing batch 0; clearing "
+            "uncommitted checkpoint %s so restart begins cleanly",
+            name,
+            ckpt,
+        )
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return True
+
+    def _stop(self, name: str, grace_s: float = 10.0, term_timeout_s: float = 30.0) -> dict:
+        """Stop one query; never leave an unrestartable checkpoint.
+
+        Returns ``{"stopped", "terminated", "reconciled"}``:
+        ``stopped`` — a query existed; ``terminated`` — it exited
+        within ``term_timeout_s`` of ``stop()`` (False is surfaced,
+        not dropped); ``reconciled`` — the checkpoint held an
+        uncommitted batch 0 and was cleared (see
+        :meth:`_reconcile_checkpoint`). Before stopping, waits up to
+        ``grace_s`` for a first commit if batch 0 is in flight
+        (offsets written, commits empty) — a reload during a slow
+        first batch must not strand the checkpoint (stream.clj:227-259:
+        reload must never leave a changed stream dead)."""
         q = self.queries.pop(name, None)
-        if q is not None:
-            q.stop()
-            q.awaitTermination(30)
+        info = {"stopped": q is not None, "terminated": True, "reconciled": False}
+        if q is None:
+            return info
+        ckpt = os.path.join(self.checkpoint_root, name)
+        deadline = time.monotonic() + grace_s
+        while (
+            q.isActive
+            and self._log_count(ckpt, "offsets") > 0
+            and self._log_count(ckpt, "commits") == 0
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.05)
+        q.stop()
+        info["terminated"] = bool(q.awaitTermination(int(term_timeout_s)))
+        if not info["terminated"]:
+            _LOG.error(
+                "Stream %s did not terminate within %s s of stop()",
+                name,
+                term_timeout_s,
+            )
+        # belt and braces: batch 0 may have started between the grace
+        # probe and stop(); repair any uncommitted-batch-0 residue
+        info["reconciled"] = self._reconcile_checkpoint(name)
+        return info
 
     def _persist_path(self, name: str) -> str:
         if not self.streams_dir:
@@ -197,10 +281,12 @@ class StreamHandler:
         *asynchronously after* ``start()`` returns, so a reload can
         look successful while the restarted query is already dead.
         Every (re)started query is probed for up to ``probe_s``
-        seconds via ``q.exception()`` before reload reports back.
+        seconds via ``q.exception()`` before reload reports back. A
+        probe failure caused by an uncommitted-batch-0 checkpoint
+        (the stop/restart race) is repaired in place — reconcile +
+        one restart — rather than reported, so a config push during
+        a slow first batch cannot kill the stream.
         """
-        import time
-
         diff = diff_config(self.configs, new_configs)
         if diff["to_remove"]:
             _LOG.info("Removing streams %s", ", ".join(sorted(diff["to_remove"])))
@@ -225,13 +311,27 @@ class StreamHandler:
         pending = [
             n for n in sorted(diff["to_reload"] | diff["to_add"]) if n not in failed
         ]
+        repaired: set[str] = set()
         deadline = time.monotonic() + probe_s
         while pending and time.monotonic() < deadline:
             for name in list(pending):
                 q = self.queries.get(name)
                 exc = None if q is None else q.exception()
                 if exc is not None:
-                    failed[name] = str(exc)
+                    if (
+                        name not in repaired
+                        and "STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY" in str(exc)
+                        and self._reconcile_checkpoint(name)
+                    ):
+                        repaired.add(name)
+                        self.queries.pop(name, None)
+                        try:
+                            self._start(name, new_configs[name])
+                            continue  # keep probing the restarted query
+                        except Exception as e:  # noqa: BLE001
+                            failed[name] = f"restart after reconcile failed: {e}"
+                    else:
+                        failed[name] = str(exc)
                     pending.remove(name)
                 elif q is not None and not q.isActive:
                     failed[name] = "terminated without exception"
@@ -249,6 +349,7 @@ class StreamHandler:
         for q in self.queries.values():
             q.processAllAvailable()
 
-    def stop_all(self):
-        for name in list(self.queries):
-            self._stop(name)
+    def stop_all(self) -> dict[str, dict]:
+        """Stop every stream; returns per-stream :meth:`_stop` info so
+        callers (the soak, tests) can assert clean terminations."""
+        return {name: self._stop(name) for name in list(self.queries)}

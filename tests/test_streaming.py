@@ -560,6 +560,101 @@ def test_lifecycle_reload_surfaces_failure(spark, tmpdir):
     handler.stop_all()
 
 
+def test_lifecycle_reload_survives_uncommitted_batch0(spark, tmpdir):
+    """The reload stop/restart race (r8's one failing test): a query
+    stopped after the offset log records batch 0 but before the
+    commit log does leaves a checkpoint Spark 4 refuses to restart
+    (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY). reload must repair
+    it — clear the zero-commit checkpoint and restart cleanly —
+    because a config push during a slow first batch must never leave
+    the stream dead (stream.clj:227-259)."""
+    import time as _t
+
+    from mirabelle_spark import streaming as stx
+    from mirabelle_spark.streaming import StreamHandler
+
+    src_dir = os.path.join(tmpdir, "b0_in")
+    ckpt = os.path.join(tmpdir, "b0_ckpt")
+    os.makedirs(src_dir)
+    schema = "time timestamp, metric double, host string"
+
+    def compile_fn(sp, name, config):
+        src = stx.file_source(sp, src_dir, schema)
+        if config.get("slow"):
+            slow = F.udf(lambda m: _t.sleep(60.0) or m, "double")
+            src = src.withColumn("metric", slow("metric"))
+        return (
+            src.filter(F.col("metric") > config["threshold"])
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    _write_rows(src_dir, [
+        {"time": "2024-01-01T00:00:01", "metric": 60.0, "host": "a"},
+        {"time": "2024-01-01T00:00:02", "metric": 150.0, "host": "a"},
+    ])
+    handler = StreamHandler(spark, ckpt, compile_fn, output_mode="complete")
+    cfg1 = {"b0race": {"slow": True, "threshold": 0}}
+    assert handler.reload(cfg1)["failed"] == {}
+
+    # deterministically reproduce the race: wait for the offset log
+    # to record batch 0, then kill the query before the 60 s/row UDF
+    # lets the batch commit — the ungraceful-stop shape
+    stream_ckpt = os.path.join(ckpt, "b0race")
+    off0 = os.path.join(stream_ckpt, "offsets", "0")
+    deadline = _t.monotonic() + 60
+    while not os.path.exists(off0) and _t.monotonic() < deadline:
+        _t.sleep(0.05)
+    assert os.path.exists(off0), "batch 0 never planned"
+    handler.get_stream("b0race").stop()
+    assert StreamHandler._log_count(stream_ckpt, "commits") == 0
+
+    # a config push against the stranded checkpoint must repair +
+    # restart, not report the stream dead
+    cfg2 = {"b0race": {"slow": False, "threshold": 100}}
+    diff = handler.reload(cfg2, probe_s=30.0)
+    assert diff["failed"] == {}, diff
+    handler.process_all()
+    try:
+        # fresh batch 0 re-read both rows; only metric=150 > 100
+        assert spark.sql("select n from b0race").collect()[0].n == 1
+    finally:
+        stops = handler.stop_all()
+        assert all(s["terminated"] for s in stops.values()), stops
+
+
+def test_lifecycle_stop_surfaces_timeout(spark, tmpdir):
+    """_stop must surface an awaitTermination timeout as
+    terminated=False instead of dropping the bool, and stop_all must
+    propagate per-stream stop info so the soak can assert clean
+    stops."""
+    from mirabelle_spark.streaming import StreamHandler
+
+    handler = StreamHandler(
+        spark, os.path.join(tmpdir, "st_ckpt"), lambda *a: None
+    )
+
+    class StuckQuery:
+        isActive = True
+
+        def stop(self):
+            pass
+
+        def awaitTermination(self, timeout=None):
+            return False
+
+        def exception(self):
+            return None
+
+    handler.queries["stuck"] = StuckQuery()
+    info = handler.stop_all()
+    assert info["stuck"]["stopped"] is True
+    assert info["stuck"]["terminated"] is False
+    assert info["stuck"]["reconciled"] is False
+    # idempotent: a second stop of a gone stream reports stopped=False
+    assert handler._stop("stuck")["stopped"] is False
+
+
 def test_http_api_full_lifecycle(spark, tmpdir):
     """handler.clj:117-135 route table over a live StreamHandler:
     add (with and without persist) → list → get → push events →
