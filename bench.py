@@ -8,9 +8,12 @@ no driver-side collection). Timings include Spark job execution, not
 session startup.
 
 Measurement hygiene (r2 verdict: recorded times were contention
-noise, not plan cost):
-- each query runs BENCH_RUNS times (default 3) and reports the MIN —
-  the plan's cost, not the machine's mood.
+noise, not plan cost; r8 verdict ask #2: make "environmental drift"
+falsifiable):
+- each query runs BENCH_RUNS times (default 5) and reports the MIN —
+  the plan's cost, not the machine's mood — plus the per-query
+  spread ([min, median, max] under "spread") so round-over-round
+  comparisons are made on minima with the noise band visible.
 - input splits: small local parquet arrives as 1-3 splits, starving
   32 cores, so the bench profile lowers
   ``spark.sql.files.maxPartitionBytes``/``openCostInBytes``. A real
@@ -74,7 +77,7 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = int(os.environ.get("BENCH_RUNS", "5"))
     spark = get_spark(
         app_name="mirabelle_bench",
         extra_conf={
@@ -92,25 +95,37 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = None
+        samples: list[float] = []
         for _ in range(max(runs, 1)):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        dt = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        dt = round(samples[0], 3)
         timings[name] = dt
+        spread[name] = [
+            dt,
+            round(samples[len(samples) // 2], 3),
+            round(samples[-1], 3),
+        ]
         total += dt
-        print(f"# {name}: {dt:.3f}s (best of {runs})", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.3f}s (min of {runs}; "
+            f"med {spread[name][1]:.3f}, max {spread[name][2]:.3f})",
+            file=sys.stderr,
+        )
 
     payload = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": max(runs, 1),
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -140,6 +155,7 @@ def main() -> None:
             "ann_ivfpq_topk", "token_chunks_docs", "ann_sq_topk",
             "linear_quality_docs", "video_frame_sample", "soft_dedup_docs",
         ]
+        sf1_runs = int(os.environ.get("BENCH_SF1_RUNS", "2"))
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
         for name in sf1_queries:
@@ -150,17 +166,22 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 base = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(max(sf1_runs, 1)):
+                t0 = time.perf_counter()
+                qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            dt = round(best, 3)
             sf1_timings[name] = dt
             ratios[name] = round(dt / base, 2)
-            print(f"# sf1 {name}: {dt:.3f}s ({ratios[name]}x sf0.1)",
+            print(f"# sf1 {name}: {dt:.3f}s ({ratios[name]}x sf0.1, min of {sf1_runs})",
                   file=sys.stderr)
         payload["sf1"] = {
             "queries": sf1_timings,
             "total": round(sum(sf1_timings.values()), 3),
             "ratio_vs_sf0.1": ratios,
+            "runs_per_query": max(sf1_runs, 1),
         }
 
     print(json.dumps(payload))

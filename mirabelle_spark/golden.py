@@ -167,10 +167,26 @@ def _collect_tap_streaming(spark, tap_df) -> list:
 
     _DUAL_SEQ[0] += 1
     name = f"golden_dual_{_DUAL_SEQ[0]}"
-    plan = tap_df._jdf.queryExecution().analyzed().toString()
-    mode = "complete" if "Aggregate" in plan else "append"
+    # structural walk of the analyzed plan, not a plan-STRING
+    # substring match: a literal containing "Aggregate" must not flip
+    # the output mode (ADVICE r8 #4)
+    stack = [tap_df._jdf.queryExecution().analyzed()]
+    has_agg = False
+    while stack and not has_agg:
+        node = stack.pop()
+        if node.nodeName() == "Aggregate":
+            has_agg = True
+        else:
+            kids = node.children()
+            stack.extend(kids.apply(i) for i in range(kids.size()))
+    mode = "complete" if has_agg else "append"
     q = to_memory(tap_df, name, output_mode=mode)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming tap {name} did not drain within 300 s — "
+            "refusing to diff a partial memory sink"
+        )
     return spark.sql(f"select * from {name}").collect()
 
 

@@ -288,19 +288,21 @@ def ivf_probe_index(
     """
     spark = queries.sparkSession
     probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
-    cells = sorted(
-        r["__cell__"] for r in probes.select("__cell__").distinct().collect()
-    )
+    # one bounded driver action yields both the pruning cells and the
+    # query count (≤ nlist×nprobe rows)
+    probe_pairs = probes.select(query_id_col, "__cell__").distinct().collect()
+    cells = sorted({r["__cell__"] for r in probe_pairs})
+    n_queries = len({r[query_id_col] for r in probe_pairs})
     idx = spark.read.parquet(path) if isinstance(path, str) else path
     idx = idx.filter(F.col("__cell__").isin(cells))
     cand = idx.withColumn("__cv__", as_double_vec(F.col(vec_col))).join(
         F.broadcast(probes), "__cell__"
     )
     scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
-    # size the top-k exchange to probe-batch scale, not the session
-    # default (32+ tasks over a few thousand candidate rows is pure
-    # scheduling overhead — PERF §42)
-    scored = scored.repartition(16, F.col(query_id_col))
+    # size the top-k exchange to the query batch (ivfpq_probe_index's
+    # rule), not the session default — 32+ tasks over a few thousand
+    # candidate rows is pure scheduling overhead (PERF §42)
+    scored = scored.repartition(max(1, min(n_queries, 16)), F.col(query_id_col))
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -576,6 +576,10 @@ def _s_smax(df, ctx, cfg=None):
         # micro-batch (update mode) — the 1M-key scale path (PERF
         # §43); default stays the reference's per-event emission
         return stx.stream_smax_jvm(df, **kw)
+    if ctx.shards:
+        # per-event emission at high key cardinality: the sharded
+        # row-carry fold (bit-exact vs stream_smax, parity pytest)
+        return stx.stream_smax_sharded(df, shards=ctx.shards, **kw)
     return stx.stream_smax(df, **kw)
 
 
@@ -587,6 +591,8 @@ def _s_smin(df, ctx, cfg=None):
               metric_col=ctx.metric_col)
     if cfg and cfg.get("emission") == "per-batch":
         return stx.stream_smin_jvm(df, **kw)
+    if ctx.shards:
+        return stx.stream_smin_sharded(df, shards=ctx.shards, **kw)
     return stx.stream_smin(df, **kw)
 
 

@@ -1501,11 +1501,15 @@ def ann_sq_topk(spark, sf):
     return ann.sq_topk(e, queries, k=5)
 
 
-def _ann_ivfpq_oracle(k: int = 5, nprobe: int = 3, nlist: int = 8) -> str:
+def _ann_ivfpq_oracle(
+    k: int = 5, nprobe: int = 3, nlist: int = 8, centroids=None, codebooks=None
+) -> str:
     """IVF-PQ end to end in SQL: the IVF oracle's assignment/probe
     CTEs feeding the PQ oracle's encode/LUT/score fragments — scored
-    pairs exist only where (cell matches a probe)."""
-    parts = _pq_oracle_parts()
+    pairs exist only where (cell matches a probe). ``centroids`` /
+    ``codebooks`` default to the fixed quantizers; pass the trained
+    literals for the trained composition."""
+    parts = _pq_oracle_parts(codebooks)
     sqd = (
         "list_transform(cs, c -> list_reduce("
         "list_transform(list_zip(v, c), x -> (x[1] - x[2]) * (x[1] - x[2])), "
@@ -1513,7 +1517,7 @@ def _ann_ivfpq_oracle(k: int = 5, nprobe: int = 3, nlist: int = 8) -> str:
     )
     cells = ", ".join(f"({i})" for i in range(1, nlist + 1))
     return f"""
-WITH cent AS (SELECT {_centroids_sql()} AS cs),
+WITH cent AS (SELECT {_centroids_sql(centroids)} AS cs),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 assigned AS (
   SELECT vec_id, v,
@@ -1569,6 +1573,39 @@ def ann_ivfpq_topk(spark, sf):
     )
     return ann.ivfpq_topk(
         e, queries, PQ_CODEBOOKS, IVF_CENTROIDS, k=5, nprobe=3
+    )
+
+
+@q(
+    "ann_ivfpq_trained_topk",
+    _ann_ivfpq_oracle(
+        k=5,
+        nprobe=3,
+        centroids=_trained_centroids(),
+        codebooks=_trained_pq_books(),
+    ),
+)
+def ann_ivfpq_trained_topk(spark, sf):
+    """The COMPLETE trained faiss lifecycle on the gated path
+    (VERDICT r8 ask #5): IVF coarse pruning with the engine-trained
+    centroids (:func:`ann.train_ivf`) × PQ ADC scan with the
+    engine-trained codebooks (:func:`ann.train_pq`) — both persisted
+    full-repr literals with byte-equality regeneration pins
+    (gen_trained_centroids.py / gen_trained_pq.py). Identical plan to
+    ann_ivfpq_topk; the oracle inlines BOTH trained literal sets."""
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivfpq_topk(
+        e, queries, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS, k=5, nprobe=3
     )
 
 

@@ -33,8 +33,10 @@ from mirabelle_spark.streaming.core import (  # noqa: F401
     stream_coalesce_sharded,
     stream_smax,
     stream_smax_jvm,
+    stream_smax_sharded,
     stream_smin,
     stream_smin_jvm,
+    stream_smin_sharded,
     stream_ssort,
     stream_stable,
     stream_stable_sharded,

@@ -644,9 +644,9 @@ def stream_stable(
                     buf = s["buffer"] + [_row_ser(pdf, x) for x in range(i, k)]
                     s["buffer"] = []
                     if buf:
-                        bdf = pd.DataFrame(buf, columns=list(pdf.columns))
-                        if str(pdf[time_col].dtype).startswith("datetime64"):
-                            bdf[time_col] = pd.to_datetime(bdf[time_col])
+                        bdf = _revive_datetime_cols(
+                            pd.DataFrame(buf, columns=list(pdf.columns)), pdf
+                        )
                         emit.append(bdf)
                     emit.append(pdf.iloc[k:j])
             else:
@@ -698,7 +698,7 @@ def stream_fixed_event_window(
     import pandas as pd
 
     ttl_us = int(round(fork_ttl_s * 1_000_000)) if fork_ttl_s else None
-    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
 
     def _row_ser(pdf, i):
         return {
@@ -735,17 +735,7 @@ def stream_fixed_event_window(
         keyvals = {c: pdf.iloc[0][c] for c in by}
         rows = []
         for w in windows:
-            evs = [
-                {
-                    **e,
-                    **(
-                        {time_col: pd.Timestamp(e[time_col])}
-                        if is_ts and e.get(time_col) is not None
-                        else {}
-                    ),
-                }
-                for e in w
-            ]
+            evs = [_revive_ts_fields(e, ts_cols) for e in w]
             first = evs[0][time_col]
             start = (
                 first.timestamp()
@@ -785,7 +775,7 @@ def stream_moving_event_window(
 
     import pandas as pd
 
-    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
 
     def _row_ser(pdf, i):
         return {
@@ -802,9 +792,7 @@ def stream_moving_event_window(
     )
 
     def _revive(e):
-        if is_ts and e.get(time_col) is not None:
-            return {**e, time_col: pd.Timestamp(e[time_col])}
-        return e
+        return _revive_ts_fields(e, ts_cols)
 
     def batch_fn(st, pdf):
         (buf_json,) = st
@@ -912,7 +900,6 @@ def stream_coalesce(
 
     dur_us = int(round(duration_s * 1_000_000))
     default_ttl_us = int(round(default_ttl_s * 1_000_000))
-    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
     has_ttl = ttl_col in df.columns
     has_state = state_col in df.columns
 
@@ -969,9 +956,12 @@ def stream_coalesce(
                 emitted.extend(v["row"] for v in alive.values())
         out = None
         if emitted:
-            out = pd.DataFrame(emitted, columns=list(pdf.columns))
-            if is_ts:
-                out[time_col] = pd.to_datetime(out[time_col])
+            # revive EVERY timestamp column, not just time_col — a
+            # timestamp-typed payload column must round-trip the JSON
+            # buffer too (ADVICE r8 #2's per-key sibling)
+            out = _revive_datetime_cols(
+                pd.DataFrame(emitted, columns=list(pdf.columns)), pdf
+            )
         return (_json.dumps(s),), out
 
     if not by:
@@ -1164,7 +1154,7 @@ def stream_moving_time_window(
     import pandas as pd
 
     dur_us = int(round(duration_s * 1_000_000))
-    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
 
     def _row_ser(pdf, i):
         return {
@@ -1181,9 +1171,7 @@ def stream_moving_time_window(
     )
 
     def _revive(e):
-        if is_ts and e.get(time_col) is not None:
-            return {**e, time_col: pd.Timestamp(e[time_col])}
-        return e
+        return _revive_ts_fields(e, ts_cols)
 
     def batch_fn(st, pdf):
         (buf_json,) = st
@@ -2100,6 +2088,17 @@ def _revive_datetime_cols(bdf, like_pdf):
     return bdf
 
 
+def _revive_ts_fields(e, ts_cols):
+    """One buffered JSON row dict → emission: isoformat strings back
+    to pd.Timestamp for EVERY timestamp-typed column — a
+    timestamp-typed payload field must round-trip the JSON buffer
+    exactly like the time column (ADVICE r8 #2 and siblings)."""
+    import pandas as pd
+
+    rv = {c: pd.Timestamp(e[c]) for c in ts_cols if e.get(c) is not None}
+    return {**e, **rv} if rv else e
+
+
 def stream_stable_sharded(
     df: DataFrame,
     dt_s: float,
@@ -2133,6 +2132,15 @@ def stream_stable_sharded(
         if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
             return True
         return a == b
+
+    def _store(v):
+        # keep NaN as NaN in the carry: Python json round-trips it
+        # and _eq treats NaN==NaN — matching the per-key twin.
+        # _native's NaN→None fold would make _eq(nan, None) False and
+        # reset the run at every micro-batch boundary (ADVICE r8 #1).
+        if isinstance(v, float) and v != v:
+            return float(v)
+        return _native(v)
 
     def shard_fold(carry, ks, pdf):
         n = len(pdf)
@@ -2203,7 +2211,7 @@ def stream_stable_sharded(
             v = vals[i]
             if not (st["s"][1] and _eq(v, st["s"][2])):
                 st["s"][1] = True
-                st["s"][2] = _native(v)
+                st["s"][2] = _store(v)
                 st["s"][3] = int(t[i])
                 st["s"][4] = False
                 st["b"] = None
@@ -2338,7 +2346,11 @@ def stream_coalesce_sharded(
                 cur[0] = ti
             if batch_expired(i, ti, cur[0]):
                 continue
-            ftk = _json.dumps([_native(a[i]) for a in f_arrs])
+            # _cell_native, not _native: a timestamp-typed fields
+            # column must isoformat (the per-key twin's _row_ser
+            # rule) — raw pd.Timestamp is not JSON-serializable
+            # (ADVICE r8 #2)
+            ftk = _json.dumps([_cell_native(a[i]) for a in f_arrs])
             buf = cur[2]
             ent = buf.get(ftk)
             # e/most-recent?: the stored event wins ties
@@ -2425,7 +2437,7 @@ def stream_fixed_event_window_sharded(
     import pandas as pd
 
     ttl_us = int(round(fork_ttl_s * 1_000_000)) if fork_ttl_s else None
-    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
     key_cols = list(by)
     ev_struct = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -2452,9 +2464,7 @@ def stream_fixed_event_window_sharded(
             ends = np.concatenate((starts[1:], [m]))
 
             def revive(e):
-                if is_ts and e.get(time_col) is not None:
-                    return {**e, time_col: pd.Timestamp(e[time_col])}
-                return e
+                return _revive_ts_fields(e, ts_cols)
 
             for s0, e0 in zip(starts.tolist(), ends.tolist()):
                 k = ks_arr[s0]
@@ -2532,7 +2542,7 @@ def stream_moving_event_window_sharded(
     import numpy as np
     import pandas as pd
 
-    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
     ev_struct = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -2551,9 +2561,7 @@ def stream_moving_event_window_sharded(
             ends = np.concatenate((starts[1:], [m]))
 
             def revive(e):
-                if is_ts and e.get(time_col) is not None:
-                    return {**e, time_col: pd.Timestamp(e[time_col])}
-                return e
+                return _revive_ts_fields(e, ts_cols)
 
             for s0, e0 in zip(starts.tolist(), ends.tolist()):
                 k = ks_arr[s0]
@@ -2640,7 +2648,6 @@ def stream_smax_sharded(
     time_col: str = "time",
     metric_col: str = "metric",
     shards: int = 64,
-    _flip: bool = False,
 ) -> DataFrame:
     """High-cardinality smax with the per-key twin's PER-EVENT
     emission (action.clj:2742-2772 — forward the best-so-far event
@@ -2651,7 +2658,7 @@ def stream_smax_sharded(
     materializes as two positional gathers (batch-sourced winners +
     carry-sourced re-emits) merged back into event order — no
     per-event dict building. Bit-exact vs :func:`stream_smax`
-    (parity pytest). ``_flip`` negates the comparison for smin."""
+    (parity pytest); DSL-reachable via ``by {"shards": N}``."""
     import numpy as np
     import pandas as pd
 
@@ -2662,8 +2669,6 @@ def stream_smax_sharded(
         cols = list(pdf.columns)
         raw = _RawCols(pdf)
         v = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
-        if _flip:
-            v = -v
         ks_arr = np.asarray(ks, dtype=object)
         starts = np.flatnonzero(
             np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))

@@ -2230,6 +2230,212 @@ def test_stream_throttle_sharded_parity(spark, tmp_path):
     assert shd == per and 0 < len(per) < 1200
 
 
+def test_stream_smax_smin_sharded_parity(spark, tmp_path):
+    """The sharded smax/smin tier keeps the per-key twins' PER-EVENT
+    emission bit-exactly across a micro-batch split — including null
+    metrics and carried-best re-emits (ADVICE r8 #3: the tier is now
+    exported, DSL-dispatched via by{shards}, and parity-proven)."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for i in range(100):
+        host = f"h{i:03d}"
+        for j in range(8):
+            v = None if (i + j) % 17 == 5 else float((i * 31 + j * 7) % 53) - 26.0
+            rows.append((eid, host, float(j * 10), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    src_dir = str(tmp_path / "smx_in")
+    df.where("event_id % 8 < 4").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 8 >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(build, name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            build(stream).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.event_id, r.metric)
+            for r in spark.sql(f"SELECT event_id, metric FROM {name}").collect()
+        )
+
+    per_mx = run(lambda s: core.stream_smax(s, by=["host"], time_col="time"), "smx_pk")
+    shd_mx = run(
+        lambda s: core.stream_smax_sharded(s, by=["host"], time_col="time", shards=4),
+        "smx_sh",
+    )
+    assert shd_mx == per_mx and len(per_mx) == 800  # per-event: one emit per input
+
+    per_mn = run(lambda s: core.stream_smin(s, by=["host"], time_col="time"), "smn_pk")
+    shd_mn = run(
+        lambda s: core.stream_smin_sharded(s, by=["host"], time_col="time", shards=4),
+        "smn_sh",
+    )
+    assert shd_mn == per_mn and len(per_mn) == 800
+
+
+def test_stream_stable_sharded_nan_run_parity(spark, tmp_path):
+    """ADVICE r8 #1 regression: a stable run over a double field whose
+    value is NaN/NULL must survive the micro-batch boundary in the
+    sharded tier (the carry must not fold NaN→None, which made
+    _eq(nan, None) False and reset the run every batch)."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for i in range(40):
+        host = f"h{i:02d}"
+        for j in range(8):
+            # hosts 0-19: the whole run is NULL (→ NaN in pandas);
+            # hosts 20+: value flips midway to also test mixed runs
+            if i < 20:
+                v = None
+            else:
+                v = 1.0 if j < 5 else None
+            rows.append((eid, host, float(j * 15), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))).drop("t")
+
+    src_dir = str(tmp_path / "stn_in")
+    df.where("event_id % 8 < 4").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 8 >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(build, name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            build(stream).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            r.event_id for r in spark.sql(f"SELECT event_id FROM {name}").collect()
+        )
+
+    per = run(
+        lambda s: core.stream_stable(s, 20.0, "metric", by=["host"], time_col="time"),
+        "stn_pk",
+    )
+    shd = run(
+        lambda s: core.stream_stable_sharded(
+            s, 20.0, "metric", by=["host"], time_col="time", shards=4
+        ),
+        "stn_sh",
+    )
+    assert shd == per and len(per) > 150  # NaN runs DO confirm
+
+
+def test_stream_coalesce_sharded_timestamp_fields_parity(spark, tmp_path):
+    """ADVICE r8 #2 regression: a timestamp-typed column in
+    ``fields`` must not crash the sharded coalesce (raw pd.Timestamp
+    in json.dumps) and must bucket identically to the per-key twin."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    rows = []
+    eid = 0
+    for i in range(30):
+        host = f"h{i:02d}"
+        for j in range(8):
+            # a coarse timestamp label: two distinct fields-tuples per host
+            rows.append((eid, host, float(j * 40), float(j < 4)))
+            eid += 1
+    df = (
+        spark.createDataFrame(rows, "event_id bigint, host string, t double, lbl double")
+        .withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long")))
+        .withColumn("seen", F.timestamp_micros((F.col("lbl") * 1e6).cast("long")))
+        .drop("t", "lbl")
+    )
+
+    src_dir = str(tmp_path / "cts_in")
+    df.where("event_id % 8 < 4").coalesce(1).write.mode("append").parquet(src_dir)
+    df.where("event_id % 8 >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run(build, name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            build(stream).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.event_id, str(r.seen))
+            for r in spark.sql(f"SELECT event_id, seen FROM {name}").collect()
+        )
+
+    per = run(
+        lambda s: core.stream_coalesce(
+            s, 60.0, ["seen"], by=["host"], time_col="time"
+        ),
+        "cts_pk",
+    )
+    shd = run(
+        lambda s: core.stream_coalesce_sharded(
+            s, 60.0, ["seen"], by=["host"], time_col="time", shards=4
+        ),
+        "cts_sh",
+    )
+    assert shd == per and len(per) > 0
+
+    # the window row-buffers JSON-carry whole rows too: a timestamp
+    # payload column must revive in their events structs as well
+    def run_win(build, name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = (
+            build(stream).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.host, str(r.window_start), tuple(str(e.seen) for e in r.events))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    per_w = run_win(
+        lambda s: core.stream_fixed_event_window(s, 3, by=["host"], time_col="time"),
+        "cts_few_pk",
+    )
+    shd_w = run_win(
+        lambda s: core.stream_fixed_event_window_sharded(
+            s, 3, by=["host"], time_col="time", shards=4
+        ),
+        "cts_few_sh",
+    )
+    assert shd_w == per_w and len(per_w) == 60  # 30 hosts × 2 full windows
+
+
 def test_streaming_document_pipeline_end_to_end(spark, tmp_path):
     """The training-data layer composes with Structured Streaming:
     documents arrive as files → exact dedup within a watermark
