@@ -160,6 +160,126 @@ def stream_changed(
     )
 
 
+def stream_changed_jvm_run(
+    df: DataFrame,
+    fieldname: str,
+    by: Sequence[str],
+    work_dir: str,
+    time_col: str = "time",
+    init=None,
+    out_writer=None,
+    query_name: str = "changed_jvm",
+    trigger: dict | None = None,
+):
+    """Pure-JVM per-event ``changed`` (VERDICT r8 ask #6 experiment):
+    zero Python on the data path, per-event emission grain.
+
+    Why this is a ``foreachBatch`` TERMINAL op and not an in-pipeline
+    transformation: per-event ``changed`` needs each row's
+    predecessor within (key, time) order. On a streaming DataFrame
+    Spark rejects analytic window functions (``lag``), and the
+    in-pipeline stateful surfaces available to PySpark
+    (applyInPandasWithState / transformWithStateInPandas) are
+    Python-priced by construction. Inside ``foreachBatch`` the
+    micro-batch is a plain DataFrame, so the whole recurrence stays
+    JVM-side:
+
+    - within-batch predecessor: ``lag(struct(field))`` over
+      ``partitionBy(by).orderBy(time)``;
+    - cross-batch predecessor: left join against a parquet
+      last-value table keyed on ``by`` (one struct row per key),
+      consulted only where ``lag`` returned null (first row of the
+      key in this batch);
+    - first event ever: compared against ``init`` (null-safe),
+      action.clj:334-360;
+    - state update: ``max_by(struct(field), time)`` per key in the
+      batch, full-outer-merged with the previous table and swapped
+      atomically under ``work_dir`` (survives restarts alongside the
+      checkpoint, which lives there too).
+
+    The trade vs :func:`stream_changed` / the sharded tier: a
+    foreachBatch sink cannot feed further stream operators directly
+    (compose via ``reinject!``/a topic dir if needed), ties on
+    ``time_col`` within a key order arbitrarily (the apws twins keep
+    arrival order), and each batch pays one keyed shuffle + a state
+    read/merge/write. ``out_writer(df, batch_id)`` receives each
+    batch's emitted rows (default: noop write — bench shape).
+    Returns the started StreamingQuery."""
+    import os as _os
+
+    from pyspark.sql.window import Window as _W
+
+    spark = df.sparkSession
+    key_cols = list(by)
+    ftype = dict(df.dtypes)[fieldname]
+    state_cur = _os.path.join(work_dir, "state_cur")
+    state_tmp = _os.path.join(work_dir, "state_next")
+    state_old = _os.path.join(work_dir, "state_old")
+
+    def _emit_noop(out, _bid):
+        out.write.format("noop").mode("overwrite").save()
+
+    writer = out_writer or _emit_noop
+
+    def handle(batch, batch_id):
+        if batch.isEmpty():
+            return
+        w = _W.partitionBy(*key_cols).orderBy(time_col)
+        b = batch.withColumn(
+            "__pv__", F.lag(F.struct(F.col(fieldname).alias("v"))).over(w)
+        )
+        has_state = _os.path.isdir(state_cur)
+        if has_state:
+            st = spark.read.parquet(state_cur)
+            b = b.join(st.withColumnRenamed("__lv__", "__sv__"), key_cols, "left")
+        else:
+            b = b.withColumn("__sv__", F.lit(None).cast(f"struct<v:{ftype}>"))
+        prev = F.coalesce(F.col("__pv__"), F.col("__sv__"))
+        prev_v = F.when(prev.isNull(), F.lit(init).cast(ftype)).otherwise(
+            prev["v"]
+        )
+        out = b.filter(~prev_v.eqNullSafe(F.col(fieldname))).drop(
+            "__pv__", "__sv__"
+        )
+        writer(out, batch_id)
+        last = batch.groupBy(*key_cols).agg(
+            F.max_by(
+                F.struct(F.col(fieldname).alias("v")), F.col(time_col)
+            ).alias("__lv__")
+        )
+        if has_state:
+            st = spark.read.parquet(state_cur)
+            merged = st.alias("s").join(
+                last.alias("l"), key_cols, "full_outer"
+            ).select(
+                *[
+                    F.coalesce(F.col(f"l.{c}"), F.col(f"s.{c}")).alias(c)
+                    for c in key_cols
+                ],
+                F.coalesce(F.col("l.__lv__"), F.col("s.__lv__")).alias("__lv__"),
+            )
+        else:
+            merged = last
+        merged.write.mode("overwrite").parquet(state_tmp)
+        # atomic-enough swap: the next batch reads state_cur only
+        # after this rename chain completes (foreachBatch serializes)
+        if _os.path.isdir(state_old):
+            import shutil as _sh
+
+            _sh.rmtree(state_old)
+        if _os.path.isdir(state_cur):
+            _os.rename(state_cur, state_old)
+        _os.rename(state_tmp, state_cur)
+
+    wq = (
+        df.writeStream.queryName(query_name)
+        .foreachBatch(handle)
+        .option("checkpointLocation", _os.path.join(work_dir, "ck"))
+    )
+    wq = wq.trigger(**(trigger or {"availableNow": True}))
+    return wq.start()
+
+
 def stream_dedup(
     df: DataFrame,
     keys: Sequence[str],

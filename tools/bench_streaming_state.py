@@ -131,6 +131,18 @@ def run_mode(spark, mode: str, src: str, schema: str, ck_root: str, shards: int)
     from pyspark.sql import functions as F
 
     stream = spark.readStream.schema(schema).parquet(src)
+    if mode == "changed_jvm":
+        # foreachBatch terminal op: lag-over-batch + parquet state
+        # join, zero Python on the data path (r9, VERDICT r8 ask #6)
+        from mirabelle_spark.streaming import stream_changed_jvm_run
+
+        work = os.path.join(ck_root, f"changed_jvm_{time.monotonic_ns()}")
+        t0 = time.monotonic()
+        q = stream_changed_jvm_run(
+            stream, "metric", by=["host"], work_dir=work, time_col="time"
+        )
+        q.awaitTermination()
+        return time.monotonic() - t0
     if mode == "jvm":
         out = (
             stream.withWatermark("time", "0 seconds")
