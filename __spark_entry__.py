@@ -56,7 +56,7 @@ GATE_PRIORITY = [
     "agg_percentiles_hourly", "coll_percentiles_hourly",
     "coll_increase_daily", "minhash_lsh_pairs", "simhash_pairs",
     "paragraph_dedup_docs", "semantic_dedup_survivors",
-    "coll_where_inside_window",
+    "coll_where_inside_window", "coll_sum_hourly",
 ]
 
 # Round-10 rotation note: after this round's gate every registry

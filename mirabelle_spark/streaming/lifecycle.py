@@ -118,20 +118,38 @@ class StreamHandler:
     def _reconcile_checkpoint(self, name: str) -> bool:
         """Repair a checkpoint left by a query stopped mid-batch-0.
 
-        If a query is stopped after the offset log recorded batch 0
-        but before the commit log did, Spark 4 refuses to restart
-        against the checkpoint (STATE_STORE_CHECKPOINT_LOCATION_NOT_
-        EMPTY: "the checkpoint location ... should be empty on batch
-        0"). Nothing was durably produced (zero commits), so the
-        correct repair is to clear the checkpoint and let the restart
-        re-read the sources from scratch. A trailing uncommitted
-        offset AFTER ≥1 commit is normal Spark replay and is left
-        alone. Returns True if the checkpoint was cleared."""
+        If a query is stopped after batch 0 started but before the
+        commit log recorded it, Spark 4 refuses to restart against
+        the checkpoint (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY:
+        "the checkpoint location ... should be empty on batch 0").
+        The refusal condition (MicroBatchExecution.
+        populateStartOffsets → verifyNewCheckpointDirectory) is: the
+        offset log has NO parseable entry, yet a raw listing of
+        offsets/ or state/ or commits/ is non-empty — which is
+        exactly what ``stop()`` interrupting the batch-0 offset
+        write leaves behind (a .tmp/.crc debris file, or a complete
+        offsets/0 with no commit). Nothing was durably produced
+        (zero commits), so the correct repair is to clear the
+        checkpoint and let the restart re-read the sources from
+        scratch. A trailing uncommitted offset AFTER ≥1 commit is
+        normal Spark replay and is left alone. Returns True if the
+        checkpoint was cleared."""
         ckpt = os.path.join(self.checkpoint_root, name)
-        if (
-            self._log_count(ckpt, "commits") > 0
-            or self._log_count(ckpt, "offsets") == 0
-        ):
+        if self._log_count(ckpt, "commits") > 0:
+            return False
+        # zero commits: the restart must begin at a clean batch 0,
+        # and Spark's emptiness probe uses RAW directory listings —
+        # count debris (.tmp/.crc), not just committed log entries
+        debris = False
+        for sub in ("offsets", "state", "commits"):
+            d = os.path.join(ckpt, sub)
+            try:
+                if os.listdir(d):
+                    debris = True
+                    break
+            except FileNotFoundError:
+                continue
+        if not debris:
             return False
         _LOG.warning(
             "Stream %s stopped before committing batch 0; clearing "
