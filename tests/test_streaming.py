@@ -3191,11 +3191,14 @@ def test_control_plane_soak_small(spark):
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from tools.soak_control_plane import run_soak
 
-    out = run_soak(spark, events=6000, batch=500)
+    out = run_soak(spark, events=6000, batch=500, reloads=2)
     assert out["lost"] == 0
-    assert out["reload"]["to_reload"] == ["soak2"]
-    assert out["reload"]["to_remove"] == [] and out["reload"]["to_add"] == []
-    assert not out["reload"]["failed"]
+    assert len(out["reloads"]) == 2
+    for d in out["reloads"]:
+        assert d["to_reload"] == ["soak2"]
+        assert d["to_remove"] == [] and d["to_add"] == []
+        assert not d["failed"], d
+    assert out["clean_stops"]
     for name, s in out["streams"].items():
         assert s["sent"] == s["count"] == s["sum"], (name, s)
 

@@ -91,9 +91,13 @@ def read_frame(sock) -> bytes:
     return body
 
 
-def run_soak(spark, events: int, batch: int) -> dict:
+def run_soak(spark, events: int, batch: int, reloads: int = 1) -> dict:
     """The soak as a callable (pytest runs it small; main() runs it
-    at 1M): returns the summary dict printed by the CLI."""
+    at 1M+): returns the summary dict printed by the CLI.
+    ``reloads`` mid-run reloads fire from the soak2 client at even
+    fractions of its send volume (rev bumps 2, 3, ...), each
+    touching only soak2 — r9 runs 10M events / 2 reloads (VERDICT
+    r8 ask #7)."""
     from pyspark.sql import functions as F
 
     from mirabelle_spark import streaming as stx
@@ -126,9 +130,9 @@ def run_soak(spark, events: int, batch: int) -> dict:
     per_stream = args.events // len(streams)
     sent = {n: 0 for n in streams}
     sent_lock = threading.Lock()
-    reload_at = per_stream // 2
-    reload_done = threading.Event()
-    reload_diff: dict = {}
+    marks = [per_stream * (i + 1) // (reloads + 1) for i in range(reloads)]
+    fired = [threading.Event() for _ in marks]
+    reload_diffs: list[dict] = []
     t_first = [None]
 
     def client(stream_name: str):
@@ -151,14 +155,16 @@ def run_soak(spark, events: int, batch: int) -> dict:
             pushed += n
             with sent_lock:
                 sent[stream_name] += n
-            # ONE mid-run reload, fired from the soak2 client at its
-            # halfway mark: soak2's config changes (to_reload), the
-            # other two streams must not be touched
-            if (stream_name == "soak2" and pushed >= reload_at
-                    and not reload_done.is_set()):
-                new_cfg = {**configs, "soak2": {"rev": 2}}
-                reload_diff.update(handler.reload(new_cfg))
-                reload_done.set()
+            # mid-run reloads, fired from the soak2 client at even
+            # send-volume fractions: soak2's config changes
+            # (to_reload), the other two streams must not be touched
+            if stream_name == "soak2":
+                for ridx, mark in enumerate(marks):
+                    if pushed >= mark and not fired[ridx].is_set():
+                        fired[ridx].set()
+                        new_cfg = {**configs, "soak2": {"rev": 2 + ridx}}
+                        configs.update(new_cfg)
+                        reload_diffs.append(handler.reload(new_cfg))
         s.close()
 
     t0 = time.monotonic()
@@ -180,7 +186,11 @@ def run_soak(spark, events: int, batch: int) -> dict:
         results[n] = {"sent": sent[n], "count": int(cnt), "sum": int(total)}
         lost += sent[n] - cnt
     srv.stop()
-    handler.stop_all()
+    stops = handler.stop_all()
+
+    def _jsonable(diff: dict) -> dict:
+        return {k: sorted(v) if isinstance(v, set) else v
+                for k, v in diff.items()}
 
     edge_s = t_acked - (t_first[0] or t0)
     e2e_s = t_drained - (t_first[0] or t0)
@@ -189,8 +199,9 @@ def run_soak(spark, events: int, batch: int) -> dict:
         "events": total_sent,
         "streams": results,
         "lost": int(lost),
-        "reload": {k: sorted(v) if isinstance(v, set) else v
-                   for k, v in reload_diff.items()},
+        "reload": _jsonable(reload_diffs[0]) if reload_diffs else {},
+        "reloads": [_jsonable(d) for d in reload_diffs],
+        "clean_stops": all(s["terminated"] for s in stops.values()),
         "edge_sec": round(edge_s, 2),
         "edge_ev_per_s": int(total_sent / edge_s),
         "e2e_sec": round(e2e_s, 2),
@@ -202,6 +213,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--reloads", type=int, default=1)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     args = ap.parse_args()
@@ -210,7 +222,8 @@ def main() -> None:
 
     spark = get_spark("soak_control_plane", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(run_soak(spark, args.events, args.batch)))
+    print(json.dumps(run_soak(spark, args.events, args.batch,
+                              reloads=args.reloads)))
 
 
 if __name__ == "__main__":
