@@ -647,6 +647,75 @@ def train_ivf(
     return cents
 
 
+def power_iteration_step(
+    corpus: DataFrame,
+    component: list[float],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One power-iteration step toward the corpus' dominant
+    direction: per row the projection s = <x, v> (the deterministic
+    sequential fold :func:`dot`), then per lane the DECIMAL(38,9)-
+    exact sum of s·x[lane] — bit-identical under any partitioning,
+    the same exactness contract as :func:`cell_centroid_update`.
+    Uncentered on purpose: this is the top eigenvector of the raw
+    second-moment matrix (the direction quantizers/projections care
+    about); subtract the corpus mean upstream for classical PCA.
+
+    Plan shape at 100 TB: v is a literal (no join), the projection
+    and the posexplode pipeline into the scan, and the only shuffle
+    is a dim-row hash aggregate with map-side partials. Returns
+    (lane, n, s_sum); :func:`train_top_component` normalizes.
+    """
+    v = F.array(*[F.lit(float(x)) for x in component])
+    staged = corpus.select(as_double_vec(F.col(vec_col)).alias("__cv__")).select(
+        "__cv__", dot(F.col("__cv__"), v).alias("__s__")
+    )
+    lanes = staged.select(
+        F.posexplode(F.col("__cv__")).alias("lane", "xv"), "__s__"
+    )
+    return lanes.groupBy(F.col("lane").cast("int").alias("lane")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__s__") * F.col("xv")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("s_sum"),
+    )
+
+
+def train_top_component(
+    corpus: DataFrame,
+    dim: int,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[float]:
+    """Deterministic top principal direction by power iteration —
+    the engine training its own projection, same driver-loop budget
+    as :func:`train_ivf` (one dim-vector of scalars per round, never
+    data-sized state). Each round is one decimal-exact
+    :func:`power_iteration_step`, so the result is bit-identical
+    under repartitioning (pytest-pinned vs numpy's eigenvector).
+    The sign is canonicalized (first nonzero coordinate positive) so
+    the fixpoint is unique."""
+    rng = np.random.RandomState(seed)
+    v = rng.normal(size=dim)
+    v = v / np.linalg.norm(v)
+    for _ in range(iters):
+        rows = power_iteration_step(
+            corpus, [float(x) for x in v], vec_col=vec_col
+        ).collect()
+        u = np.zeros(dim)
+        for r in rows:
+            u[r["lane"]] = r["s_sum"]
+        nrm = np.linalg.norm(u)
+        if nrm == 0.0:  # degenerate corpus (all-zero vectors)
+            break
+        v = u / nrm
+    nz = np.flatnonzero(v)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return [float(x) for x in v]
+
+
 # -- scalar quantization (SQ8): the third faiss-style compression ----------
 
 SQ_LO, SQ_HI = -2.0, 2.0  # fixed range; step (hi-lo)/256 = 2^-6 exactly

@@ -273,9 +273,13 @@ def _cap_buckets(
     ).filter(~hot)
 
 
-def _bucket_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame, ids_col: str, distinct: bool = True
+) -> DataFrame:
     """All i<j pairs from each row's sorted id array →
-    distinct (id_a, id_b).
+    distinct (id_a, id_b); ``distinct=False`` keeps multiplicity
+    (one output row per bucket the pair co-occurs in — winnowing
+    counts shared fingerprints from exactly that multiplicity).
 
     Two-stage explode so a hot bucket never materializes its full
     O(n²) pair array in one value: first posexplode picks the pair's
@@ -289,19 +293,16 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
     right = buckets.select(
         ids.alias("__ids__"), F.posexplode(ids).alias("__j__", "__b__")
     ).filter(F.col("__j__") >= 1)
-    return (
-        right.select(
-            F.col("__b__").alias("id_b"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__j__") - 1),
-                    lambda i: F.element_at(F.col("__ids__"), i + 1),
-                )
-            ).alias("id_a"),
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    pairs = right.select(
+        F.col("__b__").alias("id_b"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__j__") - 1),
+                lambda i: F.element_at(F.col("__ids__"), i + 1),
+            )
+        ).alias("id_a"),
+    ).select("id_a", "id_b")
+    return pairs.distinct() if distinct else pairs
 
 
 def ngram_jaccard_pairs(
@@ -355,6 +356,93 @@ def ngram_jaccard_pairs(
         j.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document sketch (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ORDERED word k-gram,
+    then keep one fingerprint per window of ``w`` consecutive gram
+    hashes (the window minimum). Guarantee: any run of >= w+k-1
+    shared words between two documents contributes at least one
+    shared fingerprint, while only ~2/(w+1) of grams are kept —
+    position-sensitive local dedup that a global-min sketch
+    (:func:`mirabelle_spark.pipeline.text.rolling_fingerprint`)
+    cannot give. Returns distinct (id_col, fp).
+
+    Shape: three narrow projections (words → gram hashes →
+    window minima) so each array expression is a bound reference
+    evaluated once per row — never re-split inside a lambda (the
+    word_shingles quadratic trap, PERF.md §26). Documents shorter
+    than k words hash as one whole-text gram; fewer than w grams
+    yield one fingerprint (the global min). md5 (not xxhash) so the
+    DuckDB oracle mirrors engine-for-engine; at 100 TB swap in
+    xxhash64 — the plan shape is identical."""
+    words = F.split(normalized(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col), words.alias("__w__"))
+    wc = F.col("__w__")
+    shifted = [
+        F.slice(wc, j + 1, F.greatest(F.size(wc) - j, F.lit(0))).alias(f"w{j}")
+        for j in range(k)
+    ]
+    ng = F.greatest(F.size(wc) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.slice(F.arrays_zip(*shifted), 1, ng),
+        lambda s: F.md5(F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])),
+    )
+    g = staged.select(F.col(id_col), grams.alias("__g__"))
+    gc = F.col("__g__")
+    gshift = [
+        F.slice(gc, j + 1, F.greatest(F.size(gc) - j, F.lit(0))).alias(f"g{j}")
+        for j in range(w)
+    ]
+    nw = F.greatest(F.size(gc) - (w - 1), F.lit(1))
+    # least() skips the nulls arrays_zip pads short tails with, so
+    # the (rare) trailing short window still yields its true min
+    fps = F.array_distinct(
+        F.transform(
+            F.slice(F.arrays_zip(*gshift), 1, nw),
+            lambda s: F.least(*[s[f"g{j}"] for j in range(w)]),
+        )
+    )
+    return g.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    docs sharing >= ``min_shared`` fingerprints, with the shared
+    count (the MOSS report grain). One hash-partitioned groupBy on
+    the fingerprint builds the buckets — never an all-pairs
+    self-join; hot boilerplate fingerprints are droppable via
+    ``max_bucket`` (same observable cap as MinHash-LSH,
+    :func:`bucket_cap_stats`("winnow")). Returns
+    (id_a, id_b, shared) with id_a < id_b."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids__"))
+        .filter(F.size("__ids__") >= 2)
+    )
+    buckets = _cap_buckets(buckets, "__ids__", max_bucket, "winnow")
+    pairs = _bucket_pairs(buckets, "__ids__", distinct=False)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )
 
 

@@ -447,3 +447,46 @@ def token_chunks(
             ).getField("tok"))).alias("chunk_md5"),
         )
     )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
+    """The statistics pass of one BPE merge step (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units", Algorithm 1): corpus-wide adjacent symbol-pair
+    frequencies over the initial character alphabet, weighted by
+    word occurrence count — the top row IS the first merge.
+    Training iterates: re-segment with the merged symbol, recount
+    (the same driver-loop shape as ann.train_ivf; each round is one
+    relational pass like this one).
+
+    Plan: words aggregate to a (word, count) table FIRST, so pair
+    explosion runs over distinct words (vocabulary-sized, not
+    corpus-sized); the pair table is bounded by |alphabet|², so the
+    final top-N is orderBy+limit (TakeOrderedAndProject — no global
+    window over unbounded data). Returns (pair, weight, rank),
+    rank 1..top_n by (weight desc, pair asc)."""
+    words = F.explode(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    ).alias("word")
+    wf = (
+        df.select(words)
+        .filter(F.length("word") >= 2)  # 1-char words have no pair
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "__n__",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("__n__").alias("weight"))
+    top = agg.orderBy(F.col("weight").desc(), F.col("pair").asc()).limit(top_n)
+    from pyspark.sql import Window as W
+
+    # rank attaches AFTER the limit: the window covers <= top_n rows
+    wnd = W.orderBy(F.col("weight").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(wnd))

@@ -1786,3 +1786,116 @@ def split_token_budget(spark, sf):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("bigint")).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: winnowing dedup, BPE merge statistics, power-iteration PCA
+
+
+@q(
+    "winnow_dedup_pairs",
+    r"""
+WITH wrds AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
+           i -> md5(array_to_string(list_slice(ws, i, i + 3), ' '))) AS gs
+  FROM wrds
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(gs) - 3, 1) + 1),
+             j -> list_min(list_slice(gs, j, j + 3))))) AS fp
+  FROM grams
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def winnow_dedup_pairs(spark, sf):
+    """Winnowing (MOSS) near-dup pairs (r9): ordered word 4-gram md5
+    hashes, one fingerprint per 4-hash window (the local minimum),
+    pairs sharing >= 2 fingerprints with the shared count. The
+    oracle mirrors the fingerprint construction then counts shared
+    fps by an explicit self-join — the engine never self-joins (one
+    groupBy bucket pass, hot-fp cappable)."""
+    return dedup.winnow_dedup_pairs(docs(spark, sf), k=4, w=4, min_shared=2)
+
+
+@q(
+    "bpe_top_pairs",
+    r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT word, count(*) AS n FROM words WHERE length(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)), i -> substring(word, i, 2))) AS pair, n
+  FROM wf
+),
+agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS weight FROM pairs GROUP BY pair)
+SELECT pair, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, pair ASC) AS INT) AS rank
+FROM agg ORDER BY weight DESC, pair ASC LIMIT 20
+""",
+)
+def bpe_top_pairs(spark, sf):
+    """First BPE merge-step statistics (r9): corpus-wide adjacent
+    character-pair frequencies weighted by word occurrence count;
+    the rank-1 row is the first merge of a BPE tokenizer trained on
+    this corpus. Pair explosion runs over the vocabulary table, not
+    the corpus."""
+    return text.bpe_pair_counts(docs(spark, sf), top_n=20)
+
+
+def _pca_seed(dim: int = 64, seed: int = 7) -> list[float]:
+    """The deterministic power-iteration seed (unit-normal direction,
+    RandomState(seed)) — the same vector train_top_component starts
+    from, inlined full-repr into the oracle like _centroids_sql."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    v = rng.normal(size=dim)
+    v = v / np.linalg.norm(v)
+    return [float(x) for x in v]
+
+
+def _pca_power_iter_oracle(dim: int = 64) -> str:
+    vec = "[" + ", ".join(repr(x) for x in _pca_seed(dim)) + "]"
+    return f"""
+WITH v AS (SELECT {vec}::DOUBLE[] AS vv),
+prj AS (
+  SELECT embedding::DOUBLE[] AS cv,
+         list_reduce(list_transform(list_zip(embedding::DOUBLE[], vv),
+           x -> x[1] * x[2]), (acc, y) -> acc + y) AS s
+  FROM embeddings, v
+),
+lanes AS (
+  SELECT CAST(g.i - 1 AS INT) AS lane, cv[g.i] AS xv, s
+  FROM prj, generate_series(1, {dim}) AS g(i)
+)
+SELECT lane, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(s * xv AS DECIMAL(38,9))) AS DOUBLE) AS s_sum
+FROM lanes GROUP BY lane
+"""
+
+
+@q("pca_power_iter", _pca_power_iter_oracle())
+def pca_power_iter(spark, sf):
+    """One power-iteration step toward the embedding corpus' top
+    principal direction (r9) from the deterministic seed — the
+    engine training its own projection (train_top_component iterates
+    exactly this step; pytest pins its convergence vs numpy's
+    eigendecomposition). DECIMAL(38,9)-exact lane sums, the
+    cell_centroid_update contract."""
+    return ann.power_iteration_step(embs(spark, sf), _pca_seed())

@@ -1288,3 +1288,93 @@ def test_train_pq_deterministic_and_competitive(spark):
         got.setdefault(r.query_id, set()).add(r.vec_id)
     rec = sum(len(got[q] & exact[q]) for q in exact) / (5.0 * len(exact))
     assert rec >= 0.8, rec
+
+
+# --- round 9: winnowing, BPE merge step, power iteration ------------------
+
+
+def test_winnow_guarantee_and_counts(spark):
+    """The MOSS guarantee: any shared run of >= w+k-1 words yields a
+    shared fingerprint; unrelated docs share none."""
+    from mirabelle_spark.pipeline import dedup
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta"  # 7 = w+k-1 words
+    rows = [
+        (0, f"{shared_run} onlyzero tail words here"),
+        (1, f"prefix one two {shared_run}"),
+        (2, "totally disjoint vocabulary nothing matches anywhere at all ever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = {
+        (r.doc_id, r.fp)
+        for r in dedup.winnow_fingerprints(df, k=4, w=4).collect()
+    }
+    by_doc = {}
+    for d, fp in fps:
+        by_doc.setdefault(d, set()).add(fp)
+    assert by_doc[0] & by_doc[1]  # guarantee
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+    pairs = {
+        (r.id_a, r.id_b): r.shared
+        for r in dedup.winnow_dedup_pairs(df, k=4, w=4, min_shared=1).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] >= 1
+
+
+def test_winnow_short_doc_and_partitioning(spark):
+    """Docs shorter than k words still fingerprint (whole-text gram);
+    the pair set is partitioning-independent."""
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [(0, "tiny doc"), (1, "tiny doc"), (2, "other")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b, r.shared)
+        for r in dedup.winnow_dedup_pairs(df, min_shared=1).collect()
+    }
+    assert pairs == {(0, 1, 1)}
+    re = {
+        (r.id_a, r.id_b, r.shared)
+        for r in dedup.winnow_dedup_pairs(df.repartition(7), min_shared=1).collect()
+    }
+    assert re == pairs
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    """low low lower -> 'lo'/'ow' appear in all 3 words; 'we','er'
+    only in 'lower'. Weighted by word occurrence count."""
+    from mirabelle_spark.pipeline import text as tx
+
+    df = spark.createDataFrame([(0, "low low lower x")], "doc_id bigint, text string")
+    out = {r.pair: (r.weight, r.rank) for r in tx.bpe_pair_counts(df, top_n=10).collect()}
+    # 'x' is filtered (no pair); weights: lo=3, ow=3, we=1, er=1
+    assert out["lo"] == (3, 1)  # rank ties broken pair-asc: lo before ow
+    assert out["ow"] == (3, 2)
+    assert out["er"] == (1, 3) and out["we"] == (1, 4)
+    assert set(out) == {"lo", "ow", "we", "er"}
+
+
+def test_power_iteration_matches_numpy(spark):
+    """train_top_component converges to numpy's dominant eigenvector
+    of X'X and is bit-identical under repartitioning."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import ann
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=8)
+    x = rng.normal(size=(200, 8)) * 0.3 + np.outer(rng.normal(size=200), base)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<double>",
+    )
+    v = np.array(ann.train_top_component(df, dim=8, iters=12))
+    w, vecs = np.linalg.eigh(x.T @ x)
+    top = vecs[:, np.argmax(w)]
+    if top[np.flatnonzero(top)[0]] < 0:
+        top = -top
+    assert float(np.abs(v @ top)) > 0.9999
+    v2 = np.array(ann.train_top_component(df.repartition(13), dim=8, iters=12))
+    assert (v == v2).all()  # decimal-exact lane sums: bit-identical
