@@ -490,3 +490,145 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_n: int = 20) -> D
     # rank attaches AFTER the limit: the window covers <= top_n rows
     wnd = W.orderBy(F.col("weight").desc(), F.col("pair").asc())
     return top.withColumn("rank", F.row_number().over(wnd))
+
+
+# --- BPE tokenizer training (r9) -------------------------------------------
+
+# Segmentation state is a delimited string: every symbol wrapped in a
+# DOUBLE \x1f separator ("\x1f\x1fa\x1f\x1fb\x1f\x1f"). A merge (a,b)
+# is then ONE literal replace of "\x1fa\x1f\x1fb\x1f" with
+# "\x1fab\x1f": each match consumes one half of each doubled
+# delimiter, so adjacent matches in a run never contend for a shared
+# boundary — the left-to-right non-overlapping scan pairs a run of n
+# identical symbols exactly like the canonical greedy list scan
+# (aaaa -> [aa, aa], aaa -> [aa, a]), and the replacement restores
+# the doubled-delimiter invariant by construction. Literal replace
+# (no lookarounds) so the DuckDB (RE2) oracle applies the IDENTICAL
+# rule. \x1f (unit separator) cannot appear in normalized text.
+_BPE_SEP = "\x1f"
+_BPE_SEP2 = _BPE_SEP * 2
+
+
+def _bpe_seg_init(word: Column) -> Column:
+    """word -> doubled-delimiter character segmentation."""
+    return F.concat(
+        F.regexp_replace(word, "(.)", _BPE_SEP2 + "$1"), F.lit(_BPE_SEP2)
+    )
+
+
+def _bpe_merge_apply(seg: Column, a: str, b: str) -> Column:
+    return F.replace(
+        seg,
+        F.lit(_BPE_SEP + a + _BPE_SEP2 + b + _BPE_SEP),
+        F.lit(_BPE_SEP + a + b + _BPE_SEP),
+    )
+
+
+def _bpe_syms(seg: Column) -> Column:
+    return F.filter(F.split(seg, _BPE_SEP), lambda x: x != F.lit(""))
+
+
+def _bpe_pair_weights(vocab: DataFrame) -> DataFrame:
+    """(seg, __n__) vocab -> (a, b, weight): corpus-weighted adjacent
+    symbol-pair counts under the current segmentation."""
+    staged = vocab.select(_bpe_syms(F.col("seg")).alias("__sy__"), "__n__").filter(
+        F.size("__sy__") >= 2  # guard BEFORE sequence: sequence(1,0) descends
+    )
+    idx = staged.select(
+        "__sy__",
+        "__n__",
+        F.explode(F.sequence(F.lit(1), F.size("__sy__") - 1)).alias("__i__"),
+    )
+    return (
+        idx.select(
+            F.element_at("__sy__", F.col("__i__")).alias("a"),
+            F.element_at("__sy__", F.col("__i__") + 1).alias("b"),
+            "__n__",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("__n__").alias("weight"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 24,
+    text_col: str = "text",
+    min_weight: int = 2,
+) -> list[tuple[str, str]]:
+    """Train a BPE tokenizer relationally (Sennrich et al. 2016,
+    Algorithm 1 — canonical greedy merges, see _BPE_SEP note): each
+    round is one pair-count aggregate over the VOCABULARY table plus
+    one literal-replace projection; the argmax (weight desc, pair
+    asc — deterministic) is the only driver scalar per round, and the
+    vocab is localCheckpoint-ed per round so lineage stays flat (the
+    resolve_clusters discipline). Stops early when no pair reaches
+    ``min_weight``. At 100 TB the vocab table is distributed and
+    bodies never shuffle — only (word-hash, count) rows build it.
+    Returns the merge list for :func:`bpe_apply`."""
+    words = F.explode(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    ).alias("word")
+    vocab = (
+        df.select(words)
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .select(_bpe_seg_init(F.col("word")).alias("seg"), "__n__")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _bpe_pair_weights(vocab)
+            .orderBy(F.col("weight").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["weight"] < min_weight:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.withColumn(
+            "seg", _bpe_merge_apply(F.col("seg"), a, b)
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_apply(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize a word column with trained merges: the same
+    doubled-delimiter literal replaces the trainer used, applied in
+    merge order — array<string> subword tokens. A chain of
+    len(merges) JVM string replaces; no Python, no UDF."""
+    seg = _bpe_seg_init(word)
+    for a, b in merges:
+        seg = _bpe_merge_apply(seg, a, b)
+    return _bpe_syms(seg)
+
+
+def bpe_segment_profile(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus subword-frequency profile under trained merges:
+    segmentation runs once per DISTINCT word (vocabulary table),
+    exploded tokens weighted by word count; top_n via orderBy+limit.
+    Returns (token, weight, rank)."""
+    words = F.explode(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    ).alias("word")
+    wf = (
+        df.select(words)
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    toks = wf.select(F.explode(bpe_apply(F.col("word"), merges)).alias("token"), "__n__")
+    agg = toks.groupBy("token").agg(F.sum("__n__").alias("weight"))
+    top = agg.orderBy(F.col("weight").desc(), F.col("token").asc()).limit(top_n)
+    from pyspark.sql import Window as W
+
+    wnd = W.orderBy(F.col("weight").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(wnd))

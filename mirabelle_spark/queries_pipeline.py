@@ -1899,3 +1899,46 @@ def pca_power_iter(spark, sf):
     eigendecomposition). DECIMAL(38,9)-exact lane sums, the
     cell_centroid_update contract."""
     return ann.power_iteration_step(embs(spark, sf), _pca_seed())
+
+
+def _bpe_segment_oracle(top_n: int = 50) -> str:
+    """Segmentation as a chain of literal replaces over the
+    doubled-delimiter form (see text._BPE_SEP) — the EXACT rule the
+    trainer and bpe_apply use, with the trained merges inlined. RE2-
+    safe: no lookarounds, plain replace()."""
+    from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
+
+    s = "\x1f"
+    s2 = s * 2
+    assert all("'" not in a + b for a, b in BPE_MERGES)
+    seg = f"regexp_replace(word, '(.)', '{s2}\\1', 'g') || '{s2}'"
+    for a, b in BPE_MERGES:
+        seg = f"replace({seg}, '{s}{a}{s2}{b}{s}', '{s}{a}{b}{s}')"
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+wf AS (SELECT word, count(*) AS n FROM words WHERE length(word) >= 1 GROUP BY word),
+toks AS (
+  SELECT unnest(list_filter(string_split({seg}, '{s}'), x -> x <> '')) AS token, n
+  FROM wf
+),
+agg AS (SELECT token, CAST(sum(n) AS BIGINT) AS weight FROM toks GROUP BY token)
+SELECT token, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, token ASC) AS INT) AS rank
+FROM agg ORDER BY weight DESC, token ASC LIMIT {top_n}
+"""
+
+
+@q("bpe_segment_trained", _bpe_segment_oracle())
+def bpe_segment_trained(spark, sf):
+    """Corpus subword profile under the ENGINE-TRAINED BPE merges
+    (r9): bpe_train's 24 pinned merges (bpe_merges_trained, byte-
+    equality regeneration pin) applied as a JVM literal-replace chain
+    over the vocabulary table — the trained-tokenizer lifecycle end
+    to end, the bpe_top_pairs statistics pass iterated. Top-50
+    subword tokens by weighted frequency."""
+    from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
+
+    return text.bpe_segment_profile(docs(spark, sf), BPE_MERGES, top_n=50)

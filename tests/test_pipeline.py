@@ -1378,3 +1378,119 @@ def test_power_iteration_matches_numpy(spark):
     assert float(np.abs(v @ top)) > 0.9999
     v2 = np.array(ann.train_top_component(df.repartition(13), dim=8, iters=12))
     assert (v == v2).all()  # decimal-exact lane sums: bit-identical
+
+
+def _ref_bpe_train(word_counts, n_merges, min_weight=2):
+    """Pure-Python canonical BPE (Sennrich Alg. 1) for pinning the
+    relational trainer: greedy left-to-right non-overlapping pair
+    merge, argmax by (weight desc, pair asc)."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in vocab.items():
+            i = 0
+            while i < len(syms) - 1:
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + n
+                i += 1
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_weight:
+            break
+        merges.append(best)
+        a, b = best
+        nxt = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        vocab = nxt
+    return merges
+
+
+def _ref_bpe_apply(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_train_matches_reference(spark):
+    """The relational trainer reproduces canonical greedy BPE —
+    merges AND segmentation — and is partitioning-independent."""
+    from collections import Counter
+
+    from mirabelle_spark.pipeline import text as tx
+
+    docs = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "wider wide widest lower newer",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    wc = Counter(w for t in docs for w in t.split())
+    ref = _ref_bpe_train(wc, n_merges=8)
+    got = tx.bpe_train(df, n_merges=8)
+    assert got == ref
+    got2 = tx.bpe_train(df.repartition(5), n_merges=8)
+    assert got2 == ref
+
+    seg = df.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).select("word", tx.bpe_apply(F.col("word"), got).alias("toks")).collect()
+    for r in seg:
+        assert list(r.toks) == _ref_bpe_apply(r.word, ref), r.word
+
+
+def test_bpe_run_canonicality(spark):
+    """Runs of identical symbols pair like the canonical list scan:
+    aaaa -> [aa, aa], aaa -> [aa, a] under merge (a, a)."""
+    from mirabelle_spark.pipeline import text as tx
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("aaaaaa",)], "word string")
+    out = {
+        r.word: list(r.toks)
+        for r in df.select(
+            "word", tx.bpe_apply(F.col("word"), [("a", "a")]).alias("toks")
+        ).collect()
+    }
+    assert out == {
+        "aaaa": ["aa", "aa"],
+        "aaa": ["aa", "a"],
+        "aaaaaa": ["aa", "aa", "aa"],
+    }
+
+
+def test_trained_bpe_merges_match_pinned(spark):
+    """Pin contract for bpe_segment_trained: re-running bpe_train
+    with the recorded hyperparameters reproduces
+    bpe_merges_trained.py exactly."""
+    from mirabelle_spark.pipeline import text as tx
+    from mirabelle_spark.pipeline.bpe_merges_trained import (
+        BPE_MERGES, TRAIN_MIN_WEIGHT, TRAIN_N_MERGES, TRAIN_SF_DIR,
+    )
+    from mirabelle_spark.queries_pipeline import docs
+
+    merges = tx.bpe_train(
+        docs(spark, TRAIN_SF_DIR),
+        n_merges=TRAIN_N_MERGES,
+        min_weight=TRAIN_MIN_WEIGHT,
+    )
+    assert merges == BPE_MERGES
