@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "video_frame_sample",     # Arrow-batched container parse
     # r8 additions
     "ann_ivf_trained_topk",   # IVF with the TRAINED quantizer (same plan shape)
+    # r9 additions
+    "winnow_dedup_pairs",     # MOSS winnowing (gram mins -> bucket pairs)
+    "bpe_segment_trained",    # trained-BPE replace chain over the vocab table
 ]
 
 
@@ -154,6 +157,8 @@ def main() -> None:
             # r7 additions (VERDICT r7 ask #6)
             "ann_ivfpq_topk", "token_chunks_docs", "ann_sq_topk",
             "linear_quality_docs", "video_frame_sample", "soft_dedup_docs",
+            # r9 additions
+            "winnow_dedup_pairs", "bpe_segment_trained",
         ]
         sf1_runs = int(os.environ.get("BENCH_SF1_RUNS", "2"))
         sf1_timings: dict[str, float] = {}
