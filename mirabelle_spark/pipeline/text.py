@@ -632,3 +632,40 @@ def bpe_segment_profile(
 
     wnd = W.orderBy(F.col("weight").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(wnd))
+
+
+def tfidf_top_terms(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-n terms by tf-idf, rational-idf variant:
+    score = tf/df. Like classic tf·ln(N/df) it is strictly
+    increasing in tf and in 1/df; unlike it, the score is a single
+    IEEE division of exact integers, so the ranking is engine-
+    portable bit-for-bit (ln is not correctly-rounded in either
+    engine's libm — a last-ulp divergence that flips ranks on near-
+    ties). Ties (including equal ratios from different tf/df) break
+    token-asc.
+
+    Scale shape: (doc, token, tf) hash agg → vocab-sized df agg →
+    shuffle hash join on token (only (id, token, tf) rows move, the
+    token_rarity_score shape) → per-DOC window (keyed, never
+    global). Returns (doc_id, token, tf, df, rank), rank <= n."""
+    from pyspark.sql import Window as W
+
+    per_doc = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    joined = per_doc.join(freq, "token")
+    w = W.partitionBy(id_col).orderBy(
+        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+        F.col("token").asc(),
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(id_col, "token", "tf", "df", "rank")
+    )

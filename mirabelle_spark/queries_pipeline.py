@@ -1870,15 +1870,31 @@ def _pca_seed(dim: int = 64, seed: int = 7) -> list[float]:
     return [float(x) for x in v]
 
 
+def _dlit(v: float) -> str:
+    """Double literal DuckDB parses DIRECTLY as DOUBLE (exponent
+    suffix skips the DECIMAL(18,17) path that double-rounds the last
+    ulp — the _pq_oracle_fragments rule)."""
+    r = repr(float(v))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def _dot_unrolled_sql(vec_expr: str, component: list[float]) -> str:
+    """<vec, component> as an explicit left-associated sum of
+    correctly-rounded products — bit-identical to the Spark side's
+    sequential fold (ann.dot). NEVER list_reduce: DuckDB's reduce is
+    not a plain left fold (measured 1-ulp divergences, see
+    _pq_oracle_fragments)."""
+    return " + ".join(
+        f"{vec_expr}[{i + 1}] * {_dlit(x)}" for i, x in enumerate(component)
+    )
+
+
 def _pca_power_iter_oracle(dim: int = 64) -> str:
-    vec = "[" + ", ".join(repr(x) for x in _pca_seed(dim)) + "]"
+    s = _dot_unrolled_sql("cv", _pca_seed(dim))
     return f"""
-WITH v AS (SELECT {vec}::DOUBLE[] AS vv),
-prj AS (
-  SELECT embedding::DOUBLE[] AS cv,
-         list_reduce(list_transform(list_zip(embedding::DOUBLE[], vv),
-           x -> x[1] * x[2]), (acc, y) -> acc + y) AS s
-  FROM embeddings, v
+WITH prj AS (
+  SELECT cv, {s} AS s
+  FROM (SELECT embedding::DOUBLE[] AS cv FROM embeddings)
 ),
 lanes AS (
   SELECT CAST(g.i - 1 AS INT) AS lane, cv[g.i] AS xv, s
@@ -1942,3 +1958,67 @@ def bpe_segment_trained(spark, sf):
     from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
 
     return text.bpe_segment_profile(docs(spark, sf), BPE_MERGES, top_n=50)
+
+
+def _pca_project_oracle(k: int = 20) -> str:
+    from mirabelle_spark.pipeline.pca_component_trained import PCA_COMPONENT
+
+    d = _dot_unrolled_sql("cv", PCA_COMPONENT)
+    return f"""
+WITH prj AS (
+  SELECT vec_id, {d} AS score
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+)
+SELECT vec_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+FROM prj ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+@q("pca_project_trained", _pca_project_oracle())
+def pca_project_trained(spark, sf):
+    """Projection onto the ENGINE-TRAINED dominant direction (r9):
+    pca_component_trained (power-iteration output, byte-equality
+    regeneration pin) inlined as a literal; per-vector score is the
+    deterministic sequential-fold dot, top-20 via orderBy+limit —
+    the third trained artifact on the gated path (IVF centroids, PQ
+    codebooks, now the projection)."""
+    from pyspark.sql import Window as W
+
+    from mirabelle_spark.pipeline.pca_component_trained import PCA_COMPONENT
+
+    v = F.array(*[F.lit(float(x)) for x in PCA_COMPONENT])
+    e = embs(spark, sf).select(
+        "vec_id", ann.dot(ann.as_double_vec(F.col("embedding")), v).alias("score")
+    )
+    top = e.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(20)
+    wnd = W.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(wnd))
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+), td AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE length(token) > 0 GROUP BY doc_id, token
+), freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY token
+), j AS (
+  SELECT td.doc_id, td.token, td.tf, freq.df,
+         CAST(row_number() OVER (
+           PARTITION BY td.doc_id
+           ORDER BY CAST(td.tf AS DOUBLE) / CAST(freq.df AS DOUBLE) DESC,
+                    td.token ASC) AS INT) AS rank
+  FROM td JOIN freq USING (token)
+)
+SELECT doc_id, token, tf, df, rank FROM j WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark, sf):
+    """Per-document top-3 tf-idf terms (r9), rational-idf variant
+    (score = tf/df — engine-portable exact ranking, see
+    text.tfidf_top_terms docstring); per-DOC window, never global."""
+    return text.tfidf_top_terms(docs(spark, sf), n=3)

@@ -1494,3 +1494,25 @@ def test_trained_bpe_merges_match_pinned(spark):
         min_weight=TRAIN_MIN_WEIGHT,
     )
     assert merges == BPE_MERGES
+
+
+def test_trained_pca_component_match_pinned(spark):
+    """Pin contract for pca_project_trained: re-running
+    train_top_component with the recorded hyperparameters reproduces
+    pca_component_trained.py exactly (determinism pin — the corpus
+    spectrum is nearly flat, so this is a dominant-subspace
+    direction, not a converged eigenvector; see the module
+    docstring)."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.pca_component_trained import (
+        PCA_COMPONENT, TRAIN_DIM, TRAIN_ITERS, TRAIN_SEED, TRAIN_SF_DIR,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    v = ann.train_top_component(
+        embs(spark, TRAIN_SF_DIR),
+        dim=TRAIN_DIM,
+        iters=TRAIN_ITERS,
+        seed=TRAIN_SEED,
+    )
+    assert v == PCA_COMPONENT
