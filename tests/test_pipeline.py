@@ -1516,3 +1516,31 @@ def test_trained_pca_component_match_pinned(spark):
         seed=TRAIN_SEED,
     )
     assert v == PCA_COMPONENT
+
+
+def test_winnow_hot_fingerprint_cap(spark):
+    """The winnowing pair path shares the observable hot-bucket cap:
+    a 500-doc exact-copy clique's fingerprints are dropped under
+    max_bucket while a sparse near-dup pair (long shared run)
+    survives, and the drop is recorded under the 'winnow' label."""
+    from mirabelle_spark.pipeline import dedup
+
+    clique = [(100 + i, "subscribe to our newsletter for daily updates and offers")
+              for i in range(500)]
+    rows = clique + [
+        (0, "alpha beta gamma delta epsilon zeta eta theta unique tail zero"),
+        (1, "other prefix alpha beta gamma delta epsilon zeta eta theta end"),
+        (2, "completely different content about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnow_dedup_pairs(
+            df, min_shared=1, max_bucket=100
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(p[0] >= 100 or p[1] >= 100 for p in pairs)
+    stats = dedup.bucket_cap_stats("winnow")
+    assert stats["capped_buckets"] >= 1
+    assert stats["max_bucket_size"] == 500
