@@ -38,6 +38,7 @@ GATE_PRIORITY = [
     "ann_ivfpq_trained_topk",
     "winnow_dedup_pairs", "bpe_top_pairs", "pca_power_iter",
     "bpe_segment_trained", "pca_project_trained", "tfidf_top_terms",
+    "dup_span_fraction_docs",
     # (b) last gated r6 — the whole remaining tail
     "extract_nested", "sflatten_roundtrip",
     "agg_sum_hourly", "agg_sum_delayed_hourly", "agg_mean_hourly",
@@ -64,10 +65,10 @@ GATE_PRIORITY = [
 # Round-10 rotation note: after this round's gate every registry
 # entry will have been driver-gated in rounds 7–9; lead r10 with
 # whatever r10 changes, then the oldest r7/r8-gated remainder —
-# starting with the six (c) entries the r9 additions displaced
-# past slot 50 (simhash_pairs, paragraph_dedup_docs,
-# semantic_dedup_survivors, coll_where_inside_window,
-# coll_sum_hourly — and minhash_lsh_pairs), then ann_lsh_topk,
+# starting with the seven (c) entries the r9 additions displaced
+# past slot 50 (coll_increase_daily, minhash_lsh_pairs,
+# simhash_pairs, paragraph_dedup_docs, semantic_dedup_survivors,
+# coll_where_inside_window, coll_sum_hourly), then ann_lsh_topk,
 # ann_sq8_topk, ann_ivfpq_topk,
 # zscore_window, sessionize_docs, contamination_docs,
 # pack_sequences, mixture_sample_docs, the curation composes, and

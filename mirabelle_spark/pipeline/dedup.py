@@ -933,3 +933,44 @@ def soft_dedup(
         )
         .select(id_col, "dup_count")
     )
+
+
+def dup_span_fraction(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated-span fraction — the corpus-level
+    'duplicated text' quality metric (C4 / Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" at
+    word n-gram grain, not suffix-array grain): for each document,
+    the fraction of its DISTINCT word n-grams that also occur in at
+    least one OTHER document. High fraction = boilerplate/mirror
+    content even when no single pair crosses a near-dup threshold.
+
+    Scale shape: doc-distinct shingle explode → (gram) hash agg with
+    map-side partials (one row per doc-distinct gram ever shuffles)
+    → vocab-sized join back on the gram → one per-doc agg. The
+    fraction is one IEEE division of exact integers — engine-
+    portable. Documents shorter than n words have no n-grams and
+    return NULL fraction (kept via the left join). Returns
+    (doc_id, n_grams, n_shared, dup_fraction)."""
+    per = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__g__")
+    )
+    freq = per.groupBy("__g__").agg(F.count(F.lit(1)).alias("__nd__"))
+    j = per.join(freq, "__g__")
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("__nd__") >= 2).cast("long")).alias("n_shared"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_grams").cast("double")).alias(
+                "dup_fraction"
+            ),
+        )
+    )

@@ -2022,3 +2022,33 @@ def tfidf_top_terms(spark, sf):
     (score = tf/df — engine-portable exact ranking, see
     text.tfidf_top_terms docstring); per-DOC window, never global."""
     return text.tfidf_top_terms(docs(spark, sf), n=3)
+
+
+@q(
+    "dup_span_fraction_docs",
+    r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) - 2, 0) + 1),
+    i -> array_to_string(list_slice(string_split_regex(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '), i, i + 2), ' ')
+  )) AS s
+  FROM documents
+),
+per AS (SELECT doc_id, unnest(s) AS g FROM sh),
+freq AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM per GROUP BY g),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM per JOIN freq USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, a.n_grams, a.n_shared,
+       CAST(a.n_shared AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS dup_fraction
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+)
+def dup_span_fraction_docs(spark, sf):
+    """Cross-document duplicated-span fraction (r9): per doc, the
+    fraction of its distinct word 3-grams occurring in >= 2 docs —
+    the C4 / Lee et al. 2021 corpus-dup quality metric at n-gram
+    grain. One exact integer division; short docs NULL."""
+    return dedup.dup_span_fraction(docs(spark, sf), n=3)

@@ -1544,3 +1544,23 @@ def test_winnow_hot_fingerprint_cap(spark):
     stats = dedup.bucket_cap_stats("winnow")
     assert stats["capped_buckets"] >= 1
     assert stats["max_bucket_size"] == 500
+
+
+def test_dup_span_fraction(spark):
+    """Hand-computed cross-doc duplicated 3-gram fractions: docs 0/1
+    share one 3-gram run; doc 2 is disjoint; doc 3 is too short."""
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [
+        (0, "alpha beta gamma delta"),     # grams: abg, bgd -> abg shared? see doc 1
+        (1, "alpha beta gamma epsilon"),   # grams: abg, bge
+        (2, "one two three four"),         # disjoint
+        (3, "tiny doc"),                   # < 3 words -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_grams, r.n_shared, r.dup_fraction)
+           for r in dedup.dup_span_fraction(df, n=3).collect()}
+    assert out[0] == (2, 1, 0.5)   # 'alpha beta gamma' shared with doc 1
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 0, 0.0)
+    assert out[3] == (None, None, None)
