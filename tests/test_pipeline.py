@@ -1564,3 +1564,32 @@ def test_dup_span_fraction(spark):
     assert out[1] == (2, 1, 0.5)
     assert out[2] == (2, 0, 0.0)
     assert out[3] == (None, None, None)
+
+
+def test_bpe_replace_semantics_cross_engine(spark):
+    """The bpe_segment_trained oracle's validity rests on DuckDB's
+    literal replace() pairing symbol runs exactly like Spark's (scan
+    the original, advance past each match). Pin both engines on the
+    pathological run inputs."""
+    import duckdb
+
+    from mirabelle_spark.pipeline import text as tx
+
+    want = {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"], "aaaaaa": ["aa", "aa", "aa"]}
+    df = spark.createDataFrame([(w,) for w in want], "word string")
+    got_spark = {
+        r.word: list(r.toks)
+        for r in df.select(
+            "word", tx.bpe_apply(F.col("word"), [("a", "a")]).alias("toks")
+        ).collect()
+    }
+    assert got_spark == want
+    s = "\x1f"
+    s2 = s * 2
+    for w, exp in want.items():
+        q = (
+            f"select list_filter(string_split(replace("
+            f"regexp_replace('{w}', '(.)', '{s2}\\1', 'g') || '{s2}',"
+            f" '{s}a{s2}a{s}', '{s}aa{s}'), '{s}'), x -> x <> '')"
+        )
+        assert duckdb.sql(q).fetchone()[0] == exp, w
