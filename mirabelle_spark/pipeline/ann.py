@@ -716,6 +716,42 @@ def train_top_component(
     return [float(x) for x in v]
 
 
+def train_top_components(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 2,
+    iters: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Top-k dominant directions by power iteration with modified
+    Gram-Schmidt deflation: component j trains on the residual
+    r = x − Σ_{l<j} <r, v_l>·v_l, each projection STAGED as a column
+    before the zip_with (an expression referenced inside a lambda
+    re-evaluates per element — the word_shingles trap — so the dot
+    is computed once per row, not once per lane). Same exactness and
+    driver budget as :func:`train_top_component` per component
+    (decimal-exact lane sums; one dim-vector of scalars per round);
+    k·iters relational passes total. Seeds differ per component so a
+    degenerate seed⊥subspace start cannot repeat."""
+    comps: list[list[float]] = []
+    base = corpus.select(as_double_vec(F.col(vec_col)).alias("__r__"))
+    for j in range(k):
+        d = base
+        for v in comps:
+            vv = F.array(*[F.lit(float(x)) for x in v])
+            d = d.select("__r__", dot(F.col("__r__"), vv).alias("__s__"))
+            d = d.select(
+                F.zip_with(
+                    "__r__", vv, lambda a, b: a - F.col("__s__") * b
+                ).alias("__r__")
+            )
+        comps.append(
+            train_top_component(d, dim, iters=iters, seed=seed + j, vec_col="__r__")
+        )
+    return comps
+
+
 # -- scalar quantization (SQ8): the third faiss-style compression ----------
 
 SQ_LO, SQ_HI = -2.0, 2.0  # fixed range; step (hi-lo)/256 = 2^-6 exactly

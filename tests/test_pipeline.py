@@ -1593,3 +1593,34 @@ def test_bpe_replace_semantics_cross_engine(spark):
             f" '{s}a{s2}a{s}', '{s}aa{s}'), '{s}'), x -> x <> '')"
         )
         assert duckdb.sql(q).fetchone()[0] == exp, w
+
+
+def test_train_top_components_deflation(spark):
+    """Two-spike corpus: deflated power iteration recovers both
+    leading eigenvectors of X'X, orthogonal, bit-identical under
+    repartitioning."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import ann
+
+    rng = np.random.RandomState(11)
+    b1 = rng.normal(size=8); b1 /= np.linalg.norm(b1)
+    b2 = rng.normal(size=8); b2 -= (b2 @ b1) * b1; b2 /= np.linalg.norm(b2)
+    x = (
+        np.outer(rng.normal(size=300) * 5.0, b1)
+        + np.outer(rng.normal(size=300) * 2.0, b2)
+        + rng.normal(size=(300, 8)) * 0.1
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<double>",
+    )
+    comps = ann.train_top_components(df, dim=8, k=2, iters=12)
+    w, vecs = np.linalg.eigh(x.T @ x)
+    order = np.argsort(w)[::-1]
+    for got, ev in zip(comps, [vecs[:, order[0]], vecs[:, order[1]]]):
+        assert abs(float(np.array(got) @ ev)) > 0.999
+    v0, v1 = np.array(comps[0]), np.array(comps[1])
+    assert abs(float(v0 @ v1)) < 1e-9
+    comps2 = ann.train_top_components(df.repartition(9), dim=8, k=2, iters=12)
+    assert comps2 == comps
