@@ -514,3 +514,71 @@ def test_token_chunks_matches_reference_loop(spark, docs, divisor):
                 len(cur), hashlib.md5(" ".join(cur).encode()).hexdigest()
             )
     assert got == exp
+
+
+WORDS = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba", "aa", "cat", "dog", "x"]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=6), seed=st.integers(0, 3))
+@SLOW
+def test_winnow_guarantee_property(spark, docs, seed):
+    """Winnowing invariants on random small-vocab corpora (k=2, w=2):
+    (1) every doc yields >= 1 fingerprint; (2) each doc's fingerprint
+    set is a subset of its own gram hashes (local minima only); (3)
+    two docs with identical word sequences have identical fingerprint
+    sets."""
+    import hashlib
+
+    from mirabelle_spark.pipeline import dedup
+
+    k, w = 2, 2
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    rows.append((len(rows), rows[seed % len(rows)][1]))  # clone of one doc
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    by_doc: dict = {}
+    for r in dedup.winnow_fingerprints(df, k=k, w=w).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+
+    def grams(text):
+        ws = text.split(" ")
+        if len(ws) < k:
+            return [hashlib.md5(" ".join(ws).encode()).hexdigest()]
+        return [
+            hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()
+            for i in range(len(ws) - k + 1)
+        ]
+
+    for i, text in rows:
+        assert by_doc[i], (i, text)
+        assert by_doc[i] <= set(grams(text)), (i, text)
+    clone_of = seed % (len(rows) - 1)
+    assert by_doc[len(rows) - 1] == by_doc[clone_of]
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=5), n=st.integers(1, 6))
+@SLOW
+def test_bpe_trainer_matches_reference_property(spark, docs, n):
+    """bpe_train == the canonical pure-Python Sennrich loop on random
+    small-vocab corpora (runs of identical symbols included via
+    'aa'/'a' words), and bpe_apply reproduces its segmentation."""
+    from collections import Counter
+
+    from mirabelle_spark.pipeline import text as tx
+    from pyspark.sql import functions as F
+    from tests.test_pipeline import _ref_bpe_apply, _ref_bpe_train
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    wc = Counter(w for _, t in rows for w in t.split())
+    ref = _ref_bpe_train(wc, n_merges=n)
+    got = tx.bpe_train(df, n_merges=n)
+    assert got == ref
+    seg = df.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).select("word", tx.bpe_apply(F.col("word"), got).alias("toks")).collect()
+    for r in seg:
+        assert list(r.toks) == _ref_bpe_apply(r.word, ref), r.word
