@@ -504,7 +504,10 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_n: int = 20) -> D
 # (aaaa -> [aa, aa], aaa -> [aa, a]), and the replacement restores
 # the doubled-delimiter invariant by construction. Literal replace
 # (no lookarounds) so the DuckDB (RE2) oracle applies the IDENTICAL
-# rule. \x1f (unit separator) cannot appear in normalized text.
+# rule. \x1f (unit separator) is stripped from words at seg init so
+# the delimiter invariant holds by construction even for hostile
+# input (a raw \x1f inside a word would otherwise forge symbol
+# boundaries); the oracle strips it identically.
 _BPE_SEP = "\x1f"
 _BPE_SEP2 = _BPE_SEP * 2
 
@@ -512,7 +515,10 @@ _BPE_SEP2 = _BPE_SEP * 2
 def _bpe_seg_init(word: Column) -> Column:
     """word -> doubled-delimiter character segmentation."""
     return F.concat(
-        F.regexp_replace(word, "(.)", _BPE_SEP2 + "$1"), F.lit(_BPE_SEP2)
+        F.regexp_replace(
+            F.translate(word, _BPE_SEP, ""), "(.)", _BPE_SEP2 + "$1"
+        ),
+        F.lit(_BPE_SEP2),
     )
 
 

@@ -1927,7 +1927,9 @@ def _bpe_segment_oracle(top_n: int = 50) -> str:
     s = "\x1f"
     s2 = s * 2
     assert all("'" not in a + b for a, b in BPE_MERGES)
-    seg = f"regexp_replace(word, '(.)', '{s2}\\1', 'g') || '{s2}'"
+    # replace(word, chr(31), '') mirrors the engine's \x1f strip at
+    # seg init (delimiter invariant for hostile input)
+    seg = f"regexp_replace(replace(word, '{s}', ''), '(.)', '{s2}\\1', 'g') || '{s2}'"
     for a, b in BPE_MERGES:
         seg = f"replace({seg}, '{s}{a}{s2}{b}{s}', '{s}{a}{b}{s}')"
     return f"""

@@ -1624,3 +1624,19 @@ def test_train_top_components_deflation(spark):
     assert abs(float(v0 @ v1)) < 1e-9
     comps2 = ann.train_top_components(df.repartition(9), dim=8, k=2, iters=12)
     assert comps2 == comps
+
+
+def test_bpe_hostile_separator_input(spark):
+    """A raw \\x1f inside a word must not forge symbol boundaries:
+    it is stripped at seg init, so 'a\\x1fb' segments exactly like
+    'ab'."""
+    from mirabelle_spark.pipeline import text as tx
+
+    df = spark.createDataFrame([("a\x1fb",), ("ab",)], "word string")
+    out = [
+        list(r.toks)
+        for r in df.select(
+            tx.bpe_apply(F.col("word"), [("a", "b")]).alias("toks")
+        ).collect()
+    ]
+    assert out[0] == out[1] == ["ab"]
