@@ -365,6 +365,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 4,
     w: int = 4,
+    gram_hash: str = "portable",
 ) -> DataFrame:
     """Winnowing document sketch (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every ORDERED word k-gram,
@@ -381,9 +382,19 @@ def winnow_fingerprints(
     evaluated once per row — never re-split inside a lambda (the
     word_shingles quadratic trap, PERF.md §26). Documents shorter
     than k words hash as one whole-text gram; fewer than w grams
-    yield one fingerprint (the global min). md5 (not xxhash) so the
-    DuckDB oracle mirrors engine-for-engine; at 100 TB swap in
-    xxhash64 — the plan shape is identical."""
+    yield one fingerprint (the global min).
+
+    ``gram_hash`` picks the per-gram hash, the minhash_signatures
+    convention: ``"portable"`` (default) = md5 hex with string min —
+    the DuckDB oracle mirrors it engine-for-engine (the gate path);
+    ``"fast"`` = xxhash64 with numeric min — the production path at
+    100 TB (one JVM hash, 8-byte fingerprints instead of 32-char
+    hex; same MOSS guarantee under a different hash family, so pair
+    sets may differ at the margin from the portable twin)."""
+    if gram_hash not in ("portable", "fast"):
+        raise ValueError(
+            f"gram_hash must be 'portable' or 'fast', got {gram_hash!r}"
+        )
     words = F.split(normalized(F.col(text_col)), " ")
     staged = df.select(F.col(id_col), words.alias("__w__"))
     wc = F.col("__w__")
@@ -392,9 +403,10 @@ def winnow_fingerprints(
         for j in range(k)
     ]
     ng = F.greatest(F.size(wc) - (k - 1), F.lit(1))
+    _h = F.md5 if gram_hash == "portable" else F.xxhash64
     grams = F.transform(
         F.slice(F.arrays_zip(*shifted), 1, ng),
-        lambda s: F.md5(F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])),
+        lambda s: _h(F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])),
     )
     g = staged.select(F.col(id_col), grams.alias("__g__"))
     gc = F.col("__g__")
@@ -422,6 +434,7 @@ def winnow_dedup_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket: int | None = None,
+    gram_hash: str = "portable",
 ) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints:
     docs sharing >= ``min_shared`` fingerprints, with the shared
@@ -431,7 +444,7 @@ def winnow_dedup_pairs(
     ``max_bucket`` (same observable cap as MinHash-LSH,
     :func:`bucket_cap_stats`("winnow")). Returns
     (id_a, id_b, shared) with id_a < id_b."""
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w, gram_hash=gram_hash)
     buckets = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_set(id_col)).alias("__ids__"))

@@ -1640,3 +1640,29 @@ def test_bpe_hostile_separator_input(spark):
         ).collect()
     ]
     assert out[0] == out[1] == ["ab"]
+
+
+def test_winnow_fast_hash_mode(spark):
+    """gram_hash='fast' (xxhash64, numeric min — the 100 TB path)
+    keeps the MOSS guarantee and the pair structure on the guarantee
+    corpus; invalid modes are rejected."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import dedup
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (0, f"{shared_run} onlyzero tail words here"),
+        (1, f"prefix one two {shared_run}"),
+        (2, "totally disjoint vocabulary nothing matches anywhere at all ever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnow_dedup_pairs(
+            df, k=4, w=4, min_shared=1, gram_hash="fast"
+        ).collect()
+    }
+    assert (0, 1) in pairs and not any(2 in p for p in pairs)
+    with _pytest.raises(ValueError):
+        dedup.winnow_fingerprints(df, gram_hash="sha1")
