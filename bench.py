@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -112,7 +113,7 @@ def main() -> None:
         timings[name] = dt
         spread[name] = [
             dt,
-            round(samples[len(samples) // 2], 3),
+            round(statistics.median(samples), 3),
             round(samples[-1], 3),
         ]
         total += dt

@@ -289,10 +289,14 @@ def ivf_probe_index(
     spark = queries.sparkSession
     probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
     # one bounded driver action yields both the pruning cells and the
-    # query count (≤ nlist×nprobe rows)
-    probe_pairs = probes.select(query_id_col, "__cell__").distinct().collect()
-    cells = sorted({r["__cell__"] for r in probe_pairs})
-    n_queries = len({r[query_id_col] for r in probe_pairs})
+    # query count — a single aggregate row (collect_set ≤ nlist ints +
+    # one count), never the O(n_queries × nprobe) pair set
+    stat = probes.agg(
+        F.collect_set("__cell__").alias("cells"),
+        F.countDistinct(query_id_col).alias("nq"),
+    ).collect()[0]
+    cells = sorted(stat["cells"])
+    n_queries = int(stat["nq"])
     idx = spark.read.parquet(path) if isinstance(path, str) else path
     idx = idx.filter(F.col("__cell__").isin(cells))
     cand = idx.withColumn("__cv__", as_double_vec(F.col(vec_col))).join(

@@ -1926,11 +1926,17 @@ def _bpe_segment_oracle(top_n: int = 50) -> str:
 
     s = "\x1f"
     s2 = s * 2
-    assert all("'" not in a + b for a, b in BPE_MERGES)
+
+    def _q(t: str) -> str:
+        # SQL-escape single quotes so a merge containing an apostrophe
+        # degrades to a correct literal instead of killing the registry
+        return t.replace("'", "''")
+
     # replace(word, chr(31), '') mirrors the engine's \x1f strip at
     # seg init (delimiter invariant for hostile input)
     seg = f"regexp_replace(replace(word, '{s}', ''), '(.)', '{s2}\\1', 'g') || '{s2}'"
     for a, b in BPE_MERGES:
+        a, b = _q(a), _q(b)
         seg = f"replace({seg}, '{s}{a}{s2}{b}{s}', '{s}{a}{b}{s}')"
     return f"""
 WITH words AS (

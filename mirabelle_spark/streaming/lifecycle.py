@@ -140,24 +140,46 @@ class StreamHandler:
         # zero commits: the restart must begin at a clean batch 0,
         # and Spark's emptiness probe uses RAW directory listings —
         # count debris (.tmp/.crc), not just committed log entries
-        debris = False
+        debris: dict[str, list[str]] = {}
         for sub in ("offsets", "state", "commits"):
             d = os.path.join(ckpt, sub)
             try:
-                if os.listdir(d):
-                    debris = True
-                    break
+                entries = os.listdir(d)
             except FileNotFoundError:
                 continue
+            if entries:
+                debris[sub] = sorted(entries)
         if not debris:
             return False
-        _LOG.warning(
-            "Stream %s stopped before committing batch 0; clearing "
-            "uncommitted checkpoint %s so restart begins cleanly",
+        # Expected uncommitted-batch-0 residue is ONLY: offsets/0 (or
+        # its .tmp/.crc write debris) and state-store scaffolding. An
+        # offsets entry for batch ≥1 with ZERO commits means this
+        # checkpoint was never ours to repair (e.g. two streams
+        # pointed at one dir) — flag it loudly either way.
+        expected = all(
+            f.partition(".")[0] in ("0", "") or f.startswith((".", "_"))
+            for f in debris.get("offsets", []) + debris.get("commits", [])
+        )
+        # Never destroy: quarantine the stranded checkpoint so the
+        # restart begins cleanly while the debris stays inspectable.
+        qdir = f"{ckpt}.quarantine.{int(time.time() * 1e6)}"
+        log = _LOG.warning if expected else _LOG.error
+        log(
+            "Stream %s: checkpoint %s has zero commits but debris %s "
+            "(%s); quarantining to %s so restart begins at batch 0",
             name,
             ckpt,
+            debris,
+            "uncommitted batch-0 residue"
+            if expected
+            else "UNEXPECTED batch ids — possible checkpoint-dir collision",
+            qdir,
         )
-        shutil.rmtree(ckpt, ignore_errors=True)
+        try:
+            os.rename(ckpt, qdir)
+        except OSError:
+            # cross-device or partial-state fallback: preserve a copy
+            shutil.move(ckpt, qdir)
         return True
 
     def _stop(self, name: str, grace_s: float = 10.0, term_timeout_s: float = 30.0) -> dict:

@@ -623,6 +623,51 @@ def test_lifecycle_reload_survives_uncommitted_batch0(spark, tmpdir):
         assert all(s["terminated"] for s in stops.values()), stops
 
 
+def test_reconcile_quarantines_instead_of_deleting(spark, tmpdir):
+    """_reconcile_checkpoint must never destroy a stranded checkpoint:
+    batch-0 debris is moved to a .quarantine.* sibling (inspectable),
+    and debris with batch ids ≥1 but zero commits — the two-streams-
+    one-checkpoint misconfiguration — is quarantined too, with the
+    collision surfaced at error level rather than silently erased."""
+    from mirabelle_spark.streaming import StreamHandler
+
+    root = os.path.join(tmpdir, "qroot")
+    handler = StreamHandler(spark, root, lambda sp, n, c: None)
+
+    # case 1: classic uncommitted batch 0 (offsets/0 + empty commits)
+    ckpt = os.path.join(root, "s1")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    os.makedirs(os.path.join(ckpt, "commits"))
+    with open(os.path.join(ckpt, "offsets", "0"), "w") as f:
+        f.write("v1\n{}")
+    assert handler._reconcile_checkpoint("s1") is True
+    assert not os.path.exists(ckpt)
+    quars = [d for d in os.listdir(root) if d.startswith("s1.quarantine.")]
+    assert len(quars) == 1
+    assert os.path.exists(os.path.join(root, quars[0], "offsets", "0"))
+
+    # case 2: offsets for batch 3 with zero commits — NOT our debris;
+    # still quarantined (preserved), never rmtree'd
+    ckpt2 = os.path.join(root, "s2")
+    os.makedirs(os.path.join(ckpt2, "offsets"))
+    with open(os.path.join(ckpt2, "offsets", "3"), "w") as f:
+        f.write("v1\n{}")
+    assert handler._reconcile_checkpoint("s2") is True
+    quars2 = [d for d in os.listdir(root) if d.startswith("s2.quarantine.")]
+    assert len(quars2) == 1
+    assert os.path.exists(os.path.join(root, quars2[0], "offsets", "3"))
+
+    # case 3: a committed checkpoint is untouched
+    ckpt3 = os.path.join(root, "s3")
+    os.makedirs(os.path.join(ckpt3, "offsets"))
+    os.makedirs(os.path.join(ckpt3, "commits"))
+    for sub in ("offsets", "commits"):
+        with open(os.path.join(ckpt3, sub, "0"), "w") as f:
+            f.write("v1\n{}")
+    assert handler._reconcile_checkpoint("s3") is False
+    assert os.path.exists(os.path.join(ckpt3, "commits", "0"))
+
+
 def test_lifecycle_stop_surfaces_timeout(spark, tmpdir):
     """_stop must surface an awaitTermination timeout as
     terminated=False instead of dropping the bool, and stop_all must
