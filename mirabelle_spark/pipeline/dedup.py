@@ -987,3 +987,118 @@ def dup_span_fraction(
             ),
         )
     )
+
+
+def dup_span_removed(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the corpus-rewrite step of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" (ExactSubstr), at word n-gram grain rather than
+    suffix-array byte grain: every token covered by a word n-gram
+    that occurs in at least ``min_docs`` distinct documents is
+    deleted, and each document is rebuilt from its surviving
+    tokens. Overlapping duplicated n-grams merge naturally into
+    maximal removed spans (a duplicated run of L ≥ n tokens is
+    covered end-to-end by its L-n+1 member grams), so the unit of
+    removal is the maximal shared span, exactly the paper's target.
+    With ``keep_first=True`` (default) the single globally-first
+    occurrence of each duplicated gram — min(struct(doc_id, pos)),
+    the same winner election as :func:`paragraph_dedup` — keeps its
+    tokens, so one copy of every span survives the rewrite (the
+    paper's "remove all but one" policy); ``keep_first=False``
+    removes every occurrence (the stricter C4-style scrub).
+
+    Operates on the canonical token stream (:func:`normalized`:
+    lowercase, collapsed whitespace) and returns text in that canon
+    — documented divergence from the reference byte-grain tool; the
+    canon is what makes the rewrite engine-portable and exactly
+    SQL-oracle-able.
+
+    Scale shape — document bodies shuffle ZERO times (the
+    :func:`paragraph_dedup` shape at n-gram grain):
+
+    1. explode occurrences (id, pos, gram) — built from n shifted
+       array slices per doc (never a per-shingle re-split, see
+       :func:`word_shingles`);
+    2. ONE hash aggregation per distinct gram yields both the
+       distinct-doc count and the winning occurrence
+       (min(struct(id, pos))) — no second pass, partials combine
+       map-side;
+    3. occurrences join the duplicated-gram table on the gram (the
+       only wide shuffle, narrow rows only), drop the winner, and
+       regroup to one sorted start-offset array per touched doc;
+    4. that (id, starts) table — one narrow row per TOUCHED doc —
+       left-joins back to the corpus on id and the rebuild is an
+       in-row lambda filter over the row's own token split:
+       token i survives iff no removed-gram start s has
+       s <= i < s+n. O(tokens × starts) per row; a boilerplate-
+       saturated doc has starts ~ tokens, still in-row and linear
+       in the doc's own removal mass.
+
+    Returns (id, text_clean, n_tokens, n_removed) for EVERY input
+    document (untouched docs pass through with n_removed=0; a doc
+    whose every token is removed yields text_clean='' — caller
+    decides whether to drop empties). Documents shorter than n
+    words contribute no grams and are never rewritten."""
+    norm = normalized(F.col(text_col))
+    words = F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    toks = df.select(F.col(id_col), words.alias("__w__"))
+
+    w = F.col("__w__")
+    k = F.size(w) - (n - 1)
+    shifted = [
+        F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
+        for j in range(n)
+    ]
+    z = F.arrays_zip(*shifted)
+    grams = F.transform(
+        F.slice(z, 1, F.greatest(k, F.lit(0))),
+        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
+    )
+    occ = toks.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos__", "__g__")
+    )
+
+    freq = occ.groupBy("__g__").agg(
+        F.countDistinct(id_col).alias("__nd__"),
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("__pos__").alias("p"))
+        ).alias("__win__"),
+    )
+    dup = freq.filter(F.col("__nd__") >= min_docs)
+
+    rem = occ.join(dup, "__g__")
+    if keep_first:
+        rem = rem.filter(
+            ~(
+                (F.col(id_col) == F.col("__win__.d"))
+                & (F.col("__pos__") == F.col("__win__.p"))
+            )
+        )
+    starts = rem.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("__pos__")).alias("__s__")
+    )
+
+    joined = toks.join(starts, id_col, "left").withColumn(
+        "__s__", F.coalesce(F.col("__s__"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__w__"),
+        lambda t, i: ~F.exists(
+            F.col("__s__"), lambda s: (s <= i) & (i < s + n)
+        ),
+    )
+    return joined.withColumn("__kept__", kept).select(
+        F.col(id_col),
+        F.array_join(F.col("__kept__"), " ").alias("text_clean"),
+        F.size("__w__").cast("long").alias("n_tokens"),
+        (F.size("__w__") - F.size("__kept__")).cast("long").alias("n_removed"),
+    )

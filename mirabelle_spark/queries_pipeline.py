@@ -2060,3 +2060,72 @@ def dup_span_fraction_docs(spark, sf):
     the C4 / Lee et al. 2021 corpus-dup quality metric at n-gram
     grain. One exact integer division; short docs NULL."""
     return dedup.dup_span_fraction(docs(spark, sf), n=3)
+
+
+def _dup_span_removed_oracle(n: int = 4, min_docs: int = 2) -> str:
+    """Exact SQL twin of dedup.dup_span_removed (keep_first=True):
+    same canonical tokenization, same min(struct(doc_id, pos))
+    winner election, same covered-token rebuild. DuckDB lists are
+    1-based, so positions are shifted to 0-based (i - 1) to match
+    Spark's posexplode before the winner comparison and the start-
+    offset arrays; array_to_string([]) is NULL in DuckDB where
+    Spark's array_join([]) is '' — coalesced."""
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length({norm}) > 0
+              THEN string_split({norm}, ' ')
+              ELSE CAST([] AS VARCHAR[]) END AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS i
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos0,
+         array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS g
+  FROM pos
+),
+freq AS (
+  SELECT g, count(DISTINCT doc_id) AS nd,
+         min(struct_pack(d := doc_id, p := pos0)) AS win
+  FROM occ GROUP BY g
+),
+rem AS (
+  SELECT o.doc_id, o.pos0
+  FROM occ o JOIN freq f USING (g)
+  WHERE f.nd >= {min_docs} AND NOT (o.doc_id = f.win.d AND o.pos0 = f.win.p)
+),
+starts AS (
+  SELECT doc_id, list_sort(list_distinct(list(pos0))) AS s
+  FROM rem GROUP BY doc_id
+),
+built AS (
+  SELECT t.doc_id, t.w,
+         list_filter(list_transform(range(1, len(t.w) + 1),
+           i -> CASE WHEN len(list_filter(coalesce(st.s, CAST([] AS INT[])),
+                          p -> p <= i - 1 AND i - 1 < p + {n})) > 0
+                     THEN NULL ELSE t.w[i] END),
+           x -> x IS NOT NULL) AS kept
+  FROM toks t LEFT JOIN starts st USING (doc_id)
+)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text_clean,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+FROM built
+"""
+
+
+@q("dup_span_removed_docs", _dup_span_removed_oracle(n=4, min_docs=2))
+def dup_span_removed_docs(spark, sf):
+    """Exact-substring span REMOVAL (r10) — the corpus-rewrite step
+    of Lee et al. 2022 (ExactSubstr) at word 4-gram grain: every
+    token covered by a 4-gram shared by >= 2 docs is deleted except
+    the globally-first occurrence, and each doc is rebuilt from its
+    surviving tokens in one in-row pass (bodies never shuffle).
+    Completes the dedup family: fraction (measure) -> winnowing
+    (detect) -> this (remove). Reference parity: the C4-pipeline
+    scrub SURVEY §2's M4 north star names."""
+    return dedup.dup_span_removed(docs(spark, sf), n=4, min_docs=2)

@@ -1666,3 +1666,88 @@ def test_winnow_fast_hash_mode(spark):
     assert (0, 1) in pairs and not any(2 in p for p in pairs)
     with _pytest.raises(ValueError):
         dedup.winnow_fingerprints(df, gram_hash="sha1")
+
+
+def test_dup_span_removed_byte_exact(spark):
+    """Lee et al. 2022 ExactSubstr removal at 4-gram grain on a
+    hand-built corpus; kept text is byte-asserted. Doc 1 holds the
+    globally-first occurrence of the shared span 'the quick brown
+    fox' and keeps it (keep_first=True); doc 2 loses it; doc 4
+    contains it twice and loses both; doc 3 is shorter than n and
+    is never rewritten; doc 5 shares nothing. Overlapping grams
+    merge into a maximal span: docs 6/7 share a 6-token run whose
+    three member 4-grams cover all six tokens."""
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [
+        (1, "The quick   brown fox jumps over the lazy dog"),
+        (2, "intro words the QUICK brown fox trailing tail here"),
+        (3, "quick brown fox"),
+        (4, "the quick brown fox and again the quick brown fox"),
+        (5, "totally unrelated text with no shared spans at all"),
+        (6, "aa bb cc dd ee ff and one tail"),
+        (7, "prefix bit aa bb cc dd ee ff"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in dedup.dup_span_removed(df, n=4, min_docs=2).collect()
+    }
+    assert out[1] == ("the quick brown fox jumps over the lazy dog", 9, 0)
+    assert out[2] == ("intro words trailing tail here", 9, 4)
+    assert out[3] == ("quick brown fox", 3, 0)
+    assert out[4] == ("and again", 10, 8)
+    assert out[5] == ("totally unrelated text with no shared spans at all", 9, 0)
+    # winner of the 6-token run's grams is doc 6 (lower id)
+    assert out[6] == ("aa bb cc dd ee ff and one tail", 9, 0)
+    assert out[7] == ("prefix bit", 8, 6)
+
+    # keep_first=False scrubs the winner too (C4-style)
+    strict = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dedup.dup_span_removed(
+            df, n=4, min_docs=2, keep_first=False
+        ).collect()
+    }
+    assert strict[1] == ("jumps over the lazy dog", 4)
+    assert strict[4] == ("and again", 8)
+    assert strict[6] == ("and one tail", 6)
+    assert strict[7] == ("prefix bit", 6)
+
+    # a doc that is ONE duplicated span end-to-end empties, row kept
+    rows2 = [
+        (1, "x y z w"),
+        (2, "x y z w"),
+        (3, "x y z w"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    out2 = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dedup.dup_span_removed(df2, n=4, min_docs=3).collect()
+    }
+    assert out2[1] == ("x y z w", 0)  # winner keeps it
+    assert out2[2] == ("", 4)
+    assert out2[3] == ("", 4)
+
+
+def test_dup_span_removed_partitioning_invariant(spark):
+    """The rewrite is a pure function of the corpus: identical
+    output under 1-partition and 16-partition layouts (winner
+    election is min(struct), not first-seen)."""
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [
+        (i, f"common span words here tail{i % 3} unique{i} filler words common span words here")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in dedup.dup_span_removed(df.coalesce(1), n=4).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in dedup.dup_span_removed(df.repartition(16), n=4).collect()
+    )
+    assert a == b
+    assert any(nr > 0 for _, _, nr in a)
