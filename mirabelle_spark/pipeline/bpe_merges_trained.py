@@ -35,9 +35,33 @@ BPE_MERGES = [
     ('c', 'an'),
     ('s', 'can'),
     ('c', 'o'),
-    ('c', 'u')
+    ('c', 'u'),
+    ('co', 'lu'),
+    ('colu', 'm'),
+    ('colum', 'n'),
+    ('cu', 'st'),
+    ('cust', 'o'),
+    ('custo', 'mer'),
+    ('f', 'i'),
+    ('fi', 'l'),
+    ('fil', 't'),
+    ('filt', 'er'),
+    ('a', 'l'),
+    ('al', 'l'),
+    ('m', 'all'),
+    ('s', 'mall'),
+    ('g', 'e'),
+    ('l', 'ow'),
+    ('mer', 'ge'),
+    ('s', 'low'),
+    ('c', 't'),
+    ('ct', 'or'),
+    ('d', 'er'),
+    ('e', 'ctor'),
+    ('or', 'der'),
+    ('v', 'ector')
 ]
 
 TRAIN_SF_DIR = "/root/testdata/sf0.01"
-TRAIN_N_MERGES = 24
+TRAIN_N_MERGES = 48
 TRAIN_MIN_WEIGHT = 2

@@ -556,22 +556,146 @@ def _bpe_pair_weights(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_safe_batch(
+    rows: list[tuple[str, str, int]],
+    view_truncated: bool,
+    batch: int,
+    min_weight: int,
+) -> list[tuple[str, str]]:
+    """Longest prefix of the sorted pair list that the serial greedy
+    loop PROVABLY produces as its next merges, without recounting.
+
+    Exactness argument (each condition closes one divergence route
+    between 'apply the prefix at once' and 'recount after every
+    merge'):
+
+    - NO SKIPS — a kept pair must be the very next row. A skipped
+      higher-weight pair that merely OVERLAPS earlier kept symbols
+      loses only the occurrences the merge consumed; its residual
+      weight can still exceed later rows, so the serial argmax
+      would pick it first. Prefix-only keeps every not-kept pair
+      strictly below (weight, tie-break) the current row.
+    - TRIPLE-SET DISJOINTNESS — {a, b, ab} of the candidate must not
+      meet {a', b', a'b'} of any earlier kept merge. Sharing an
+      input symbol changes the candidate's count; a candidate
+      symbol equal to an earlier OUTPUT string gains new
+      occurrences. Either way the precomputed weight is stale.
+    - TIE FENCE — merging (a', b') creates pairs (X, a'b') bounded
+      by count(X, a') and (a'b', Y) bounded by count(b', Y). Those
+      bounding pairs overlap kept symbols, so by the no-skip rule
+      they sit at-or-below the candidate; if one sits EXACTLY at the
+      candidate's weight, the created pair can tie it and win the
+      lexicographic tie-break (a'b' is a fresh string with arbitrary
+      sort position). Stop on any visible equal-weight pair that
+      overlaps kept symbols.
+    - VIEW FENCE — pairs below the collected top-K are only known to
+      be <= the last visible weight; keep a candidate only while it
+      is STRICTLY above that floor (unless the view is complete), so
+      invisible bounding pairs cannot tie either.
+
+    Worst case (adversarial ties everywhere) degenerates to the
+    canonical batch of one — still exact, never wrong."""
+    w_last = rows[-1][2]
+    kept: list[tuple[str, str]] = [(rows[0][0], rows[0][1])]
+    syms = {rows[0][0], rows[0][1], rows[0][0] + rows[0][1]}
+    for a, b, w in rows[1:]:
+        if len(kept) >= batch or w < min_weight:
+            break
+        if view_truncated and w <= w_last:
+            break
+        if {a, b, a + b} & syms:
+            break
+        # kept pairs are excluded from the tie scan: a created pair
+        # (X, a'b') / (a'b', Y) is bounded by count(X, a') /
+        # count(b', Y), and since kept merges are symbol-disjoint
+        # those bounding pairs are never themselves kept — only
+        # NON-kept visible pairs at exactly this weight can feed a
+        # tie (invisible ones are fenced by the view check above)
+        tie_unsafe = any(
+            w2 == w
+            and (a2, b2) != (a, b)
+            and (a2, b2) not in kept
+            and ({a2, b2, a2 + b2} & syms)
+            for a2, b2, w2 in rows
+        )
+        if tie_unsafe:
+            break
+        kept.append((a, b))
+        syms |= {a, b, a + b}
+    return kept
+
+
+def _bpe_skip_batch(
+    rows: list[tuple[str, str, int]],
+    batch: int,
+    min_weight: int,
+) -> list[tuple[str, str]]:
+    """Skip-allowed disjoint top-B selection (exact=False mode):
+    walk the sorted pair list keeping up to ``batch`` pairs whose
+    {a, b, ab} triple-sets are mutually disjoint, SKIPPING (not
+    stopping at) overlapping ones. Disjointness keeps every kept
+    pair's precomputed weight exact at apply time; what is given up
+    vs :func:`_bpe_safe_batch` is canonical merge ORDER (a skipped
+    pair's residual weight after the batch may beat pairs kept
+    below it). Chain-free by construction, so round count tracks
+    ~merges/batch even on head-heavy corpora."""
+    kept: list[tuple[str, str]] = []
+    syms: set[str] = set()
+    for a, b, w in rows:
+        if len(kept) >= batch:
+            break
+        if w < min_weight:
+            break
+        if {a, b, a + b} & syms:
+            continue
+        kept.append((a, b))
+        syms |= {a, b, a + b}
+    return kept
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 24,
     text_col: str = "text",
     min_weight: int = 2,
+    batch: int = 8,
+    exact: bool = True,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Train a BPE tokenizer relationally (Sennrich et al. 2016,
     Algorithm 1 — canonical greedy merges, see _BPE_SEP note): each
     round is one pair-count aggregate over the VOCABULARY table plus
-    one literal-replace projection; the argmax (weight desc, pair
-    asc — deterministic) is the only driver scalar per round, and the
-    vocab is localCheckpoint-ed per round so lineage stays flat (the
+    one literal-replace projection, and the vocab is
+    localCheckpoint-ed per round so lineage stays flat (the
     resolve_clusters discipline). Stops early when no pair reaches
     ``min_weight``. At 100 TB the vocab table is distributed and
     bodies never shuffle — only (word-hash, count) rows build it.
-    Returns the merge list for :func:`bpe_apply`."""
+
+    ``batch`` > 1 cuts the driver-loop round count (the r9-verdict
+    scale finding: a 32k-merge tokenizer must not be 2 Spark jobs
+    per merge): each round collects the top-K pairs (K = 4·batch,
+    same aggregate cost as top-1) and applies the longest PROVABLY-
+    serial-equal prefix in one projection — see
+    :func:`_bpe_safe_batch` for the exactness argument. The merge
+    list is bit-identical to ``batch=1`` on any corpus, pinned by
+    ``tests/test_pipeline.py`` equality + hypothesis tests.
+
+    ``exact=False`` trades canonical ORDER for round count: each
+    round keeps the top-B symbol-disjoint pairs, SKIPPING pairs that
+    overlap earlier batch members instead of stopping at them (the
+    chain-dependency breaker — canonical BPE merge chains like
+    ('a','t') -> ('at','c') serialize the exact mode to ~1 merge per
+    round on head-heavy corpora). Every applied pair is still merged
+    at its EXACT current corpus weight (disjointness keeps the
+    precomputed weights true), so the result is a valid greedy-family
+    BPE vocabulary — but merge ORDER (and hence tie-adjacent merge
+    choices) can diverge from the serial canon; the pinned/oracle
+    tokenizer always uses exact mode. Same trade as parallel BPE
+    trainers (YouTokenToMe lineage).
+
+    Pass ``stats={}`` to receive {"rounds": r, "batch_sizes": [...]}
+    for round-count accounting. Returns the merge list for
+    :func:`bpe_apply`."""
     words = F.explode(
         F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     ).alias("word")
@@ -584,20 +708,34 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    rounds = 0
+    batch_sizes: list[int] = []
+    top_k = max(4 * batch, 4)
+    while len(merges) < n_merges:
         top = (
             _bpe_pair_weights(vocab)
             .orderBy(F.col("weight").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(top_k)
             .collect()
         )
+        rounds += 1
         if not top or top[0]["weight"] < min_weight:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        vocab = vocab.withColumn(
-            "seg", _bpe_merge_apply(F.col("seg"), a, b)
-        ).localCheckpoint()
+        rows = [(r["a"], r["b"], r["weight"]) for r in top]
+        if exact:
+            kept = _bpe_safe_batch(rows, len(rows) == top_k, batch, min_weight)
+        else:
+            kept = _bpe_skip_batch(rows, batch, min_weight)
+        kept = kept[: n_merges - len(merges)]
+        merges.extend(kept)
+        batch_sizes.append(len(kept))
+        seg = F.col("seg")
+        for a, b in kept:  # disjoint symbols: replaces commute; kept
+            seg = _bpe_merge_apply(seg, a, b)  # order = serial order anyway
+        vocab = vocab.withColumn("seg", seg).localCheckpoint()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["batch_sizes"] = batch_sizes
     return merges
 
 
@@ -605,7 +743,22 @@ def bpe_apply(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Tokenize a word column with trained merges: the same
     doubled-delimiter literal replaces the trainer used, applied in
     merge order — array<string> subword tokens. A chain of
-    len(merges) JVM string replaces; no Python, no UDF."""
+    len(merges) JVM string replaces; no Python, no UDF.
+
+    Depth limit and the 32k-merge plan: one nested expression per
+    merge is fine to a few hundred merges (Catalyst expression-tree
+    depth and codegen method size set the practical ceiling, and
+    the pinned artifact stays well under it), NOT at real tokenizer
+    vocab size. At 32k merges, tokenize via the SEGMENT TABLE
+    formulation instead: segment the distinct-WORD table once
+    (vocabulary-sized, the bpe_segment_profile shape) by iterating
+    merges in chunks of ~200 replaces per projection with a
+    localCheckpoint between chunks (flat lineage, constant-depth
+    plans, 160 jobs for 32k merges), persist the (word ->
+    array<subword>) map, and broadcast-join corpora against it —
+    the apply cost becomes one hash join, never a per-row replace
+    chain. The chunked driver loop exists in bpe_train already;
+    the segment-table join is `token_rarity_score`'s shape."""
     seg = _bpe_seg_init(word)
     for a, b in merges:
         seg = _bpe_merge_apply(seg, a, b)

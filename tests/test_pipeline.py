@@ -1751,3 +1751,72 @@ def test_dup_span_removed_partitioning_invariant(spark):
     )
     assert a == b
     assert any(nr > 0 for _, _, nr in a)
+
+
+def test_bpe_batched_exact_equals_serial(spark):
+    """batch>1 exact mode is bit-equal to the canonical batch=1 loop
+    on corpora built to stress every safe-batch fence: merge chains
+    (output feeding the next merge), weight ties between overlapping
+    and disjoint pairs, and symbol runs."""
+    from mirabelle_spark.pipeline import text as tx
+
+    corpora = [
+        # chain-heavy: one dominant word forces sequential merges
+        ["watch watch watch watch batch batch scan scan order order"],
+        # tie-heavy: many pairs at identical weights
+        ["ab cd ef gh ij kl mn op ab cd ef gh ij kl mn op"],
+        # runs of identical symbols
+        ["aaaa aaa aaaaaa bbbb bb aabb"],
+        # mixed
+        ["low lower lowest newer newest wider widest low low new"],
+    ]
+    for words in corpora:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(words)], "doc_id bigint, text string"
+        )
+        for n in (4, 10, 16):
+            serial = tx.bpe_train(df, n_merges=n, batch=1)
+            for b in (4, 8):
+                batched = tx.bpe_train(df, n_merges=n, batch=b)
+                assert batched == serial, (words, n, b)
+
+
+def test_bpe_batched_cuts_rounds(spark):
+    """Round-count accounting: exact mode cuts driver rounds below
+    n_merges on the gate corpus; fast mode (exact=False) cuts them
+    >= 4x (the r9-verdict scale bar) while every batch stays
+    symbol-disjoint."""
+    from mirabelle_spark.pipeline import text as tx
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, "/root/testdata/sf0.001")
+    n = 24
+    s1, se, sf = {}, {}, {}
+    serial = tx.bpe_train(d, n_merges=n, batch=1, stats=s1)
+    exact = tx.bpe_train(d, n_merges=n, batch=8, stats=se)
+    fast = tx.bpe_train(d, n_merges=n, batch=8, exact=False, stats=sf)
+    assert exact == serial
+    assert s1["rounds"] == n
+    assert se["rounds"] < n
+    assert sf["rounds"] * 4 <= s1["rounds"], (s1["rounds"], sf["rounds"])
+    # fast batches are symbol-disjoint within each round (weights
+    # exact at apply time); reconstruct per-round symbol sets
+    i = 0
+    for size in sf["batch_sizes"]:
+        syms = set()
+        for a, b in fast[i : i + size]:
+            assert not ({a, b, a + b} & syms), (a, b)
+            syms |= {a, b, a + b}
+        i += size
+    # fast mode still yields a working tokenizer: apply segments the
+    # corpus vocabulary into subwords that reassemble each word
+    from pyspark.sql import functions as F
+
+    seg = (
+        d.select(F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), r"\s+", " ")), " ")).alias("word"))
+        .filter(F.length("word") >= 1).distinct()
+        .select("word", tx.bpe_apply(F.col("word"), fast).alias("toks"))
+    )
+    bad = seg.filter(F.concat_ws("", "toks") != F.col("word")).count()
+    assert bad == 0
