@@ -3281,3 +3281,125 @@ def test_stream_expired_sharded_parity(spark, tmp_path):
                 shards=4), f"exs_sh_{tag}"))
         assert shd == per
         assert 0 < len(per) < len(rows)
+
+
+def test_stream_changed_jvm_replay_and_buckets(spark, tmp_path):
+    """r10 state redesign (r9 ADVICE medium + verdict ask #3):
+    (1) untouched buckets carry forward by manifest reference — a
+    second batch touching one key rewrites only that key's bucket;
+    (2) a replayed micro-batch (commit-log gap after crash) re-emits
+    from the PRE-batch state — first-of-key changed rows are NOT
+    suppressed — and does not double-apply state;
+    (3) a crash before the manifest rename (simulated by deleting
+    the newest manifest) leaves the previous manifest authoritative
+    and the retried batch converges to the same state."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.streaming import core
+
+    schema = "event_id bigint, host string, time timestamp, state string"
+
+    def mkdf(rows):
+        return (
+            spark.createDataFrame(rows, "event_id bigint, host string, t double, state string")
+            .withColumn("time", F.timestamp_micros((F.col("t") * 1e6).cast("long")))
+            .drop("t")
+            .select("event_id", "host", "time", "state")
+        )
+
+    src = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    # batch 0: 20 hosts, all flip ok->warn (every row emits: init None)
+    b0 = [(i, f"h{i:02d}", float(i), "ok") for i in range(20)]
+    mkdf(b0).coalesce(1).write.mode("append").parquet(src)
+
+    got: dict[int, list] = {}
+
+    def collect_writer(bdf, bid):
+        got.setdefault(bid, []).extend(
+            sorted(r.event_id for r in bdf.select("event_id").collect())
+        )
+
+    def run():
+        q = core.stream_changed_jvm_run(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+            "state", by=["host"], work_dir=work, time_col="time",
+            out_writer=collect_writer, n_buckets=8,
+        )
+        q.awaitTermination()
+
+    run()
+    state_root = os.path.join(work, "state")
+    m0 = [f for f in os.listdir(state_root) if f.startswith("manifest")]
+    assert len(m0) == 1
+    man0 = json.load(open(os.path.join(state_root, m0[0])))
+    assert man0["base"] and man0["deltas"] == []  # first batch compacts
+    assert got[0] == sorted(r[0] for r in b0)
+
+    # batch 1: ONE host changes value -> a DELTA of one key, the
+    # base carried forward by reference (no full-state rewrite)
+    b1 = [(100, "h03", 100.0, "warn")]
+    mkdf(b1).coalesce(1).write.mode("append").parquet(src)
+    got.clear()
+    run()
+    ids = sorted(
+        int(f[len("manifest_b"):-len(".json")])
+        for f in os.listdir(state_root) if f.startswith("manifest")
+    )
+    assert len(ids) == 2
+    man1 = json.load(open(os.path.join(state_root, f"manifest_b{ids[-1]}.json")))
+    assert man1["base"] == man0["base"]  # base untouched
+    assert len(man1["deltas"]) == 1 and f"b{ids[-1]}" in man1["deltas"][0]
+    # the delta holds ONLY the touched key
+    delta_rows = spark.read.parquet(man1["deltas"][0]).collect()
+    assert len(delta_rows) == 1 and delta_rows[0]["host"] == "h03"
+    assert got[1] == [100]
+
+    # (2) replay: drop the last commit entry -> Spark re-runs batch 1
+    ck_commits = os.path.join(work, "ck", "commits")
+
+    def drop_newest_commit():
+        newest = max(int(f) for f in os.listdir(ck_commits) if f.isdigit())
+        os.remove(os.path.join(ck_commits, str(newest)))
+        crc = os.path.join(ck_commits, f".{newest}.crc")
+        if os.path.exists(crc):  # stale checksum shadow breaks rewrite
+            os.remove(crc)
+
+    drop_newest_commit()
+    got.clear()
+    run()
+    assert got.get(1) == [100], got  # re-emitted, NOT suppressed
+    ids2 = sorted(
+        int(f[len("manifest_b"):-len(".json")])
+        for f in os.listdir(state_root) if f.startswith("manifest")
+    )
+    assert ids2 == ids  # replay did not write a new state version
+
+    # batch 2 sees the correct state: same value again -> no emission
+    b2 = [(200, "h03", 200.0, "warn"), (201, "h04", 200.0, "flip")]
+    mkdf(b2).coalesce(1).write.mode("append").parquet(src)
+    got.clear()
+    run()
+    assert got.get(2) == [201], got
+
+    # (3) crash before manifest rename: delete newest manifest AND
+    # its commit entry; retried batch rebuilds identical state
+    ids3 = sorted(
+        int(f[len("manifest_b"):-len(".json")])
+        for f in os.listdir(state_root) if f.startswith("manifest")
+    )
+    man_before = json.load(
+        open(os.path.join(state_root, f"manifest_b{ids3[-1]}.json"))
+    )
+    os.remove(os.path.join(state_root, f"manifest_b{ids3[-1]}.json"))
+    drop_newest_commit()
+    got.clear()
+    run()
+    man_after = json.load(
+        open(os.path.join(state_root, f"manifest_b{ids3[-1]}.json"))
+    )
+    assert man_after == man_before
+    assert got.get(2) == [201], got
