@@ -27,52 +27,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-9 rotation (VERDICT r8 ask
-# #3: every registered query driver-gated within rounds 8–9):
-# (a) queries added or changed in round 9; (b) the 25 r6-cohort
-# entries last gated in CORRECTNESS_r06 (the tail that did not fit
-# r8's 50); (c) fill the remaining slots with the oldest r7-gated
-# entries so the freshness window keeps rolling.
+# so ordering is coverage policy. Round-10 rotation (VERDICT r9 ask
+# #4): (a) queries added or changed in round 10; (b) ALL 33 entries
+# last gated in CORRECTNESS_r07 — the oldest cohort, led by the
+# seven the r9 additions displaced past slot 50; (c) fill the
+# remaining slots with the head of the r8 cohort. After this gate
+# every entry's last-green is within rounds 8–10 (freshness <= 3).
 GATE_PRIORITY = [
-    # (a) added / implementation changed in round 9
-    "ann_ivfpq_trained_topk",
-    "winnow_dedup_pairs", "bpe_top_pairs", "pca_power_iter",
-    "bpe_segment_trained", "pca_project_trained", "tfidf_top_terms",
-    "dup_span_fraction_docs",
-    # (b) last gated r6 — the whole remaining tail
-    "extract_nested", "sflatten_roundtrip",
-    "agg_sum_hourly", "agg_sum_delayed_hourly", "agg_mean_hourly",
-    "agg_top_event", "agg_bottom_event", "agg_rate_hourly",
-    "coll_count_hourly", "coll_max_hourly", "coll_min_hourly",
-    "coll_rate_hourly", "coll_quotient_daily", "coll_top3",
-    "coll_bottom3", "coll_sort_ids", "dedup_exact_docs",
-    "ngram_jaccard_pairs", "ann_ivf_topk", "stratified_sample_docs",
-    "boilerplate_removed_docs", "top_suppliers",
-    "priority_conditional_counts", "brand_part_revenue",
-    "segment_top_orders",
-    # (c) oldest r7-gated entries (gated CORRECTNESS_r07, area-diverse)
-    "where_not", "where_regex", "under_filter",
-    "expired_events", "not_expired_events", "changed_transitions",
-    "above_dt_alert", "outside_dt_alert", "smax_running",
-    "ddt_rate", "ewma_smoothed", "moving_time_window_count",
-    "coalesce_latest", "by_sum_daily", "agg_ratio_error_click",
-    "agg_percentiles_hourly", "coll_percentiles_hourly",
+    # (a) added / implementation changed in round 10
+    "dup_span_removed_docs",   # NEW: ExactSubstr span removal
+    "bpe_segment_trained",     # pinned artifact now 48 merges,
+                               # trained by the batched trainer
+    # (b) last gated r7 — the seven displaced entries first
     "coll_increase_daily", "minhash_lsh_pairs", "simhash_pairs",
     "paragraph_dedup_docs", "semantic_dedup_survivors",
     "coll_where_inside_window", "coll_sum_hourly",
+    # ... then the rest of the r7 cohort
+    "coll_mean_hourly", "sessionize_user_events", "zscore_events",
+    "dedup_clusters", "dedup_survivors_docs", "ann_bruteforce_topk",
+    "ann_lsh_topk", "ann_pq_topk", "embedding_near_dups",
+    "contamination_docs", "pack_docs", "gopher_quality_docs",
+    "vocab_top100", "token_rarity_docs", "mixture_sample_docs",
+    "clean_corpus_docs", "multimodal_features", "video_frame_sample",
+    "linear_quality_docs", "ivf_centroid_update", "best_docs_per_lang",
+    "token_chunks_docs", "ann_sq_topk", "ann_ivfpq_topk",
+    "tpch_pricing_summary", "revenue_by_nation",
+    # (c) head of the r8 cohort (oldest remaining)
+    "where_basic", "over_filter", "tagged_all", "split_routing",
+    "throttle", "stable_states", "with_const", "default_missing",
+    "scale_metric", "increment_metric", "decrement_metric",
+    "sformat_label", "to_string_field", "base64_roundtrip",
+    "from_json_props",
 ]
 
-# Round-10 rotation note: after this round's gate every registry
-# entry will have been driver-gated in rounds 7–9; lead r10 with
-# whatever r10 changes, then the oldest r7/r8-gated remainder —
-# starting with the seven (c) entries the r9 additions displaced
-# past slot 50 (coll_increase_daily, minhash_lsh_pairs,
-# simhash_pairs, paragraph_dedup_docs, semantic_dedup_survivors,
-# coll_where_inside_window, coll_sum_hourly), then ann_lsh_topk,
-# ann_sq8_topk, ann_ivfpq_topk,
-# zscore_window, sessionize_docs, contamination_docs,
-# pack_sequences, mixture_sample_docs, the curation composes, and
-# the r8 head.
+# Round-11 rotation note: after the r10 gate the stale set is the 35
+# remaining r8-cohort entries (rename_keys_proj ... order_priority_
+# counts in registry order) — lead r11 with r11 changes, then those
+# 35, then the r9-cohort head (ann_ivfpq_trained_topk, winnow_dedup_
+# pairs, bpe_top_pairs, pca_power_iter, ...).
 
 
 def _ordered(mapping: dict) -> dict:
