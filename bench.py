@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     # r9 additions
     "winnow_dedup_pairs",     # MOSS winnowing (gram mins -> bucket pairs)
     "bpe_segment_trained",    # trained-BPE replace chain over the vocab table
+    # r10 additions
+    "winnow_dedup_pairs_fast",  # xxhash64 winnowing (the 100 TB path)
+    "dup_span_removed_docs",  # ExactSubstr span removal (corpus rewrite)
 ]
 
 
@@ -160,6 +163,8 @@ def main() -> None:
             "linear_quality_docs", "video_frame_sample", "soft_dedup_docs",
             # r9 additions
             "winnow_dedup_pairs", "bpe_segment_trained",
+            # r10 additions
+            "winnow_dedup_pairs_fast", "dup_span_removed_docs",
         ]
         sf1_runs = int(os.environ.get("BENCH_SF1_RUNS", "2"))
         sf1_timings: dict[str, float] = {}

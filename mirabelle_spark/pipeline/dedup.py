@@ -996,6 +996,7 @@ def dup_span_removed(
     keep_first: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_hash: str = "portable",
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the corpus-rewrite step of
     Lee et al. 2022 "Deduplicating Training Data Makes Language
@@ -1045,7 +1046,21 @@ def dup_span_removed(
     document (untouched docs pass through with n_removed=0; a doc
     whose every token is removed yields text_clean='' — caller
     decides whether to drop empties). Documents shorter than n
-    words contribute no grams and are never rewritten."""
+    words contribute no grams and are never rewritten.
+
+    ``gram_hash`` (the winnowing/minhash convention):
+    ``"portable"`` (default) shuffles gram STRINGS — the DuckDB
+    oracle mirrors them exactly (the gate path); ``"fast"`` keys
+    the aggregate and the duplicated-gram join on ``xxhash64`` of
+    the gram — 8-byte shuffle keys instead of ~n-word strings, the
+    100 TB path. A 64-bit collision would mark one n-gram
+    spuriously duplicated (P ~ grams²/2⁶⁵); the removal positions
+    are otherwise identical, pinned by
+    ``test_dup_span_removed_fast_mode``."""
+    if gram_hash not in ("portable", "fast"):
+        raise ValueError(
+            f"gram_hash must be 'portable' or 'fast', got {gram_hash!r}"
+        )
     norm = normalized(F.col(text_col))
     words = F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
         F.array().cast("array<string>")
@@ -1066,11 +1081,19 @@ def dup_span_removed(
     occ = toks.select(
         F.col(id_col), F.posexplode(grams).alias("__pos__", "__g__")
     )
+    if gram_hash == "fast":
+        occ = occ.withColumn("__g__", F.xxhash64("__g__"))
 
-    freq = occ.groupBy("__g__").agg(
-        F.countDistinct(id_col).alias("__nd__"),
+    # two-phase, not groupBy(g).agg(countDistinct(doc), min(struct)):
+    # countDistinct alongside a plain agg plans an Expand (2 rows per
+    # occurrence); the (g, doc) pre-aggregate combines map-side AND
+    # its count(*) IS the distinct-doc count. The global winner
+    # min(struct(doc, pos)) equals min(struct(doc, min-pos-per-doc)).
+    per_doc = occ.groupBy("__g__", id_col).agg(F.min("__pos__").alias("__mp__"))
+    freq = per_doc.groupBy("__g__").agg(
+        F.count(F.lit(1)).alias("__nd__"),
         F.min(
-            F.struct(F.col(id_col).alias("d"), F.col("__pos__").alias("p"))
+            F.struct(F.col(id_col).alias("d"), F.col("__mp__").alias("p"))
         ).alias("__win__"),
     )
     dup = freq.filter(F.col("__nd__") >= min_docs)

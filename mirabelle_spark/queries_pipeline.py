@@ -2062,6 +2062,19 @@ def dup_span_fraction_docs(spark, sf):
     return dedup.dup_span_fraction(docs(spark, sf), n=3)
 
 
+@q("winnow_dedup_pairs_fast")
+def winnow_dedup_pairs_fast(spark, sf):
+    """Fast-mode winnowing (r10): xxhash64 gram fingerprints — one
+    JVM hash, 8-byte fps — instead of the oracle-portable md5 path.
+    No SQL oracle (DuckDB has no xxhash64): rows-only driver check;
+    equivalence to the portable twin is pinned by
+    tests/test_pipeline.py::test_winnow_fast_mode_overlap (identical
+    pair set at sf0.01; recall >= 0.82 vs portable at sf0.1 — the
+    MOSS run guarantee holds per-hash, threshold-adjacent pairs
+    flip with the sampling hash)."""
+    return dedup.winnow_dedup_pairs(docs(spark, sf), gram_hash="fast")
+
+
 def _dup_span_removed_oracle(n: int = 4, min_docs: int = 2) -> str:
     """Exact SQL twin of dedup.dup_span_removed (keep_first=True):
     same canonical tokenization, same min(struct(doc_id, pos))
