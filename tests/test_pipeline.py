@@ -1844,3 +1844,47 @@ def test_winnow_fast_mode_overlap(spark):
         jac = len(p & f) / len(p | f)
         assert recall >= 0.95, (sf, recall)
         assert jac >= 0.9, (sf, jac)
+
+
+def test_trained_ivfpq_recall_sf01_and_sf1(spark):
+    """Recall@5 vs brute force for the TRAINED IVF-PQ stack (VERDICT
+    r9 ask #6) — measured values pinned as floors (deterministic
+    computation; slack only for corpus regeneration). sf0.1: 0.28
+    raw ADC / 0.50 with rerank=50. sf1 (20k codes, only when the
+    bench's cached synthesis exists): 0.58 raw / 0.68 reranked —
+    saturation diagnosed in PERF §57: sf1 replica vectors differ by
+    sub-codebook-resolution perturbations, so ADC ties flood the
+    candidate window and id-ordered tie-breaks push true neighbors
+    out; the lever is rerank >= clique size, not nprobe."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    def recall(path, rerank):
+        e = embs(spark, path)
+        q = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {(r.query_id, r.vec_id)
+                 for r in ann.brute_force_topk(e, q, k=5).collect()}
+        ap = {(r.query_id, r.vec_id) for r in ann.ivfpq_topk(
+            e, q, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+            k=5, nprobe=3, rerank=rerank).collect()}
+        return len(exact & ap) / len(exact)
+
+    assert recall("/root/testdata/sf0.1", 0) >= 0.25
+    assert recall("/root/testdata/sf0.1", 50) >= 0.45
+
+    sf1 = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", "sf1")
+    if os.path.exists(os.path.join(sf1, "_DONE")):
+        assert recall(sf1, 0) >= 0.5
+        assert recall(sf1, 50) >= 0.6
