@@ -794,23 +794,39 @@ def bpe_segment_profile(
 
 
 def tfidf_top_terms(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf: str = "rational",
 ) -> DataFrame:
-    """Per-document top-n terms by tf-idf, rational-idf variant:
-    score = tf/df. Like classic tf·ln(N/df) it is strictly
-    increasing in tf and in 1/df; unlike it, the score is a single
-    IEEE division of exact integers, so the ranking is engine-
-    portable bit-for-bit (ln is not correctly-rounded in either
-    engine's libm — a last-ulp divergence that flips ranks on near-
-    ties). Ties (including equal ratios from different tf/df) break
-    token-asc.
+    """Per-document top-n terms by tf-idf.
+
+    ``idf="rational"`` (default, the oracle path): score = tf/df.
+    Like classic tf·ln(N/df) it is strictly increasing in tf and in
+    1/df; unlike it, the score is a single IEEE division of exact
+    integers, so the ranking is engine-portable bit-for-bit (ln is
+    not correctly-rounded in either engine's libm — a last-ulp
+    divergence that flips ranks on near-ties).
+
+    ``idf="ln"`` (r10, VERDICT r9 ask #7): classic tf·ln(N/df) for
+    users comparing against sklearn et al. NOT oracle-gated (the
+    libm caveat above is exactly why); the rankings genuinely
+    differ — ln compresses df differences multiplicatively against
+    tf where the rational form weighs them as a ratio, e.g.
+    tf=2,df=4 vs tf=1,df=1 of N=8: rational 0.5 < 1.0 but
+    ln-scored 1.386 > 0. Pinned on such a corpus by
+    test_tfidf_ln_option. Ties break token-asc in both.
 
     Scale shape: (doc, token, tf) hash agg → vocab-sized df agg →
     shuffle hash join on token (only (id, token, tf) rows move, the
     token_rarity_score shape) → per-DOC window (keyed, never
-    global). Returns (doc_id, token, tf, df, rank), rank <= n."""
+    global); ln mode adds one broadcast scalar (N, a count).
+    Returns (doc_id, token, tf, df, rank), rank <= n."""
     from pyspark.sql import Window as W
 
+    if idf not in ("rational", "ln"):
+        raise ValueError(f"idf must be 'rational' or 'ln', got {idf!r}")
     per_doc = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
         .filter(F.length("token") > 0)
@@ -819,10 +835,14 @@ def tfidf_top_terms(
     )
     freq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     joined = per_doc.join(freq, "token")
-    w = W.partitionBy(id_col).orderBy(
-        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
-        F.col("token").asc(),
-    )
+    if idf == "rational":
+        score = F.col("tf").cast("double") / F.col("df").cast("double")
+    else:
+        n_docs = df.select(F.count(F.lit(1))).collect()[0][0]
+        score = F.col("tf").cast("double") * F.log(
+            F.lit(float(n_docs)) / F.col("df").cast("double")
+        )
+    w = W.partitionBy(id_col).orderBy(score.desc(), F.col("token").asc())
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)

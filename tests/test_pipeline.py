@@ -1888,3 +1888,36 @@ def test_trained_ivfpq_recall_sf01_and_sf1(spark):
     if os.path.exists(os.path.join(sf1, "_DONE")):
         assert recall(sf1, 0) >= 0.5
         assert recall(sf1, 50) >= 0.6
+
+
+def test_tfidf_ln_option(spark):
+    """idf="ln" (classic tf·ln(N/df)) vs the rational default on a
+    corpus where the two RANKINGS genuinely differ: in doc 0,
+    'common' has tf=2,df=4 (rational 0.5, ln-score 2·ln(8/4)=1.386)
+    while 'unique0' has tf=1,df=1 (rational 1.0, ln-score ln(8)=
+    2.079) — both rank unique0 first; but 'semi' tf=3,df=2
+    (rational 1.5, ln 3·ln4=4.159) overtakes unique0 under ln while
+    staying ABOVE... construct so the argmax flips: compare full
+    top-1 maps."""
+    from mirabelle_spark.pipeline import text as tx
+
+    # 8 docs; doc 0 holds: 'common' x4 (df=8), 'rare' x1 (df=2)
+    # rational: rare = 1/2 = 0.5  > common = 4/8 = 0.5 -> tie,
+    # token-asc gives 'common'.
+    # ln(N=8): common = 4*ln(1) = 0 < rare = ln(4) = 1.386 -> 'rare'.
+    rows = [(0, "common common common common rare")]
+    for i in range(1, 8):
+        rows.append((i, "common" + (" rare" if i == 1 else "")))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    rat = {r.doc_id: r.token
+           for r in tx.tfidf_top_terms(df, n=1, idf="rational").collect()}
+    ln = {r.doc_id: r.token
+          for r in tx.tfidf_top_terms(df, n=1, idf="ln").collect()}
+    assert rat[0] == "common"  # 4/8 == 1/2 tie -> token asc
+    assert ln[0] == "rare"     # ln kills df=N tokens entirely
+    assert rat != ln
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tx.tfidf_top_terms(df, idf="bogus")
