@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_PRIORITY = [
     # (a) added / implementation changed in round 10
     "dup_span_removed_docs",   # NEW: ExactSubstr span removal
+    "scrubbed_corpus_docs",    # NEW: full C4-style curation compose
     "ann_ivfpq_rerank_topk",   # NEW: trained IVF-PQ + faiss refinement
     "bpe_segment_trained",     # pinned artifact now 48 merges,
                                # trained by the batched trainer
@@ -57,7 +58,7 @@ GATE_PRIORITY = [
     "where_basic", "over_filter", "tagged_all", "split_routing",
     "throttle", "stable_states", "with_const", "default_missing",
     "scale_metric", "increment_metric", "decrement_metric",
-    "sformat_label", "to_string_field", "base64_roundtrip",
+    "sformat_label", "to_string_field",
 ]
 
 # Round-11 rotation note: after the r10 gate the stale set is the 35

@@ -765,6 +765,36 @@ def bpe_apply(word: Column, merges: list[tuple[str, str]]) -> Column:
     return _bpe_syms(seg)
 
 
+def bpe_apply_chunked(
+    words_df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out: str = "toks",
+    chunk: int = 200,
+) -> DataFrame:
+    """Segment a (distinct-)word table under an arbitrarily long
+    merge list — the segment-table formulation :func:`bpe_apply`'s
+    depth note names for real (32k-merge) vocabularies: merges are
+    applied in chunks of ``chunk`` literal replaces per projection
+    with a ``localCheckpoint`` between chunks, so every plan stays
+    constant-depth (no 32k-deep expression tree, no janino method
+    blowup) and lineage stays flat; 32k merges = 160 chunked jobs
+    over a VOCABULARY-sized table, never the corpus. Identical
+    tokens to :func:`bpe_apply` by construction (same replaces,
+    same order — pytest-pinned). Corpora then broadcast-join the
+    resulting (word -> toks) map instead of paying any replace
+    chain per row."""
+    df = words_df.withColumn("__seg__", _bpe_seg_init(F.col(word_col)))
+    for i in range(0, len(merges), chunk):
+        col = F.col("__seg__")
+        for a, b in merges[i : i + chunk]:
+            col = _bpe_merge_apply(col, a, b)
+        df = df.withColumn("__seg__", col)
+        if i + chunk < len(merges):
+            df = df.localCheckpoint()
+    return df.withColumn(out, _bpe_syms(F.col("__seg__"))).drop("__seg__")
+
+
 def bpe_segment_profile(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -2145,22 +2145,27 @@ def winnow_dedup_pairs_fast(spark, sf):
     return dedup.winnow_dedup_pairs(docs(spark, sf), gram_hash="fast")
 
 
-def _dup_span_removed_oracle(n: int = 4, min_docs: int = 2) -> str:
+def _dup_span_removed_oracle(
+    n: int = 4, min_docs: int = 2, table: str = "documents",
+    text_col: str = "text",
+) -> str:
     """Exact SQL twin of dedup.dup_span_removed (keep_first=True):
     same canonical tokenization, same min(struct(doc_id, pos))
     winner election, same covered-token rebuild. DuckDB lists are
     1-based, so positions are shifted to 0-based (i - 1) to match
     Spark's posexplode before the winner comparison and the start-
     offset arrays; array_to_string([]) is NULL in DuckDB where
-    Spark's array_join([]) is '' — coalesced."""
-    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    Spark's array_join([]) is '' — coalesced. ``table`` may be any
+    CTE name (the scrubbed-corpus compose feeds the cleaned corpus
+    through the same chain)."""
+    norm = rf"trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g'))"
     return f"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length({norm}) > 0
               THEN string_split({norm}, ' ')
               ELSE CAST([] AS VARCHAR[]) END AS w
-  FROM documents
+  FROM {table}
 ),
 pos AS (
   SELECT doc_id, w, unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS i
@@ -2199,6 +2204,37 @@ SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text_clean,
        CAST(len(w) - len(kept) AS BIGINT) AS n_removed
 FROM built
 """
+
+
+def _scrubbed_corpus_oracle() -> str:
+    """clean_corpus (quality ∩ survivors ∖ contaminated, masked)
+    feeding the ExactSubstr span-removal chain — the full C4-style
+    curation pipeline as ONE SQL statement."""
+    clean = _clean_corpus_oracle().strip()
+    span = _dup_span_removed_oracle(
+        n=4, min_docs=2, table="cleaned", text_col="text_masked"
+    ).strip()
+    assert span.startswith("WITH ")
+    return f"WITH cleaned AS ({clean}),\n{span[len('WITH '):]}"
+
+
+@q("scrubbed_corpus_docs", _scrubbed_corpus_oracle())
+def scrubbed_corpus_docs(spark, sf):
+    """The complete C4-style curation pipeline in one declarative
+    plan (r10): quality rules ∩ near-dup survivors ∖ contaminated,
+    PII-masked (clean_corpus_docs), THEN cross-document exact-
+    substring span removal (Lee et al. 2022) over the surviving
+    corpus — boilerplate spans shared by >= 2 cleaned docs are
+    rewritten away, first occurrence kept. Each stage is
+    individually gated; the compose moves document bodies twice
+    total (once into the mask projection, once into the in-row
+    rebuild) and every pairwise structure is bucket- or
+    vocabulary-bounded. Returns (doc_id, text_clean, n_tokens,
+    n_removed) over the cleaned corpus."""
+    cleaned = clean_corpus_docs(spark, sf).select("doc_id", "text_masked")
+    return dedup.dup_span_removed(
+        cleaned, n=4, min_docs=2, text_col="text_masked"
+    )
 
 
 @q("dup_span_removed_docs", _dup_span_removed_oracle(n=4, min_docs=2))

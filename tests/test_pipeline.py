@@ -1921,3 +1921,33 @@ def test_tfidf_ln_option(spark):
 
     with pytest.raises(ValueError):
         tx.tfidf_top_terms(df, idf="bogus")
+
+
+def test_bpe_apply_chunked_equals_apply(spark):
+    """The segment-table apply (chunked replace projections +
+    localCheckpoint, the 32k-merge path) yields tokens identical to
+    the in-row replace chain for the 48-merge pinned artifact at a
+    chunk size that forces 10 chunks."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import text as tx
+    from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, "/root/testdata/sf0.001")
+    words = (
+        d.select(F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col("text")), r"\s+", " ")), " ")).alias("word"))
+        .filter(F.length("word") >= 1).distinct()
+    )
+    direct = {
+        r.word: list(r.t)
+        for r in words.select(
+            "word", tx.bpe_apply(F.col("word"), BPE_MERGES).alias("t")
+        ).collect()
+    }
+    chunked = {
+        r.word: list(r.toks)
+        for r in tx.bpe_apply_chunked(words, BPE_MERGES, chunk=5).collect()
+    }
+    assert chunked == direct and len(direct) > 10
