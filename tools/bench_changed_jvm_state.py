@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--inc", type=int, default=10)
     ap.add_argument("--compact", default="1,16",
                     help="comma list of compact_every values (1 = r9 full-rewrite-per-batch behavior)")
+    ap.add_argument("--local-keys", type=int, default=0,
+                    help="if >0, each incremental batch touches only this many distinct keys (key-local workload: bucket pruning applies)")
+    ap.add_argument("--buckets", type=int, default=64, help="n_buckets for the compacted base")
+    ap.add_argument("--prune-reads", action="store_true",
+                    help="enable bucket-pruned emission reads (stream_changed_jvm_run prune_reads=True)")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -60,8 +65,9 @@ def main() -> None:
     # incremental files: BATCH events each, distinct keys per file,
     # new values so every row emits
     for i in range(args.inc):
+        key_mod = args.local_keys if args.local_keys else args.keys
         inc = spark.range(args.batch).select(
-            F.concat(F.lit("k"), (F.col("id") * 97 + i * 13) % args.keys).alias("host"),
+            F.concat(F.lit("k"), (F.col("id") * 97 + i * 13) % key_mod).alias("host"),
             F.timestamp_micros(F.col("id") + (i + 2) * 10_000_000).alias("time"),
             (F.lit(float(i + 1))).alias("metric"),
         )
@@ -81,7 +87,8 @@ def main() -> None:
         q = stream_changed_jvm_run(
             spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
             "metric", by=["host"], work_dir=work, time_col="time",
-            out_writer=writer, compact_every=nb,
+            out_writer=writer, compact_every=nb, n_buckets=args.buckets,
+            prune_reads=args.prune_reads,
         )
         q.awaitTermination()
         total = time.monotonic() - t0
@@ -100,6 +107,8 @@ def main() -> None:
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({
         "keys": args.keys, "batch": args.batch, "inc": args.inc,
+        "local_keys": args.local_keys, "n_buckets": args.buckets,
+        "prune_reads": args.prune_reads,
         "compact_every": results,
     }))
 
