@@ -582,3 +582,54 @@ def test_bpe_trainer_matches_reference_property(spark, docs, n):
     ).select("word", tx.bpe_apply(F.col("word"), got).alias("toks")).collect()
     for r in seg:
         assert list(r.toks) == _ref_bpe_apply(r.word, ref), r.word
+
+
+@given(
+    docs=st.lists(WORDS, min_size=1, max_size=6),
+    n=st.integers(2, 4),
+    min_docs=st.integers(2, 3),
+    keep_first=st.booleans(),
+)
+@SLOW
+def test_dup_span_removed_matches_reference_property(
+    spark, docs, n, min_docs, keep_first
+):
+    """dup_span_removed == a literal Python transcription of the
+    ExactSubstr removal on random tiny-vocab corpora (heavy gram
+    collisions by construction): count n-gram occurrences, elect the
+    (min doc, min pos) winner per duplicated gram, drop every token
+    covered by a non-winning duplicated-gram occurrence, rebuild."""
+    from collections import defaultdict
+
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+
+    # pure-Python reference
+    toks = {i: t.split(" ") for i, t in rows}
+    occ = defaultdict(list)  # gram -> [(doc, pos)]
+    for i, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            occ[" ".join(ws[p:p + n])].append((i, p))
+    removed = defaultdict(set)
+    for g, sites in occ.items():
+        if len({d for d, _ in sites}) < min_docs:
+            continue
+        win = min(sites)
+        for d, p in sites:
+            if keep_first and (d, p) == win:
+                continue
+            removed[d].update(range(p, p + n))
+    exp = {}
+    for i, ws in toks.items():
+        kept = [w for j, w in enumerate(ws) if j not in removed[i]]
+        exp[i] = (" ".join(kept), len(ws), len(ws) - len(kept))
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in dedup.dup_span_removed(
+            df, n=n, min_docs=min_docs, keep_first=keep_first
+        ).collect()
+    }
+    assert got == exp
