@@ -1088,24 +1088,46 @@ def dup_span_removed(
     # countDistinct alongside a plain agg plans an Expand (2 rows per
     # occurrence); the (g, doc) pre-aggregate combines map-side AND
     # its count(*) IS the distinct-doc count. The global winner
-    # min(struct(doc, pos)) equals min(struct(doc, min-pos-per-doc)).
+    # min over (doc, pos) equals min over (doc, min-pos-per-doc).
+    # The winner is a PACKED bigint (doc · 2²⁰ + pos), not a struct:
+    # min(struct) is not hash-aggregable (plans a SortAggregate +
+    # full sort of the gram table — the measured hotspot); the pack
+    # is order-isomorphic to the lexicographic struct for integral
+    # non-negative ids and pos < 2²⁰ (1M tokens/doc), so semantics
+    # — and the struct-min SQL oracle — are unchanged. Non-integral
+    # id types keep the struct path.
+    id_type = dict(df.dtypes)[id_col]
+    packed = id_type in ("tinyint", "smallint", "int", "bigint")
     per_doc = occ.groupBy("__g__", id_col).agg(F.min("__pos__").alias("__mp__"))
-    freq = per_doc.groupBy("__g__").agg(
-        F.count(F.lit(1)).alias("__nd__"),
-        F.min(
-            F.struct(F.col(id_col).alias("d"), F.col("__mp__").alias("p"))
-        ).alias("__win__"),
-    )
+    if packed:
+        pack = F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("__mp__")
+        freq = per_doc.groupBy("__g__").agg(
+            F.count(F.lit(1)).alias("__nd__"),
+            F.min(pack).alias("__wpk__"),
+        )
+    else:
+        freq = per_doc.groupBy("__g__").agg(
+            F.count(F.lit(1)).alias("__nd__"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("__mp__").alias("p"))
+            ).alias("__win__"),
+        )
     dup = freq.filter(F.col("__nd__") >= min_docs)
 
     rem = occ.join(dup, "__g__")
     if keep_first:
-        rem = rem.filter(
-            ~(
-                (F.col(id_col) == F.col("__win__.d"))
-                & (F.col("__pos__") == F.col("__win__.p"))
+        if packed:
+            rem = rem.filter(
+                F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("__pos__")
+                != F.col("__wpk__")
             )
-        )
+        else:
+            rem = rem.filter(
+                ~(
+                    (F.col(id_col) == F.col("__win__.d"))
+                    & (F.col("__pos__") == F.col("__win__.p"))
+                )
+            )
     starts = rem.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__pos__")).alias("__s__")
     )
