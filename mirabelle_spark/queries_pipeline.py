@@ -1658,10 +1658,10 @@ def ann_ivfpq_rerank_topk(spark, sf):
     """Trained IVF-PQ with faiss refinement on the gated path (r10):
     exact squared-L2 re-scoring of the ADC top-50 only (|queries|·50
     rows touch full vectors; the corpus-wide scan stays nibble
-    codes). Lifts recall@5 0.40→0.78 at sf0.01 / 0.28→0.50 at sf0.1
-    for the trained quantizers (PERF §57); the oracle appends the
-    identical refinement CTEs, so the l2 ranking is exact-checked
-    end to end."""
+    codes). Vs exact-L2 ground truth, rerank=50 lifts the trained
+    stack's recall@5 0.28→0.50 at sf0.1 and 0.66→1.00 at sf1
+    (PERF §57); the oracle appends the identical refinement CTEs,
+    so the l2 ranking is exact-checked end to end."""
     from mirabelle_spark.pipeline.ivf_centroids_trained import (
         TRAINED_IVF_CENTROIDS,
     )

@@ -1847,17 +1847,18 @@ def test_winnow_fast_mode_overlap(spark):
 
 
 def test_trained_ivfpq_recall_sf01_and_sf1(spark):
-    """Recall@5 vs brute force for the TRAINED IVF-PQ stack (VERDICT
-    r9 ask #6) — measured values pinned as floors (deterministic
-    computation; slack only for corpus regeneration). sf0.1: 0.28
-    raw ADC / 0.50 with rerank=50. sf1 (20k codes, only when the
-    bench's cached synthesis exists): 0.58 raw / 0.68 reranked —
-    saturation diagnosed in PERF §57: sf1 replica vectors differ by
-    sub-codebook-resolution perturbations, so ADC ties flood the
-    candidate window and id-ordered tie-breaks push true neighbors
-    out; the lever is rerank >= clique size, not nprobe."""
+    """Recall@5 vs EXACT-L2 ground truth (numpy, id-lexsort ties)
+    for the TRAINED IVF-PQ stack (VERDICT r9 ask #6; metric
+    corrected in-round — the first harness compared against cosine
+    brute force and manufactured a fake sf1 saturation, PERF §57).
+    Measured values pinned as floors: sf0.1 0.28 raw / 0.50 at
+    rerank=50; sf1 (20k codes, when the bench's cached synthesis
+    exists) 0.66 raw / 1.00 reranked — the clustered sf1 corpus
+    puts every true neighbor inside the probed cells' ADC top-50,
+    so the refinement is exact there."""
     import os
 
+    import numpy as np
     import pyspark.sql.functions as F
 
     from mirabelle_spark.pipeline import ann
@@ -1871,24 +1872,33 @@ def test_trained_ivfpq_recall_sf01_and_sf1(spark):
 
     def recall(path, rerank):
         e = embs(spark, path)
+        rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in e.collect()}
+        ids = sorted(rows)
+        mat = np.array([rows[i] for i in ids])
+        exact = {}
+        for qid in range(10):
+            d = ((mat - rows[qid]) ** 2).sum(1)
+            order = np.lexsort((ids, d))
+            exact[qid] = {ids[i] for i in order[:5]}
         q = e.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        exact = {(r.query_id, r.vec_id)
-                 for r in ann.brute_force_topk(e, q, k=5).collect()}
-        ap = {(r.query_id, r.vec_id) for r in ann.ivfpq_topk(
+        got: dict = {}
+        for r in ann.ivfpq_topk(
             e, q, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
-            k=5, nprobe=3, rerank=rerank).collect()}
-        return len(exact & ap) / len(exact)
+            k=5, nprobe=3, rerank=rerank,
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(exact[i] & got.get(i, set())) for i in range(10)) / 50
 
     assert recall("/root/testdata/sf0.1", 0) >= 0.25
     assert recall("/root/testdata/sf0.1", 50) >= 0.45
 
     sf1 = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", "sf1")
     if os.path.exists(os.path.join(sf1, "_DONE")):
-        assert recall(sf1, 0) >= 0.5
-        assert recall(sf1, 50) >= 0.6
-
+        assert recall(sf1, 0) >= 0.6
+        assert recall(sf1, 50) >= 0.95
 
 def test_tfidf_ln_option(spark):
     """idf="ln" (classic tf·ln(N/df)) vs the rational default on a
