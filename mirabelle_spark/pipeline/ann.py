@@ -71,6 +71,39 @@ def brute_force_topk(
     )
 
 
+def brute_force_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground-truth twin for the
+    compressed stack (PQ/SQ8/IVF-PQ all rank by L2; the cosine
+    :func:`brute_force_topk` ranks DIFFERENTLY on unnormalized
+    vectors, which is exactly the harness trap PERF §57 documents —
+    recall of an L2 index must be measured against an L2 baseline).
+    Same shape: broadcast queries × corpus scan, per-query window.
+    Returns (query_id, vec_id, l2_dist, rank), ties id-asc."""
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    )
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    sq = F.aggregate(
+        F.zip_with(F.col("__qv__"), F.col("__cv__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("l2_dist", sq)
+    w = W.partitionBy(query_id_col).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_dist", "rank")
+    )
+
+
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (fixed seed)."""
     rng = np.random.RandomState(seed)

@@ -284,6 +284,44 @@ def ann_bruteforce_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+_L2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, v) -> acc + v)"
+)
+
+
+@q(
+    "ann_bruteforce_l2_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id, {_L2.format(a='qv', b='cv')} AS l2_dist
+  FROM c, q
+), ranked AS (
+  SELECT query_id, vec_id, l2_dist,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, vec_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, l2_dist, rank FROM ranked WHERE rank <= 5
+""",
+)
+def ann_bruteforce_l2_topk(spark, sf):
+    """Exact squared-L2 top-5 (r10) — the ground-truth baseline in
+    the SAME metric as the whole compressed family (PQ/SQ8/IVF-PQ);
+    the cosine brute force ranks differently on unnormalized
+    vectors (the PERF §57 harness trap)."""
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_l2_topk(e, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 
 
 def _planes_sql(dim: int, planes: int, seed: int) -> str:
