@@ -43,6 +43,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def as_unit_vec(col: Column) -> Column:
+    """Unit-normalized double vector (zero vectors pass through
+    unchanged — no NaN lanes). On unit vectors squared L2 is a
+    strictly decreasing function of cosine (d² = 2 − 2·cos), so
+    every L2-metric index in this module ranks EXACTLY like cosine
+    after normalization — the faiss cosine recipe."""
+    v = as_double_vec(col)
+    n = l2norm(v)
+    # n referenced inside the lambda re-evaluates per element —
+    # O(dim²) per row. Fine at embedding dims (64² ops); hot paths
+    # that care stage the norm in its own projection first (the
+    # ivfpq cosine mode does).
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -871,6 +886,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     rerank: int = 0,
+    metric: str = "l2",
 ) -> DataFrame:
     """The full faiss production layout — IVF coarse pruning × PQ
     compressed scan: corpus vectors are cell-assigned AND
@@ -890,7 +906,38 @@ def ivfpq_topk(
     the corpus; returns l2_dist instead of adc_dist) — the first
     recall lever when nibble codes saturate (PERF §57, vs exact-L2
     ground truth: trained stack at rerank=50 lifts sf0.1 recall@5
-    0.28→0.50 and sf1 0.66→1.00; widen nprobe next, then M)."""
+    0.28→0.50 and sf1 0.66→1.00; widen nprobe next, then M).
+
+    ``metric="cosine"`` unit-normalizes corpus and queries up front
+    (one staged-norm projection each) and then runs the identical
+    L2 machinery — on unit vectors d² = 2 − 2·cos, so assignment,
+    ADC order, and the rerank order all match cosine exactly (the
+    faiss recipe); at nprobe=nlist with rerank ≥ |corpus| the
+    result provably equals :func:`brute_force_topk`'s cosine top-k
+    (pytest-pinned). Quantizers should be trained on normalized
+    vectors for best cell balance; any quantizer stays CORRECT
+    (pruning and codes just lose some recall)."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    if metric == "cosine":
+        def _unit(df, idc):
+            staged = df.select(
+                F.col(idc), as_double_vec(F.col(vec_col)).alias("__v__")
+            ).withColumn("__n__", l2norm(F.col("__v__")))
+            return staged.select(
+                F.col(idc),
+                F.when(
+                    F.col("__n__") > 0,
+                    F.zip_with(
+                        F.col("__v__"),
+                        F.array_repeat(F.col("__n__"), F.size("__v__")),
+                        lambda x, nn: x / nn,
+                    ),
+                ).otherwise(F.col("__v__")).alias(vec_col),
+            )
+
+        corpus = _unit(corpus, id_col)
+        queries = _unit(queries, query_id_col)
     m_count = len(codebooks)
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
     assigned = _cell_assign(c, centroids)

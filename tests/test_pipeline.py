@@ -1961,3 +1961,57 @@ def test_bpe_apply_chunked_equals_apply(spark):
         for r in tx.bpe_apply_chunked(words, BPE_MERGES, chunk=5).collect()
     }
     assert chunked == direct and len(direct) > 10
+
+
+def test_ivfpq_cosine_mode_equals_cosine_bruteforce(spark):
+    """metric="cosine" at nprobe=nlist with rerank >= |corpus| is
+    provably the exact cosine top-k (unit vectors: d² = 2 − 2·cos,
+    ties id-asc in both): pin set-equality per query against
+    brute_force_topk on sf0.01, and sane recall at fractional
+    probes."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    e = embs(spark, "/root/testdata/sf0.01")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = e.count()
+    exact = {}
+    for r in ann.brute_force_topk(e, q, k=5).collect():
+        exact.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    got = {}
+    for r in ann.ivfpq_topk(
+        e, q, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+        k=5, nprobe=len(TRAINED_IVF_CENTROIDS), rerank=n, metric="cosine",
+    ).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exact.items()
+    }
+
+    # fractional probe: still cosine-metric, recall measured not pinned high
+    part = {}
+    for r in ann.ivfpq_topk(
+        e, q, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+        k=5, nprobe=3, rerank=50, metric="cosine",
+    ).collect():
+        part.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(
+        len(part.get(qid, set()) & {v for _, v in exact[qid]}) for qid in exact
+    )
+    assert hits >= 0.4 * 50, hits
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ann.ivfpq_topk(e, q, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+                       metric="dot")
