@@ -58,6 +58,27 @@ def as_unit_vec(col: Column) -> Column:
     return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
 
 
+def _unit_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) projection with the vector unit-normalized via a
+    STAGED norm column (one extra projection, O(dim) per row — not
+    the O(dim²) lambda-capture form, see :func:`as_unit_vec`).
+    The cosine-mode front door shared by the compressed family."""
+    staged = df.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v__")
+    ).withColumn("__n__", l2norm(F.col("__v__")))
+    return staged.select(
+        F.col(id_col),
+        F.when(
+            F.col("__n__") > 0,
+            F.zip_with(
+                F.col("__v__"),
+                F.array_repeat(F.col("__n__"), F.size("__v__")),
+                lambda x, nn: x / nn,
+            ),
+        ).otherwise(F.col("__v__")).alias(vec_col),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -534,6 +555,7 @@ def pq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     rerank: int = 0,
+    metric: str = "l2",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query,
     precompute the M×K lookup table of exact sub-distances to every
@@ -553,7 +575,16 @@ def pq_topk(
     exact top-k. Lifts recall from the ~0.4 of raw 32-bit codes to
     near-exact at rerank≈10k (pytest pins the measured floor) while
     still scanning only compressed codes corpus-wide.
+
+    ``metric="cosine"``: unit-normalize both sides first and run
+    the identical L2 machinery (d² = 2 − 2·cos on unit vectors —
+    the faiss cosine recipe, same contract as :func:`ivfpq_topk`).
     """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    if metric == "cosine":
+        corpus = _unit_normalized(corpus, id_col, vec_col)
+        queries = _unit_normalized(queries, query_id_col, vec_col)
     m_count = len(codebooks)
     codes = pq_encode(corpus, codebooks, vec_col, id_col)
     qbase = queries.selectExpr(
@@ -920,24 +951,8 @@ def ivfpq_topk(
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     if metric == "cosine":
-        def _unit(df, idc):
-            staged = df.select(
-                F.col(idc), as_double_vec(F.col(vec_col)).alias("__v__")
-            ).withColumn("__n__", l2norm(F.col("__v__")))
-            return staged.select(
-                F.col(idc),
-                F.when(
-                    F.col("__n__") > 0,
-                    F.zip_with(
-                        F.col("__v__"),
-                        F.array_repeat(F.col("__n__"), F.size("__v__")),
-                        lambda x, nn: x / nn,
-                    ),
-                ).otherwise(F.col("__v__")).alias(vec_col),
-            )
-
-        corpus = _unit(corpus, id_col)
-        queries = _unit(queries, query_id_col)
+        corpus = _unit_normalized(corpus, id_col, vec_col)
+        queries = _unit_normalized(queries, query_id_col, vec_col)
     m_count = len(codebooks)
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
     assigned = _cell_assign(c, centroids)

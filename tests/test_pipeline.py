@@ -2015,3 +2015,31 @@ def test_ivfpq_cosine_mode_equals_cosine_bruteforce(spark):
     with pytest.raises(ValueError):
         ann.ivfpq_topk(e, q, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
                        metric="dot")
+
+
+def test_pq_cosine_mode_equals_cosine_bruteforce(spark):
+    """pq_topk(metric="cosine") with rerank >= |corpus| equals the
+    exact cosine top-k (same unit-vector argument as the ivfpq
+    pin)."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    e = embs(spark, "/root/testdata/sf0.01")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = e.count()
+    exact = {}
+    for r in ann.brute_force_topk(e, q, k=5).collect():
+        exact.setdefault(r.query_id, set()).add((r.rank, r.vec_id))
+    got = {}
+    for r in ann.pq_topk(
+        e, q, TRAINED_PQ_CODEBOOKS, k=5, rerank=n, metric="cosine"
+    ).collect():
+        got.setdefault(r.query_id, set()).add((r.rank, r.vec_id))
+    assert got == exact
