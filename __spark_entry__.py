@@ -39,6 +39,7 @@ GATE_PRIORITY = [
     "scrubbed_corpus_docs",    # NEW: full C4-style curation compose
     "ann_ivfpq_rerank_topk",   # NEW: trained IVF-PQ + faiss refinement
     "ann_bruteforce_l2_topk",  # NEW: exact-L2 ground-truth baseline
+    "ann_ivfpq_cosine_topk",   # NEW: cosine-metric compressed stack
     "bpe_segment_trained",     # pinned artifact now 48 merges,
                                # trained by the batched trainer
     # (b) last gated r7 — the seven displaced entries first
@@ -59,7 +60,6 @@ GATE_PRIORITY = [
     "where_basic", "over_filter", "tagged_all", "split_routing",
     "throttle", "stable_states", "with_const", "default_missing",
     "scale_metric", "increment_metric", "decrement_metric",
-    "sformat_label",
 ]
 
 # Round-11 rotation note: after the r10 gate the stale set is the 35

@@ -1546,6 +1546,8 @@ def _ann_ivfpq_oracle(
     centroids=None,
     codebooks=None,
     rerank: int = 0,
+    src: str = "embeddings",
+    prelude: str = "",
 ) -> str:
     """IVF-PQ end to end in SQL: the IVF oracle's assignment/probe
     CTEs feeding the PQ oracle's encode/LUT/score fragments — scored
@@ -1564,15 +1566,15 @@ def _ann_ivfpq_oracle(
     )
     cells = ", ".join(f"({i})" for i in range(1, nlist + 1))
     return f"""
-WITH cent AS (SELECT {_centroids_sql(centroids)} AS cs),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH {prelude}cent AS (SELECT {_centroids_sql(centroids)} AS cs),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {src}),
 assigned AS (
   SELECT vec_id, v,
          CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
   FROM (SELECT vec_id, v, {sqd} AS ds FROM c, cent)
 ),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < 10),
+      FROM {src} WHERE vec_id < 10),
 qcell AS (
   SELECT query_id, qv,
          {sqd.replace('list_zip(v, c)', 'list_zip(qv, c)')} AS ds
@@ -1714,6 +1716,58 @@ def ann_ivfpq_rerank_topk(spark, sf):
     return ann.ivfpq_topk(
         e, queries, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
         k=5, nprobe=3, rerank=50,
+    )
+
+
+_NORM_PRELUDE = """nemb AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE v END AS embedding
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                            (acc, s) -> acc + s)) AS nrm
+    FROM embeddings
+  )
+), """
+
+
+@q(
+    "ann_ivfpq_cosine_topk",
+    _ann_ivfpq_oracle(
+        k=5,
+        nprobe=3,
+        centroids=_trained_centroids(),
+        codebooks=_trained_pq_books(),
+        rerank=50,
+        src="nemb",
+        prelude=_NORM_PRELUDE,
+    ),
+)
+def ann_ivfpq_cosine_topk(spark, sf):
+    """Cosine-metric trained IVF-PQ with refinement on the gated
+    path (r10): unit-normalize both sides (staged-norm projection;
+    sqrt and divide are correctly-rounded IEEE ops with the same
+    left-assoc fold in both engines, so normalization is
+    oracle-exact), then the identical L2 machinery — on unit
+    vectors d² = 2 − 2·cos, the faiss cosine recipe. Full-probe +
+    full-rerank equivalence with cosine brute force is pytest-
+    pinned; this gated variant runs the production nprobe=3 /
+    rerank=50 shape."""
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+
+    e = embs(spark, sf)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivfpq_topk(
+        e, queries, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+        k=5, nprobe=3, rerank=50, metric="cosine",
     )
 
 
