@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     # r10 additions
     "winnow_dedup_pairs_fast",  # xxhash64 winnowing (the 100 TB path)
     "dup_span_removed_docs",  # ExactSubstr span removal (corpus rewrite)
+    "ann_ivfpq_rerank_topk",  # IVF-PQ + exact-L2 refinement (production ANN shape)
 ]
 
 
