@@ -40,6 +40,8 @@ GATE_PRIORITY = [
     "ann_ivfpq_rerank_topk",   # NEW: trained IVF-PQ + faiss refinement
     "ann_bruteforce_l2_topk",  # NEW: exact-L2 ground-truth baseline
     "ann_ivfpq_cosine_topk",   # NEW: cosine-metric compressed stack
+    "returned_item_customers", # NEW: Q10-shaped star join
+    "large_order_customers",   # NEW: Q18-shaped HAVING semi-join
     "bpe_segment_trained",     # pinned artifact now 48 merges,
                                # trained by the batched trainer
     # (b) last gated r7 — the seven displaced entries first
@@ -59,7 +61,7 @@ GATE_PRIORITY = [
     # (c) head of the r8 cohort (oldest remaining)
     "where_basic", "over_filter", "tagged_all", "split_routing",
     "throttle", "stable_states", "with_const", "default_missing",
-    "scale_metric", "increment_metric", "decrement_metric",
+    "scale_metric",
 ]
 
 # Round-11 rotation note: after the r10 gate the stale set is the 35

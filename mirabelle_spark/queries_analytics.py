@@ -284,3 +284,90 @@ def segment_top_orders(spark, sf):
         .limit(20)
         .select("o_orderkey", "revenue")
     )
+
+
+@q(
+    "returned_item_customers",
+    """
+SELECT c_custkey, c_name, n_name, revenue FROM (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+         row_number() OVER (
+           ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) DESC,
+                    c_custkey) AS rn
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+) WHERE rn <= 20
+""",
+)
+def returned_item_customers(spark, sf):
+    """Q10-shaped (r10): customers who returned the most revenue —
+    the returned-lineitem filter pushes into the fact scan, the two
+    dimension joins broadcast (customer is small relative to the
+    fact side; nation always), the customer-grain aggregate partial-
+    combines map-side, and the global top-20 is orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    window sort). At sf100 the only wide exchange is the customer-
+    grain aggregate's."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(disc).alias("revenue"))
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@q(
+    "large_order_customers",
+    """
+SELECT c_custkey, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+def large_order_customers(spark, sf):
+    """Q18-shaped (r10): orders whose total quantity exceeds a
+    rare-tail threshold (2% of orders here, like the spec's 312),
+    with their customers. The HAVING aggregate runs
+    FIRST at order grain (partial-combining, fact table touched
+    once); only the few surviving order keys join back — the
+    survivors side is tiny, so both joins broadcast the small side.
+    Never a window, never a second fact scan."""
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("__q__"))
+        .filter(F.col("__q__") > 250)
+        .select("l_orderkey", F.col("__q__").cast("double").alias("total_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
