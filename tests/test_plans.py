@@ -334,3 +334,21 @@ def test_by_project_isolates_forks(spark):
     ctx = compile_stream(df, tree, Ctx(order_cols=("seq",), test_mode=True))
     got = {(r.host, r.metric_1, r.metric_2) for r in ctx.taps["p"].collect()}
     assert got == {("h1", 1.0, 7.0), ("h2", 2.0, None)}
+
+
+def test_returned_item_customers_plan(spark, qs):
+    """Q10 shape: global top-20 via TakeOrderedAndProject (never a
+    global window sort) and the returned-flag filter pushed to the
+    fact scan."""
+    plan = _plan(qs["returned_item_customers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "l_returnflag" in plan  # pushed predicate visible at scan
+
+
+def test_large_order_customers_plan(spark, qs):
+    """Q18 shape: the HAVING aggregate runs below the joins (one
+    fact-table pass, survivors join back) — no window anywhere, and
+    the survivor side is broadcast."""
+    plan = _plan(qs["large_order_customers"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
