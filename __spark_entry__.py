@@ -64,11 +64,12 @@ GATE_PRIORITY = [
     "scale_metric",
 ]
 
-# Round-11 rotation note: after the r10 gate the stale set is the 35
-# remaining r8-cohort entries (rename_keys_proj ... order_priority_
-# counts in registry order) — lead r11 with r11 changes, then those
-# 35, then the r9-cohort head (ann_ivfpq_trained_topk, winnow_dedup_
-# pairs, bpe_top_pairs, pca_power_iter, ...).
+# Round-11 rotation note: after the r10 gate the stale set is the
+# 41 r8-cohort entries not re-gated here (registry order:
+# ann_ivf_trained_topk, ann_pq_trained_topk, base64_roundtrip, below_dt_alert, between_dt_alert, coalesce_fill, ...)
+# — lead r11 with r11 changes, then those 41, then the r9-cohort
+# head (ann_ivfpq_trained_topk, winnow_dedup_pairs, bpe_top_pairs,
+# pca_power_iter, ...).
 
 
 def _ordered(mapping: dict) -> dict:
