@@ -1,7 +1,7 @@
 """BPE merges TRAINED by :func:`mirabelle_spark.pipeline.text.bpe_train`
 (the engine's own relational trainer — canonical greedy Sennrich
 merges, deterministic argmax, partitioning-independent) on the
-sf0.01 ``documents`` corpus — 24 merges, min_weight=2. Same
+sf0.01 ``documents`` corpus — 48 merges, min_weight=2. Same
 train-once lifecycle as ivf_centroids_trained / pq_codebooks_trained:
 pinned as literals so the Spark query and the DuckDB oracle apply
 bit-identical replace chains; ``tests/test_pipeline.py::

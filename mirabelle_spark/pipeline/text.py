@@ -588,6 +588,16 @@ def _bpe_safe_batch(
       lexicographic tie-break (a'b' is a fresh string with arbitrary
       sort position). Stop on any visible equal-weight pair that
       overlaps kept symbols.
+    - SELF-PAIR FENCE — a kept SELF-pair (a', a') breaks the tie
+      fence's "bounding pairs are never themselves kept" argument:
+      merging (a', a') creates (a'a', a') / (a', a'a') pairs bounded
+      by count(a', a') — the kept pair ITSELF, which the tie scan
+      excludes — so the created pair's weight can tie or exceed any
+      later batch member (e.g. 'aaaa' -> 'aa aa' births (aa, aa) at
+      weight up to the self-pair's own). The batch therefore ENDS
+      immediately after a self-pair is kept; the self-pair itself is
+      safe (its weight is exact by disjointness, its rank by the
+      no-skip rule).
     - VIEW FENCE — pairs below the collected top-K are only known to
       be <= the last visible weight; keep a candidate only while it
       is STRICTLY above that floor (unless the view is complete), so
@@ -597,6 +607,8 @@ def _bpe_safe_batch(
     canonical batch of one — still exact, never wrong."""
     w_last = rows[-1][2]
     kept: list[tuple[str, str]] = [(rows[0][0], rows[0][1])]
+    if rows[0][0] == rows[0][1]:  # self-pair fence: batch ends here
+        return kept
     syms = {rows[0][0], rows[0][1], rows[0][0] + rows[0][1]}
     for a, b, w in rows[1:]:
         if len(kept) >= batch or w < min_weight:
@@ -607,10 +619,12 @@ def _bpe_safe_batch(
             break
         # kept pairs are excluded from the tie scan: a created pair
         # (X, a'b') / (a'b', Y) is bounded by count(X, a') /
-        # count(b', Y), and since kept merges are symbol-disjoint
-        # those bounding pairs are never themselves kept — only
-        # NON-kept visible pairs at exactly this weight can feed a
-        # tie (invisible ones are fenced by the view check above)
+        # count(b', Y), and since kept merges are symbol-disjoint and
+        # NON-self (the self-pair fence ends the batch before a
+        # self-pair can precede this row) those bounding pairs are
+        # never themselves kept — only NON-kept visible pairs at
+        # exactly this weight can feed a tie (invisible ones are
+        # fenced by the view check above)
         tie_unsafe = any(
             w2 == w
             and (a2, b2) != (a, b)
@@ -622,6 +636,8 @@ def _bpe_safe_batch(
             break
         kept.append((a, b))
         syms |= {a, b, a + b}
+        if a == b:  # self-pair fence (see docstring)
+            break
     return kept
 
 

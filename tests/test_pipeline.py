@@ -1781,6 +1781,33 @@ def test_bpe_batched_exact_equals_serial(spark):
                 assert batched == serial, (words, n, b)
 
 
+def test_bpe_batched_self_pair_fence(spark):
+    """Regression (r10 advice, high): a kept SELF-pair (a,a) bounds
+    its own created pair (aa,a)/(a,aa), which the tie scan excludes
+    as a kept pair — so pairs kept after it in the same batch could
+    diverge from the serial order. Both corpora below diverged
+    before the self-pair fence ended the batch at the self-pair:
+    serial puts the chain continuation (bb,b)/(aa,a) SECOND, the
+    unfenced batch hoisted the disjoint (a,c)/(c,b) ahead of it."""
+    from mirabelle_spark.pipeline import text as tx
+
+    corpora = [
+        ["a"] * 5 + ["abbb"] * 5 + ["acbac"] * 4 + ["b"] * 5
+        + ["bbbc"] * 4 + ["cab"] * 2,
+        ["aaacb"] * 2 + ["cbcaaa"] * 4,
+    ]
+    for words in corpora:
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        serial = tx.bpe_train(df, n_merges=6, batch=1)
+        # the divergence was a reorder of an early self-pair chain
+        assert any(a == b for a, b in serial[:2]), serial
+        for b in (4, 8):
+            assert tx.bpe_train(df, n_merges=6, batch=b) == serial, (
+                words[:3],
+                b,
+            )
+
+
 def test_bpe_batched_cuts_rounds(spark):
     """Round-count accounting: exact mode cuts driver rounds below
     n_merges on the gate corpus; fast mode (exact=False) cuts them
