@@ -997,6 +997,7 @@ def dup_span_removed(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_hash: str = "portable",
+    _pos_bits: int = 20,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the corpus-rewrite step of
     Lee et al. 2022 "Deduplicating Training Data Makes Language
@@ -1095,12 +1096,42 @@ def dup_span_removed(
     # is order-isomorphic to the lexicographic struct for integral
     # non-negative ids and pos < 2²⁰ (1M tokens/doc), so semantics
     # — and the struct-min SQL oracle — are unchanged. Non-integral
-    # id types keep the struct path.
+    # id types keep the struct path. The 2²⁰ limit is ENFORCED (r10
+    # advice): every packed position runs through an in-row
+    # raise_error guard, so a ≥1M-token document fails loudly with
+    # the struct-path remedy named instead of silently bleeding
+    # position bits into the doc-id and electing the wrong winner
+    # (_pos_bits exists only so tests can hit the guard without a
+    # million-token document).
     id_type = dict(df.dtypes)[id_col]
     packed = id_type in ("tinyint", "smallint", "int", "bigint")
     per_doc = occ.groupBy("__g__", id_col).agg(F.min("__pos__").alias("__mp__"))
     if packed:
-        pack = F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("__mp__")
+        pos_cap = 1 << _pos_bits
+
+        def _guarded_pos(p):  # in-row assert: pos fits the pack
+            return F.when(p < F.lit(pos_cap), p).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dup_span_removed: token position >= "
+                            f"2^{_pos_bits} in doc "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            "; the packed winner election supports < "
+                            f"{pos_cap} tokens/doc — cast the id column "
+                            "to string to take the struct-min path, or "
+                            "split the document"
+                        ),
+                    )
+                ).cast("int")
+            )
+
+        pack = (
+            F.col(id_col).cast("long") * F.lit(pos_cap)
+            + _guarded_pos(F.col("__mp__"))
+        )
         freq = per_doc.groupBy("__g__").agg(
             F.count(F.lit(1)).alias("__nd__"),
             F.min(pack).alias("__wpk__"),
@@ -1118,7 +1149,8 @@ def dup_span_removed(
     if keep_first:
         if packed:
             rem = rem.filter(
-                F.col(id_col).cast("long") * F.lit(1 << 20) + F.col("__pos__")
+                F.col(id_col).cast("long") * F.lit(pos_cap)
+                + _guarded_pos(F.col("__pos__"))
                 != F.col("__wpk__")
             )
         else:

@@ -1730,6 +1730,61 @@ def test_dup_span_removed_byte_exact(spark):
     assert out2[3] == ("", 4)
 
 
+def test_dup_span_removed_pos_overflow_guard(spark):
+    """Regression (r10 advice): the packed winner election
+    (doc_id·2^pos_bits + pos) silently bled position bits into the
+    doc-id for documents with >= 2^pos_bits tokens, electing the
+    wrong keep_first winner with no error. Now an in-row
+    raise_error guard fails loudly. _pos_bits=4 (cap 16) stands in
+    for the real 2^20 so the test does not need a million-token
+    document; docs below the cap are unaffected (parity-checked
+    against the default packing AND the struct path)."""
+    import re
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mirabelle_spark.pipeline import dedup
+
+    shared = "p q r s"
+    long_doc = " ".join(f"w{i}" for i in range(18)) + " " + shared
+    rows = [(1, long_doc), (2, "head words " + shared + " tail")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    try:
+        dedup.dup_span_removed(df, n=4, min_docs=2, _pos_bits=4).collect()
+        raise AssertionError("guard did not fire")
+    except SparkRuntimeException as e:
+        assert re.search(r"token position >= 2\^4 in doc 1", str(e)), e
+        assert "struct-min" in str(e)
+
+    # below the cap: packed (_pos_bits=6), default packed, and the
+    # struct path (string ids) all agree byte-for-byte
+    small = [
+        (1, "one two three four five six seven " + shared),
+        (2, "alpha " + shared + " beta gamma delta"),
+        (3, shared + " " + shared),
+    ]
+    dfi = spark.createDataFrame(small, "doc_id bigint, text string")
+    dfs = spark.createDataFrame(
+        [(str(i), t) for i, t in small], "doc_id string, text string"
+    )
+    base = sorted(
+        (str(r.doc_id), r.text_clean, r.n_removed)
+        for r in dedup.dup_span_removed(dfi, n=4, min_docs=2).collect()
+    )
+    tight = sorted(
+        (str(r.doc_id), r.text_clean, r.n_removed)
+        for r in dedup.dup_span_removed(
+            dfi, n=4, min_docs=2, _pos_bits=6
+        ).collect()
+    )
+    struct = sorted(
+        (r.doc_id, r.text_clean, r.n_removed)
+        for r in dedup.dup_span_removed(dfs, n=4, min_docs=2).collect()
+    )
+    assert base == tight == struct
+    assert any(nr > 0 for _, _, nr in base)
+
+
 def test_dup_span_removed_partitioning_invariant(spark):
     """The rewrite is a pure function of the corpus: identical
     output under 1-partition and 16-partition layouts (winner
