@@ -306,14 +306,19 @@ SELECT c_custkey, c_name, n_name, revenue FROM (
 """,
 )
 def returned_item_customers(spark, sf):
-    """Q10-shaped (r10): customers who returned the most revenue —
-    the returned-lineitem filter pushes into the fact scan, the two
-    dimension joins broadcast (customer is small relative to the
-    fact side; nation always), the customer-grain aggregate partial-
+    """Q10-shaped (r10; hint policy fixed r11): customers who
+    returned the most revenue — the returned-lineitem filter pushes
+    into the fact scan, the customer-grain aggregate partial-
     combines map-side, and the global top-20 is orderBy+limit
     (TakeOrderedAndProject — per-partition heaps, never a global
-    window sort). At sf100 the only wide exchange is the customer-
-    grain aggregate's."""
+    window sort). Broadcast policy: only NATION carries an explicit
+    hint — it is schema-bounded (25 rows) at every SF. CUSTOMER is
+    size-decided by the planner/AQE: at sf100 it is ~15M rows (GBs
+    serialized), and a forced hint would bypass AQE's size check
+    and OOM the driver instead of degrading to a shuffle join; at
+    small SF the planner broadcasts it from parquet stats anyway
+    (plan-pinned in test_plans). Relative size is not the broadcast
+    criterion — absolute size is."""
     li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = table(spark, sf, "orders")
     cust = table(spark, sf, "customer")
@@ -323,7 +328,7 @@ def returned_item_customers(spark, sf):
     )
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_dsum(disc).alias("revenue"))
@@ -349,13 +354,18 @@ JOIN customer ON o_custkey = c_custkey
 """,
 )
 def large_order_customers(spark, sf):
-    """Q18-shaped (r10): orders whose total quantity exceeds a
-    rare-tail threshold (2% of orders here, like the spec's 312),
-    with their customers. The HAVING aggregate runs
+    """Q18-shaped (r10; hint policy fixed r11): orders whose total
+    quantity exceeds a rare-tail threshold (2% of orders here, like
+    the spec's 312), with their customers. The HAVING aggregate runs
     FIRST at order grain (partial-combining, fact table touched
-    once); only the few surviving order keys join back — the
-    survivors side is tiny, so both joins broadcast the small side.
-    Never a window, never a second fact scan."""
+    once); only the surviving order keys join back. Broadcast
+    policy: NO explicit hints — the survivor set is data-dependent
+    (2% of orders is ~3M rows at sf100) and customer is ~15M rows
+    there, so forcing either bypasses AQE's size check and risks a
+    driver/executor OOM; AQE measures both at runtime and broadcasts
+    exactly when they fit (it does at small SF — plan-pinned in
+    test_plans with the fact side never the build side). Never a
+    window, never a second fact scan."""
     li = table(spark, sf, "lineitem")
     orders = table(spark, sf, "orders")
     cust = table(spark, sf, "customer")
@@ -366,8 +376,7 @@ def large_order_customers(spark, sf):
         .select("l_orderkey", F.col("__q__").cast("double").alias("total_qty"))
     )
     return (
-        F.broadcast(big)
-        .join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
     )

@@ -18,6 +18,41 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """Execute, then return the AQE-FINAL physical plan — the only
+    place runtime size-based broadcast decisions are visible."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    if "== Final Plan ==" in s:
+        s = s.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    return s
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """The operator subtree under each BroadcastExchange — what
+    actually gets serialized to every executor. Depth = index of the
+    tree-drawing marker ('+- ' / ':- ')."""
+
+    def depth(ln: str) -> int:
+        c = [i for i in (ln.find("+- "), ln.find(":- ")) if i >= 0]
+        return min(c) if c else -1
+
+    lines = plan.splitlines()
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        body = [ln]
+        for nxt in lines[i + 1 :]:
+            nd = depth(nxt)
+            if 0 <= nd <= d:
+                break
+            body.append(nxt)
+        subs.append("\n".join(body))
+    return subs
+
+
 def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
@@ -338,17 +373,35 @@ def test_by_project_isolates_forks(spark):
 
 def test_returned_item_customers_plan(spark, qs):
     """Q10 shape: global top-20 via TakeOrderedAndProject (never a
-    global window sort) and the returned-flag filter pushed to the
-    fact scan."""
-    plan = _plan(qs["returned_item_customers"](spark, SF_DIR))
+    global window sort), the returned-flag filter pushed to the fact
+    scan, and — r11 hint policy — only schema-bounded NATION carries
+    an explicit broadcast hint: size stats/AQE still broadcast
+    customer at this SF without one, and the raw fact table is
+    NEVER a broadcast build side (at sf100 a forced customer hint
+    bypasses AQE's size check and OOMs)."""
+    df = qs["returned_item_customers"](spark, SF_DIR)
+    plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "l_returnflag" in plan  # pushed predicate visible at scan
+    subs = _broadcast_subtrees(_final_plan(df))
+    assert any("customer" in s for s in subs), subs  # unhinted, still BHJ
+    assert any("nation" in s for s in subs), subs
+    assert not any("lineitem" in s for s in subs), subs
 
 
 def test_large_order_customers_plan(spark, qs):
     """Q18 shape: the HAVING aggregate runs below the joins (one
-    fact-table pass, survivors join back) — no window anywhere, and
-    the survivor side is broadcast."""
-    plan = _plan(qs["large_order_customers"](spark, SF_DIR))
-    assert "Window" not in plan
-    assert "BroadcastHashJoin" in plan
+    fact-table pass, survivors join back) — no window anywhere.
+    r11 hint policy: NO explicit hints (survivor set and customer
+    are both unbounded in SF); AQE still broadcasts both at this SF,
+    and raw fact rows only ever enter a broadcast BELOW the
+    order-grain aggregate that shrinks them."""
+    df = qs["large_order_customers"](spark, SF_DIR)
+    assert "Window" not in _plan(df)
+    final = _final_plan(df)
+    assert "BroadcastHashJoin" in final
+    subs = _broadcast_subtrees(final)
+    assert any("customer" in s for s in subs), subs
+    for s in subs:  # a broadcast touching lineitem must be post-agg
+        if "lineitem" in s:
+            assert "HashAggregate" in s, s
