@@ -997,6 +997,7 @@ def dup_span_removed(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_hash: str = "portable",
+    grain: str = "word",
     _pos_bits: int = 20,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the corpus-rewrite step of
@@ -1018,9 +1019,28 @@ def dup_span_removed(
 
     Operates on the canonical token stream (:func:`normalized`:
     lowercase, collapsed whitespace) and returns text in that canon
-    — documented divergence from the reference byte-grain tool; the
-    canon is what makes the rewrite engine-portable and exactly
-    SQL-oracle-able.
+    — the canon is what makes the rewrite engine-portable and
+    exactly SQL-oracle-able.
+
+    ``grain`` selects the dedup unit (r11, closing the remaining
+    delta vs Lee et al.'s suffix-array tool):
+
+    - ``"word"`` (default) — n-WORD shingles; tokens are words.
+      Cheap (one occurrence row per word) but blind to cross-word
+      and sub-word duplicates (code, templated HTML).
+    - ``"char"`` — n-CHARACTER shingles via ``substr`` over the
+      normalized text (spaces are characters too); tokens are
+      single characters, so removal is byte-grain like the paper's
+      suffix-array tool (any duplicated run of length >= n chars is
+      covered end-to-end by its member grams and removed maximally,
+      wherever word boundaries fall). Same two-phase aggregate,
+      winner election, span merge, and in-row rebuild — only the
+      token split and the gram constructor change. Costs one
+      occurrence row per CHARACTER (~5-6× the word-grain shuffle
+      mass on prose); at 100 TB pair ``grain="char"`` with
+      ``gram_hash="fast"`` so the wide shuffle carries 8-byte keys.
+      Pick n like the paper picks its byte threshold (they use 50);
+      n >= ~12 keeps English grams discriminative.
 
     Scale shape — document bodies shuffle ZERO times (the
     :func:`paragraph_dedup` shape at n-gram grain):
@@ -1062,23 +1082,41 @@ def dup_span_removed(
         raise ValueError(
             f"gram_hash must be 'portable' or 'fast', got {gram_hash!r}"
         )
+    if grain not in ("word", "char"):
+        raise ValueError(f"grain must be 'word' or 'char', got {grain!r}")
+    sep = " " if grain == "word" else ""
     norm = normalized(F.col(text_col))
-    words = F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+    words = F.when(F.length(norm) > 0, F.split(norm, sep)).otherwise(
         F.array().cast("array<string>")
     )
-    toks = df.select(F.col(id_col), words.alias("__w__"))
+    extra = [norm.alias("__t__")] if grain == "char" else []
+    toks = df.select(F.col(id_col), words.alias("__w__"), *extra)
 
-    w = F.col("__w__")
-    k = F.size(w) - (n - 1)
-    shifted = [
-        F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
-        for j in range(n)
-    ]
-    z = F.arrays_zip(*shifted)
-    grams = F.transform(
-        F.slice(z, 1, F.greatest(k, F.lit(0))),
-        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
-    )
+    if grain == "word":
+        w = F.col("__w__")
+        k = F.size(w) - (n - 1)
+        shifted = [
+            F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
+            for j in range(n)
+        ]
+        z = F.arrays_zip(*shifted)
+        grams = F.transform(
+            F.slice(z, 1, F.greatest(k, F.lit(0))),
+            lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
+        )
+    else:
+        # char shingles come straight off the normalized STRING —
+        # one substr per start offset, no n-ary zip; gram j (0-based
+        # posexplode pos) starts at character j, matching the word
+        # path's position convention exactly
+        t = F.col("__t__")
+        k = F.length(t) - (n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: t.substr(i, F.lit(n))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     occ = toks.select(
         F.col(id_col), F.posexplode(grams).alias("__pos__", "__g__")
     )
@@ -1175,7 +1213,7 @@ def dup_span_removed(
     )
     return joined.withColumn("__kept__", kept).select(
         F.col(id_col),
-        F.array_join(F.col("__kept__"), " ").alias("text_clean"),
+        F.array_join(F.col("__kept__"), sep).alias("text_clean"),
         F.size("__w__").cast("long").alias("n_tokens"),
         (F.size("__w__") - F.size("__kept__")).cast("long").alias("n_removed"),
     )

@@ -2239,7 +2239,7 @@ def winnow_dedup_pairs_fast(spark, sf):
 
 def _dup_span_removed_oracle(
     n: int = 4, min_docs: int = 2, table: str = "documents",
-    text_col: str = "text",
+    text_col: str = "text", grain: str = "word",
 ) -> str:
     """Exact SQL twin of dedup.dup_span_removed (keep_first=True):
     same canonical tokenization, same min(struct(doc_id, pos))
@@ -2249,13 +2249,18 @@ def _dup_span_removed_oracle(
     offset arrays; array_to_string([]) is NULL in DuckDB where
     Spark's array_join([]) is '' — coalesced. ``table`` may be any
     CTE name (the scrubbed-corpus compose feeds the cleaned corpus
-    through the same chain)."""
+    through the same chain). ``grain="char"`` mirrors the char-
+    shingle mode: DuckDB's string_split(s, '') splits into single
+    characters exactly like Spark's split(s, '') (both engines
+    verified code-point-identical on this corpus), so the same CTE
+    chain runs at character grain with an empty join separator."""
+    sep = " " if grain == "word" else ""
     norm = rf"trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g'))"
     return f"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN length({norm}) > 0
-              THEN string_split({norm}, ' ')
+              THEN string_split({norm}, '{sep}')
               ELSE CAST([] AS VARCHAR[]) END AS w
   FROM {table}
 ),
@@ -2265,7 +2270,7 @@ pos AS (
 ),
 occ AS (
   SELECT doc_id, i - 1 AS pos0,
-         array_to_string(list_slice(w, i, i + {n - 1}), ' ') AS g
+         array_to_string(list_slice(w, i, i + {n - 1}), '{sep}') AS g
   FROM pos
 ),
 freq AS (
@@ -2291,7 +2296,7 @@ built AS (
            x -> x IS NOT NULL) AS kept
   FROM toks t LEFT JOIN starts st USING (doc_id)
 )
-SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text_clean,
+SELECT doc_id, coalesce(array_to_string(kept, '{sep}'), '') AS text_clean,
        CAST(len(w) AS BIGINT) AS n_tokens,
        CAST(len(w) - len(kept) AS BIGINT) AS n_removed
 FROM built
@@ -2340,3 +2345,23 @@ def dup_span_removed_docs(spark, sf):
     (detect) -> this (remove). Reference parity: the C4-pipeline
     scrub SURVEY §2's M4 north star names."""
     return dedup.dup_span_removed(docs(spark, sf), n=4, min_docs=2)
+
+
+@q(
+    "dup_span_removed_char_docs",
+    _dup_span_removed_oracle(n=20, min_docs=2, grain="char"),
+)
+def dup_span_removed_char_docs(spark, sf):
+    """ExactSubstr span removal at CHARACTER grain (r11) — the
+    byte-grain mode Lee et al. 2022's suffix-array tool actually
+    runs (theirs thresholds at 50 bytes; 20 chars here keeps
+    removal mass visible at test SF): every character covered by a
+    20-char shingle shared by >= 2 docs is deleted except the
+    globally-first occurrence, catching cross-word and sub-word
+    duplicates the word-grain mode is blind to (code, templated
+    HTML). Same zero-body-shuffle plan as dup_span_removed_docs;
+    the occurrence explode is per-character, so the 100 TB run
+    pairs this with gram_hash='fast' (8-byte shuffle keys)."""
+    return dedup.dup_span_removed(
+        docs(spark, sf), n=20, min_docs=2, grain="char"
+    )

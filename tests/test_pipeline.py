@@ -1730,6 +1730,117 @@ def test_dup_span_removed_byte_exact(spark):
     assert out2[3] == ("", 4)
 
 
+def _ref_char_span_removed(rows, n, min_docs, keep_first=True):
+    """Pure-Python transcription of char-grain dup_span_removed:
+    normalize, enumerate every n-char shingle occurrence, mark the
+    characters of every shingle shared by >= min_docs docs (winner
+    = min (doc, pos) kept when keep_first), rebuild."""
+    import re
+    from collections import defaultdict
+
+    norm = {
+        i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in rows
+    }
+    by_g = defaultdict(list)
+    for i, t in norm.items():
+        for p in range(len(t) - n + 1):
+            by_g[t[p : p + n]].append((i, p))
+    removed = defaultdict(set)
+    for occs in by_g.values():
+        if len({d for d, _ in occs}) < min_docs:
+            continue
+        win = min(occs)
+        for d, p in occs:
+            if keep_first and (d, p) == win:
+                continue
+            removed[d].update(range(p, p + n))
+    return {
+        i: (
+            "".join(c for j, c in enumerate(t) if j not in removed[i]),
+            len(t),
+            len(removed[i] & set(range(len(t)))),
+        )
+        for i, t in norm.items()
+    }
+
+
+def test_dup_span_removed_char_grain(spark):
+    """Char-grain ExactSubstr (r11): byte-grain removal like Lee et
+    al.'s suffix-array tool. The headline case is a duplicate WORD
+    GRAIN CANNOT SEE — a shared substring whose word boundaries
+    differ between docs (templated/code-like text) — plus byte-
+    asserted keep_first semantics, keep_first=False, fast-mode
+    position parity, and a pure-Python transcription sweep."""
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [
+        (1, "the price is <b>guaranteed lowest</b> here"),
+        (2, "x<b>guaranteed lowest</b>y and other words"),
+        (3, "nothing shared with anybody at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # word grain: no shared 4-word shingle (boundaries differ)
+    word = {
+        r.doc_id: r.n_removed
+        for r in dedup.dup_span_removed(df, n=4, min_docs=2).collect()
+    }
+    assert word == {1: 0, 2: 0, 3: 0}
+    # char grain catches the 24-char shared run; doc 1 wins
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in dedup.dup_span_removed(
+            df, n=12, min_docs=2, grain="char"
+        ).collect()
+    }
+    ref = _ref_char_span_removed(rows, n=12, min_docs=2)
+    assert got == ref, (got, ref)
+    assert got[1][2] == 0  # winner keeps its copy
+    assert got[2][2] >= len("<b>guaranteed lowest</b>")
+    assert "guaranteed" not in got[2][0]
+    assert got[3] == ("nothing shared with anybody at all", 34, 0)
+
+    # keep_first=False scrubs both copies
+    strict = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in dedup.dup_span_removed(
+            df, n=12, min_docs=2, grain="char", keep_first=False
+        ).collect()
+    }
+    assert strict == _ref_char_span_removed(
+        rows, n=12, min_docs=2, keep_first=False
+    )
+    assert "guaranteed" not in strict[1][0]
+
+    # fast mode (xxhash64 gram keys) removes identical positions
+    fast = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in dedup.dup_span_removed(
+            df, n=12, min_docs=2, grain="char", gram_hash="fast"
+        ).collect()
+    }
+    assert fast == got
+
+    # transcription sweep on a messier corpus (overlapping shared
+    # runs, repeats within one doc, a doc shorter than n)
+    rows2 = [
+        (10, "aaabbbcccdddeee shared-tail-body-x"),
+        (11, "zzz aaabbbcccdddeee shared-tail-body-y"),
+        (12, "shared-tail-body-x again aaabbbccc"),
+        (13, "short"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+    for kf in (True, False):
+        got2 = {
+            r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+            for r in dedup.dup_span_removed(
+                df2, n=8, min_docs=2, grain="char", keep_first=kf
+            ).collect()
+        }
+        assert got2 == _ref_char_span_removed(
+            rows2, n=8, min_docs=2, keep_first=kf
+        ), kf
+
+
 def test_dup_span_removed_pos_overflow_guard(spark):
     """Regression (r10 advice): the packed winner election
     (doc_id·2^pos_bits + pos) silently bled position bits into the
