@@ -27,49 +27,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-10 rotation (VERDICT r9 ask
-# #4): (a) queries added or changed in round 10; (b) ALL 33 entries
-# last gated in CORRECTNESS_r07 — the oldest cohort, led by the
-# seven the r9 additions displaced past slot 50; (c) fill the
-# remaining slots with the head of the r8 cohort. After this gate
-# every entry's last-green is within rounds 8–10 (freshness <= 3).
+# so ordering is coverage policy. Round-11 rotation (VERDICT r10 ask
+# #1): (a) queries added or whose implementation changed in round 11;
+# (b) ALL 41 entries last gated in CORRECTNESS_r08 — the oldest
+# cohort, registry order; (c) fill the remaining slots with the head
+# of the r9 cohort. After this gate every entry's last-green is
+# within rounds 9–11 (freshness <= 3).
+#
+# winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
+# DuckDB; overlap vs the portable path is pytest-pinned) — it must
+# NEVER be listed here: inside the gate head the driver would record
+# an `err` for its missing oracle. It stays below slot 50 because
+# this list holds exactly 50 oracle-backed names.
 GATE_PRIORITY = [
-    # (a) added / implementation changed in round 10
-    "dup_span_removed_docs",   # NEW: ExactSubstr span removal
-    "scrubbed_corpus_docs",    # NEW: full C4-style curation compose
-    "ann_ivfpq_rerank_topk",   # NEW: trained IVF-PQ + faiss refinement
-    "ann_bruteforce_l2_topk",  # NEW: exact-L2 ground-truth baseline
-    "ann_ivfpq_cosine_topk",   # NEW: cosine-metric compressed stack
-    "returned_item_customers", # NEW: Q10-shaped star join
-    "large_order_customers",   # NEW: Q18-shaped HAVING semi-join
-    "bpe_segment_trained",     # pinned artifact now 48 merges,
-                               # trained by the batched trainer
-    # (b) last gated r7 — the seven displaced entries first
-    "coll_increase_daily", "minhash_lsh_pairs", "simhash_pairs",
-    "paragraph_dedup_docs", "semantic_dedup_survivors",
-    "coll_where_inside_window", "coll_sum_hourly",
-    # ... then the rest of the r7 cohort
-    "coll_mean_hourly", "sessionize_user_events", "zscore_events",
-    "dedup_clusters", "dedup_survivors_docs", "ann_bruteforce_topk",
-    "ann_lsh_topk", "ann_pq_topk", "embedding_near_dups",
-    "contamination_docs", "pack_docs", "gopher_quality_docs",
-    "vocab_top100", "token_rarity_docs", "mixture_sample_docs",
-    "clean_corpus_docs", "multimodal_features", "video_frame_sample",
-    "linear_quality_docs", "ivf_centroid_update", "best_docs_per_lang",
-    "token_chunks_docs", "ann_sq_topk", "ann_ivfpq_topk",
-    "tpch_pricing_summary", "revenue_by_nation",
-    # (c) head of the r8 cohort (oldest remaining)
-    "where_basic", "over_filter", "tagged_all", "split_routing",
-    "throttle", "stable_states", "with_const", "default_missing",
-    "scale_metric",
+    # (a) added / implementation changed in round 11
+    "dup_span_removed_char_docs",  # NEW: char-grain ExactSubstr
+    "dup_span_removed_docs",       # impl: grain refactor + pos guard
+    "scrubbed_corpus_docs",        # impl: same span-removal path
+    "returned_item_customers",     # impl: broadcast-hint policy fix
+    "large_order_customers",       # impl: broadcast-hint policy fix
+    "bpe_segment_trained",         # impl: trainer self-pair fence
+    # (b) ALL 41 entries last gated r8, registry order
+    "increment_metric", "decrement_metric", "sformat_label",
+    "to_string_field", "base64_roundtrip", "from_json_props",
+    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj", "tag_untag",
+    "iterate_on_explode", "fixed_time_window_ids",
+    "fixed_event_window_ids", "moving_event_window_vals",
+    "ssort_sorted", "project_correlate", "smin_running",
+    "ddt_pos_rate", "below_dt_alert", "between_dt_alert",
+    "critical_dt_alert", "dsl_pipeline", "coalesce_fill",
+    "ann_ivf_trained_topk", "ann_pq_trained_topk", "hash_sample_docs",
+    "mask_pii_docs", "text_token_count", "text_bpe_token_count",
+    "text_repetition", "text_quality", "text_lang_id",
+    "text_fingerprint", "text_rolling_fp", "neardup_degree_histogram",
+    "soft_dedup_docs", "corpus_split_docs", "search_quality_docs",
+    "doc_length_profile", "split_token_budget", "order_priority_counts",
+    # (c) head of the r9 cohort (oldest remaining)
+    "ann_ivfpq_trained_topk", "winnow_dedup_pairs", "bpe_top_pairs",
 ]
 
-# Round-11 rotation note: after the r10 gate the stale set is the
-# 41 r8-cohort entries not re-gated here (registry order:
-# ann_ivf_trained_topk, ann_pq_trained_topk, base64_roundtrip, below_dt_alert, between_dt_alert, coalesce_fill, ...)
-# — lead r11 with r11 changes, then those 41, then the r9-cohort
-# head (ann_ivfpq_trained_topk, winnow_dedup_pairs, bpe_top_pairs,
-# pca_power_iter, ...).
+# Round-12 rotation note: after the r11 gate the stale set is the
+# 46 r9-cohort entries not re-gated here (registry order: where_not,
+# where_regex, under_filter, expired_events, not_expired_events,
+# changed_transitions, ...) — lead r12 with r12 changes, then those
+# 46, then the r10-cohort head (where_basic, over_filter, tagged_all,
+# split_routing, ...). Keep winnow_dedup_pairs_fast out of the head
+# (see above).
 
 
 def _ordered(mapping: dict) -> dict:

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "winnow_dedup_pairs_fast",  # xxhash64 winnowing (the 100 TB path)
     "dup_span_removed_docs",  # ExactSubstr span removal (corpus rewrite)
     "ann_ivfpq_rerank_topk",  # IVF-PQ + exact-L2 refinement (production ANN shape)
+    # r11 additions
+    "dup_span_removed_char_docs",  # byte-grain ExactSubstr (per-char explode)
 ]
 
 
@@ -166,8 +168,13 @@ def main() -> None:
             "winnow_dedup_pairs", "bpe_segment_trained",
             # r10 additions
             "winnow_dedup_pairs_fast", "dup_span_removed_docs",
+            # r11 additions
+            "dup_span_removed_char_docs",
         ]
-        sf1_runs = int(os.environ.get("BENCH_SF1_RUNS", "2"))
+        # min-of-3 at sf1 (r10 verdict ask #3): 2 runs left the sf1
+        # minima noise-limited — regressions and environment were
+        # indistinguishable
+        sf1_runs = int(os.environ.get("BENCH_SF1_RUNS", "3"))
         sf1_timings: dict[str, float] = {}
         ratios: dict[str, float] = {}
         for name in sf1_queries:
