@@ -916,7 +916,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    rerank: int = 0,
+    rerank: int | str = 0,
     metric: str = "l2",
 ) -> DataFrame:
     """The full faiss production layout — IVF coarse pruning × PQ
@@ -939,6 +939,18 @@ def ivfpq_topk(
     ground truth: trained stack at rerank=50 lifts sf0.1 recall@5
     0.28→0.50 and sf1 0.66→1.00; widen nprobe next, then M).
 
+    ``rerank`` and ``nprobe`` are COUPLED — widening nprobe under a
+    FIXED rerank window can LOWER recall (PERF §57's measured
+    non-monotonicity: sf0.1 recall@5 is 0.86 at nprobe=6/rerank=200
+    but 0.84 at nprobe=8/rerank=200 — the wider candidate pool
+    displaces true neighbors from the fixed-size ADC top-R).
+    ``rerank="auto"`` sizes the window with the pool:
+    max(10·k, 7·k·nprobe) — at k=5 that is 105/210/280 for
+    nprobe=3/6/8, tracking §57's good points (50 at nprobe=3, 200
+    at nprobe=6) with headroom at nprobe=8 where fixed-200
+    regressed. Pass an explicit int to control the
+    |queries|·rerank exact-scoring cost directly.
+
     ``metric="cosine"`` unit-normalizes corpus and queries up front
     (one staged-norm projection each) and then runs the identical
     L2 machinery — on unit vectors d² = 2 − 2·cos, so assignment,
@@ -950,6 +962,10 @@ def ivfpq_topk(
     (pruning and codes just lose some recall)."""
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    if rerank == "auto":  # nprobe-coupled window (see docstring)
+        rerank = max(10 * k, 7 * k * nprobe)
+    elif not isinstance(rerank, int):
+        raise ValueError(f"rerank must be an int or 'auto', got {rerank!r}")
     if metric == "cosine":
         corpus = _unit_normalized(corpus, id_col, vec_col)
         queries = _unit_normalized(queries, query_id_col, vec_col)

@@ -2093,6 +2093,45 @@ def test_trained_ivfpq_recall_sf01_and_sf1(spark):
         assert recall(sf1, 0) >= 0.6
         assert recall(sf1, 50) >= 0.95
 
+def test_ivfpq_rerank_auto_window(spark):
+    """rerank="auto" sizes the refinement window WITH the probe
+    width — max(10k, 7·k·nprobe) — because PERF §57 measured that
+    widening nprobe under a fixed window lowers recall (the wider
+    pool displaces true neighbors from the fixed ADC top-R). Pinned:
+    auto == the explicit window, and a bogus rerank raises."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    e = embs(spark, "/root/testdata/sf0.001")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, nprobe=3, codebooks=TRAINED_PQ_CODEBOOKS,
+              centroids=TRAINED_IVF_CENTROIDS)
+    auto = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.ivfpq_topk(e, q, rerank="auto", **kw).collect()
+    )
+    explicit = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann.ivfpq_topk(
+            e, q, rerank=max(10 * 5, 7 * 5 * 3), **kw
+        ).collect()
+    )
+    assert auto == explicit and auto
+    with pytest.raises(ValueError, match="rerank"):
+        ann.ivfpq_topk(e, q, rerank="always", **kw)
+
+
 def test_tfidf_ln_option(spark):
     """idf="ln" (classic tf·ln(N/df)) vs the rational default on a
     corpus where the two RANKINGS genuinely differ: in doc 0,
