@@ -421,6 +421,63 @@ def stream_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def stream_curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str | None = None,
+    dedup_within_s: float | None = None,
+    min_words: int = 50,
+) -> DataFrame:
+    """Streaming twin of the LLM-curation head (r11): Gopher quality
+    rules → exact dedup on the normalized-text hash → PII masking,
+    composed over a streaming (or batch — same code) DataFrame.
+
+    Stage shapes:
+
+    - quality: :func:`~mirabelle_spark.pipeline.text.gopher_rules`
+      is a pure projection (no shuffle) — stateless in a stream; the
+      SAME Column expressions as the batch gate query, so parity is
+      structural, not re-implemented.
+    - dedup: batch ``dedup_exact``'s groupBy+min(id) winner is not
+      expressible incrementally; the stream keeps the FIRST ARRIVAL
+      per (xxhash64, md5) of the normalized text via state-backed
+      ``dropDuplicates`` — ``dropDuplicatesWithinWatermark`` bounds
+      the state when ``time_col`` + ``dedup_within_s`` are given
+      (the 100 TB mode: state holds the horizon's 24-byte hash
+      pairs, never document bodies). The min(id)-vs-first-arrival
+      divergence is arrival order only; an id-ordered replay is
+      bit-equal to batch (pytest-pinned).
+    - masking: :func:`~mirabelle_spark.pipeline.sampling.mask_pii`
+      is two regexp_replace passes — stateless.
+
+    Near-dup survivors and contamination stay batch-side (cross-
+    document joins over the full corpus, not incremental by nature);
+    this compose is the curation head a streaming ingest can afford.
+    Returns (id_col, [time_col], text_masked)."""
+    from mirabelle_spark.pipeline.dedup import normalized
+    from mirabelle_spark.pipeline.sampling import mask_pii
+    from mirabelle_spark.pipeline.text import gopher_rules
+
+    passed = (
+        gopher_rules(df, text_col=text_col, min_words=min_words)
+        .filter(F.col("passes"))
+        .select(*df.columns)
+    )
+    norm = normalized(F.col(text_col))
+    hashed = passed.select(
+        "*", F.xxhash64(norm).alias("__h64__"), F.md5(norm).alias("__h128__")
+    )
+    if dedup_within_s is not None and time_col is not None:
+        uniq = hashed.withWatermark(
+            time_col, f"{int(dedup_within_s)} seconds"
+        ).dropDuplicatesWithinWatermark(["__h64__", "__h128__"])
+    else:
+        uniq = hashed.dropDuplicates(["__h64__", "__h128__"])
+    keep = [id_col] + ([time_col] if time_col else [])
+    return mask_pii(uniq, text_col=text_col).select(*keep, "text_masked")
+
+
 # -- sinks ------------------------------------------------------------------
 
 

@@ -3403,3 +3403,91 @@ def test_stream_changed_jvm_replay_and_buckets(spark, tmp_path):
     )
     assert man_after == man_before
     assert got.get(2) == [201], got
+
+
+def test_stream_curate_parity(spark, tmp_path):
+    """Batch/stream parity for the curation head (r11): Gopher
+    quality filter -> exact dedup -> PII masking. The batch twin is
+    the SAME compose executed on the static frame plus the batch
+    dedup_exact min(id) winner election; the replay is id-ordered
+    across two micro-batches (maxFilesPerTrigger=1, duplicate copies
+    only in the LATER file), so first-arrival == min(id) and the
+    outputs must match bit-for-bit — including cross-batch dedup
+    state. Run twice: unbounded dropDuplicates and the
+    watermark-bounded dropDuplicatesWithinWatermark mode."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import dedup, sampling, text as tx
+    from mirabelle_spark.streaming import core
+
+    good = (
+        "the data to be of and that have with quality words enough "
+        "for rules contact me at alice@example.com or +1 415-555-0100"
+    )
+    good2 = (
+        "the plan to be of and that have with more words here today "
+        "ping bob.smith@corp.example.org for details about everything"
+    )
+    bad = "#### #### #### ####"  # fails symbol + stopword rules
+    base = 1704067200  # 2024-01-01T00:00:00Z — NOT the epoch: the
+    # initial watermark is 0, and a stateful operator drops events
+    # at-or-behind it, so epoch-adjacent test times silently vanish
+    rows = [
+        # batch 1 (file 1): originals
+        (1, base + 0, good),
+        (2, base + 1, good2),
+        (3, base + 2, bad),
+        # batch 2 (file 2): exact duplicates (same raw text) + fresh
+        (4, base + 3, good),   # dup of 1, suppressed by cross-batch state
+        (5, base + 4, good2),  # dup of 2
+        (6, base + 5, "the end to be of and that have with final words now"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, t bigint, text string"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+
+    # batch twin: same compose + dedup_exact's min(id) winner
+    passed = (
+        tx.gopher_rules(df, min_words=5)
+        .filter(F.col("passes"))
+        .select(*df.columns)
+    )
+    winners = dedup.dedup_exact(passed).select("doc_id")
+    batch = {
+        (r.doc_id, r.text_masked)
+        for r in sampling.mask_pii(passed.join(winners, "doc_id"))
+        .select("doc_id", "text_masked")
+        .collect()
+    }
+    assert {d for d, _ in batch} == {1, 2, 6}
+    assert any("<EMAIL>" in m and "<PHONE>" in m for _, m in batch)
+
+    src = str(tmp_path / "cur_in")
+    df.where("doc_id <= 3").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+    for mode, kw in (
+        ("unbounded", {}),
+        ("watermarked", {"time_col": "time", "dedup_within_s": 3600.0}),
+    ):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = core.stream_curate(stream, min_words=5, **kw)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"curate_{mode}")
+            .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.doc_id, r.text_masked)
+            for r in spark.sql(
+                f"SELECT doc_id, text_masked FROM curate_{mode}"
+            ).collect()
+        }
+        assert got == batch, (mode, got)
