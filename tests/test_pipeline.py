@@ -1974,6 +1974,75 @@ def test_bpe_batched_self_pair_fence(spark):
             )
 
 
+def test_bpe_4k_merges_end_to_end(spark):
+    """Real vocab depth (r10 verdict ask #5; PERF §63): 4096 merges
+    trained end-to-end on a synthetic 8k-word corpus in fast mode
+    (batch=128, exact=False) and applied with the constant-depth
+    chunked path. Pins the 32k cost model: rounds ~ merges/50 (78
+    measured — NOT thousands), every word reassembles from its
+    tokens, real compression happens, and the fast head tracks the
+    canonical trainer (first merge == serial argmax always; merge-
+    set overlap and segmentation agreement floors at depth 128 from
+    the measured run)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import text as tx
+
+    rng = random.Random(42)
+    sylls = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"]
+    sylls += [
+        c + v + c2
+        for c, v, c2 in zip("bcdfghjklmn" * 9, "aeiou" * 20, "rstlnmpkd" * 11)
+    ][:60]
+    vocab_words = set()
+    while len(vocab_words) < 8000:
+        vocab_words.add(
+            "".join(rng.choice(sylls) for _ in range(rng.randint(2, 4)))
+        )
+    words = []
+    for w in sorted(vocab_words):
+        words.extend([w] * rng.randint(2, 5))
+    rng.shuffle(words)
+    docs = [(i // 500, " ".join(words[i : i + 500]))
+            for i in range(0, len(words), 500)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    stats = {}
+    merges = tx.bpe_train(
+        df, n_merges=4096, batch=128, exact=False, min_weight=2, stats=stats
+    )
+    assert len(merges) == 4096
+    assert stats["rounds"] <= 120, stats["rounds"]  # measured 78
+
+    vocab = df.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    seg = tx.bpe_apply_chunked(vocab, merges, chunk=200)
+    prof = seg.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("toks")).alias("tw"),
+        F.sum((F.concat_ws("", "toks") != F.col("word")).cast("int")).alias("bad"),
+    ).first()
+    assert prof.n == 8000
+    assert prof.bad == 0            # every word reassembles exactly
+    assert prof.tw <= 3.0, prof.tw  # real compression (measured 2.25)
+
+    # fast head vs the canonical trainer at a shared depth
+    P = 128
+    exactP = tx.bpe_train(df, n_merges=P, batch=8, exact=True, min_weight=2)
+    fastP = merges[:P]
+    assert exactP[0] == fastP[0]  # serial argmax always leads
+    assert len(set(exactP) & set(fastP)) >= 60  # measured 75
+    a = tx.bpe_apply_chunked(vocab, exactP, out="t_e")
+    b = tx.bpe_apply_chunked(vocab, fastP, out="t_f")
+    agree = (
+        a.join(b, "word")
+        .select(F.avg((F.col("t_e") == F.col("t_f")).cast("double")))
+        .first()[0]
+    )
+    assert agree >= 0.2, agree  # measured 0.269
+
+
 def test_bpe_batched_cuts_rounds(spark):
     """Round-count accounting: exact mode cuts driver rounds below
     n_merges on the gate corpus; fast mode (exact=False) cuts them
