@@ -197,6 +197,47 @@ def mask_pii(
     return df.withColumn(out_col, masked)
 
 
+def curate_head(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    rules: tuple[str, ...] = ("passes",),
+) -> DataFrame:
+    """The batch curation head (r11): Gopher quality rules → exact
+    dedup (min-id winner per normalized text) → PII masking — the
+    DETERMINISTIC batch twin of
+    :func:`mirabelle_spark.streaming.core.stream_curate` (which
+    keeps the first ARRIVAL instead; parity on an id-ordered replay
+    is pytest-pinned). ``rules`` selects which gopher_rules boolean
+    columns must all hold — the full conjunction is ``("passes",)``;
+    synthetic corpora whose vocabulary defeats the stopword rule use
+    e.g. ``("word_count_ok", "word_len_ok", "alpha_ok")``. Returns
+    (id_col, text_masked) for the surviving winner rows.
+
+    Scale shape: quality is a stateless projection; dedup shuffles
+    only (id, 24-byte hash) rows (bodies never move); masking is a
+    projection. One narrow shuffle end to end."""
+    from functools import reduce
+    from operator import and_
+
+    from mirabelle_spark.pipeline.dedup import dedup_exact
+    from mirabelle_spark.pipeline.text import gopher_rules
+
+    cond = reduce(and_, [F.col(r) for r in rules])
+    passed = (
+        gopher_rules(df, text_col=text_col, min_words=min_words)
+        .filter(cond)
+        .select(*df.columns)
+    )
+    winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
+        id_col
+    )
+    return mask_pii(passed.join(winners, id_col), text_col=text_col).select(
+        id_col, "text_masked"
+    )
+
+
 def pack_documents(
     df: DataFrame,
     budget_tokens: int,

@@ -308,6 +308,23 @@ action("zscore")(
     )
 )
 
+
+@action("curate")
+def _curate(df, ctx, cfg=None):
+    """LLM-curation head over a document stream (r11): Gopher
+    quality rules -> exact dedup (deterministic min-id winner) ->
+    PII masking. cfg keys: text-col, id-col, min-words, rules."""
+    from mirabelle_spark.pipeline import sampling as smp
+
+    cfg = cfg or {}
+    return smp.curate_head(
+        df,
+        text_col=cfg.get("text-col", "text"),
+        id_col=cfg.get("id-col", "doc_id"),
+        min_words=int(cfg.get("min-words", 50)),
+        rules=tuple(cfg.get("rules", ["passes"])),
+    )
+
 # -- stateful --------------------------------------------------------------
 
 
@@ -548,6 +565,27 @@ def _s_zscore(df, ctx, cfg):
             df, float(cfg["window"]), shards=ctx.shards, **kw
         )
     return stx.stream_zscore(df, float(cfg["window"]), **kw)
+
+
+@stream_action("curate")
+def _s_curate(df, ctx, cfg=None):
+    """Streaming curation head: first-arrival dedup replaces the
+    batch min-id winner (see stream_curate's divergence note);
+    cfg key dedup-within (seconds) bounds state via
+    dropDuplicatesWithinWatermark using the pipeline time column."""
+    from mirabelle_spark.streaming import core as stx
+
+    cfg = cfg or {}
+    within = cfg.get("dedup-within")
+    return stx.stream_curate(
+        df,
+        text_col=cfg.get("text-col", "text"),
+        id_col=cfg.get("id-col", "doc_id"),
+        time_col=ctx.time_col if within is not None else None,
+        dedup_within_s=float(within) if within is not None else None,
+        min_words=int(cfg.get("min-words", 50)),
+        rules=tuple(cfg.get("rules", ["passes"])),
+    )
 
 
 @stream_action("changed")

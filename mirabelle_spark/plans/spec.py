@@ -351,6 +351,11 @@ SPECS: dict[str, Sig] = {
     "sessionize": Sig(("config", config({"gap": pos_number}))),
     "zscore": Sig(("config", config({"window": pos_number},
                                     {"min-n": pos_int}))),
+    "curate": Sig(optional=(("config", config({}, opt={
+        "text-col": ne_string, "id-col": ne_string,
+        "min-words": pos_int, "rules": str_or_strs,
+        "dedup-within": pos_number,
+    })),)),
     # stateful (::above-dt :510, ::below-dt :536, ::between-dt :562,
     # ::outside-dt :592, ::cond-dt :623, ::changed :1347, ::stable)
     "changed": Sig(("config", config({"field": ne_string},

@@ -2334,6 +2334,57 @@ def scrubbed_corpus_docs(spark, sf):
     )
 
 
+@q(
+    "curate_head_docs",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents),
+m AS (
+  SELECT doc_id, text, len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha_words
+  FROM t
+),
+good AS (
+  SELECT doc_id, text FROM m
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND (CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8 ELSE FALSE END)
+),
+h AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM good
+),
+win AS (SELECT nt, min(doc_id) AS doc_id FROM h GROUP BY nt)
+SELECT h.doc_id,
+       regexp_replace(regexp_replace(h.text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM h JOIN win USING (nt, doc_id)
+""",
+)
+def curate_head_docs(spark, sf):
+    """The curation HEAD as one DSL-exposed compose (r11): Gopher
+    quality rules (word-count/word-length/alpha — the stopword rule
+    is vacuous on this synthetic vocabulary, same subset as
+    clean_corpus_docs) → exact dedup, deterministic min-id winner
+    per normalized text → PII masking. This is the batch twin of
+    streaming.core.stream_curate (parity pytest-pinned) and the
+    `curate` DSL action; the larger clean_corpus/scrubbed_corpus
+    composes add the batch-only near-dup/contamination stages.
+    Bodies shuffle once (the winner join); dedup keys are 24-byte
+    hash pairs."""
+    from mirabelle_spark.pipeline import sampling as smp
+
+    return smp.curate_head(
+        docs(spark, sf),
+        min_words=30,
+        rules=("word_count_ok", "word_len_ok", "alpha_ok"),
+    )
+
+
 @q("dup_span_removed_docs", _dup_span_removed_oracle(n=4, min_docs=2))
 def dup_span_removed_docs(spark, sf):
     """Exact-substring span REMOVAL (r10) — the corpus-rewrite step

@@ -428,6 +428,7 @@ def stream_curate(
     time_col: str | None = None,
     dedup_within_s: float | None = None,
     min_words: int = 50,
+    rules: tuple[str, ...] = ("passes",),
 ) -> DataFrame:
     """Streaming twin of the LLM-curation head (r11): Gopher quality
     rules → exact dedup on the normalized-text hash → PII masking,
@@ -454,14 +455,20 @@ def stream_curate(
     Near-dup survivors and contamination stay batch-side (cross-
     document joins over the full corpus, not incremental by nature);
     this compose is the curation head a streaming ingest can afford.
-    Returns (id_col, [time_col], text_masked)."""
+    ``rules`` selects which gopher_rules boolean columns must all
+    hold (see :func:`~mirabelle_spark.pipeline.sampling.curate_head`,
+    the deterministic batch twin). Returns
+    (id_col, [time_col], text_masked)."""
+    from functools import reduce
+    from operator import and_
+
     from mirabelle_spark.pipeline.dedup import normalized
     from mirabelle_spark.pipeline.sampling import mask_pii
     from mirabelle_spark.pipeline.text import gopher_rules
 
     passed = (
         gopher_rules(df, text_col=text_col, min_words=min_words)
-        .filter(F.col("passes"))
+        .filter(reduce(and_, [F.col(r) for r in rules]))
         .select(*df.columns)
     )
     norm = normalized(F.col(text_col))

@@ -395,3 +395,35 @@ def test_sessionize_and_zscore_dsl_actions(spark, make_events):
     with _pytest.raises(InvalidActionParams, match="window"):
         b.compile_stream(df, {"action": "zscore", "params": [{"window": -1}],
                               "children": []})
+
+
+def test_curate_dsl_action(spark):
+    """The curation head is a first-class DSL action (r11): batch
+    compile realizes the deterministic min-id compose, the streaming
+    dispatch exists, and the param spec rejects a bad min-words."""
+    import pytest as _pytest
+
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    good = (
+        "the data to be of and that have with quality words enough "
+        "for rules contact me at alice@example.com today"
+    )
+    rows = [(1, good), (2, good), (3, "#### ####")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cfg = {"min-words": 5, "rules": ["word_count_ok", "alpha_ok",
+                                     "stopword_ok"]}
+    tree = {
+        "action": "curate", "params": [cfg],
+        "children": [{"action": "tap", "params": ["cur"]}],
+    }
+    taps = b.build_stream(df, tree)
+    got = {(r.doc_id, r.text_masked) for r in taps["cur"].collect()}
+    assert got == {(1, good.replace("alice@example.com", "<EMAIL>"))}
+
+    assert "curate" in b._STREAM_ACTIONS  # streaming twin dispatches
+    with _pytest.raises(InvalidActionParams, match="min-words"):
+        b.compile_stream(df, {"action": "curate",
+                              "params": [{"min-words": 0}],
+                              "children": []})
