@@ -633,3 +633,33 @@ def test_dup_span_removed_matches_reference_property(
         ).collect()
     }
     assert got == exp
+
+
+@given(
+    docs=st.lists(WORDS, min_size=1, max_size=6),
+    n=st.integers(2, 5),
+    min_docs=st.integers(2, 3),
+    keep_first=st.booleans(),
+)
+@SLOW
+def test_dup_span_removed_char_matches_reference_property(
+    spark, docs, n, min_docs, keep_first
+):
+    """grain="char" == the pure-Python char-shingle transcription on
+    random tiny-vocab corpora (spaces are characters; heavy shingle
+    collisions by construction) — the r11 byte-grain mode through
+    the same election/rebuild as the word-grain property above."""
+    from tests.test_pipeline import _ref_char_span_removed
+
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    exp = _ref_char_span_removed(rows, n, min_docs, keep_first=keep_first)
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in dedup.dup_span_removed(
+            df, n=n, min_docs=min_docs, keep_first=keep_first, grain="char"
+        ).collect()
+    }
+    assert got == exp
