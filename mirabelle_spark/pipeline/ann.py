@@ -1060,6 +1060,8 @@ def ivfpq_probe_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    rerank: int | str = 0,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a :func:`ivfpq_write_index` table: identical results to
     :func:`ivfpq_topk` with the same quantizers, but the corpus side
@@ -1090,7 +1092,25 @@ def ivfpq_probe_index(
     query_id)`` bounded at 16) — a 32-wide shuffle of a few thousand
     candidate rows is pure task-scheduling overhead. Measured at
     sf0.1 (20k codes, 10 queries, nprobe 3): 2.3 s → 0.52 s warm
-    with a handle, 0.65 s re-opening per probe (PERF §42)."""
+    with a handle, 0.65 s re-opening per probe (PERF §42).
+
+    ``rerank`` (r11) brings the production path the same recall
+    lever the inline :func:`ivfpq_topk` has: the index stores only
+    nibble codes, so exact-L2 refinement joins the ADC top-``rerank``
+    candidates back to ``corpus`` (the ORIGINAL vector table — it
+    must be passed; |queries|·rerank rows touch full vectors,
+    returns l2_dist). ``"auto"`` = max(10·k, 7·k·nprobe), the same
+    nprobe-coupled window (see ivfpq_topk's non-monotonicity note).
+    Bit-identical to ``ivfpq_topk(rerank=R)`` — pytest-pinned."""
+    if rerank == "auto":
+        rerank = max(10 * k, 7 * k * nprobe)
+    elif not isinstance(rerank, int):
+        raise ValueError(f"rerank must be an int or 'auto', got {rerank!r}")
+    if rerank and corpus is None:
+        raise ValueError(
+            "rerank needs corpus= (the original vector table); the index "
+            "holds only PQ codes"
+        )
     spark = queries.sparkSession
     m_count = len(codebooks)
     sub = len(codebooks[0][0])
@@ -1135,10 +1155,36 @@ def ivfpq_probe_index(
             min(len(qrows), 16), F.col(query_id_col)
         )
     w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
-    return (
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "adc_dist", "rank")
+        )
+    cands = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select(query_id_col, id_col)
+    )
+    c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    qvec = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("__qv__"), F.col("__cv__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        cands.join(c, id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .withColumn("l2_dist", sq)
+    )
+    w2 = W.partitionBy(query_id_col).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "adc_dist", "rank")
+        .select(query_id_col, id_col, "l2_dist", "rank")
     )
 
 

@@ -1164,6 +1164,31 @@ def test_ivfpq_write_once_index(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cell__" in plan, plan
 
+    # r11: the production probe path has the same refinement lever —
+    # exact-L2 rerank joins candidates back to the ORIGINAL vectors
+    # and is bit-identical to the inline ivfpq_topk(rerank=R)
+    reranked = {
+        (r.query_id, r.rank): (r.vec_id, r.l2_dist)
+        for r in ann.ivfpq_probe_index(
+            queries, path, PQ_CODEBOOKS, IVF_CENTROIDS,
+            k=5, nprobe=3, rerank=20, corpus=emb,
+        ).collect()
+    }
+    inflight_rr = {
+        (r.query_id, r.rank): (r.vec_id, r.l2_dist)
+        for r in ann.ivfpq_topk(
+            emb, queries, PQ_CODEBOOKS, IVF_CENTROIDS,
+            k=5, nprobe=3, rerank=20,
+        ).collect()
+    }
+    assert reranked == inflight_rr
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus"):
+        ann.ivfpq_probe_index(
+            queries, path, PQ_CODEBOOKS, IVF_CENTROIDS, rerank=20
+        )
+
 
 def test_soft_dedup_frequency_weighted(spark):
     """Duplicate groups thin toward ~1 expected survivor (each member
