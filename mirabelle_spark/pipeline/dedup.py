@@ -1042,7 +1042,13 @@ def dup_span_removed(
       Pick n like the paper picks its byte threshold (they use 50);
       n >= ~12 keeps English grams discriminative.
 
-    Scale shape — document bodies shuffle ZERO times (the
+    Scale shape — document bodies shuffle AT MOST ONCE, and zero
+    times whenever the narrow (id, starts) table fits a broadcast
+    (AQE size-decides; it does at every tested SF — plan-verified
+    BroadcastHashJoin on the rebuild join). At 100 TB the touched-doc
+    start table outgrows a broadcast and the rebuild left-join
+    becomes the single body-bearing shuffle; the wide gram shuffle
+    below never carries bodies either way (the
     :func:`paragraph_dedup` shape at n-gram grain):
 
     1. explode occurrences (id, pos, gram) — built from n shifted
