@@ -1063,11 +1063,13 @@ def dup_span_removed(
        regroup to one sorted start-offset array per touched doc;
     4. that (id, starts) table — one narrow row per TOUCHED doc —
        left-joins back to the corpus on id and the rebuild is an
-       in-row lambda filter over the row's own token split:
-       token i survives iff no removed-gram start s has
-       s <= i < s+n. O(tokens × starts) per row; a boilerplate-
-       saturated doc has starts ~ tokens, still in-row and linear
-       in the doc's own removal mass.
+       in-row GAP-SLICE concat over the row's own token split:
+       constant gram length + sorted starts make the covered-
+       interval union's end monotone (s_i + n), so the kept gaps
+       fall out of one zip_with against the shifted starts —
+       O(tokens + starts) per row (r11; the per-token exists()
+       filter this replaces was O(tokens × starts), quadratic on
+       removal-saturated docs — measured 16× at a 10× scale-up).
 
     Returns (id, text_clean, n_tokens, n_removed) for EVERY input
     document (untouched docs pass through with n_removed=0; a doc
@@ -1211,11 +1213,38 @@ def dup_span_removed(
     joined = toks.join(starts, id_col, "left").withColumn(
         "__s__", F.coalesce(F.col("__s__"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.col("__w__"),
-        lambda t, i: ~F.exists(
-            F.col("__s__"), lambda s: (s <= i) & (i < s + n)
-        ),
+    # rebuild = GAP SLICES, O(tokens + starts) per row (r11: the
+    # obvious per-token `exists(starts, ...)` filter is
+    # O(tokens × starts) — quadratic when removal saturates a doc,
+    # measured 16× at a 10× scale-up on a replica-heavy corpus).
+    # Because every removed interval has the SAME length n and
+    # starts are sorted ascending, the union's coverage end after
+    # start s_i is exactly s_i + n (monotone), so the kept gaps are
+    # [0, s_0) plus [s_i + n, s_{i+1}) wherever s_{i+1} > s_i + n,
+    # plus the tail [s_last + n, L) — one zip_with against the
+    # shifted starts, then one slice per gap.
+    w_arr = F.col("__w__")
+    s_arr = F.col("__s__")
+    L = F.size(w_arr)
+    nxt = F.concat(
+        F.slice(s_arr, 2, F.greatest(F.size(s_arr) - 1, F.lit(0))),
+        F.array(L),
+    )
+    gaps = F.zip_with(
+        s_arr,
+        nxt,
+        lambda cur, nx: F.struct((cur + n).alias("a"), nx.alias("b")),
+    )
+    head = F.array(
+        F.struct(
+            F.lit(0).alias("a"),
+            # try_element_at: ANSI-safe on the untouched-doc empty array
+            F.coalesce(F.try_element_at(s_arr, F.lit(1)), L).alias("b"),
+        )
+    )
+    segs = F.filter(F.concat(head, gaps), lambda g: g["b"] > g["a"])
+    kept = F.flatten(
+        F.transform(segs, lambda g: F.slice(w_arr, g["a"] + 1, g["b"] - g["a"]))
     )
     return joined.withColumn("__kept__", kept).select(
         F.col(id_col),
