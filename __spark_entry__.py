@@ -43,6 +43,7 @@ GATE_PRIORITY = [
     # (a) added / implementation changed in round 11
     "dup_span_removed_char_docs",  # NEW: char-grain ExactSubstr
     "curate_head_docs",            # NEW: curation head (DSL `curate`)
+    "logreg_quality_docs",         # NEW: engine-trained quality model
     "dup_span_removed_docs",       # impl: grain refactor + pos guard
     "scrubbed_corpus_docs",        # impl: same span-removal path
     "returned_item_customers",     # impl: broadcast-hint policy fix
@@ -64,7 +65,7 @@ GATE_PRIORITY = [
     "soft_dedup_docs", "corpus_split_docs", "search_quality_docs",
     "doc_length_profile", "split_token_budget", "order_priority_counts",
     # (c) head of the r9 cohort (oldest remaining)
-    "ann_ivfpq_trained_topk", "winnow_dedup_pairs",
+    "ann_ivfpq_trained_topk",
 ]
 
 # Round-12 rotation note: after the r11 gate the stale set is the

@@ -894,3 +894,212 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= n)
         .select(id_col, "token", "tf", "df", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# engine-trained quality classifier (r11) — the trained-weights story
+# linear_quality_score's docstring promises, made real: logistic
+# regression over hashed-bucket + dense quality features, trained
+# relationally (one aggregate job per GD step, driver holds one
+# weight vector), weak-labeled by the Gopher rule subset — the
+# fastText-distillation pattern (CCNet lineage: distill a hard rule
+# gate into a smooth, rankable score).
+
+_QUALITY_DENSE = 4  # n/(n+100), mean_wl, mean_wl^2, alpha_frac
+
+
+def _quality_bucket_sql(tok: str, dim: int) -> str:
+    """Portable token->bucket hash (the linear_quality/minhash md5
+    trick): identical value in Spark and DuckDB."""
+    return (
+        f"pmod(CAST(conv(substring(md5({tok}), 1, 15), 16, 10) AS BIGINT), {dim})"
+    )
+
+
+def quality_features(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document quality feature vector (id, __x__ array<double>,
+    __y__ weak label): ``dim`` hashed-bucket token-frequency lanes
+    (count_b / n_tokens) + four dense lanes — n/(n+100) (a rational
+    length squash; deliberately NOT log1p, whose transcendental is
+    not bit-portable across engines), mean word length, its square
+    (gives the linear model the word-length BAND), alpha-word
+    fraction. Every lane is built from exact integer counts and
+    single IEEE divisions/multiplications, so Spark and DuckDB
+    produce bit-identical vectors. The weak label is the
+    clean-corpus Gopher subset (word count 30..100k, word length
+    band, alpha >= 0.8). One projection, no shuffle."""
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    out = df.withColumn("__t__", toks)
+    n = F.size(F.col("__t__"))
+    nd = n.cast("double")
+    wl_sum = F.expr(
+        "aggregate(__t__, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+    )
+    mean_wl = F.when(n > 0, wl_sum.cast("double") / nd).otherwise(F.lit(0.0))
+    alpha = F.expr("size(filter(__t__, t -> t rlike '[a-z]'))").cast("double")
+    alpha_frac = F.when(n > 0, alpha / nd).otherwise(F.lit(0.0))
+    feats = [
+        F.when(
+            n > 0,
+            F.expr(
+                f"size(filter(__t__, t -> {_quality_bucket_sql('t', dim)} = {b}))"
+            ).cast("double")
+            / nd,
+        ).otherwise(F.lit(0.0))
+        for b in range(dim)
+    ]
+    feats += [nd / (nd + F.lit(100.0)), mean_wl, mean_wl * mean_wl, alpha_frac]
+    y = (
+        (n >= 30)
+        & (n <= 100000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & F.when(n > 0, alpha / nd >= 0.8).otherwise(F.lit(False))
+    ).cast("double")
+    return out.select(
+        F.col(id_col), F.array(*feats).alias("__x__"), y.alias("__y__")
+    )
+
+
+def _logit_expr(weights: list[float], bias: float, xcol: str = "__x__") -> str:
+    """Left-associated literal dot product — the PCA-oracle fold
+    discipline: generating BOTH engines' expressions from this one
+    loop keeps the IEEE addition order identical, so logits are
+    bit-equal cross-engine. Literals are STRING-cast ('…'::DOUBLE):
+    a bare 16-digit decimal literal routes through DuckDB's
+    int64-scaled DECIMAL before the double cast and loses a ULP
+    above 2^53, while string→double is correctly-rounded strtod in
+    both engines (measured: a constant 8·2^-52 logit drift with
+    bare literals, bit-equality with quoted ones)."""
+    z = f"CAST('{bias!r}' AS DOUBLE)"
+    for i, w in enumerate(weights):
+        z = f"({z} + (CAST('{w!r}' AS DOUBLE) * {xcol}[{i}]))"
+    return z
+
+
+def train_quality_logreg(
+    df: DataFrame,
+    dim: int = 16,
+    iters: int = 80,
+    lr: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stats: dict | None = None,
+) -> tuple[list[float], float]:
+    """Train the quality classifier relationally: full-batch
+    gradient descent on logistic loss, ONE aggregate job per step
+    (dim+5 decimal-exact lane sums; the driver holds one
+    (dim+4)-vector — the train_ivf / power-iteration state
+    discipline). Features are standardized internally from a
+    decimal-exact moment aggregate (GD on raw lanes crawls: the
+    bucket lanes sit near 1/dim while dense lanes span units), and
+    the learned weights FOLD BACK to raw-feature space —
+    w_raw = w/sigma, b_raw = b - sum(w*mu/sigma) — so the returned
+    model applies directly to :func:`quality_features` vectors and
+    pins as plain literals.
+
+    Deterministic and partitioning-invariant: per-row sigmoid/
+    residual arithmetic uses literal coefficients; every cross-row
+    sum is DECIMAL(38,18) (order-free); sqrt/updates happen on the
+    driver. Bit-identical weights under any repartitioning
+    (pytest-pinned). Pass ``stats={}`` for {"loss": [...]}."""
+    import math
+
+    X = quality_features(df, dim=dim, text_col=text_col, id_col=id_col)
+    X = X.localCheckpoint()
+    D = dim + _QUALITY_DENSE
+    aggs = [
+        F.sum(F.col("__x__")[i].cast("decimal(38,18)")).alias(f"m{i}")
+        for i in range(D)
+    ]
+    aggs += [
+        F.sum((F.col("__x__")[i] * F.col("__x__")[i]).cast("decimal(38,18)")).alias(
+            f"q{i}"
+        )
+        for i in range(D)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = X.agg(*aggs).first()
+    cnt = row["n"]
+    mu = [float(row[f"m{i}"]) / cnt for i in range(D)]
+    sd = [
+        max(
+            math.sqrt(max(float(row[f"q{i}"]) / cnt - mu[i] * mu[i], 0.0)),
+            1e-9,
+        )
+        for i in range(D)
+    ]
+    w = [0.0] * D
+    b = 0.0
+    losses: list[float] = []
+    for _ in range(iters):
+        zs = f"CAST({b!r} AS DOUBLE)"
+        for i in range(D):
+            zs = (
+                f"({zs} + (CAST({w[i]!r} AS DOUBLE) * "
+                f"((__x__[{i}] - CAST({mu[i]!r} AS DOUBLE)) / "
+                f"CAST({sd[i]!r} AS DOUBLE))))"
+            )
+        z = F.expr(zs)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = p - F.col("__y__")
+        xs = [
+            (F.col("__x__")[i] - F.lit(mu[i])) / F.lit(sd[i]) for i in range(D)
+        ]
+        gaggs = [
+            F.sum((r * xs[i]).cast("decimal(38,18)")).alias(f"g{i}")
+            for i in range(D)
+        ]
+        gaggs.append(F.sum(r.cast("decimal(38,18)")).alias("gb"))
+        gaggs.append(
+            F.sum(
+                (
+                    -(
+                        F.col("__y__") * F.log(F.greatest(p, F.lit(1e-12)))
+                        + (1 - F.col("__y__"))
+                        * F.log(F.greatest(1 - p, F.lit(1e-12)))
+                    )
+                ).cast("decimal(38,18)")
+            ).alias("loss")
+        )
+        grow = X.agg(*gaggs).first()
+        for i in range(D):
+            w[i] -= lr * float(grow[f"g{i}"]) / cnt
+        b -= lr * float(grow["gb"]) / cnt
+        losses.append(float(grow["loss"]) / cnt)
+    w_raw = [w[i] / sd[i] for i in range(D)]
+    b_raw = b - sum(w[i] * mu[i] / sd[i] for i in range(D))
+    if stats is not None:
+        stats["loss"] = losses
+        stats["mu"] = mu
+        stats["sd"] = sd
+    return w_raw, b_raw
+
+
+def quality_logreg_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained quality model: (id, quality_logit, accepted).
+    One projection over the same feature exprs the trainer used;
+    the logit is the left-associated literal dot (bit-portable — no
+    transcendental in the inference path, sigmoid is monotone so
+    thresholding the LOGIT at 0 is thresholding the probability at
+    0.5). At 100 TB this rides the corpus scan like every other
+    per-doc feature."""
+    X = quality_features(df, dim=dim, text_col=text_col, id_col=id_col)
+    z = F.expr(_logit_expr(weights, bias))
+    return X.select(
+        F.col(id_col),
+        z.alias("quality_logit"),
+        (z > 0).alias("accepted"),
+    )

@@ -2334,6 +2334,90 @@ def scrubbed_corpus_docs(spark, sf):
     )
 
 
+def _logreg_quality_oracle() -> str:
+    """Exact SQL twin of quality_logreg_score under the PINNED
+    trained weights: every feature lane is exact integer counts +
+    single IEEE divisions/multiplications (no transcendental in the
+    inference path), and the logit is the SAME left-associated
+    literal fold the Spark side builds — bit-equal doubles, so the
+    gate compares hash-exact."""
+    from mirabelle_spark.pipeline.logreg_quality_trained import (
+        TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
+    )
+
+    lanes = []
+    for b in range(TRAIN_DIM):
+        lanes.append(
+            f"CASE WHEN n > 0 THEN CAST(len(list_filter(w, x -> "
+            f"('0x' || substr(md5(x), 1, 15))::BIGINT % {TRAIN_DIM} = {b}"
+            f")) AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS x{b}"
+        )
+    lanes.append(
+        "CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + 100.0) AS "
+        f"x{TRAIN_DIM}"
+    )
+    lanes.append(f"mwl AS x{TRAIN_DIM + 1}")
+    lanes.append(f"mwl * mwl AS x{TRAIN_DIM + 2}")
+    lanes.append(f"af AS x{TRAIN_DIM + 3}")
+    # string-cast literals: bare 16-digit decimals route through
+    # DuckDB's int64-scaled DECIMAL and drift a ULP above 2^53
+    # (see text._logit_expr) — '…'::DOUBLE is correctly-rounded
+    # strtod in both engines
+    z = f"CAST('{TRAINED_LOGREG_B!r}' AS DOUBLE)"
+    for i, wv in enumerate(TRAINED_LOGREG_W):
+        z = f"({z} + (CAST('{wv!r}' AS DOUBLE) * x{i}))"
+    lane_sql = ",\n       ".join(lanes)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / CAST(len(w) AS DOUBLE)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(w) > 0
+              THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+              ELSE 0.0 END AS af
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+       {lane_sql}
+  FROM m
+)
+SELECT doc_id, {z} AS quality_logit, ({z}) > 0 AS accepted FROM f
+"""
+
+
+@q("logreg_quality_docs", _logreg_quality_oracle())
+def logreg_quality_docs(spark, sf):
+    """ENGINE-TRAINED quality classifier inference (r11) — the
+    trained-weights story linear_quality_docs' placeholder promises,
+    made real: logistic regression over 16 hashed-bucket token-
+    frequency lanes + 4 dense lanes (rational length squash, mean
+    word length and its square, alpha fraction), trained by the
+    engine's own relational full-batch GD (train_quality_logreg:
+    one aggregate job per step, decimal-exact gradient sums,
+    bit-reproducible under repartitioning), weak-labeled by the
+    clean-corpus Gopher subset — the fastText/CCNet distillation
+    pattern. Weights pinned in logreg_quality_trained (regeneration
+    byte-pin like the IVF/PQ/PCA/BPE artifacts). Inference is one
+    shuffle-free projection; the logit is a left-associated literal
+    dot with no transcendental, so the DuckDB oracle is bit-exact.
+    Train accuracy vs the weak labels: 0.988 (pytest floor 0.95)."""
+    from mirabelle_spark.pipeline.logreg_quality_trained import (
+        TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
+    )
+
+    return text.quality_logreg_score(
+        docs(spark, sf), TRAINED_LOGREG_W, TRAINED_LOGREG_B, dim=TRAIN_DIM
+    )
+
+
 @q(
     "curate_head_docs",
     f"""
