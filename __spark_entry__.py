@@ -69,12 +69,14 @@ GATE_PRIORITY = [
 ]
 
 # Round-12 rotation note: after the r11 gate the stale set is the
-# 46 r9-cohort entries not re-gated here (registry order: where_not,
+# 48 r9-cohort entries not re-gated here (all of the r9 cohort
+# except ann_ivfpq_trained_topk; registry order: where_not,
 # where_regex, under_filter, expired_events, not_expired_events,
-# changed_transitions, ...) — lead r12 with r12 changes, then those
-# 46, then the r10-cohort head (where_basic, over_filter, tagged_all,
-# split_routing, ...). Keep winnow_dedup_pairs_fast out of the head
-# (see above).
+# changed_transitions, ...) — lead r12 with r12 changes, then as
+# many of those 48 as fit, then the r10-cohort head (where_basic,
+# over_filter, tagged_all, split_routing, ...); whatever r9 tail
+# does not fit leads r13. Keep winnow_dedup_pairs_fast out of the
+# head (see above).
 
 
 def _ordered(mapping: dict) -> dict:
