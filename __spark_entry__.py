@@ -28,11 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
 # so ordering is coverage policy. Round-11 rotation (VERDICT r10 ask
-# #1): (a) queries added or whose implementation changed in round 11;
-# (b) ALL 41 entries last gated in CORRECTNESS_r08 — the oldest
-# cohort, registry order; (c) fill the remaining slots with the head
-# of the r9 cohort. After this gate every entry's last-green is
-# within rounds 9–11 (freshness <= 3).
+# #1): (a) the 9 queries added or whose implementation changed in
+# round 11; (b) ALL 41 entries last gated in CORRECTNESS_r08 — the
+# oldest cohort, registry order. 9 + 41 = 50 exactly. After this
+# gate every entry's last-green is within rounds 9–11
+# (freshness <= 3).
 #
 # winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
 # DuckDB; overlap vs the portable path is pytest-pinned) — it must
@@ -44,6 +44,7 @@ GATE_PRIORITY = [
     "dup_span_removed_char_docs",  # NEW: char-grain ExactSubstr
     "curate_head_docs",            # NEW: curation head (DSL `curate`)
     "logreg_quality_docs",         # NEW: engine-trained quality model
+    "curate_head_logreg_docs",     # NEW: trained-gate curation compose
     "dup_span_removed_docs",       # impl: grain refactor + pos guard
     "scrubbed_corpus_docs",        # impl: same span-removal path
     "returned_item_customers",     # impl: broadcast-hint policy fix
@@ -64,16 +65,14 @@ GATE_PRIORITY = [
     "text_fingerprint", "text_rolling_fp", "neardup_degree_histogram",
     "soft_dedup_docs", "corpus_split_docs", "search_quality_docs",
     "doc_length_profile", "split_token_budget", "order_priority_counts",
-    # (c) head of the r9 cohort (oldest remaining)
-    "ann_ivfpq_trained_topk",
 ]
 
 # Round-12 rotation note: after the r11 gate the stale set is the
-# 48 r9-cohort entries not re-gated here (all of the r9 cohort
-# except ann_ivfpq_trained_topk; registry order: where_not,
+# full 49-entry r9 cohort (no filler slots remained; registry
+# order: where_not,
 # where_regex, under_filter, expired_events, not_expired_events,
 # changed_transitions, ...) — lead r12 with r12 changes, then as
-# many of those 48 as fit, then the r10-cohort head (where_basic,
+# many of those 49 as fit, then the r10-cohort head (where_basic,
 # over_filter, tagged_all, split_routing, ...); whatever r9 tail
 # does not fit leads r13. Keep winnow_dedup_pairs_fast out of the
 # head (see above).

@@ -203,6 +203,8 @@ def curate_head(
     id_col: str = "doc_id",
     min_words: int = 50,
     rules: tuple[str, ...] = ("passes",),
+    model: tuple[list[float], float] | None = None,
+    dim: int = 16,
 ) -> DataFrame:
     """The batch curation head (r11): Gopher quality rules → exact
     dedup (min-id winner per normalized text) → PII masking — the
@@ -215,6 +217,13 @@ def curate_head(
     e.g. ``("word_count_ok", "word_len_ok", "alpha_ok")``. Returns
     (id_col, text_masked) for the surviving winner rows.
 
+    ``model=(weights, bias)`` swaps the rule gate for a TRAINED
+    quality classifier (the production migration path — distill the
+    rules with :func:`~mirabelle_spark.pipeline.text.
+    train_quality_logreg`, then gate on the smooth score): the
+    quality stage becomes the logit-positive filter, still one
+    stateless projection; ``rules``/``min_words`` are ignored.
+
     Scale shape: quality is a stateless projection; dedup shuffles
     only (id, 24-byte hash) rows (bodies never move); masking is a
     projection. One narrow shuffle end to end."""
@@ -222,14 +231,27 @@ def curate_head(
     from operator import and_
 
     from mirabelle_spark.pipeline.dedup import dedup_exact
-    from mirabelle_spark.pipeline.text import gopher_rules
-
-    cond = reduce(and_, [F.col(r) for r in rules])
-    passed = (
-        gopher_rules(df, text_col=text_col, min_words=min_words)
-        .filter(cond)
-        .select(*df.columns)
+    from mirabelle_spark.pipeline.text import (
+        _logit_expr, gopher_rules, quality_features,
     )
+
+    if model is not None:
+        w, b = model
+        passed = (
+            quality_features(
+                df, dim=dim, text_col=text_col, id_col=id_col,
+                keep=tuple(c for c in df.columns if c != id_col),
+            )
+            .filter(F.expr(_logit_expr(w, b)) > 0)
+            .select(*df.columns)
+        )
+    else:
+        cond = reduce(and_, [F.col(r) for r in rules])
+        passed = (
+            gopher_rules(df, text_col=text_col, min_words=min_words)
+            .filter(cond)
+            .select(*df.columns)
+        )
     winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
         id_col
     )

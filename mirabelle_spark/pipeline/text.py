@@ -921,6 +921,7 @@ def quality_features(
     dim: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document quality feature vector (id, __x__ array<double>,
     __y__ weak label): ``dim`` hashed-bucket token-frequency lanes
@@ -932,7 +933,9 @@ def quality_features(
     single IEEE divisions/multiplications, so Spark and DuckDB
     produce bit-identical vectors. The weak label is the
     clean-corpus Gopher subset (word count 30..100k, word length
-    band, alpha >= 0.8). One projection, no shuffle."""
+    band, alpha >= 0.8). ``keep`` passes original columns through
+    (e.g. the text for a downstream filter-then-rewrite compose).
+    One projection, no shuffle."""
     toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
     out = df.withColumn("__t__", toks)
     n = F.size(F.col("__t__"))
@@ -962,7 +965,10 @@ def quality_features(
         & F.when(n > 0, alpha / nd >= 0.8).otherwise(F.lit(False))
     ).cast("double")
     return out.select(
-        F.col(id_col), F.array(*feats).alias("__x__"), y.alias("__y__")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array(*feats).alias("__x__"),
+        y.alias("__y__"),
     )
 
 

@@ -309,20 +309,39 @@ action("zscore")(
 )
 
 
+def _curate_model(cfg):
+    """cfg {"quality": "trained"} gates on the PINNED engine-trained
+    classifier instead of the hard rules (the distillation
+    migration path); returns (model, dim) for curate_head /
+    stream_curate."""
+    if cfg.get("quality") != "trained":
+        return None, 16
+    from mirabelle_spark.pipeline.logreg_quality_trained import (
+        TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
+    )
+
+    return (TRAINED_LOGREG_W, TRAINED_LOGREG_B), TRAIN_DIM
+
+
 @action("curate")
 def _curate(df, ctx, cfg=None):
-    """LLM-curation head over a document stream (r11): Gopher
-    quality rules -> exact dedup (deterministic min-id winner) ->
-    PII masking. cfg keys: text-col, id-col, min-words, rules."""
+    """LLM-curation head over a document stream (r11): quality gate
+    (Gopher rules, or the pinned trained classifier with
+    {"quality": "trained"}) -> exact dedup (deterministic min-id
+    winner) -> PII masking. cfg keys: text-col, id-col, min-words,
+    rules, quality."""
     from mirabelle_spark.pipeline import sampling as smp
 
     cfg = cfg or {}
+    model, dim = _curate_model(cfg)
     return smp.curate_head(
         df,
         text_col=cfg.get("text-col", "text"),
         id_col=cfg.get("id-col", "doc_id"),
         min_words=int(cfg.get("min-words", 50)),
         rules=tuple(cfg.get("rules", ["passes"])),
+        model=model,
+        dim=dim,
     )
 
 # -- stateful --------------------------------------------------------------
@@ -577,6 +596,7 @@ def _s_curate(df, ctx, cfg=None):
 
     cfg = cfg or {}
     within = cfg.get("dedup-within")
+    model, dim = _curate_model(cfg)
     return stx.stream_curate(
         df,
         text_col=cfg.get("text-col", "text"),
@@ -585,6 +605,8 @@ def _s_curate(df, ctx, cfg=None):
         dedup_within_s=float(within) if within is not None else None,
         min_words=int(cfg.get("min-words", 50)),
         rules=tuple(cfg.get("rules", ["passes"])),
+        model=model,
+        dim=dim,
     )
 
 

@@ -354,7 +354,7 @@ SPECS: dict[str, Sig] = {
     "curate": Sig(optional=(("config", config({}, opt={
         "text-col": ne_string, "id-col": ne_string,
         "min-words": pos_int, "rules": str_or_strs,
-        "dedup-within": pos_number,
+        "dedup-within": pos_number, "quality": ne_string,
     })),)),
     # stateful (::above-dt :510, ::below-dt :536, ::between-dt :562,
     # ::outside-dt :592, ::cond-dt :623, ::changed :1347, ::stable)

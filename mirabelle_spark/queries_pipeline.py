@@ -2334,13 +2334,9 @@ def scrubbed_corpus_docs(spark, sf):
     )
 
 
-def _logreg_quality_oracle() -> str:
-    """Exact SQL twin of quality_logreg_score under the PINNED
-    trained weights: every feature lane is exact integer counts +
-    single IEEE divisions/multiplications (no transcendental in the
-    inference path), and the logit is the SAME left-associated
-    literal fold the Spark side builds — bit-equal doubles, so the
-    gate compares hash-exact."""
+def _logreg_lanes_sql() -> tuple[str, str]:
+    """(lane_sql, z) for the pinned quality model — shared by the
+    score oracle and the trained-gate curation oracle."""
     from mirabelle_spark.pipeline.logreg_quality_trained import (
         TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
     )
@@ -2366,9 +2362,10 @@ def _logreg_quality_oracle() -> str:
     z = f"CAST('{TRAINED_LOGREG_B!r}' AS DOUBLE)"
     for i, wv in enumerate(TRAINED_LOGREG_W):
         z = f"({z} + (CAST('{wv!r}' AS DOUBLE) * x{i}))"
-    lane_sql = ",\n       ".join(lanes)
-    return f"""
-WITH t AS (
+    return ",\n       ".join(lanes), z
+
+
+_LOGREG_FEATURE_CTES = """t AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                      x -> x != '') AS w
@@ -2383,7 +2380,19 @@ m AS (
               THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(w) AS DOUBLE)
               ELSE 0.0 END AS af
   FROM t
-),
+)"""
+
+
+def _logreg_quality_oracle() -> str:
+    """Exact SQL twin of quality_logreg_score under the PINNED
+    trained weights: every feature lane is exact integer counts +
+    single IEEE divisions/multiplications (no transcendental in the
+    inference path), and the logit is the SAME left-associated
+    literal fold the Spark side builds — bit-equal doubles, so the
+    gate compares hash-exact."""
+    lane_sql, z = _logreg_lanes_sql()
+    return f"""
+WITH {_LOGREG_FEATURE_CTES},
 f AS (
   SELECT doc_id,
        {lane_sql}
@@ -2391,6 +2400,53 @@ f AS (
 )
 SELECT doc_id, {z} AS quality_logit, ({z}) > 0 AS accepted FROM f
 """
+
+
+def _curate_head_logreg_oracle() -> str:
+    """Trained-gate curation: accepted docs (logit > 0 under the
+    pinned model) → min-id exact dedup on normalized text → PII
+    mask — curate_head(model=...)'s SQL twin."""
+    lane_sql, z = _logreg_lanes_sql()
+    return f"""
+WITH {_LOGREG_FEATURE_CTES},
+f AS (
+  SELECT doc_id,
+       {lane_sql}
+  FROM m
+),
+acc AS (SELECT doc_id FROM f WHERE ({z}) > 0),
+h AS (
+  SELECT d.doc_id, d.text,
+         trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS nt
+  FROM documents d JOIN acc USING (doc_id)
+),
+win AS (SELECT nt, min(doc_id) AS doc_id FROM h GROUP BY nt)
+SELECT h.doc_id,
+       regexp_replace(regexp_replace(h.text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM h JOIN win USING (nt, doc_id)
+"""
+
+
+@q("curate_head_logreg_docs", _curate_head_logreg_oracle())
+def curate_head_logreg_docs(spark, sf):
+    """The curation head gated by the ENGINE-TRAINED quality model
+    (r11) — the distillation migration path end to end: the pinned
+    logistic classifier replaces the hard rule conjunction (still a
+    stateless projection), then the same min-id exact dedup and PII
+    mask as curate_head_docs. DSL: {"action": "curate", "params":
+    [{"quality": "trained"}]}."""
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.logreg_quality_trained import (
+        TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
+    )
+
+    return smp.curate_head(
+        docs(spark, sf),
+        model=(TRAINED_LOGREG_W, TRAINED_LOGREG_B),
+        dim=TRAIN_DIM,
+    )
 
 
 @q("logreg_quality_docs", _logreg_quality_oracle())

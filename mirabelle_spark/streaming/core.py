@@ -429,6 +429,8 @@ def stream_curate(
     dedup_within_s: float | None = None,
     min_words: int = 50,
     rules: tuple[str, ...] = ("passes",),
+    model: tuple[list[float], float] | None = None,
+    dim: int = 16,
 ) -> DataFrame:
     """Streaming twin of the LLM-curation head (r11): Gopher quality
     rules → exact dedup on the normalized-text hash → PII masking,
@@ -456,21 +458,36 @@ def stream_curate(
     document joins over the full corpus, not incremental by nature);
     this compose is the curation head a streaming ingest can afford.
     ``rules`` selects which gopher_rules boolean columns must all
-    hold (see :func:`~mirabelle_spark.pipeline.sampling.curate_head`,
-    the deterministic batch twin). Returns
+    hold; ``model=(weights, bias)`` swaps the rule gate for a
+    TRAINED quality classifier — still a stateless projection (see
+    :func:`~mirabelle_spark.pipeline.sampling.curate_head`, the
+    deterministic batch twin). Returns
     (id_col, [time_col], text_masked)."""
     from functools import reduce
     from operator import and_
 
     from mirabelle_spark.pipeline.dedup import normalized
     from mirabelle_spark.pipeline.sampling import mask_pii
-    from mirabelle_spark.pipeline.text import gopher_rules
-
-    passed = (
-        gopher_rules(df, text_col=text_col, min_words=min_words)
-        .filter(reduce(and_, [F.col(r) for r in rules]))
-        .select(*df.columns)
+    from mirabelle_spark.pipeline.text import (
+        _logit_expr, gopher_rules, quality_features,
     )
+
+    if model is not None:
+        w, b = model
+        passed = (
+            quality_features(
+                df, dim=dim, text_col=text_col, id_col=id_col,
+                keep=tuple(c for c in df.columns if c != id_col),
+            )
+            .filter(F.expr(_logit_expr(w, b)) > 0)
+            .select(*df.columns)
+        )
+    else:
+        passed = (
+            gopher_rules(df, text_col=text_col, min_words=min_words)
+            .filter(reduce(and_, [F.col(r) for r in rules]))
+            .select(*df.columns)
+        )
     norm = normalized(F.col(text_col))
     hashed = passed.select(
         "*", F.xxhash64(norm).alias("__h64__"), F.md5(norm).alias("__h128__")

@@ -427,3 +427,32 @@ def test_curate_dsl_action(spark):
         b.compile_stream(df, {"action": "curate",
                               "params": [{"min-words": 0}],
                               "children": []})
+
+
+def test_curate_dsl_trained_quality(spark):
+    """{"quality": "trained"} swaps the rule gate for the pinned
+    engine-trained classifier in both batch and streaming dispatch;
+    the batch realization matches curate_head(model=pinned)."""
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.logreg_quality_trained import (
+        TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
+    )
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, "/root/testdata/sf0.001").limit(60)
+    tree = {
+        "action": "curate", "params": [{"quality": "trained"}],
+        "children": [{"action": "tap", "params": ["cur"]}],
+    }
+    got = {
+        (r.doc_id, r.text_masked)
+        for r in b.build_stream(d, tree)["cur"].collect()
+    }
+    want = {
+        (r.doc_id, r.text_masked)
+        for r in smp.curate_head(
+            d, model=(TRAINED_LOGREG_W, TRAINED_LOGREG_B), dim=TRAIN_DIM
+        ).collect()
+    }
+    assert got == want and got  # non-empty and identical
