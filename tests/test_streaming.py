@@ -3491,3 +3491,38 @@ def test_stream_curate_parity(spark, tmp_path):
             ).collect()
         }
         assert got == batch, (mode, got)
+
+    # trained-gate mode (r11): the model quality filter is a
+    # stateless projection, so the streaming compose stays parity-
+    # exact with the batch twin under the same pinned weights
+    from mirabelle_spark.pipeline.logreg_quality_trained import (
+        TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
+    )
+
+    model = (TRAINED_LOGREG_W, TRAINED_LOGREG_B)
+    batch_m = {
+        (r.doc_id, r.text_masked)
+        for r in sampling.curate_head(df, model=model, dim=TRAIN_DIM).collect()
+    }
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = core.stream_curate(stream, model=model, dim=TRAIN_DIM)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_model")
+        .option("checkpointLocation", str(tmp_path / "ck_model"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_m = {
+        (r.doc_id, r.text_masked)
+        for r in spark.sql(
+            "SELECT doc_id, text_masked FROM curate_model"
+        ).collect()
+    }
+    assert got_m == batch_m, got_m
