@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "ann_ivfpq_rerank_topk",  # IVF-PQ + exact-L2 refinement (production ANN shape)
     # r11 additions
     "dup_span_removed_char_docs",  # byte-grain ExactSubstr (per-char explode)
+    "logreg_quality_docs",    # trained-model inference (shuffle-free projection)
+    "curate_head_docs",       # quality -> dedup -> mask compose
 ]
 
 

@@ -937,7 +937,14 @@ def quality_features(
     (e.g. the text for a downstream filter-then-rewrite compose).
     One projection, no shuffle."""
     toks = F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
-    out = df.withColumn("__t__", toks)
+    # hash each token to its bucket ONCE (md5+conv per token), then
+    # build the dim count lanes from the cheap integer array — the
+    # naive per-lane filter re-hashes every token dim times
+    # (measured 4.3 s → 0.9 s at sf0.1 for the 16-lane scorer)
+    out = df.withColumn("__t__", toks).withColumn(
+        "__bk__",
+        F.expr(f"transform(__t__, t -> {_quality_bucket_sql('t', dim)})"),
+    )
     n = F.size(F.col("__t__"))
     nd = n.cast("double")
     wl_sum = F.expr(
@@ -949,9 +956,7 @@ def quality_features(
     feats = [
         F.when(
             n > 0,
-            F.expr(
-                f"size(filter(__t__, t -> {_quality_bucket_sql('t', dim)} = {b}))"
-            ).cast("double")
+            F.expr(f"size(filter(__bk__, v -> v = {b}))").cast("double")
             / nd,
         ).otherwise(F.lit(0.0))
         for b in range(dim)
