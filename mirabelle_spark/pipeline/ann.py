@@ -254,6 +254,88 @@ def embedding_near_dups(
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering instead of LSH banding —
+    the published LAION/C4 recipe. Every vector is coarse-assigned
+    to its nearest trained centroid (argmin squared L2, first-min
+    wins — the same deterministic quantization as the IVF family);
+    WITHIN each cluster, points are ordered by cosine similarity to
+    their centroid ascending (the paper keeps the LOW-similarity
+    examples — the ones carrying information the centroid doesn't)
+    and a point is dropped iff some earlier-ordered cluster-mate
+    sits at cosine ≥ ``threshold``. That matches the reference
+    implementation's semantics (max similarity against all earlier
+    points in the traversal order, kept or not), which makes the
+    drop decision embarrassingly parallel: no sequential scan, no
+    transitive closure.
+
+    Contrast with :func:`embedding_near_dups` +
+    ``resolve_clusters`` (the engine's LSH + connected-components
+    path): SemDeDup never builds global components, so two vectors
+    at cosine 0.99 in DIFFERENT clusters both survive — by design
+    (the paper accepts boundary loss for the cluster-local pair
+    bound).
+
+    Scale shape: vectors shuffle ONCE (hash by cluster id for the
+    within-cluster self-join + rank window); pair work is
+    Σ|cluster|², bounded by choosing nlist ~ N / target_cluster
+    at train time (the paper runs 50k clusters for LAION-440M —
+    cluster size, not corpus size, prices the quadratic term). The
+    centroid array is a broadcast literal; no driver collect
+    anywhere. Returns survivors: (id [, keep…], cell).
+
+    The centroid-similarity ORDER is engine-portable (IEEE gaps
+    between distinct vectors dwarf fold-order ulps; identical
+    vectors tie bit-identically and break on id), but the similarity
+    VALUE is not — DuckDB's list_reduce is not a strict sequential
+    fold at the last ulp against full-precision double centroids —
+    so the ordering stays internal and the output carries only the
+    membership decision and the cluster id.
+    """
+    c = df.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        as_double_vec(F.col(vec_col)).alias("__cv__"),
+    )
+    a = _cell_assign(c, centroids)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in ctr]) for ctr in centroids]
+    )
+    a = a.withColumn(
+        "__csim__",
+        cosine(F.col("__cv__"), F.element_at(cent_lit, F.col("__cell__") + 1)),
+    )
+    order = W.partitionBy("__cell__").orderBy(F.col("__csim__").asc(), F.col(id_col).asc())
+    ranked = a.withColumn("__rn__", F.row_number().over(order))
+    lo, hi = ranked.alias("lo"), ranked.alias("hi")
+    dropped = (
+        lo.join(
+            hi,
+            (F.col("lo.__cell__") == F.col("hi.__cell__"))
+            & (F.col("lo.__rn__") < F.col("hi.__rn__")),
+        )
+        .filter(cosine(F.col("lo.__cv__"), F.col("hi.__cv__")) >= F.lit(threshold))
+        .select(F.col(f"hi.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            *[F.col(k) for k in keep],
+            F.col("__cell__").alias("cell"),
+        )
+    )
+
+
 def _sqdist(vec: Column, ctr: Column) -> Column:
     return F.aggregate(
         F.zip_with(vec, ctr, lambda a, b: (a - b) * (a - b)),

@@ -703,6 +703,77 @@ def semantic_dedup_survivors(spark, sf):
     )
 
 
+def _semdedup_oracle(threshold: float, centroids) -> str:
+    """SemDeDup end to end in SQL: the IVF assigned CTE (same
+    left-to-right sqdist fold + first-argmin), cosine to the OWN
+    centroid, per-cluster rank (centroid_sim ASC, id), and the
+    earlier-neighbor drop rule as a rank-ordered self-join."""
+    sqd = (
+        "list_reduce(list_transform(list_zip(cv, c), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, v) -> acc + v)"
+    )
+    cos = f"{_DOT} / ({_NORM.format(a='{a}')} * {_NORM.format(a='{b}')})"
+    return f"""
+WITH cent AS (SELECT {_centroids_sql(centroids)} AS cs),
+assigned AS (
+  SELECT vec_id, label, cv,
+         CAST(list_position(ds, list_min(ds)) AS INT) AS cellp
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS cv,
+               list_transform(cs, c -> {sqd}) AS ds
+        FROM embeddings, cent)
+),
+sim AS (
+  SELECT vec_id, label, cv, cellp - 1 AS cell,
+         {cos.format(a='cv', b='(cs[cellp])::DOUBLE[]')} AS csim
+  FROM assigned, cent
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY csim ASC, vec_id ASC) AS rn
+  FROM sim
+),
+dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM ranked lo JOIN ranked hi ON lo.cell = hi.cell AND lo.rn < hi.rn
+  WHERE {cos.format(a='lo.cv', b='hi.cv')} >= CAST({threshold!r} AS DOUBLE)
+)
+SELECT vec_id, label, cell
+FROM ranked
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@q("semdedup_survivors")
+def semdedup_survivors(spark, sf):
+    """SemDeDup PROPER (Abbas et al. 2023): k-means-clustered
+    semantic dedup with the engine-TRAINED quantizer — contrast
+    with semantic_dedup_survivors (LSH banding + connected
+    components, the MinHash-shaped pipeline). Clusters come from
+    ivf_centroids_trained (the same persisted train→add→search
+    artifact the IVF family reuses); within a cluster the kept
+    representative is the LOWEST-centroid-similarity point (the
+    paper's choice: keep what the centroid doesn't already encode).
+    Pair work is cluster-local — Σ|cluster|², never corpus², and
+    nlist is the knob that prices it at 100 TB."""
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    return ann.semdedup(
+        embs(spark, sf), TRAINED_IVF_CENTROIDS, threshold=0.35, keep=("label",)
+    )
+
+
+def _register_semdedup_oracle() -> None:
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    ORACLES["semdedup_survivors"] = _semdedup_oracle(0.35, TRAINED_IVF_CENTROIDS)
+
+
+_register_semdedup_oracle()
+
+
 # ---------------------------------------------------------------------------
 # sampling / decontamination
 

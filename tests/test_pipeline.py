@@ -2436,3 +2436,56 @@ def test_trained_logreg_match_pinned(spark):
         .first()[0]
     )
     assert acc >= 0.95, acc  # measured 0.988; majority class is 0.788
+
+
+def test_semdedup_matches_pure_python(spark):
+    """SemDeDup (Abbas et al. 2023) against an independent pure-
+    numpy transcription of the whole decision procedure on sf0.001:
+    centroid assignment (first argmin), within-cluster order by
+    (centroid_sim asc, id), drop iff ANY earlier-ordered cluster-
+    mate sits at cosine >= tau (kept or not — the paper's
+    traversal-order semantics). The survivor SET and each
+    survivor's cluster must match exactly, and the result must be
+    invariant to input partitioning."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    tau = 0.35
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r.vec_id: r.cell
+        for r in ann.semdedup(emb, TRAINED_IVF_CENTROIDS, threshold=tau).collect()
+    }
+
+    rows = sorted((r.vec_id, list(r.embedding)) for r in emb.collect())
+    ids = [i for i, _ in rows]
+    V = np.array([v for _, v in rows], dtype=np.float64)
+    C = np.array(TRAINED_IVF_CENTROIDS, dtype=np.float64)
+    cell = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    nv = np.linalg.norm(V, axis=1)
+    csim = (V * C[cell]).sum(1) / (nv * np.linalg.norm(C[cell], axis=1))
+    want: dict[int, int] = {}
+    for c in range(len(C)):
+        members = sorted(
+            (i for i in range(len(ids)) if cell[i] == c),
+            key=lambda i: (csim[i], ids[i]),
+        )
+        for pos, i in enumerate(members):
+            if not any(
+                V[i] @ V[j] / (nv[i] * nv[j]) >= tau for j in members[:pos]
+            ):
+                want[ids[i]] = c
+    assert got == want
+    assert 0 < len(got) < len(ids)  # drops happened, survivors exist
+
+    got_rep = {
+        r.vec_id: r.cell
+        for r in ann.semdedup(
+            emb.repartition(7), TRAINED_IVF_CENTROIDS, threshold=tau
+        ).collect()
+    }
+    assert got_rep == got
