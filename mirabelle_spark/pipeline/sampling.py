@@ -374,3 +374,130 @@ def corpus_split(
         else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn(out, expr)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every corpus document by how much more
+# likely its hashed-n-gram feature counts are under a TARGET domain's
+# token distribution than under the raw corpus distribution, then
+# keep the highest-weighted documents. The published recipe for
+# steering a 100 TB crawl toward a curated target (Wikipedia/books)
+# without training a model: two count vectors and a dot product.
+
+
+def train_dsir(
+    df: DataFrame,
+    target,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[float]:
+    """Fit the DSIR bucket log-ratio vector: w[b] = ln p_target(b) −
+    ln p_raw(b) over ``dim`` hashed token buckets (the portable
+    md5-bucket hash every trained artifact shares), add-one
+    smoothed. ``target`` is a boolean Column selecting the target-
+    domain rows of ``df`` (DSIR's target corpus; here a column
+    predicate because the testdata ships domains in-table).
+
+    ONE aggregate job: tokens explode once, each bucket row carries
+    its raw count and its target count (count_if). The driver holds
+    two dim-length exact BIGINT vectors — bit-reproducible under any
+    partitioning — and takes the ln's once, in Python, at train
+    time; inference never touches a transcendental (the logreg
+    lifecycle). At 100 TB this is a single map-side-combined
+    aggregation over the token stream, output rows = dim."""
+    import math
+
+    from mirabelle_spark.pipeline.text import _quality_bucket_sql, tokens
+
+    toks = df.select(
+        target.cast("int").alias("__tgt__"),
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+        ).alias("__tok__"),
+    )
+    agg = (
+        toks.select(
+            "__tgt__", F.expr(_quality_bucket_sql("__tok__", dim)).alias("__b__")
+        )
+        .groupBy("__b__")
+        .agg(
+            F.count(F.lit(1)).alias("raw"),
+            F.sum("__tgt__").alias("tgt"),
+        )
+        .collect()
+    )
+    raw = [0] * dim
+    tgt = [0] * dim
+    for r in agg:
+        raw[r["__b__"]] = int(r["raw"])
+        tgt[r["__b__"]] = int(r["tgt"])
+    n_raw, n_tgt = sum(raw), sum(tgt)
+    return [
+        math.log((tgt[b] + 1) / (n_tgt + dim))
+        - math.log((raw[b] + 1) / (n_raw + dim))
+        for b in range(dim)
+    ]
+
+
+def dsir_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply a trained DSIR vector: (id [, keep…], dsir_logw) where
+    dsir_logw = Σ_b count_b(doc) · w[b] — the document's importance
+    log-weight (its log-likelihood ratio under the two hashed-
+    unigram models). Tokens hash to their bucket ONCE (the one-pass
+    discipline of the quality scorer); counts are exact integers and
+    the dot is the left-associated string-cast literal fold, so the
+    score is bit-equal cross-engine. One shuffle-free projection
+    riding the corpus scan."""
+    from mirabelle_spark.pipeline.text import (
+        _logit_expr, _quality_bucket_sql, tokens,
+    )
+
+    dim = len(weights)
+    out = (
+        df.withColumn(
+            "__t__", F.filter(tokens(F.col(text_col)), lambda t: t != F.lit(""))
+        )
+        .withColumn(
+            "__bk__",
+            F.expr(f"transform(__t__, t -> {_quality_bucket_sql('t', dim)})"),
+        )
+        .withColumn(
+            "__c__",
+            F.array(
+                *[
+                    F.expr(f"size(filter(__bk__, v -> v = {b}))").cast("double")
+                    for b in range(dim)
+                ]
+            ),
+        )
+    )
+    z = F.expr(_logit_expr(weights, 0.0, xcol="__c__"))
+    return out.select(
+        F.col(id_col), *[F.col(k) for k in keep], z.alias("dsir_logw")
+    )
+
+
+def dsir_top(
+    df: DataFrame,
+    weights: list[float],
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR selection, deterministic variant: the ``n`` highest
+    importance log-weights (ties broken by id). The paper resamples
+    with Gumbel noise; a seeded noise term is one hash-derived
+    uniform away, but ln(-ln(u)) is not bit-portable across engines,
+    so the gated path ranks pure weights. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    scored = dsir_score(df, weights, text_col=text_col, id_col=id_col, keep=keep)
+    return scored.orderBy(F.col("dsir_logw").desc(), F.col(id_col)).limit(n)

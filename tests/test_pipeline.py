@@ -2489,3 +2489,53 @@ def test_semdedup_matches_pure_python(spark):
         ).collect()
     }
     assert got_rep == got
+
+
+def test_trained_dsir_match_pinned(spark):
+    """Pin contract for the DSIR artifact: re-running train_dsir
+    with the recorded hyperparameters reproduces
+    dsir_logratios_trained.py bit-for-bit, and the trainer is
+    partitioning-invariant (exact integer counts; ln happens once
+    on the driver)."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import sampling
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAIN_DIM, TRAIN_SF_DIR, TRAIN_TARGET_LANG, TRAINED_DSIR_W,
+    )
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, TRAIN_SF_DIR)
+    w = sampling.train_dsir(
+        d, target=F.col("lang") == TRAIN_TARGET_LANG, dim=TRAIN_DIM
+    )
+    assert w == TRAINED_DSIR_W
+    w2 = sampling.train_dsir(
+        d.repartition(13), target=F.col("lang") == TRAIN_TARGET_LANG, dim=TRAIN_DIM
+    )
+    assert w2 == TRAINED_DSIR_W
+
+
+def test_dsir_selection_enriches_target(spark):
+    """The selected head must be ENRICHED in the target domain
+    relative to the corpus base rate — the whole point of DSIR.
+    Measured: 61/100 en vs 43.6% base on sf0.01."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import sampling
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAIN_SF_DIR, TRAIN_TARGET_LANG, TRAINED_DSIR_W,
+    )
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, TRAIN_SF_DIR)
+    top = sampling.dsir_top(d, TRAINED_DSIR_W, n=100, keep=("lang",))
+    top_frac = (
+        top.agg(F.avg((F.col("lang") == TRAIN_TARGET_LANG).cast("double")))
+        .first()[0]
+    )
+    base_frac = (
+        d.agg(F.avg((F.col("lang") == TRAIN_TARGET_LANG).cast("double")))
+        .first()[0]
+    )
+    assert top_frac >= base_frac + 0.1, (top_frac, base_frac)
