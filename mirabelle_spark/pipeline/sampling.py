@@ -501,3 +501,112 @@ def dsir_top(
     TakeOrderedAndProject — per-partition heaps, no global sort."""
     scored = dsir_score(df, weights, text_col=text_col, id_col=id_col, keep=keep)
     return scored.orderBy(F.col("dsir_logw").desc(), F.col(id_col)).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the 100 TB shape of
+# contamination(): at scale the corpus token stream dwarfs the
+# benchmark, and although the broadcast join already never moves
+# document bodies, every corpus (id, shingle-hash) row still flows
+# into the join. A Bloom filter built from the benchmark shingles
+# and evaluated INSIDE the corpus scan kills definite negatives
+# (the overwhelming majority) before any join machinery runs; the
+# exact confirm join then sees only the ~FPR + true-positive
+# residue, so the final result is EXACTLY contamination()'s — the
+# filter only prunes, never decides.
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 16384, k: int = 3) -> list[int]:
+    """Build a Bloom bit array over ``df[col]`` relationally: k
+    independent bit positions per value (xxhash64 re-seeded by a
+    literal lane index — no 64-bit arithmetic that ANSI mode could
+    overflow), OR-folded into m_bits/64 words with one bit_or
+    aggregate. The driver holds m_bits/64 bigints (bounded by the
+    CHOSEN m, not the data) — the same bounded-collect contract as
+    the ANN probe stats. Size m to the benchmark: k=3 and
+    m ≈ 23·n_distinct gives ~0.1% FPR."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    lanes = F.array(
+        *[F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+    rows = (
+        df.select(F.explode(lanes).alias("__bit__"))
+        .select(
+            F.expr("__bit__ div 64").alias("__w__"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("__bit__"), F.lit(64)).cast("int"),
+            ).alias("__m__"),
+        )
+        .groupBy("__w__")
+        .agg(F.bit_or("__m__").alias("__or__"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[int(r["__w__"])] = int(r["__or__"])
+    return words
+
+
+def bloom_might_contain(
+    words: list[int], col: Column, m_bits: int, k: int = 3
+) -> Column:
+    """Membership test against a driver-built Bloom array, inline in
+    the scan: all k re-seeded bit positions set ⇒ maybe-present
+    (false positives at the designed rate, never false negatives).
+    The word array is a foldable literal — Catalyst materializes it
+    once, and the test is k hashes + k masked lookups per row, no
+    join."""
+    arr = F.array(*[F.lit(int(w)) for w in words])
+    cond = None
+    for i in range(k):
+        bit = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, (bit / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(bit, F.lit(64)).cast("int")
+        )
+        c = word.bitwiseAND(mask) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def contamination_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 3,
+    m_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`contamination` with a Bloom prefilter on the corpus
+    shingle stream — identical output (the exact broadcast-join
+    confirm still decides), but only shingles the filter cannot
+    rule out ever leave the scan. Building the filter runs one
+    bounded aggregate job over the (tiny) benchmark at plan time."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), shingle_n)).alias("__s__")
+        )
+        .select(F.xxhash64("__s__").alias("__h__"))
+        .distinct()
+    )
+    words = bloom_build(bench_sh, "__h__", m_bits=m_bits, k=k)
+    corpus_sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s__"),
+        )
+        .select(id_col, F.xxhash64("__s__").alias("__h__"))
+        .filter(bloom_might_contain(words, F.col("__h__"), m_bits, k=k))
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "__h__")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("__h__").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )

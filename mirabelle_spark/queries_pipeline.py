@@ -881,6 +881,36 @@ def contamination_docs(spark, sf):
 
 
 @q(
+    "contamination_bloom_docs",
+    f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+hits AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 5
+)
+SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS shared_shingles
+FROM hits GROUP BY doc_id HAVING count(DISTINCT s) >= 2
+""",
+)
+def contamination_bloom_docs(spark, sf):
+    """contamination_docs through the Bloom-prefiltered scale path:
+    a 16384-bit filter built from the benchmark shingles kills
+    definite-negative corpus shingles inside the scan, and the
+    exact broadcast-join confirm decides the rest — so the oracle
+    is contamination_docs' SQL verbatim (identical result is the
+    contract, pytest-pinned along with the prefilter actually
+    pruning). At 100 TB the join input shrinks by the
+    true-negative rate; the filter itself is m/64 driver-held
+    bigints, sized by choice, not by data."""
+    from mirabelle_spark.pipeline import sampling
+
+    d = docs(spark, sf)
+    return sampling.contamination_bloom(
+        d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5), min_shared=2
+    )
+
+
+@q(
     "pack_docs",
     """
 WITH toks AS (

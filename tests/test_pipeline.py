@@ -2539,3 +2539,50 @@ def test_dsir_selection_enriches_target(spark):
         .first()[0]
     )
     assert top_frac >= base_frac + 0.1, (top_frac, base_frac)
+
+
+def test_contamination_bloom_identical_and_pruning(spark):
+    """The Bloom-prefiltered decontamination path must (a) return
+    EXACTLY contamination()'s rows — the filter only prunes, the
+    exact confirm join decides — and (b) actually prune: the
+    prefiltered shingle stream must be strictly smaller than the
+    raw one (else the path is a tautology). Also pins the
+    no-false-negative guarantee structurally: if the filter dropped
+    a true hit, (a) would fail."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import sampling
+    from mirabelle_spark.pipeline.dedup import word_shingles
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus, bench = d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5)
+    base = {
+        (r.doc_id, r.shared_shingles)
+        for r in sampling.contamination(corpus, bench, min_shared=2).collect()
+    }
+    bloomed = {
+        (r.doc_id, r.shared_shingles)
+        for r in sampling.contamination_bloom(corpus, bench, min_shared=2).collect()
+    }
+    assert bloomed == base and len(base) > 0
+
+    bench_sh = (
+        bench.select(F.explode(word_shingles(F.col("text"), 3)).alias("__s__"))
+        .select(F.xxhash64("__s__").alias("__h__"))
+        .distinct()
+    )
+    words = sampling.bloom_build(bench_sh, "__h__", m_bits=16384, k=3)
+    corpus_sh = corpus.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("__s__")
+    ).select(F.xxhash64("__s__").alias("__h__"))
+    raw_n = corpus_sh.count()
+    kept_n = corpus_sh.filter(
+        sampling.bloom_might_contain(words, F.col("__h__"), 16384, k=3)
+    ).count()
+    assert kept_n < raw_n, (kept_n, raw_n)
+    # every benchmark hash must pass its own filter (no false negatives)
+    bench_n = bench_sh.count()
+    bench_pass = bench_sh.filter(
+        sampling.bloom_might_contain(words, F.col("__h__"), 16384, k=3)
+    ).count()
+    assert bench_pass == bench_n
