@@ -67,15 +67,17 @@ GATE_PRIORITY = [
     "doc_length_profile", "split_token_budget", "order_priority_counts",
 ]
 
-# Round-12 rotation note: after the r11 gate the stale set is the
-# full 49-entry r9 cohort (no filler slots remained; registry
-# order: where_not,
-# where_regex, under_filter, expired_events, not_expired_events,
-# changed_transitions, ...) — lead r12 with r12 changes, then as
-# many of those 49 as fit, then the r10-cohort head (where_basic,
-# over_filter, tagged_all, split_routing, ...); whatever r9 tail
-# does not fit leads r13. Keep winnow_dedup_pairs_fast out of the
-# head (see above).
+# Round-12 rotation note: lead r12 with (a) any r12 adds/changes,
+# then (b) the FOUR r11 queries added after this gate was frozen —
+# semdedup_survivors, dsir_logweight_docs, dsir_top_docs,
+# contamination_bloom_docs (never driver-gated yet; all four are
+# exact-oracle and check_correctness-green at r11 HEAD), then
+# (c) as many of the 49-entry r9 cohort as fit (registry order:
+# where_not, where_regex, under_filter, expired_events,
+# not_expired_events, changed_transitions, ...), then the
+# r10-cohort head (where_basic, over_filter, tagged_all,
+# split_routing, ...); whatever r9 tail does not fit leads r13.
+# Keep winnow_dedup_pairs_fast out of the head (see above).
 
 
 def _ordered(mapping: dict) -> dict:

@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "dup_span_removed_char_docs",  # byte-grain ExactSubstr (per-char explode)
     "logreg_quality_docs",    # trained-model inference (shuffle-free projection)
     "curate_head_docs",       # quality -> dedup -> mask compose
+    "semdedup_survivors",     # k-means cluster-local semantic dedup
+    "dsir_top_docs",          # importance-weight scoring + top-k select
+    "contamination_bloom_docs",  # Bloom-prefiltered decontamination
 ]
 
 
