@@ -205,6 +205,7 @@ def curate_head(
     rules: tuple[str, ...] = ("passes",),
     model: tuple[list[float], float] | None = None,
     dim: int = 16,
+    dsir: tuple[list[float], float] | None = None,
 ) -> DataFrame:
     """The batch curation head (r11): Gopher quality rules → exact
     dedup (min-id winner per normalized text) → PII masking — the
@@ -223,6 +224,14 @@ def curate_head(
     train_quality_logreg`, then gate on the smooth score): the
     quality stage becomes the logit-positive filter, still one
     stateless projection; ``rules``/``min_words`` are ignored.
+
+    ``dsir=(weights, min_logw)`` adds a DOMAIN gate after the
+    quality gate: keep only documents whose DSIR importance
+    log-weight (:func:`dsir_score`, the trained target-vs-raw
+    likelihood ratio) reaches ``min_logw`` — the streaming-safe
+    surrogate for the paper's top-k selection (threshold at the
+    k-th weight of a trained run; 0.0 = "likelier under the target
+    model than the raw one"). Still one stateless projection.
 
     Scale shape: quality is a stateless projection; dedup shuffles
     only (id, 24-byte hash) rows (bodies never move); masking is a
@@ -251,6 +260,19 @@ def curate_head(
             gopher_rules(df, text_col=text_col, min_words=min_words)
             .filter(cond)
             .select(*df.columns)
+        )
+    if dsir is not None:
+        dw, thr = dsir
+        passed = (
+            dsir_score(
+                passed,
+                dw,
+                text_col=text_col,
+                id_col=id_col,
+                keep=tuple(c for c in passed.columns if c != id_col),
+            )
+            .filter(F.col("dsir_logw") >= F.lit(float(thr)))
+            .select(*passed.columns)
         )
     winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
         id_col

@@ -323,13 +323,29 @@ def _curate_model(cfg):
     return (TRAINED_LOGREG_W, TRAINED_LOGREG_B), TRAIN_DIM
 
 
+def _curate_dsir(cfg):
+    """cfg {"domain": "dsir"} adds the PINNED engine-trained DSIR
+    domain gate (importance log-weight ≥ "domain-min-logw", default
+    0.0 = likelier under the target model than the raw one);
+    returns the (weights, threshold) pair for curate_head /
+    stream_curate or None."""
+    if cfg.get("domain") != "dsir":
+        return None
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAINED_DSIR_W,
+    )
+
+    return TRAINED_DSIR_W, float(cfg.get("domain-min-logw", 0.0))
+
+
 @action("curate")
 def _curate(df, ctx, cfg=None):
     """LLM-curation head over a document stream (r11): quality gate
     (Gopher rules, or the pinned trained classifier with
-    {"quality": "trained"}) -> exact dedup (deterministic min-id
+    {"quality": "trained"}) -> optional DSIR domain gate
+    ({"domain": "dsir"}) -> exact dedup (deterministic min-id
     winner) -> PII masking. cfg keys: text-col, id-col, min-words,
-    rules, quality."""
+    rules, quality, domain, domain-min-logw."""
     from mirabelle_spark.pipeline import sampling as smp
 
     cfg = cfg or {}
@@ -342,6 +358,7 @@ def _curate(df, ctx, cfg=None):
         rules=tuple(cfg.get("rules", ["passes"])),
         model=model,
         dim=dim,
+        dsir=_curate_dsir(cfg),
     )
 
 # -- stateful --------------------------------------------------------------
@@ -607,6 +624,7 @@ def _s_curate(df, ctx, cfg=None):
         rules=tuple(cfg.get("rules", ["passes"])),
         model=model,
         dim=dim,
+        dsir=_curate_dsir(cfg),
     )
 
 

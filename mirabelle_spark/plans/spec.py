@@ -355,6 +355,7 @@ SPECS: dict[str, Sig] = {
         "text-col": ne_string, "id-col": ne_string,
         "min-words": pos_int, "rules": str_or_strs,
         "dedup-within": pos_number, "quality": ne_string,
+        "domain": ne_string, "domain-min-logw": number,
     })),)),
     # stateful (::above-dt :510, ::below-dt :536, ::between-dt :562,
     # ::outside-dt :592, ::cond-dt :623, ::changed :1347, ::stable)

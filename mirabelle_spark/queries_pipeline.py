@@ -2622,6 +2622,83 @@ def curate_head_logreg_docs(spark, sf):
     )
 
 
+def _curate_head_dsir_oracle(thr: float) -> str:
+    """Rules-gate curation with the trained DSIR DOMAIN gate
+    between quality and dedup: the curate_head_docs CTE chain plus
+    the dsir_logweight CTE chain, joined as a semi-filter."""
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAIN_DIM, TRAINED_DSIR_W,
+    )
+
+    z = "CAST('0.0' AS DOUBLE)"
+    for i, w in enumerate(TRAINED_DSIR_W):
+        z = f"({z} + (CAST('{w!r}' AS DOUBLE) * cv[{i + 1}]))"
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents),
+m AS (
+  SELECT doc_id, text, len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha_words
+  FROM t
+),
+good AS (
+  SELECT doc_id, text FROM m
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND (CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8 ELSE FALSE END)
+),
+db AS (
+  SELECT doc_id,
+         list_transform(list_filter(w, x -> x <> ''),
+                        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {TRAIN_DIM}) AS bk
+  FROM t
+),
+dc AS (
+  SELECT doc_id,
+         list_transform(range(0, {TRAIN_DIM}),
+                        bb -> CAST(len(list_filter(bk, v -> v = bb)) AS DOUBLE)) AS cv
+  FROM db
+),
+dgate AS (SELECT doc_id FROM dc WHERE {z} >= CAST({thr!r} AS DOUBLE)),
+h AS (
+  SELECT g.doc_id, g.text,
+         trim(regexp_replace(lower(g.text), '\\s+', ' ', 'g')) AS nt
+  FROM good g JOIN dgate USING (doc_id)
+),
+win AS (SELECT nt, min(doc_id) AS doc_id FROM h GROUP BY nt)
+SELECT h.doc_id,
+       regexp_replace(regexp_replace(h.text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM h JOIN win USING (nt, doc_id)
+"""
+
+
+@q("curate_head_dsir_docs", _curate_head_dsir_oracle(0.0))
+def curate_head_dsir_docs(spark, sf):
+    """The curation head with the trained DSIR DOMAIN gate (r11):
+    quality rules → importance log-weight ≥ 0 (likelier under the
+    target-domain token model than the raw one — DSIR's streaming-
+    safe thresholded form) → min-id exact dedup → PII mask. DSL:
+    {"action": "curate", "params": [{"rules": [...],
+    "domain": "dsir"}]}; streaming twin via stream_curate(dsir=...).
+    Both gates are stateless projections, so the compose still
+    moves bodies once."""
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAINED_DSIR_W,
+    )
+
+    return smp.curate_head(
+        docs(spark, sf),
+        min_words=30,
+        rules=("word_count_ok", "word_len_ok", "alpha_ok"),
+        dsir=(TRAINED_DSIR_W, 0.0),
+    )
+
+
 @q("logreg_quality_docs", _logreg_quality_oracle())
 def logreg_quality_docs(spark, sf):
     """ENGINE-TRAINED quality classifier inference (r11) — the

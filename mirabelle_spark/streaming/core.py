@@ -431,6 +431,7 @@ def stream_curate(
     rules: tuple[str, ...] = ("passes",),
     model: tuple[list[float], float] | None = None,
     dim: int = 16,
+    dsir: tuple[list[float], float] | None = None,
 ) -> DataFrame:
     """Streaming twin of the LLM-curation head (r11): Gopher quality
     rules → exact dedup on the normalized-text hash → PII masking,
@@ -461,7 +462,10 @@ def stream_curate(
     hold; ``model=(weights, bias)`` swaps the rule gate for a
     TRAINED quality classifier — still a stateless projection (see
     :func:`~mirabelle_spark.pipeline.sampling.curate_head`, the
-    deterministic batch twin). Returns
+    deterministic batch twin); ``dsir=(weights, min_logw)`` adds
+    the trained DOMAIN gate after quality (importance log-weight ≥
+    threshold — DSIR's streaming-safe form, since top-k is not
+    incremental), also stateless. Returns
     (id_col, [time_col], text_masked)."""
     from functools import reduce
     from operator import and_
@@ -487,6 +491,21 @@ def stream_curate(
             gopher_rules(df, text_col=text_col, min_words=min_words)
             .filter(reduce(and_, [F.col(r) for r in rules]))
             .select(*df.columns)
+        )
+    if dsir is not None:
+        from mirabelle_spark.pipeline.sampling import dsir_score
+
+        dw, thr = dsir
+        passed = (
+            dsir_score(
+                passed,
+                dw,
+                text_col=text_col,
+                id_col=id_col,
+                keep=tuple(c for c in passed.columns if c != id_col),
+            )
+            .filter(F.col("dsir_logw") >= F.lit(float(thr)))
+            .select(*passed.columns)
         )
     norm = normalized(F.col(text_col))
     hashed = passed.select(

@@ -456,3 +456,52 @@ def test_curate_dsl_trained_quality(spark):
         ).collect()
     }
     assert got == want and got  # non-empty and identical
+
+
+def test_curate_dsl_dsir_domain(spark):
+    """{"domain": "dsir"} adds the pinned DSIR domain gate between
+    quality and dedup; the batch realization matches
+    curate_head(dsir=(pinned, thr)), and a non-numeric threshold is
+    rejected by the spec."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAINED_DSIR_W,
+    )
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, "/root/testdata/sf0.001").limit(80)
+    cfg = {"min-words": 30,
+           "rules": ["word_count_ok", "word_len_ok", "alpha_ok"],
+           "domain": "dsir", "domain-min-logw": 0.0}
+    tree = {
+        "action": "curate", "params": [cfg],
+        "children": [{"action": "tap", "params": ["cur"]}],
+    }
+    got = {
+        (r.doc_id, r.text_masked)
+        for r in b.build_stream(d, tree)["cur"].collect()
+    }
+    want = {
+        (r.doc_id, r.text_masked)
+        for r in smp.curate_head(
+            d, min_words=30,
+            rules=("word_count_ok", "word_len_ok", "alpha_ok"),
+            dsir=(TRAINED_DSIR_W, 0.0),
+        ).collect()
+    }
+    assert got == want and got  # non-empty and identical
+    # the gate actually gates: without it, strictly more docs pass
+    no_gate = smp.curate_head(
+        d, min_words=30, rules=("word_count_ok", "word_len_ok", "alpha_ok")
+    ).count()
+    assert len(got) < no_gate
+
+    with _pytest.raises(InvalidActionParams, match="domain-min-logw"):
+        b.compile_stream(d, {"action": "curate",
+                             "params": [{"domain": "dsir",
+                                         "domain-min-logw": "high"}],
+                             "children": []})

@@ -3526,3 +3526,41 @@ def test_stream_curate_parity(spark, tmp_path):
         ).collect()
     }
     assert got_m == batch_m, got_m
+
+    # DSIR domain-gate mode (r11): the importance-threshold filter
+    # is a stateless projection too — parity-exact with the batch
+    # twin under the same pinned log-ratio weights. Threshold at a
+    # permissive level (the tiny corpus scores are all near 0) so
+    # the gate passes SOME docs and the dedup state still matters.
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAINED_DSIR_W,
+    )
+
+    dsir = (TRAINED_DSIR_W, -10.0)
+    batch_d = {
+        (r.doc_id, r.text_masked)
+        for r in sampling.curate_head(df, min_words=5, dsir=dsir).collect()
+    }
+    assert len(batch_d) > 0
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = core.stream_curate(stream, min_words=5, dsir=dsir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_dsir")
+        .option("checkpointLocation", str(tmp_path / "ck_dsir"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_d = {
+        (r.doc_id, r.text_masked)
+        for r in spark.sql(
+            "SELECT doc_id, text_masked FROM curate_dsir"
+        ).collect()
+    }
+    assert got_d == batch_d, got_d
