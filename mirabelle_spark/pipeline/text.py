@@ -839,6 +839,58 @@ def bpe_segment_profile(
     return top.withColumn("rank", F.row_number().over(wnd))
 
 
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer FERTILITY by group: mean subword tokens per word
+    under trained merges — the standard tokenizer-fit diagnostic
+    (fertility 1.0 = every word one token; a domain whose fertility
+    is high is under-covered by the vocabulary and costs that many
+    times more sequence length). Returns
+    (by, n_words, n_subtokens, fertility).
+
+    Vocabulary-table shape: segmentation runs once per DISTINCT
+    word (the bpe_segment_profile discipline — at 32k merges use
+    the chunked loop, see bpe_apply); the corpus contributes one
+    (group, word) hash agg, then narrow count rows join the
+    vocab-sized word→n_subtokens map. fertility is one IEEE
+    division of exact BIGINT sums — bit-portable cross-engine."""
+    words = df.select(
+        F.col(by),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                " ",
+            )
+        ).alias("word"),
+    ).filter(F.length("word") >= 1)
+    wf = words.groupBy(by, "word").agg(F.count(F.lit(1)).alias("__n__"))
+    vocab = (
+        wf.select("word")
+        .distinct()
+        .withColumn("__k__", F.size(bpe_apply(F.col("word"), merges)))
+    )
+    j = wf.join(vocab, "word")
+    n_words = F.sum("__n__").cast("bigint")
+    n_sub = F.sum(F.col("__n__") * F.col("__k__")).cast("bigint")
+    return (
+        j.groupBy(by)
+        .agg(n_words.alias("n_words"), n_sub.alias("n_subtokens"))
+        .select(
+            by,
+            "n_words",
+            "n_subtokens",
+            (
+                F.col("n_subtokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     n: int = 3,
@@ -991,6 +1043,51 @@ def _logit_expr(weights: list[float], bias: float, xcol: str = "__x__") -> str:
     for i, w in enumerate(weights):
         z = f"({z} + (CAST('{w!r}' AS DOUBLE) * {xcol}[{i}]))"
     return z
+
+
+def quality_gate_expr(
+    weights: list[float], bias: float, dim: int = 16, text_col: str = "text"
+):
+    """The trained-classifier logit as a MEMBERSHIP-grade inline
+    expression: the hashed-bucket frequency dot Σ_b w_b·(c_b/n)
+    re-folded in token order as (Σ_t w[bucket(t)])/n, plus the four
+    dense lanes as single-pass folds — tokens are hashed ONCE and
+    the whole logit is one subtree.
+
+    Exists for the same reason as
+    :func:`~mirabelle_spark.pipeline.sampling.dsir_gate_expr`: a
+    filter on quality_logreg_score's projected logit gets inlined
+    per-lane once downstream drops the column (17 hash transforms
+    in the plan, codegen-fallback lambdas, measured 4.9 s → 0.85 s
+    at sf0.1). Differs from the bucket-order logit only by FP
+    reassociation (≈1e-16 relative) while the trained boundary's
+    nearest document sits at |logit| ≥ 7.8e-3 (sf0.1) — membership
+    equality is pytest-pinned. quality_logreg_score stays the
+    VALUE path (bit-exact cross-engine)."""
+    from pyspark.sql import functions as F
+
+    warr = "array(" + ", ".join(
+        f"CAST('{x!r}' AS DOUBLE)" for x in weights[:dim]
+    ) + ")"
+    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    fold = (
+        f"aggregate({toks}, CAST(0.0 AS DOUBLE), (acc, t) -> "
+        f"acc + element_at({warr}, CAST({_quality_bucket_sql('t', dim)} AS INT) + 1))"
+    )
+    n = f"size({toks})"
+    wl = f"aggregate({toks}, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))"
+    alpha = f"size(filter({toks}, t -> t rlike '[a-z]'))"
+    nd = f"CAST({n} AS DOUBLE)"
+    mwl = f"IF({n} > 0, CAST({wl} AS DOUBLE) / {nd}, CAST(0.0 AS DOUBLE))"
+    af = f"IF({n} > 0, CAST({alpha} AS DOUBLE) / {nd}, CAST(0.0 AS DOUBLE))"
+    zf = f"IF({n} > 0, ({fold}) / {nd}, CAST(0.0 AS DOUBLE))"
+    return F.expr(
+        f"((((CAST('{bias!r}' AS DOUBLE) + {zf})"
+        f" + (CAST('{weights[dim]!r}' AS DOUBLE) * ({nd} / ({nd} + 100.0))))"
+        f" + (CAST('{weights[dim + 1]!r}' AS DOUBLE) * {mwl}))"
+        f" + (CAST('{weights[dim + 2]!r}' AS DOUBLE) * ({mwl} * {mwl})))"
+        f" + (CAST('{weights[dim + 3]!r}' AS DOUBLE) * {af})"
+    )
 
 
 def train_quality_logreg(

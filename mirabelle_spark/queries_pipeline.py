@@ -2252,13 +2252,11 @@ def pca_power_iter(spark, sf):
     return ann.power_iteration_step(embs(spark, sf), _pca_seed())
 
 
-def _bpe_segment_oracle(top_n: int = 50) -> str:
-    """Segmentation as a chain of literal replaces over the
-    doubled-delimiter form (see text._BPE_SEP) — the EXACT rule the
-    trainer and bpe_apply use, with the trained merges inlined. RE2-
-    safe: no lookarounds, plain replace()."""
-    from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
-
+def _bpe_seg_sql(merges) -> str:
+    """Segmentation of column ``word`` as a chain of literal
+    replaces over the doubled-delimiter form (see text._BPE_SEP) —
+    the EXACT rule the trainer and bpe_apply use, with the merges
+    inlined. RE2-safe: no lookarounds, plain replace()."""
     s = "\x1f"
     s2 = s * 2
 
@@ -2270,9 +2268,17 @@ def _bpe_segment_oracle(top_n: int = 50) -> str:
     # replace(word, chr(31), '') mirrors the engine's \x1f strip at
     # seg init (delimiter invariant for hostile input)
     seg = f"regexp_replace(replace(word, '{s}', ''), '(.)', '{s2}\\1', 'g') || '{s2}'"
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         a, b = _q(a), _q(b)
         seg = f"replace({seg}, '{s}{a}{s2}{b}{s}', '{s}{a}{b}{s}')"
+    return seg
+
+
+def _bpe_segment_oracle(top_n: int = 50) -> str:
+    from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
+
+    s = "\x1f"
+    seg = _bpe_seg_sql(BPE_MERGES)
     return f"""
 WITH words AS (
   SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
@@ -2301,6 +2307,49 @@ def bpe_segment_trained(spark, sf):
     from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
 
     return text.bpe_segment_profile(docs(spark, sf), BPE_MERGES, top_n=50)
+
+
+def _bpe_fertility_oracle() -> str:
+    from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
+
+    s = "\x1f"
+    seg = _bpe_seg_sql(BPE_MERGES)
+    return f"""
+WITH words AS (
+  SELECT lang,
+         unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT lang, word, count(*) AS n FROM words
+  WHERE length(word) >= 1 GROUP BY lang, word
+),
+vocab AS (
+  SELECT word,
+         len(list_filter(string_split({seg}, '{s}'), x -> x <> '')) AS k
+  FROM (SELECT DISTINCT word FROM wf)
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * k) AS BIGINT) AS n_subtokens,
+       CAST(sum(n * k) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS fertility
+FROM wf JOIN vocab USING (word)
+GROUP BY lang
+"""
+
+
+@q("bpe_fertility_by_lang", _bpe_fertility_oracle())
+def bpe_fertility_by_lang(spark, sf):
+    """Tokenizer fertility (mean subword tokens per word) per
+    language under the ENGINE-TRAINED BPE merges — the tokenizer-
+    fit audit every multilingual pipeline runs before committing a
+    vocabulary: a language whose fertility is high pays that factor
+    in sequence length. Segmentation cost is vocabulary-sized, not
+    corpus-sized (distinct-word table, the bpe_segment_profile
+    shape)."""
+    from mirabelle_spark.pipeline.bpe_merges_trained import BPE_MERGES
+
+    return text.bpe_fertility(docs(spark, sf), BPE_MERGES, by="lang")
 
 
 def _pca_project_oracle(k: int = 20) -> str:

@@ -472,19 +472,12 @@ def stream_curate(
 
     from mirabelle_spark.pipeline.dedup import normalized
     from mirabelle_spark.pipeline.sampling import mask_pii
-    from mirabelle_spark.pipeline.text import (
-        _logit_expr, gopher_rules, quality_features,
-    )
+    from mirabelle_spark.pipeline.text import gopher_rules, quality_gate_expr
 
     if model is not None:
         w, b = model
-        passed = (
-            quality_features(
-                df, dim=dim, text_col=text_col, id_col=id_col,
-                keep=tuple(c for c in df.columns if c != id_col),
-            )
-            .filter(F.expr(_logit_expr(w, b)) > 0)
-            .select(*df.columns)
+        passed = df.filter(
+            quality_gate_expr(w, b, dim=dim, text_col=text_col) > 0
         )
     else:
         passed = (
@@ -493,19 +486,11 @@ def stream_curate(
             .select(*df.columns)
         )
     if dsir is not None:
-        from mirabelle_spark.pipeline.sampling import dsir_score
+        from mirabelle_spark.pipeline.sampling import dsir_gate_expr
 
         dw, thr = dsir
-        passed = (
-            dsir_score(
-                passed,
-                dw,
-                text_col=text_col,
-                id_col=id_col,
-                keep=tuple(c for c in passed.columns if c != id_col),
-            )
-            .filter(F.col("dsir_logw") >= F.lit(float(thr)))
-            .select(*passed.columns)
+        passed = passed.filter(
+            dsir_gate_expr(dw, text_col=text_col) >= F.lit(float(thr))
         )
     norm = normalized(F.col(text_col))
     hashed = passed.select(

@@ -2586,3 +2586,57 @@ def test_contamination_bloom_identical_and_pruning(spark):
         sampling.bloom_might_contain(words, F.col("__h__"), 16384, k=3)
     ).count()
     assert bench_pass == bench_n
+
+
+def test_gate_exprs_match_score_membership(spark):
+    """The one-pass membership folds (dsir_gate_expr,
+    quality_gate_expr) must select EXACTLY the rows their bit-exact
+    score twins select, and the corpus must sit far from the
+    thresholds relative to FP reassociation (the folds differ from
+    the bucket-order dots only by association, ~1e-16 relative;
+    measured margins: DSIR 3.4e-6 at sf0.1, logit 7.8e-3)."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import sampling, text as tx
+    from mirabelle_spark.pipeline.dsir_logratios_trained import (
+        TRAINED_DSIR_W,
+    )
+    from mirabelle_spark.pipeline.logreg_quality_trained import (
+        TRAIN_DIM, TRAINED_LOGREG_B, TRAINED_LOGREG_W,
+    )
+    from mirabelle_spark.pipeline.text import _logit_expr
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    ds = sampling.dsir_score(d, TRAINED_DSIR_W)
+    want = {r.doc_id for r in ds.filter(F.col("dsir_logw") >= 0.0).collect()}
+    got = {
+        r.doc_id
+        for r in d.filter(sampling.dsir_gate_expr(TRAINED_DSIR_W) >= 0.0)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and 0 < len(got) < d.count()
+    margin = ds.agg(F.min(F.abs("dsir_logw"))).first()[0]
+    assert margin > 1e-9, margin
+
+    X = tx.quality_features(d, dim=TRAIN_DIM)
+    zb = X.select(
+        "doc_id",
+        F.expr(_logit_expr(TRAINED_LOGREG_W, TRAINED_LOGREG_B)).alias("z"),
+    )
+    want_m = {r.doc_id for r in zb.filter(F.col("z") > 0).collect()}
+    got_m = {
+        r.doc_id
+        for r in d.filter(
+            tx.quality_gate_expr(
+                TRAINED_LOGREG_W, TRAINED_LOGREG_B, dim=TRAIN_DIM
+            )
+            > 0
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got_m == want_m and 0 < len(got_m) < d.count()
+    margin_m = zb.agg(F.min(F.abs("z"))).first()[0]
+    assert margin_m > 1e-9, margin_m
