@@ -315,14 +315,34 @@ def semdedup(
     )
     order = W.partitionBy("__cell__").orderBy(F.col("__csim__").asc(), F.col(id_col).asc())
     ranked = a.withColumn("__rn__", F.row_number().over(order))
-    lo, hi = ranked.alias("lo"), ranked.alias("hi")
+    # stage unit vectors ONCE so the quadratic pair check is a single
+    # dot, not dot + two norm recomputations (3 folds -> 1 per pair;
+    # the per-pair term is what Σ|cluster|² multiplies). The staged
+    # norm is one extra projection on the linear row count.
+    staged = ranked.select(
+        id_col, "__cell__", "__rn__", "__cv__"
+    ).withColumn("__n__", l2norm(F.col("__cv__")))
+    pairside = staged.select(
+        id_col,
+        "__cell__",
+        "__rn__",
+        F.when(
+            F.col("__n__") > 0,
+            F.zip_with(
+                F.col("__cv__"),
+                F.array_repeat(F.col("__n__"), F.size("__cv__")),
+                lambda x, nn: x / nn,
+            ),
+        ).otherwise(F.col("__cv__")).alias("__uv__"),
+    )
+    lo, hi = pairside.alias("lo"), pairside.alias("hi")
     dropped = (
         lo.join(
             hi,
             (F.col("lo.__cell__") == F.col("hi.__cell__"))
             & (F.col("lo.__rn__") < F.col("hi.__rn__")),
         )
-        .filter(cosine(F.col("lo.__cv__"), F.col("hi.__cv__")) >= F.lit(threshold))
+        .filter(dot(F.col("lo.__uv__"), F.col("hi.__uv__")) >= F.lit(threshold))
         .select(F.col(f"hi.{id_col}").alias(id_col))
         .distinct()
     )
