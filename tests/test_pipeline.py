@@ -2640,3 +2640,31 @@ def test_gate_exprs_match_score_membership(spark):
     assert got_m == want_m and 0 < len(got_m) < d.count()
     margin_m = zb.agg(F.min(F.abs("z"))).first()[0]
     assert margin_m > 1e-9, margin_m
+
+
+def test_semdedup_arrow_mode_matches_fold(spark):
+    """The BLAS pairwise engine (pairs="arrow": per-cluster blocked
+    GEMM via applyInPandas) must produce the identical survivor set
+    as the oracle-twinned Catalyst fold mode — BLAS reassociation
+    only matters within ~1e-15 of the threshold, far inside the
+    corpus margins. Checked at two SFs."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sfd}/embeddings.parquet")
+        fold = {
+            (r.vec_id, r.cell)
+            for r in ann.semdedup(
+                e, TRAINED_IVF_CENTROIDS, threshold=0.35, pairs="fold"
+            ).collect()
+        }
+        arrow = {
+            (r.vec_id, r.cell)
+            for r in ann.semdedup(
+                e, TRAINED_IVF_CENTROIDS, threshold=0.35, pairs="arrow"
+            ).collect()
+        }
+        assert arrow == fold and fold
