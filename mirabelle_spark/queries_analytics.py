@@ -380,3 +380,66 @@ def large_order_customers(spark, sf):
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
     )
+
+
+@q(
+    "volume_shipping",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+)
+def volume_shipping(spark, sf):
+    """TPC-H Q7-shaped volume shipping: cross-border revenue by
+    (supplier nation, customer nation, ship year). Two fact-side
+    shuffle joins (orderkey, custkey); both nation aliases carry
+    F.broadcast hints (25 rows by schema), while supplier — ~1M
+    rows at sf100 — is left to AQE's size check (the r10 broadcast-
+    hint policy: hint only schema-bounded dims). Decimal-exact
+    revenue.
+    The ship YEAR comes from epoch-day arithmetic on the µs instant
+    (date_add from 1970-01-01), NOT year(timestamp) — the latter is
+    session-timezone dependent and the driver's session is not UTC;
+    the oracle's naive TIMESTAMP_NS wall clock IS the UTC instant,
+    so both engines see the same calendar."""
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nation = table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    l_year = F.year(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.expr("CAST(unix_micros(l_shipdate) div 86400000000 AS INT)"),
+        )
+    ).cast("int")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", l_year.alias("l_year")).agg(
+        _dsum(disc).alias("revenue")
+    )
