@@ -2855,3 +2855,39 @@ def dup_span_removed_char_docs(spark, sf):
     return dedup.dup_span_removed(
         docs(spark, sf), n=20, min_docs=2, grain="char"
     )
+
+
+@q(
+    "vocab_cardinality_by_lang",
+    f"""
+WITH t AS (
+  SELECT lang, unnest(list_filter({_TOKENS_SQL}, x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT lang,
+       CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM t GROUP BY lang
+""",
+)
+def vocab_cardinality_by_lang(spark, sf):
+    """Vocabulary cardinality + token mass per language — the
+    corpus-composition audit run before sizing a tokenizer. Gated
+    exact (count_distinct: shuffle of (lang, token) pairs, vocab-
+    bounded). At 100 TB swap the exact count for
+    approx_count_distinct (HyperLogLog++, one pass, no distinct
+    shuffle, ~2% default error) — the swap is a one-word change and
+    tests/test_pipeline.py::test_vocab_cardinality_approx_within_5pct
+    pins the approximation against this exact query."""
+    from mirabelle_spark.pipeline.text import tokens
+
+    t = docs(spark, sf).select(
+        "lang",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    return t.groupBy("lang").agg(
+        F.count_distinct("tok").alias("vocab_size"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

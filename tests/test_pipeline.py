@@ -2668,3 +2668,28 @@ def test_semdedup_arrow_mode_matches_fold(spark):
             ).collect()
         }
         assert arrow == fold and fold
+
+
+def test_vocab_cardinality_approx_within_5pct(spark):
+    """The documented 100 TB swap for vocab_cardinality_by_lang:
+    approx_count_distinct (HyperLogLog++) must land within 5% of
+    the exact count on every language — pins that the one-word
+    swap is actually safe at the advertised accuracy."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline.text import tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    t = d.select(
+        "lang",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    rows = t.groupBy("lang").agg(
+        F.count_distinct("tok").alias("exact"),
+        F.approx_count_distinct("tok").alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.05 * r.exact, (r.lang, r.exact, r.approx)
