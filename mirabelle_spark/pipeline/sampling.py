@@ -171,6 +171,47 @@ def mixture_sample(
     return df.filter(stable_hash_bucket(F.col(key_col), buckets) < pct)
 
 
+def temperature_sample(
+    df: DataFrame,
+    scale: float,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Square-root temperature sampling — the multilingual
+    rebalancing recipe (mBERT/XLM-R lineage: sample group g
+    proportionally to count_g^α with α<1, flattening the head so
+    low-resource groups aren't drowned): a row survives iff its
+    stable hash bucket < floor(scale / √count_g), capped at
+    ``buckets`` — kept FRACTION ∝ count^(α−1) = 1/√count, so kept
+    MASS per group grows as scale·√count: head groups downsampled
+    hard, tail groups kept (nearly) whole. ``scale`` is in bucket
+    units: a group keeps ~scale/(buckets·√count) of its rows.
+
+    α is FIXED at 1/2 deliberately: √ is an exactly-rounded IEEE
+    operation in every engine, so floor(scale·√count) is the same
+    integer everywhere and the oracle compares hash-exact; a
+    general pow(count, α) is libm territory (not correctly rounded
+    — the tfidf-ln lesson), where a last-ulp divergence can flip a
+    whole bucket's membership. floor, not round: round's
+    half-breaking rules differ across engines.
+
+    One aggregate for the per-group counts (map-side combined, rows
+    = |groups|) joined back broadcast; the filter itself is the
+    hash_sample shape — deterministic under any partitioning."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt__"))
+    thr = F.least(
+        F.lit(buckets),
+        F.floor(F.lit(float(scale)) / F.sqrt(F.col("__cnt__").cast("double"))),
+    ).cast("int")
+    keyed = df.join(
+        F.broadcast(counts.select(group_col, thr.alias("__thr__"))), group_col
+    )
+    return keyed.filter(
+        stable_hash_bucket(F.col(key_col), buckets) < F.col("__thr__")
+    ).drop("__thr__")
+
+
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2
 # (DuckDB): no backrefs, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

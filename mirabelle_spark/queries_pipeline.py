@@ -1313,6 +1313,31 @@ def dsir_top_docs(spark, sf):
     )
 
 
+@q(
+    "temperature_sample_docs",
+    """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+SELECT doc_id, lang FROM documents JOIN c USING (lang)
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < least(100, CAST(floor(600.0 / sqrt(CAST(cnt AS DOUBLE))) AS INT))
+""",
+)
+def temperature_sample_docs(spark, sf):
+    """Square-root temperature sampling (α = 1/2, scale 600): keep
+    fraction ∝ 1/√count_lang — the multilingual rebalancing recipe
+    that flattens the head language without drowning the tail.
+    α is pinned at 1/2 so the power is IEEE sqrt (exactly rounded
+    in every engine) and the bucket threshold is the same integer
+    cross-engine; a general pow() is not correctly rounded and can
+    flip a whole bucket. One tiny counts aggregate broadcast back;
+    the filter is the deterministic hash_sample shape."""
+    from mirabelle_spark.pipeline import sampling
+
+    return sampling.temperature_sample(
+        docs(spark, sf), scale=600.0
+    ).select("doc_id", "lang")
+
+
 def _clean_corpus_oracle() -> str:
     cluster_sql = _dedup_clusters_oracle().strip()
     return f"""

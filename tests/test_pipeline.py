@@ -2693,3 +2693,30 @@ def test_vocab_cardinality_approx_within_5pct(spark):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) <= 0.05 * r.exact, (r.lang, r.exact, r.approx)
+
+
+def test_temperature_sample_flattens_head(spark):
+    """Square-root temperature sampling must DOWN-sample the head
+    group more than the tail: the kept fraction of the largest
+    language is strictly below the kept fraction of the smallest,
+    and every group's kept fraction tracks floor(scale*sqrt(cnt))/100
+    exactly (deterministic hash buckets, not randomness)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import sampling
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = sampling.temperature_sample(d, scale=600.0)
+    base = {r.lang: r.c for r in d.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    kept = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    frac = {g: kept.get(g, 0) / base[g] for g in base}
+    head = max(base, key=base.get)
+    tail = min(base, key=base.get)
+    assert frac[head] < frac[tail], frac
+    # expected keep-rate per group is the exact bucket threshold
+    for g, n in base.items():
+        thr = min(100, math.floor(600.0 / math.sqrt(n)))
+        # realized fraction within 1/buckets granularity noise of thr/100
+        assert abs(frac[g] - thr / 100) <= 0.15, (g, frac[g], thr)
