@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "semdedup_survivors",     # k-means cluster-local semantic dedup
     "dsir_top_docs",          # importance-weight scoring + top-k select
     "contamination_bloom_docs",  # Bloom-prefiltered decontamination
+    "curate_head_dsir_docs",  # trained domain-gated curation compose
+    "volume_shipping",        # Q7-shaped two-fact-join star
+    "bpe_fertility_by_lang",  # trained-tokenizer fit audit
 ]
 
 

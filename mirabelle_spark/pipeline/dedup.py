@@ -359,6 +359,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int = 10,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by Broder CONTAINMENT:
+    |A∩B| / min(|A|,|B|) ≥ threshold over distinct shingle sets —
+    the case Jaccard is structurally blind to (a short document
+    embedded verbatim in a much longer one has tiny |∩|/|∪| but
+    containment ≈ 1), and MinHash-LSH candidates inherit that
+    blindness because banding targets Jaccard.
+
+    Candidate rule: pairs sharing at least one RARE shingle
+    (document frequency ≤ ``max_df``) — a contained document shares
+    ALL its shingles with its container, rare ones included, while
+    boilerplate shingles (high df) never generate pairs, which is
+    what bounds the self-join: pair fan-out per shingle is ≤
+    max_df², and the shingle-frequency cut is computed in the same
+    aggregate that feeds the join. The exact verify then computes
+    containment on full distinct-shingle-hash sets (array_intersect
+    JVM-side, candidate pairs only). Semantics = "shares a rare
+    shingle AND containment ≥ t", the documented candidate cap —
+    the oracle encodes the identical rule. Returns
+    (id_a, id_b, containment)."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__sh__"),
+    )
+    occ = sh.select(F.col(id_col), F.explode("__sh__").alias("__h__"))
+    rare = (
+        occ.groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") <= max_df)
+        .select("__h__")
+    )
+    occ_r = occ.join(rare, "__h__")
+    a, b = occ_r.alias("a"), occ_r.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__h__") == F.col("b.__h__"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    j = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("__sa__")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("__sb__")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("__sa__", "__sb__")).cast("double")
+    small = F.least(F.size("__sa__"), F.size("__sb__")).cast("double")
+    cont = F.when(small == 0, F.lit(0.0)).otherwise(inter / small)
+    return (
+        j.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

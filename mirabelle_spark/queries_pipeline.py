@@ -881,6 +881,44 @@ def contamination_docs(spark, sf):
 
 
 @q(
+    "ngram_containment_pairs",
+    f"""
+WITH {_SHINGLE_CTE},
+f AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+rare AS (SELECT s FROM f WHERE df <= 10),
+occ AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM occ a JOIN occ b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.i AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / least(sa.n, sb.n) >= 0.7
+""",
+)
+def ngram_containment_pairs_q(spark, sf):
+    """Asymmetric near-dup pairs by Broder CONTAINMENT
+    (|A∩B|/min(|A|,|B|) ≥ 0.7) — the subset-duplication case
+    Jaccard and MinHash banding are structurally blind to (a short
+    doc verbatim inside a long one). Candidates = pairs sharing a
+    RARE shingle (df ≤ 10): a contained doc shares all its shingles
+    including rare ones, while boilerplate shingles never fan out —
+    the join is bounded by df² per shingle, never corpus²."""
+    return dedup.ngram_containment_pairs(docs(spark, sf), threshold=0.7)
+
+
+@q(
     "contamination_bloom_docs",
     f"""
 WITH {_SHINGLE_CTE},

@@ -2720,3 +2720,36 @@ def test_temperature_sample_flattens_head(spark):
         thr = min(100, math.floor(600.0 / math.sqrt(n)))
         # realized fraction within 1/buckets granularity noise of thr/100
         assert abs(frac[g] - thr / 100) <= 0.15, (g, frac[g], thr)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The reason containment exists: a short document embedded
+    verbatim in a much longer one has low Jaccard (|∩|/|∪| diluted
+    by the container's extra shingles) but containment ≈ 1. On a
+    crafted corpus the Jaccard pipeline (threshold 0.5) must MISS
+    the pair and the containment pipeline must CATCH it — and the
+    containment value must be exactly |A∩B|/min(|A|,|B|)."""
+    from mirabelle_spark.pipeline import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} mid{i} tail{i}" for i in range(40))
+    container = short + " " + filler
+    rows = [
+        (1, short),
+        (2, container),
+        (3, "completely different text about other things entirely now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    jac = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
+
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.ngram_containment_pairs(d, threshold=0.7).collect()
+    }
+    assert (1, 2) in cont
+    assert cont[(1, 2)] == 1.0  # every short-doc shingle is in the container
