@@ -1214,6 +1214,52 @@ def ivfpq_write_index(
     ).parquet(path)
 
 
+def ivfpq_append_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """CONTINUOUS index ingestion: the exact assign+encode
+    projection :func:`ivfpq_write_index` runs once-per-corpus,
+    applied to a STREAMING DataFrame and appended into the same
+    ``__cell__``-partitioned layout — the production shape where
+    embeddings arrive forever and the index must stay searchable
+    without rebuilds. Everything upstream of the sink is stateless
+    (coarse assign + PQ encode are pure projections against
+    broadcast literals), so there is no watermark and no state
+    store; the parquet file sink's ``_spark_metadata`` transaction
+    log gives exactly-once file visibility, and
+    :func:`ivfpq_probe_index` reads the path unchanged (Spark's
+    batch reader honors the sink log, partition pruning included —
+    parity with a batch-written index is pytest-pinned).
+
+    Returns the started StreamingQuery (availableNow trigger —
+    drain-what's-there; swap the trigger for continuous ingest).
+    The quantizers are train-once artifacts by contract, so codes
+    written yesterday remain valid tomorrow — retraining means
+    reindexing, exactly like faiss."""
+    c = stream.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
+    assigned = _cell_assign(c, centroids)
+    enc = pq_encode(
+        assigned, codebooks, vec_col="__cv__", id_col=id_col,
+        keep_cols=("__cell__",),
+    )
+    return (
+        enc.repartition(F.col("__cell__"))
+        .writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("__cell__")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ivfpq_probe_index(
     queries: DataFrame,
     path,

