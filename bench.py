@@ -178,6 +178,13 @@ def main() -> None:
             "winnow_dedup_pairs_fast", "dup_span_removed_docs",
             # r11 additions
             "dup_span_removed_char_docs",
+            "dsir_top_docs", "contamination_bloom_docs",
+            "curate_head_dsir_docs", "volume_shipping",
+            # semdedup_survivors is deliberately NOT here: at the
+            # pinned 8-cell quantizer its sf1 pair work is quadratic
+            # BY DESIGN (~92 s; the nlist knob and the BLAS mode are
+            # measured in PERF §68-69) — 3 runs would dominate the
+            # whole bench for a known, documented shape
         ]
         # min-of-3 at sf1 (r10 verdict ask #3): 2 runs left the sf1
         # minima noise-limited — regressions and environment were

@@ -1260,6 +1260,43 @@ def ivfpq_append_stream(
     )
 
 
+def ivfpq_compact_index(
+    spark,
+    src_path: str,
+    dst_path: str,
+) -> dict:
+    """Compact an IVF-PQ index directory — the maintenance step a
+    long-lived :func:`ivfpq_append_stream` ingest eventually needs:
+    every micro-batch appends one file per touched cell, and probe
+    cost grows with file COUNT (listing + footer reads), not data.
+    Reads the source (honoring its ``_spark_metadata`` sink log if
+    present), re-clusters one writer per cell, and rewrites to a
+    NEW directory — never in place, because rewriting under a sink
+    log would desync the log from the files; cutover is the
+    caller's atomic pointer/rename swap, the same write-once
+    contract as the index itself. Returns {"files_before",
+    "files_after", "rows"}."""
+    import glob
+    import os
+
+    def _count(p: str) -> int:
+        return len(
+            [
+                f
+                for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+                if "_spark_metadata" not in f
+            ]
+        )
+
+    before = _count(src_path)
+    df = spark.read.parquet(src_path)
+    rows = df.count()
+    df.repartition(F.col("__cell__")).write.mode("overwrite").partitionBy(
+        "__cell__"
+    ).parquet(dst_path)
+    return {"files_before": before, "files_after": _count(dst_path), "rows": rows}
+
+
 def ivfpq_probe_index(
     queries: DataFrame,
     path,

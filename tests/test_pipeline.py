@@ -2828,3 +2828,50 @@ def test_ivfpq_append_stream_matches_batch_index(spark, tmp_path):
     q2.awaitTermination()
     n = spark.read.parquet(stream_path).count()
     assert n == emb.count()
+
+
+def test_ivfpq_compact_index_preserves_probes(spark, tmp_path):
+    """Compacting a streamed (many-small-files) index into a fresh
+    directory must cut the file count and probe identically —
+    the maintenance step that keeps probe listing cost flat under
+    continuous ingestion."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.pq_codebooks_trained import (
+        TRAINED_PQ_CODEBOOKS,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src = str(tmp_path / "emb_src")
+    for k in range(4):  # 4 micro-batches -> >= 4 files per touched cell
+        emb.where(f"vec_id % 4 = {k}").coalesce(1).write.mode("append").parquet(src)
+    streamed = str(tmp_path / "idx_streamed")
+    q = ann.ivfpq_append_stream(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1").parquet(src),
+        streamed, str(tmp_path / "ck"),
+        TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+    )
+    q.awaitTermination()
+
+    compacted = str(tmp_path / "idx_compact")
+    stats = ann.ivfpq_compact_index(spark, streamed, compacted)
+    assert stats["rows"] == emb.count()
+    assert stats["files_after"] < stats["files_before"], stats
+
+    def probe(path):
+        return sorted(
+            (r.query_id, r.rank, r.vec_id)
+            for r in ann.ivfpq_probe_index(
+                queries, path, TRAINED_PQ_CODEBOOKS, TRAINED_IVF_CENTROIDS,
+                k=5, nprobe=3,
+            ).collect()
+        )
+
+    assert probe(compacted) == probe(streamed)
