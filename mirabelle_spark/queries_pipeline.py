@@ -763,12 +763,33 @@ def semdedup_survivors(spark, sf):
     )
 
 
+@q("semdedup_arrow_survivors")
+def semdedup_arrow_survivors(spark, sf):
+    """semdedup_survivors through the BLAS pairwise engine
+    (pairs="arrow": per-cluster blocked GEMM via applyInPandas,
+    92 → 4.7 s at sf1 — PERF §69). Registered against the SAME SQL
+    oracle as the fold mode: identical output IS the contract (BLAS
+    reassociation only matters within ~1e-15 of the threshold; the
+    corpus margins are orders larger, and mode equality is
+    pytest-pinned at two SFs)."""
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    return ann.semdedup(
+        embs(spark, sf), TRAINED_IVF_CENTROIDS, threshold=0.35,
+        keep=("label",), pairs="arrow",
+    )
+
+
 def _register_semdedup_oracle() -> None:
     from mirabelle_spark.pipeline.ivf_centroids_trained import (
         TRAINED_IVF_CENTROIDS,
     )
 
-    ORACLES["semdedup_survivors"] = _semdedup_oracle(0.35, TRAINED_IVF_CENTROIDS)
+    sql = _semdedup_oracle(0.35, TRAINED_IVF_CENTROIDS)
+    ORACLES["semdedup_survivors"] = sql
+    ORACLES["semdedup_arrow_survivors"] = sql
 
 
 _register_semdedup_oracle()
