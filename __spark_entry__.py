@@ -68,14 +68,14 @@ GATE_PRIORITY = [
 ]
 
 # Round-12 rotation note: lead r12 with (a) any r12 adds/changes,
-# then (b) the ELEVEN r11 queries added after this gate was frozen —
+# then (b) the TWELVE r11 queries added after this gate was frozen —
 # semdedup_survivors, dsir_logweight_docs, dsir_top_docs,
 # contamination_bloom_docs, curate_head_dsir_docs,
 # bpe_fertility_by_lang, volume_shipping,
 # vocab_cardinality_by_lang, temperature_sample_docs,
-# ngram_containment_pairs, semdedup_arrow_survivors (never
-# driver-gated yet; all eleven are exact-oracle and
-# check_correctness-green at r11 HEAD), then
+# ngram_containment_pairs, semdedup_arrow_survivors,
+# corpus_datasheet (never driver-gated yet; all twelve are
+# exact-oracle and check_correctness-green at r11 HEAD), then
 # (c) as many of the 49-entry r9 cohort as fit (registry order:
 # where_not, where_regex, under_filter, expired_events,
 # not_expired_events, changed_transitions, ...), then the

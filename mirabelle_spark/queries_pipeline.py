@@ -2975,3 +2975,56 @@ def vocab_cardinality_by_lang(spark, sf):
         F.count_distinct("tok").alias("vocab_size"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@q(
+    "corpus_datasheet",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter({_TOKENS_SQL}, x -> x <> '')) AS n_toks,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+       CAST(count(*) - count(DISTINCT nt) AS BIGINT) AS n_exact_dups,
+       CAST(count(*) - count(DISTINCT nt) AS DOUBLE) / count(*) AS dup_fraction
+FROM t
+""",
+)
+def corpus_datasheet(spark, sf):
+    """One-row corpus DATASHEET — the summary block every dataset
+    release ships (Gebru et al., Datasheets for Datasets): doc /
+    language / token / char counts, mean length, and the exact-dup
+    fraction (1 − distinct normalized texts / docs). One scan, one
+    aggregate; every value is exact integers or one IEEE division,
+    hash-exact cross-engine. At 100 TB the count_distinct pair is
+    the only shuffle — swap to approx_count_distinct the way
+    vocab_cardinality_by_lang documents if ±2% is acceptable."""
+    from mirabelle_spark.pipeline.dedup import normalized
+    from mirabelle_spark.pipeline.text import tokens
+
+    t = docs(spark, sf).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))).alias(
+            "n_toks"
+        ),
+        normalized(F.col("text")).alias("nt"),
+    )
+    n = F.count(F.lit(1))
+    dups = (n - F.count_distinct("nt")).cast("bigint")
+    return t.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        (F.sum("n_chars").cast("double") / n.cast("double")).alias("mean_chars"),
+        dups.alias("n_exact_dups"),
+        (dups.cast("double") / n.cast("double")).alias("dup_fraction"),
+    )
