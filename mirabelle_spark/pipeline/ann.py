@@ -344,11 +344,22 @@ def semdedup(
 
         def _cluster_survivors(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__rn__").reset_index(drop=True)
-            V = np.stack(pdf["__cv__"].to_numpy()).astype(np.float64)
+            # Null-vector parity with the fold mode (ADVICE r11): in
+            # the self-join path a null vector's dot is null, so it
+            # never drops anyone and is never dropped. Mirror that by
+            # keeping null rows as unconditional survivors and running
+            # the GEMM over the non-null subset only (rank order among
+            # non-null rows is preserved, and null earlier-neighbors
+            # could not have caused a drop anyway).
+            valid = pdf["__cv__"].notna().to_numpy()
+            sub = pdf.loc[valid].reset_index(drop=True)
+            if len(sub) == 0:
+                return pdf[[id_col, "__cell__"]]
+            V = np.stack(sub["__cv__"].to_numpy()).astype(np.float64)
             n = np.linalg.norm(V, axis=1)
             n[n == 0] = 1.0
             V = V / n[:, None]
-            m = len(pdf)
+            m = len(sub)
             drop = np.zeros(m, dtype=bool)
             b = 1024
             for s in range(0, m, b):
@@ -359,14 +370,21 @@ def semdedup(
                 # only earlier-ordered rows count (strict lower rank)
                 for i in range(e - s):
                     drop[s + i] = bool(hit[i, : s + i].any())
-            return pdf.loc[~drop, [id_col, "__cell__"]]
+            kept = pd.concat(
+                [sub.loc[~drop, [id_col, "__cell__"]],
+                 pdf.loc[~valid, [id_col, "__cell__"]]]
+            )
+            return kept
 
+        # schema mirrors the input id column's type — string ids work
+        # in both modes identically (ADVICE r11)
+        id_type = df.schema[id_col].dataType.simpleString()
         survivors = (
             ranked.select(id_col, "__cell__", "__rn__", "__cv__")
             .groupBy("__cell__")
             .applyInPandas(
                 _cluster_survivors,
-                schema=f"{id_col} bigint, __cell__ int",
+                schema=f"{id_col} {id_type}, __cell__ int",
             )
         )
         return (
@@ -1288,8 +1306,12 @@ def ivfpq_compact_index(
             ]
         )
 
-    before = _count(src_path)
     df = spark.read.parquet(src_path)
+    # files_before from the COMMITTED set the sink-log-honoring read
+    # actually saw — a raw glob would count orphaned parquet from
+    # failed/uncommitted micro-batches that reads exclude, inflating
+    # the reported compaction benefit (ADVICE r11)
+    before = len(df.inputFiles())
     rows = df.count()
     df.repartition(F.col("__cell__")).write.mode("overwrite").partitionBy(
         "__cell__"

@@ -556,13 +556,13 @@ def dsir_gate_expr(
     membership equality vs dsir_score is pytest-pinned with the
     measured margin. Use dsir_score when the VALUE is the output
     (bit-exact cross-engine); use this when only the decision is."""
-    from mirabelle_spark.pipeline.text import _quality_bucket_sql
+    from mirabelle_spark.pipeline.text import _quality_bucket_sql, _tokens_sql
 
     dim = len(weights)
     warr = "array(" + ", ".join(
         f"CAST('{w!r}' AS DOUBLE)" for w in weights
     ) + ")"
-    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    toks = _tokens_sql(text_col)
     return F.expr(
         f"aggregate({toks}, CAST(0.0 AS DOUBLE), (acc, t) -> "
         f"acc + element_at({warr}, CAST({_quality_bucket_sql('t', dim)} AS INT) + 1))"

@@ -25,6 +25,17 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
+def _tokens_sql(text_col: str) -> str:
+    """SQL-string twin of :func:`tokens` composed with the non-empty
+    filter — the ONE definition every inline gate expression
+    (:func:`quality_gate_expr`,
+    :func:`mirabelle_spark.pipeline.sampling.dsir_gate_expr`)
+    derives its token array from, so the tokenizer can never
+    silently diverge between the Column form and the hand-built SQL
+    form (ADVICE r11). Keep in lock-step with :func:`tokens`."""
+    return f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+
+
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace token count."""
     t = F.when(
@@ -1069,7 +1080,7 @@ def quality_gate_expr(
     warr = "array(" + ", ".join(
         f"CAST('{x!r}' AS DOUBLE)" for x in weights[:dim]
     ) + ")"
-    toks = f"filter(split(trim(lower({text_col})), '\\\\s+'), t -> t != '')"
+    toks = _tokens_sql(text_col)
     fold = (
         f"aggregate({toks}, CAST(0.0 AS DOUBLE), (acc, t) -> "
         f"acc + element_at({warr}, CAST({_quality_bucket_sql('t', dim)} AS INT) + 1))"

@@ -2670,6 +2670,51 @@ def test_semdedup_arrow_mode_matches_fold(spark):
         assert arrow == fold and fold
 
 
+def test_semdedup_modes_agree_on_string_ids_and_nulls(spark):
+    """ADVICE r11 parity pins: (a) a non-bigint id column (string
+    ids) must work in BOTH pair engines — the arrow output schema
+    derives the id type from the input; (b) null embedding rows
+    survive in both modes (fold: null dot filters to false; arrow:
+    nulls are excluded from the GEMM and kept), never crash."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("sid", F.concat(F.lit("doc-"), F.col("vec_id")))
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 17 == 0, F.lit(None)).otherwise(
+                F.col("embedding")
+            ),
+        )
+    )
+    n_null = e.filter(F.col("embedding").isNull()).count()
+    assert n_null > 0
+    fold = {
+        (r.sid, r.cell)
+        for r in ann.semdedup(
+            e, TRAINED_IVF_CENTROIDS, threshold=0.35, id_col="sid", pairs="fold"
+        ).collect()
+    }
+    arrow = {
+        (r.sid, r.cell)
+        for r in ann.semdedup(
+            e, TRAINED_IVF_CENTROIDS, threshold=0.35, id_col="sid", pairs="arrow"
+        ).collect()
+    }
+    assert arrow == fold and fold
+    # every null-embedding row survives in both
+    null_ids = {
+        r.sid for r in e.filter(F.col("embedding").isNull()).select("sid").collect()
+    }
+    assert null_ids <= {s for s, _ in fold}
+
+
 def test_vocab_cardinality_approx_within_5pct(spark):
     """The documented 100 TB swap for vocab_cardinality_by_lang:
     approx_count_distinct (HyperLogLog++) must land within 5% of
