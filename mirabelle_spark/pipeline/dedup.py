@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def normalized(text: Column) -> Column:
@@ -441,6 +442,7 @@ def winnow_fingerprints(
     k: int = 4,
     w: int = 4,
     gram_hash: str = "portable",
+    grain: str = "word",
 ) -> DataFrame:
     """Winnowing document sketch (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every ORDERED word k-gram,
@@ -465,25 +467,47 @@ def winnow_fingerprints(
     ``"fast"`` = xxhash64 with numeric min — the production path at
     100 TB (one JVM hash, 8-byte fingerprints instead of 32-char
     hex; same MOSS guarantee under a different hash family, so pair
-    sets may differ at the margin from the portable twin)."""
+    sets may differ at the margin from the portable twin).
+
+    ``grain`` (r12, the :func:`dup_span_removed` convention):
+    ``"word"`` fingerprints word k-grams; ``"char"`` fingerprints
+    k-CHARACTER shingles straight off the normalized string (spaces
+    count), so the MOSS guarantee covers any duplicated run of
+    >= w+k-1 CHARACTERS — the sketch the char-grain ExactSubstr
+    prefilter composes with."""
     if gram_hash not in ("portable", "fast"):
         raise ValueError(
             f"gram_hash must be 'portable' or 'fast', got {gram_hash!r}"
         )
-    words = F.split(normalized(F.col(text_col)), " ")
-    staged = df.select(F.col(id_col), words.alias("__w__"))
-    wc = F.col("__w__")
-    shifted = [
-        F.slice(wc, j + 1, F.greatest(F.size(wc) - j, F.lit(0))).alias(f"w{j}")
-        for j in range(k)
-    ]
-    ng = F.greatest(F.size(wc) - (k - 1), F.lit(1))
+    if grain not in ("word", "char"):
+        raise ValueError(f"grain must be 'word' or 'char', got {grain!r}")
     _h = F.md5 if gram_hash == "portable" else F.xxhash64
-    grams = F.transform(
-        F.slice(F.arrays_zip(*shifted), 1, ng),
-        lambda s: _h(F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])),
-    )
-    g = staged.select(F.col(id_col), grams.alias("__g__"))
+    if grain == "char":
+        t = F.col("__t__")
+        ng_c = F.length(t) - (k - 1)
+        grams = F.when(
+            ng_c > 0,
+            F.transform(
+                F.sequence(F.lit(1), ng_c), lambda i: _h(t.substr(i, F.lit(k)))
+            ),
+        ).otherwise(F.array(_h(t)))
+        g = df.select(
+            F.col(id_col), normalized(F.col(text_col)).alias("__t__")
+        ).select(F.col(id_col), grams.alias("__g__"))
+    else:
+        words = F.split(normalized(F.col(text_col)), " ")
+        staged = df.select(F.col(id_col), words.alias("__w__"))
+        wc = F.col("__w__")
+        shifted = [
+            F.slice(wc, j + 1, F.greatest(F.size(wc) - j, F.lit(0))).alias(f"w{j}")
+            for j in range(k)
+        ]
+        ng = F.greatest(F.size(wc) - (k - 1), F.lit(1))
+        grams = F.transform(
+            F.slice(F.arrays_zip(*shifted), 1, ng),
+            lambda s: _h(F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)])),
+        )
+        g = staged.select(F.col(id_col), grams.alias("__g__"))
     gc = F.col("__g__")
     gshift = [
         F.slice(gc, j + 1, F.greatest(F.size(gc) - j, F.lit(0))).alias(f"g{j}")
@@ -1073,6 +1097,7 @@ def dup_span_removed(
     id_col: str = "doc_id",
     gram_hash: str = "portable",
     grain: str = "word",
+    prefilter_w: int | None = None,
     _pos_bits: int = 20,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the corpus-rewrite step of
@@ -1160,7 +1185,34 @@ def dup_span_removed(
     100 TB path. A 64-bit collision would mark one n-gram
     spuriously duplicated (P ~ grams²/2⁶⁵); the removal positions
     are otherwise identical, pinned by
-    ``test_dup_span_removed_fast_mode``."""
+    ``test_dup_span_removed_fast_mode``.
+
+    ``prefilter_w`` (r12, the char-grain 100 TB fix — VERDICT r11
+    "What's wrong" #1): when set, a WINNOWING candidate pass
+    (:func:`winnow_fingerprints` at the same ``grain``, window
+    ``prefilter_w``, gram size ``k_f = n - prefilter_w + 1``)
+    restricts the per-token occurrence explode to documents that
+    share at least one fingerprint with another document. The MOSS
+    guarantee makes this EXACT, not approximate: any n-gram shared
+    by two documents is a shared run of n tokens = ``prefilter_w``
+    consecutive k_f-grams — one complete winnow window — so both
+    documents share its window-minimum fingerprint and both are
+    candidates. Hence (a) every document containing a >=min_docs
+    gram is a candidate, so the candidate-local distinct-doc count
+    equals the global count for every gram that passes the filter
+    (grams in one doc can't reach min_docs >= 2 either way), and
+    (b) the winner election sees every occurrence. Non-candidates
+    pass through the rebuild left-join untouched. Output is
+    BYTE-IDENTICAL to ``prefilter_w=None`` (property-tested); only
+    the wide shuffle shrinks — from one row per token over the
+    corpus to one row per token over candidate docs, while the
+    sketch pass shuffles only ~2/(prefilter_w+1) of positions as
+    narrow 8-byte (id, fp) rows. This is how the per-CHARACTER
+    explode stops being a ~10^14-row shuffle at 100 TB: outside
+    adversarial near-replica corpora, candidate docs are a small
+    fraction. The prefilter always hashes with xxhash64 (internal
+    only — the output, and therefore the oracle, is unchanged).
+    Requires ``n >= prefilter_w`` (else k_f < 1)."""
     if gram_hash not in ("portable", "fast"):
         raise ValueError(
             f"gram_hash must be 'portable' or 'fast', got {gram_hash!r}"
@@ -1168,12 +1220,27 @@ def dup_span_removed(
     if grain not in ("word", "char"):
         raise ValueError(f"grain must be 'word' or 'char', got {grain!r}")
     sep = " " if grain == "word" else ""
+    # In-row cost here is ~L gram constructions + an O(L log L) sort
+    # per document — orders of magnitude more CPU per input byte than
+    # the scan itself. If the scan under-partitions relative to the
+    # cluster (few giant files locally; a handful of unsplittable
+    # .gz files in production), every core but a few idles through
+    # the most expensive stage. One explicit rebalance of the narrow
+    # (id, text) rows fixes it; the partition count is pinned so AQE
+    # cannot coalesce the tiny-bytes exchange back down (the bytes
+    # are small precisely because the work is per-CHARACTER, not
+    # per-byte-of-input). At 100 TB the scan already yields >> cores
+    # partitions and this never fires — bodies still never shuffle.
+    src = df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, F.col(id_col))
     norm = normalized(F.col(text_col))
     words = F.when(F.length(norm) > 0, F.split(norm, sep)).otherwise(
         F.array().cast("array<string>")
     )
     extra = [norm.alias("__t__")] if grain == "char" else []
-    toks = df.select(F.col(id_col), words.alias("__w__"), *extra)
+    toks = src.select(F.col(id_col), words.alias("__w__"), *extra)
 
     if grain == "word":
         w = F.col("__w__")
@@ -1200,33 +1267,99 @@ def dup_span_removed(
                 F.sequence(F.lit(1), k), lambda i: t.substr(i, F.lit(n))
             ),
         ).otherwise(F.array().cast("array<string>"))
-    occ = toks.select(
-        F.col(id_col), F.posexplode(grams).alias("__pos__", "__g__")
-    )
+    occ_src = toks
+    if prefilter_w is not None:
+        kf = n - prefilter_w + 1
+        if kf < 1:
+            raise ValueError(
+                f"prefilter_w={prefilter_w} needs n >= prefilter_w "
+                f"(gram size n - prefilter_w + 1 = {kf} < 1)"
+            )
+        fps = winnow_fingerprints(
+            src, text_col, id_col, k=kf, w=prefilter_w,
+            gram_hash="fast", grain=grain,
+        )
+        # winnow_fingerprints returns DISTINCT (id, fp), so the plain
+        # count per fp IS the distinct-doc count — map-side combines,
+        # no collect_set, no Expand
+        dupfp = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .filter(F.col("__c__") >= 2)
+            .select("fp")
+        )
+        cand = (
+            fps.join(dupfp, "fp", "left_semi").select(id_col).distinct()
+        )
+        occ_src = toks.join(cand, id_col, "left_semi")
+    # ---- detection in ONE wide crossing (r12; the r11 plan paid
+    # THREE occurrence-mass shuffles: groupBy(g, doc) — which barely
+    # combines map-side at char grain where nearly every gram is
+    # locally unique — then groupBy(g), then the occ⋈dup sort-merge
+    # join re-sorting the full occurrence table). Instead:
+    #
+    # (a) IN-ROW, per document: tag each occurrence with a
+    #     first-in-doc flag by sorting the row's own (gram, pos)
+    #     pairs and comparing neighbours — O(L log L) per row, pure
+    #     Catalyst, zero shuffle. Σ first-flags per gram IS the
+    #     distinct-doc count (the old (g, doc) pre-aggregate's only
+    #     job), so the pre-aggregate crossing disappears.
+    # (b) ONE window partitioned by the gram computes both the
+    #     distinct-doc count (sum of flags) and the winning
+    #     occurrence (min over the pack) and leaves every occurrence
+    #     row annotated IN PLACE — which also deletes the occ⋈dup
+    #     join crossing. Both aggregates share the partition spec so
+    #     Spark plans a single sort + WindowExec; per-gram groups
+    #     are small, so the unbounded frame buffers are bounded.
+    #
+    # The winner is a PACKED bigint (doc · 2²⁰ + pos), not a struct
+    # (order-isomorphic for integral non-negative ids and pos < 2²⁰;
+    # non-integral id types keep the struct-min path). The 2²⁰ limit
+    # is ENFORCED (r10 advice): every packed position runs through
+    # an in-row raise_error guard, so a ≥1M-token document fails
+    # loudly with the struct-path remedy named instead of silently
+    # bleeding position bits into the doc-id and electing the wrong
+    # winner (_pos_bits exists only so tests can hit the guard
+    # without a million-token document).
     if gram_hash == "fast":
-        occ = occ.withColumn("__g__", F.xxhash64("__g__"))
+        grams = F.transform(grams, lambda s: F.xxhash64(s))
+    gtype = "bigint" if gram_hash == "fast" else "string"
+    z = F.transform(grams, lambda s, i: F.struct(s.alias("g"), i.alias("p")))
+    srt = F.sort_array(z)
+    sentinel = F.array(
+        F.struct(F.lit(None).cast(gtype).alias("g"), F.lit(-1).alias("p"))
+    )
+    # prev[i] = srt[i-1], prev[0] = sentinel — sliced to EXACTLY
+    # size(srt) so a zero-gram doc yields an empty zip (zip_with
+    # null-pads mismatched lengths, which would leak a null pos
+    # into the pack guard)
+    prev = F.slice(
+        F.concat(sentinel, srt), 1, F.greatest(F.size(srt), F.lit(0))
+    )
+    flagged = F.zip_with(
+        srt,
+        prev,
+        lambda a, b: F.struct(
+            a["g"].alias("g"),
+            a["p"].alias("p"),
+            F.when(b["p"] < 0, F.lit(True))
+            .otherwise(b["g"] != a["g"])
+            .alias("f"),
+        ),
+    )
+    occ = occ_src.select(
+        F.col(id_col), F.explode(flagged).alias("__o__")
+    ).select(
+        F.col(id_col),
+        F.col("__o__.g").alias("__g__"),
+        F.col("__o__.p").alias("__pos__"),
+        F.col("__o__.f").alias("__f__"),
+    )
 
-    # two-phase, not groupBy(g).agg(countDistinct(doc), min(struct)):
-    # countDistinct alongside a plain agg plans an Expand (2 rows per
-    # occurrence); the (g, doc) pre-aggregate combines map-side AND
-    # its count(*) IS the distinct-doc count. The global winner
-    # min over (doc, pos) equals min over (doc, min-pos-per-doc).
-    # The winner is a PACKED bigint (doc · 2²⁰ + pos), not a struct:
-    # min(struct) is not hash-aggregable (plans a SortAggregate +
-    # full sort of the gram table — the measured hotspot); the pack
-    # is order-isomorphic to the lexicographic struct for integral
-    # non-negative ids and pos < 2²⁰ (1M tokens/doc), so semantics
-    # — and the struct-min SQL oracle — are unchanged. Non-integral
-    # id types keep the struct path. The 2²⁰ limit is ENFORCED (r10
-    # advice): every packed position runs through an in-row
-    # raise_error guard, so a ≥1M-token document fails loudly with
-    # the struct-path remedy named instead of silently bleeding
-    # position bits into the doc-id and electing the wrong winner
-    # (_pos_bits exists only so tests can hit the guard without a
-    # million-token document).
     id_type = dict(df.dtypes)[id_col]
     packed = id_type in ("tinyint", "smallint", "int", "bigint")
-    per_doc = occ.groupBy("__g__", id_col).agg(F.min("__pos__").alias("__mp__"))
+    gw = Window.partitionBy("__g__")
+    nd = F.sum(F.col("__f__").cast("long")).over(gw)
     if packed:
         pos_cap = 1 << _pos_bits
 
@@ -1249,32 +1382,23 @@ def dup_span_removed(
                 ).cast("int")
             )
 
-        pack = (
+        pk = (
             F.col(id_col).cast("long") * F.lit(pos_cap)
-            + _guarded_pos(F.col("__mp__"))
+            + _guarded_pos(F.col("__pos__"))
         )
-        freq = per_doc.groupBy("__g__").agg(
-            F.count(F.lit(1)).alias("__nd__"),
-            F.min(pack).alias("__wpk__"),
+        ann = occ.withColumn("__nd__", nd).withColumn(
+            "__wpk__", F.min(pk).over(gw)
         )
+        rem = ann.filter(F.col("__nd__") >= min_docs)
+        if keep_first:
+            rem = rem.filter(pk != F.col("__wpk__"))
     else:
-        freq = per_doc.groupBy("__g__").agg(
-            F.count(F.lit(1)).alias("__nd__"),
-            F.min(
-                F.struct(F.col(id_col).alias("d"), F.col("__mp__").alias("p"))
-            ).alias("__win__"),
+        st = F.struct(F.col(id_col).alias("d"), F.col("__pos__").alias("p"))
+        ann = occ.withColumn("__nd__", nd).withColumn(
+            "__win__", F.min(st).over(gw)
         )
-    dup = freq.filter(F.col("__nd__") >= min_docs)
-
-    rem = occ.join(dup, "__g__")
-    if keep_first:
-        if packed:
-            rem = rem.filter(
-                F.col(id_col).cast("long") * F.lit(pos_cap)
-                + _guarded_pos(F.col("__pos__"))
-                != F.col("__wpk__")
-            )
-        else:
+        rem = ann.filter(F.col("__nd__") >= min_docs)
+        if keep_first:
             rem = rem.filter(
                 ~(
                     (F.col(id_col) == F.col("__win__.d"))
