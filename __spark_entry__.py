@@ -27,12 +27,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-11 rotation (VERDICT r10 ask
-# #1): (a) the 9 queries added or whose implementation changed in
-# round 11; (b) ALL 41 entries last gated in CORRECTNESS_r08 — the
-# oldest cohort, registry order. 9 + 41 = 50 exactly. After this
-# gate every entry's last-green is within rounds 9–11
-# (freshness <= 3).
+# so ordering is coverage policy. Round-13 rotation (VERDICT r12 ask
+# #1, executed this time): (a) the 2 queries ADDED in round 13 (the
+# prefilter_w byte-identity pair — same oracles as their
+# unprefiltered twins, so the gate itself proves parity); (b) the 12
+# r11 queries NEVER driver-gated through r12; (c) the first 36 of
+# the 49-entry r9 cohort — the oldest — in registry order.
+# 2 + 12 + 36 = 50 exactly. After this gate no entry's last-green is
+# older than r9, the never-gated set is empty (except the by-design
+# rows-only entry below), and the r9 tail of 13 leads r14:
+# stratified_sample_docs, boilerplate_removed_docs,
+# ann_ivfpq_trained_topk, winnow_dedup_pairs, bpe_top_pairs,
+# pca_power_iter, pca_project_trained, tfidf_top_terms,
+# dup_span_fraction_docs, top_suppliers, priority_conditional_counts,
+# brand_part_revenue, segment_top_orders — then the r10 cohort (45,
+# registry order: where_basic, over_filter, tagged_all, ...).
 #
 # winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
 # DuckDB; overlap vs the portable path is pytest-pinned) — it must
@@ -40,48 +49,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # an `err` for its missing oracle. It stays below slot 50 because
 # this list holds exactly 50 oracle-backed names.
 GATE_PRIORITY = [
-    # (a) added / implementation changed in round 11
-    "dup_span_removed_char_docs",  # NEW: char-grain ExactSubstr
-    "curate_head_docs",            # NEW: curation head (DSL `curate`)
-    "logreg_quality_docs",         # NEW: engine-trained quality model
-    "curate_head_logreg_docs",     # NEW: trained-gate curation compose
-    "dup_span_removed_docs",       # impl: grain refactor + pos guard
-    "scrubbed_corpus_docs",        # impl: same span-removal path
-    "returned_item_customers",     # impl: broadcast-hint policy fix
-    "large_order_customers",       # impl: broadcast-hint policy fix
-    "bpe_segment_trained",         # impl: trainer self-pair fence
-    # (b) ALL 41 entries last gated r8, registry order
-    "increment_metric", "decrement_metric", "sformat_label",
-    "to_string_field", "base64_roundtrip", "from_json_props",
-    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj", "tag_untag",
-    "iterate_on_explode", "fixed_time_window_ids",
-    "fixed_event_window_ids", "moving_event_window_vals",
-    "ssort_sorted", "project_correlate", "smin_running",
-    "ddt_pos_rate", "below_dt_alert", "between_dt_alert",
-    "critical_dt_alert", "dsl_pipeline", "coalesce_fill",
-    "ann_ivf_trained_topk", "ann_pq_trained_topk", "hash_sample_docs",
-    "mask_pii_docs", "text_token_count", "text_bpe_token_count",
-    "text_repetition", "text_quality", "text_lang_id",
-    "text_fingerprint", "text_rolling_fp", "neardup_degree_histogram",
-    "soft_dedup_docs", "corpus_split_docs", "search_quality_docs",
-    "doc_length_profile", "split_token_budget", "order_priority_counts",
+    # (a) added in round 13
+    "dup_span_removed_prefilter_docs",       # NEW: prefilter parity, word
+    "dup_span_removed_char_prefilter_docs",  # NEW: prefilter parity, char
+    # (b) the 12 r11 adds never driver-gated (registry order)
+    "semdedup_survivors", "semdedup_arrow_survivors",
+    "ngram_containment_pairs", "contamination_bloom_docs",
+    "dsir_logweight_docs", "dsir_top_docs", "temperature_sample_docs",
+    "bpe_fertility_by_lang", "curate_head_dsir_docs",
+    "vocab_cardinality_by_lang", "corpus_datasheet", "volume_shipping",
+    # (c) first 36 of the r9 cohort (registry order)
+    "where_not", "where_regex", "under_filter", "expired_events",
+    "not_expired_events", "changed_transitions", "above_dt_alert",
+    "outside_dt_alert", "extract_nested", "sflatten_roundtrip",
+    "moving_time_window_count", "coalesce_latest", "agg_sum_hourly",
+    "agg_sum_delayed_hourly", "agg_mean_hourly", "agg_top_event",
+    "agg_bottom_event", "agg_rate_hourly", "agg_ratio_error_click",
+    "agg_percentiles_hourly", "coll_count_hourly", "coll_max_hourly",
+    "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
+    "coll_top3", "coll_bottom3", "coll_sort_ids", "by_sum_daily",
+    "smax_running", "ddt_rate", "ewma_smoothed",
+    "coll_percentiles_hourly", "dedup_exact_docs",
+    "ngram_jaccard_pairs", "ann_ivf_topk",
 ]
-
-# Round-12 rotation note: lead r12 with (a) any r12 adds/changes,
-# then (b) the TWELVE r11 queries added after this gate was frozen —
-# semdedup_survivors, dsir_logweight_docs, dsir_top_docs,
-# contamination_bloom_docs, curate_head_dsir_docs,
-# bpe_fertility_by_lang, volume_shipping,
-# vocab_cardinality_by_lang, temperature_sample_docs,
-# ngram_containment_pairs, semdedup_arrow_survivors,
-# corpus_datasheet (never driver-gated yet; all twelve are
-# exact-oracle and check_correctness-green at r11 HEAD), then
-# (c) as many of the 49-entry r9 cohort as fit (registry order:
-# where_not, where_regex, under_filter, expired_events,
-# not_expired_events, changed_transitions, ...), then the
-# r10-cohort head (where_basic, over_filter, tagged_all,
-# split_routing, ...); whatever r9 tail does not fit leads r13.
-# Keep winnow_dedup_pairs_fast out of the head (see above).
 
 
 def _ordered(mapping: dict) -> dict:
