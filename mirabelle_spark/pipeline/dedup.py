@@ -153,6 +153,101 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle_hash: str = "fast",
+) -> DataFrame:
+    """IN-ROW banded minhash keys (r13, the streaming near-dup
+    primitive): adds ``__bands__`` —
+    ``array<struct<band_id int, band_key bigint>>`` of length
+    ``bands`` — computed entirely inside one row, no explode, no
+    groupBy, no shuffle. Two documents share a band bucket under
+    this function iff they share one under
+    :func:`minhash_signatures` + banding (same shingle hash, same
+    (a·h+b) mod p family, same band slices; pytest-pinned pair-set
+    parity) — but this form is STATELESS and therefore legal and
+    cheap inside a Structured Streaming projection, where the batch
+    explode→groupBy signature would be a second stateful aggregate.
+
+    Expression shape (the PERF §26 lesson, taken further): the
+    whole minhash — shingle hash array → 64 running mins → band
+    keys — is ONE expression: ``aggregate(hashes, array_repeat(p,
+    k), (acc, h) -> 64 least/pmod updates, finish -> band structs)``.
+    Each stage references its input exactly once OUTSIDE any lambda
+    body, so projection collapse inlines the chain without
+    re-evaluating it (an expression referenced inside a transform
+    lambda re-evaluates per element — the quadratic trap). The
+    fold's finish lambda slices the materialized accumulator eight
+    times for free (lambda variables are values, not subtrees).
+
+    Band key = xxhash64(band_id, '_'-joined min tuple). Tuple
+    equality ⇔ join-string equality (ints, injective), so bucket
+    co-membership matches the batch banding exactly; the 64-bit key
+    itself differs from the batch ``band_hash`` (which hashes the
+    raw columns) — only the PARTITION it induces is the contract.
+
+    Documents with fewer than ``shingle_n`` words have no shingles,
+    hence no signature (the :func:`minhash_signatures` convention):
+    they emit the single sentinel ``(band_id=-1, band_key=0)``,
+    which consumers must treat as never-duplicate, never-seeding
+    (:func:`mirabelle_spark.streaming.core.stream_neardup_dedup`
+    does)."""
+    if shingle_hash not in ("portable", "fast"):
+        raise ValueError(
+            f"shingle_hash must be 'portable' or 'fast', got {shingle_hash!r}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a multiple of bands={bands}"
+        )
+    r = num_hashes // bands
+    if shingle_hash == "fast":
+        h_sql = "pmod(xxhash64(s), 4294967296)"
+    else:
+        h_sql = (
+            "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+            " % 4294967296"
+        )
+    params = _minhash_params(num_hashes)
+    a_arr = "array(" + ", ".join(str(a) for a, _ in params) + ")"
+    b_arr = "array(" + ", ".join(str(b) for _, b in params) + ")"
+    p = _MINHASH_P
+    band_sql = f"""
+    CASE WHEN size(__hs__) = 0 THEN
+      array(named_struct('band_id', -1, 'band_key', CAST(0 AS BIGINT)))
+    ELSE
+      aggregate(
+        __hs__,
+        array_repeat(CAST({p} AS BIGINT), {num_hashes}),
+        (acc, h) -> transform(
+          sequence(0, {num_hashes - 1}),
+          i -> least(
+            element_at(acc, i + 1),
+            pmod(element_at({a_arr}, i + 1) * h
+                 + element_at({b_arr}, i + 1), {p}))),
+        acc -> transform(
+          sequence(0, {bands - 1}),
+          b -> named_struct(
+            'band_id', b,
+            'band_key', xxhash64(
+              b, concat_ws('_', transform(
+                slice(acc, b * {r} + 1, {r}),
+                x -> cast(x AS string)))))))
+    END
+    """
+    staged = df.withColumn(
+        "__sh__", word_shingles(F.col(text_col), shingle_n)
+    ).withColumn("__hs__", F.expr(f"transform(__sh__, s -> {h_sql})"))
+    return staged.withColumn("__bands__", F.expr(band_sql)).drop(
+        "__sh__", "__hs__"
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

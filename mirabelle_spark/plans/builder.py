@@ -608,11 +608,21 @@ def _s_curate(df, ctx, cfg=None):
     """Streaming curation head: first-arrival dedup replaces the
     batch min-id winner (see stream_curate's divergence note);
     cfg key dedup-within (seconds) bounds state via
-    dropDuplicatesWithinWatermark using the pipeline time column."""
+    dropDuplicatesWithinWatermark using the pipeline time column.
+    cfg {"near-dup": true} (r13) adds the incremental banded-MinHash
+    near-dup stage (stream_neardup_dedup; state = band hashes on the
+    dedup-within horizon, never bodies) — requires dedup-within;
+    "near-dup-bands"/"near-dup-shards" tune it."""
     from mirabelle_spark.streaming import core as stx
 
     cfg = cfg or {}
     within = cfg.get("dedup-within")
+    neardup = bool(cfg.get("near-dup", False))
+    if neardup and within is None:
+        raise ValueError(
+            "curate: {\"near-dup\": true} requires \"dedup-within\" "
+            "(the band-hash state evicts on that event-time horizon)"
+        )
     model, dim = _curate_model(cfg)
     return stx.stream_curate(
         df,
@@ -625,6 +635,9 @@ def _s_curate(df, ctx, cfg=None):
         model=model,
         dim=dim,
         dsir=_curate_dsir(cfg),
+        neardup=neardup,
+        neardup_bands=int(cfg.get("near-dup-bands", 8)),
+        neardup_shards=int(cfg.get("near-dup-shards", 64)),
     )
 
 

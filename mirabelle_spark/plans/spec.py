@@ -356,6 +356,8 @@ SPECS: dict[str, Sig] = {
         "min-words": pos_int, "rules": str_or_strs,
         "dedup-within": pos_number, "quality": ne_string,
         "domain": ne_string, "domain-min-logw": number,
+        "near-dup": boolean, "near-dup-bands": pos_int,
+        "near-dup-shards": pos_int,
     })),)),
     # stateful (::above-dt :510, ::below-dt :536, ::between-dt :562,
     # ::outside-dt :592, ::cond-dt :623, ::changed :1347, ::stable)

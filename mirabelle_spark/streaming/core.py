@@ -432,10 +432,16 @@ def stream_curate(
     model: tuple[list[float], float] | None = None,
     dim: int = 16,
     dsir: tuple[list[float], float] | None = None,
+    neardup: bool = False,
+    neardup_bands: int = 8,
+    neardup_hashes: int = 64,
+    neardup_shingle_n: int = 3,
+    neardup_shards: int = 64,
 ) -> DataFrame:
-    """Streaming twin of the LLM-curation head (r11): Gopher quality
-    rules → exact dedup on the normalized-text hash → PII masking,
-    composed over a streaming (or batch — same code) DataFrame.
+    """Streaming twin of the LLM-curation head (r11; near-dup r13):
+    Gopher quality rules → exact dedup on the normalized-text hash
+    (→ optional NEAR-dup dedup) → PII masking, composed over a
+    streaming (or batch — same code) DataFrame.
 
     Stage shapes:
 
@@ -455,9 +461,16 @@ def stream_curate(
     - masking: :func:`~mirabelle_spark.pipeline.sampling.mask_pii`
       is two regexp_replace passes — stateless.
 
-    Near-dup survivors and contamination stay batch-side (cross-
-    document joins over the full corpus, not incremental by nature);
-    this compose is the curation head a streaming ingest can afford.
+    ``neardup=True`` (r13) adds incremental NEAR-duplicate dedup via
+    :func:`stream_neardup_dedup`: banded-MinHash first-arrival
+    survivors, state = 64-bit band hashes on the ``dedup_within_s``
+    horizon, never bodies. In this mode the near-dup pass ABSORBS
+    exact dedup (an exact-slot band on the full text hash) because
+    its flatMapGroupsWithState stage cannot legally follow the
+    dropDuplicates stage — semantics are exact ∪ near dedup either
+    way (parity pytest-pinned against the batch compose).
+    Contamination stays batch-side (a join against the benchmark
+    corpus, not incremental by nature).
     ``rules`` selects which gopher_rules boolean columns must all
     hold; ``model=(weights, bias)`` swaps the rule gate for a
     TRAINED quality classifier — still a stateless projection (see
@@ -503,7 +516,187 @@ def stream_curate(
     else:
         uniq = hashed.dropDuplicates(["__h64__", "__h128__"])
     keep = [id_col] + ([time_col] if time_col else [])
+    if neardup:
+        if time_col is None:
+            raise ValueError(
+                "stream_curate(neardup=True) requires time_col (the "
+                "band-hash state evicts on the event clock)"
+            )
+        # the near-dup scan ABSORBS exact dedup (an extra exact-slot
+        # band keyed on the full normalized-text hash), so the
+        # dropDuplicates stage above is replaced, not chained —
+        # flatMapGroupsWithState cannot follow another stateful
+        # operator, and one state store beats two anyway
+        base = passed.select(*df.columns)
+        base = stream_neardup_dedup(
+            base,
+            text_col=text_col,
+            id_col=id_col,
+            time_col=time_col,
+            num_hashes=neardup_hashes,
+            bands=neardup_bands,
+            shingle_n=neardup_shingle_n,
+            shards=neardup_shards,
+            state_ttl_s=dedup_within_s,
+            exact=True,
+        )
+        return mask_pii(base, text_col=text_col).select(*keep, "text_masked")
     return mask_pii(uniq, text_col=text_col).select(*keep, "text_masked")
+
+
+def stream_neardup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "time",
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingle_hash: str = "fast",
+    shards: int = 64,
+    state_ttl_s: float | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup (r13, closing the r11/r12
+    "streaming near-dup in the curation head" gap): first-arrival
+    survivors under banded MinHash-LSH — a document is dropped iff
+    ANY of its band buckets was seen earlier (by any earlier doc,
+    kept or dropped — the transitive rule, which on an id-ordered
+    replay equals the batch derivation "drop every id_b of
+    :func:`~mirabelle_spark.pipeline.dedup.minhash_lsh_candidates`";
+    parity pytest-pinned).
+
+    Scale shape — state NEVER holds document bodies:
+
+    1. :func:`~mirabelle_spark.pipeline.dedup.minhash_band_keys`
+       computes the banded signature IN-ROW (stateless projection,
+       zero shuffle, bucket-partition-identical to the batch LSH).
+    2. posexplode to one narrow row per band; the ORIGINAL row rides
+       as a struct on the pos-0 row only, so document bodies cross
+       the two shuffles ~once, not ``bands`` times.
+    3. ONE sharded keyed-state pass (the ewma-sharded shell:
+       ``shards`` state groups, not one per band hash): state is a
+       set of 64-bit band keys (+ last-seen event time for the
+       ``state_ttl_s`` horizon eviction) — ~8 bytes per band key
+       per horizon, never text. Emission is immediate (processing
+       time), not watermark-gated: the verdict for a doc depends
+       only on state already present when its batch runs.
+    4. batch-local reassembly: repartition on the doc id (all of a
+       doc's band rows sit in the same micro-batch), then a
+       stateless mapInPandas keeps docs with zero duplicate bands
+       and re-emits the carried original rows. Buffering = one
+       partition of one micro-batch, not stream state.
+
+    Within one micro-batch the winner of a new band bucket is the
+    (event-time, arrival)-first row — deterministic under an
+    ordered replay; across batches it is strict first arrival.
+    DIVERGENCE vs batch: the batch near-dup family elects min(id)
+    per cluster; this elects the first arrival (the exact-dedup
+    stage's documented divergence, at band grain). On an id-ordered
+    replay the two coincide.
+
+    ``exact=True`` appends an exact-slot band (band_id = ``bands``,
+    key = xxhash64 of the normalized text) so identical documents
+    dedup even below ``shingle_n`` words — the
+    :func:`stream_curate` mode, where this pass REPLACES the
+    separate dropDuplicatesWithinWatermark stage (chaining a
+    flatMapGroupsWithState after another stateful operator is
+    unsupported, and one state store beats two). 64-bit keys accept
+    a ~n²/2⁶⁵ false-drop collision risk, the ``gram_hash="fast"``
+    convention. Docs shorter than ``shingle_n`` words with
+    ``exact=False`` carry only the never-dup sentinel band and
+    always survive (no signature ⇒ no LSH candidacy, the batch
+    convention)."""
+    from mirabelle_spark.pipeline.dedup import minhash_band_keys, normalized
+
+    cols = list(df.columns)
+    bk = minhash_band_keys(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, shingle_hash=shingle_hash,
+    )
+    arr = F.col("__bands__")
+    if exact:
+        exact_band = F.struct(
+            F.lit(int(bands)).alias("band_id"),
+            F.xxhash64(
+                F.lit(int(bands)), normalized(F.col(text_col))
+            ).alias("band_key"),
+        )
+        # the sentinel is redundant once every doc has the exact slot
+        arr = F.concat(
+            F.filter(arr, lambda b: b["band_id"] >= 0), F.array(exact_band)
+        )
+    ex = (
+        bk.select(
+            F.col(id_col),
+            F.col(time_col),
+            F.struct(*[F.col(c) for c in cols]).alias("__row__"),
+            F.posexplode(arr).alias("__p__", "__b__"),
+        ).select(
+            F.col(id_col),
+            F.col(time_col),
+            F.col("__b__.band_id").alias("__band_id__"),
+            F.col("__b__.band_key").alias("__band_key__"),
+            F.when(F.col("__p__") == 0, F.col("__row__")).alias("__row__"),
+        )
+    )
+
+    def shard_fold(carry, ks, pdf):
+        band_ids = pdf["__band_id__"].tolist()
+        dup = [False] * len(ks)
+        prev = None
+        for i, k in enumerate(ks):
+            if band_ids[i] < 0:
+                # sentinel: never duplicate, never seeds state; reset
+                # the run tracker so a real key sharing the string is
+                # re-checked against the carry (correct either way)
+                prev = None
+                continue
+            if k != prev:
+                dup[i] = k in carry
+                carry[k] = 1
+                prev = k
+            else:
+                dup[i] = True
+        res = pdf.copy()
+        res["__dup__"] = dup
+        return res
+
+    scanned = _sharded_keyed_batch_scan(
+        ex, ["__band_key__"], time_col, shards, shard_fold,
+        extra_out="__dup__ boolean", state_ttl_s=state_ttl_s,
+    )
+    # Row-format shim: FlatMapGroupsInPandasWithStateExec declares
+    # row output but emits ColumnarBatchRow, and the repartition
+    # exchange's UnsafeRowSerializer cast-fails on it (no
+    # ColumnarToRow transition gets planned for a node that claims
+    # rows). A column-REORDERING projection is kept by the optimizer
+    # (output != child.output, so RemoveNoopOperators spares it) and
+    # ProjectExec always materializes UnsafeRow.
+    scanned = scanned.select(
+        "__dup__", F.col(id_col), F.col(time_col),
+        "__band_id__", "__band_key__", "__row__",
+    )
+    out_fields = [f.name for f in df.schema.fields]
+
+    def reassemble(it):
+        import pandas as pd
+
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if not len(pdf):
+            return
+        bad = set(pdf.loc[pdf["__dup__"], id_col].tolist())
+        rows = pdf[pdf["__row__"].notna() & ~pdf[id_col].isin(bad)]
+        if not len(rows):
+            return
+        yield pd.DataFrame(list(rows["__row__"]), columns=out_fields)
+
+    return scanned.repartition(F.col(id_col)).mapInPandas(
+        reassemble, schema=df.schema
+    )
 
 
 # -- sinks ------------------------------------------------------------------

@@ -505,3 +505,91 @@ def test_curate_dsl_dsir_domain(spark):
                              "params": [{"domain": "dsir",
                                          "domain-min-logw": "high"}],
                              "children": []})
+
+
+def test_curate_dsl_neardup(spark, tmp_path):
+    """{"near-dup": true} (r13) wires the incremental banded-MinHash
+    near-dup stage into the streaming curate dispatch: the DSL tree
+    compiles onto a real stream and its output matches
+    stream_curate(neardup=True) directly; near-dup without
+    dedup-within is rejected (the band state needs a horizon), and
+    the spec rejects a non-boolean near-dup before any plan work."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+    from mirabelle_spark.streaming import core
+
+    good = (
+        "the data to be of and that have with quality words enough "
+        "for rules contact me at alice@example.com today"
+    )
+    rows = [
+        (1, 1704067200, good),
+        (2, 1704067201, good + " postscript"),  # near-dup of 1
+        (3, 1704067202, "#### ####"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, t bigint, text string"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+    src = str(tmp_path / "cnd_dsl_in")
+    df.where("doc_id = 1").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id > 1").coalesce(1).write.mode("append").parquet(src)
+
+    cfg = {"min-words": 5, "rules": ["word_count_ok", "alpha_ok",
+                                     "stopword_ok"],
+           "dedup-within": 3600, "near-dup": True, "near-dup-shards": 8}
+    tree = {
+        "action": "curate", "params": [cfg],
+        "children": [{"action": "tap", "params": ["cur"]}],
+    }
+
+    def read(name):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return stream
+
+    out = b.compile_stream(read("a"), tree, b.Ctx(streaming=True)).taps["cur"]
+    q = (
+        out.writeStream.format("memory").queryName("cur_nd_dsl")
+        .option("checkpointLocation", str(tmp_path / "ck_dsl"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.text_masked)
+        for r in spark.sql("SELECT doc_id, text_masked FROM cur_nd_dsl").collect()
+    }
+    direct = core.stream_curate(
+        read("b"), min_words=5,
+        rules=("word_count_ok", "alpha_ok", "stopword_ok"),
+        time_col="time", dedup_within_s=3600.0,
+        neardup=True, neardup_shards=8,
+    )
+    q2 = (
+        direct.writeStream.format("memory").queryName("cur_nd_direct")
+        .option("checkpointLocation", str(tmp_path / "ck_direct"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    want = {
+        (r.doc_id, r.text_masked)
+        for r in spark.sql(
+            "SELECT doc_id, text_masked FROM cur_nd_direct"
+        ).collect()
+    }
+    assert got == want and {d for d, _ in got} == {1}, (got, want)
+
+    with _pytest.raises(ValueError, match="dedup-within"):
+        b.compile_stream(df, {"action": "curate",
+                              "params": [{"near-dup": True}],
+                              "children": []}, b.Ctx(streaming=True))
+    with _pytest.raises(InvalidActionParams, match="near-dup"):
+        b.compile_stream(df, {"action": "curate",
+                              "params": [{"near-dup": "yes",
+                                          "dedup-within": 60}],
+                              "children": []})

@@ -3001,3 +3001,57 @@ def test_ivfpq_compact_index_preserves_probes(spark, tmp_path):
         )
 
     assert probe(compacted) == probe(streamed)
+
+
+def test_minhash_band_keys_matches_batch_lsh(spark):
+    """The in-row banded minhash (r13, the streaming near-dup
+    primitive) induces EXACTLY the batch LSH bucket partition: the
+    candidate-pair set derived from minhash_band_keys bucket
+    co-membership equals minhash_lsh_candidates on the sf0.001
+    documents table, in both shingle-hash modes; short docs emit
+    the (-1, 0) sentinel; num_hashes must divide into bands."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark.pipeline import dedup
+    from mirabelle_spark.queries_pipeline import docs
+
+    df = docs(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+    for mode in ("portable", "fast"):
+        batch = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_candidates(
+                df, shingle_hash=mode
+            ).collect()
+        }
+        ex = (
+            dedup.minhash_band_keys(df, shingle_hash=mode)
+            .select("doc_id", F.explode("__bands__").alias("b"))
+            .filter("b.band_id >= 0")
+        )
+        buckets = (
+            ex.groupBy("b.band_id", "b.band_key")
+            .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .collect()
+        )
+        inrow = {
+            (ids[i], ids[j])
+            for row in buckets
+            for ids in [row.ids]
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        }
+        assert inrow == batch and batch, mode
+
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, "")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: [(b.band_id, b.band_key) for b in r["__bands__"]]
+        for r in dedup.minhash_band_keys(short).collect()
+    }
+    assert got == {1: [(-1, 0)], 2: [(-1, 0)]}
+
+    with _pytest.raises(ValueError, match="multiple of bands"):
+        dedup.minhash_band_keys(df, num_hashes=64, bands=7)

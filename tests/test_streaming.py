@@ -3564,3 +3564,212 @@ def test_stream_curate_parity(spark, tmp_path):
         ).collect()
     }
     assert got_d == batch_d, got_d
+
+
+def test_stream_neardup_dedup_parity(spark, tmp_path):
+    """Streaming near-dup dedup (r13) vs the batch LSH derivation:
+    on an id-ordered replay (two micro-batches, duplicates only in
+    the later files), survivors == all docs minus every id_b of
+    minhash_lsh_candidates (the transitive "shares a band with ANY
+    earlier doc" rule — dropped docs still seed state). Also pins:
+    pass-through schema, the short-doc sentinel (no signature ⇒
+    always survives with exact=False), exact=True absorbing exact
+    dedup below shingle_n words, and first-arrival-vs-min(id): the
+    batch family elects min(id) per cluster; the stream elects the
+    FIRST ARRIVAL, so the id-ordered replay here is exactly the
+    regime where the two coincide (an id-DESCENDING replay would
+    keep the higher id — divergence by design, as documented)."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import dedup
+    from mirabelle_spark.streaming import core
+
+    base_t = 1704067200
+    t0 = (
+        "the data to be of and that have with quality words enough "
+        "for rules about spark structured streaming state stores today"
+    )
+    t1 = t0 + " extraone"    # near-dup of t0 (superset shingles)
+    t2 = t1 + " extratwo"    # near-dup of t1 (chains through a drop)
+    t3 = (
+        "completely unrelated content describing winnowing sketches "
+        "and suffix arrays for byte grain duplicate removal pipelines"
+    )
+    rows = [
+        (1, base_t + 0, t0),
+        (2, base_t + 1, t3),
+        (3, base_t + 2, "ab cd"),       # short: sentinel band only
+        # later files: the duplicates
+        (4, base_t + 3, t1),            # near-dup of 1
+        (5, base_t + 4, t2),            # near-dup of 4 (dropped doc seeds)
+        (6, base_t + 5, "ab cd"),       # short dup: survives w/o exact
+        (7, base_t + 6, t0),            # exact dup of 1 (also an LSH pair)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, t bigint, text string"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+
+    # batch derivation: drop every id that pairs with an earlier id
+    pairs = dedup.minhash_lsh_candidates(df, shingle_hash="fast").collect()
+    dropped = {r.id_b for r in pairs}
+    expect = {i for i, _, _ in rows} - dropped
+    assert {4, 5, 7} <= dropped and expect >= {1, 2, 3, 6}, (pairs, expect)
+
+    src = str(tmp_path / "nd_in")
+    df.where("doc_id <= 3").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id BETWEEN 4 AND 5").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id >= 6").coalesce(1).write.mode("append").parquet(src)
+
+    def run(name, **kw):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = core.stream_neardup_dedup(stream, shards=8, **kw)
+        assert out.columns == df.columns  # pass-through schema
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.doc_id, r.text)
+            for r in spark.sql(f"SELECT doc_id, text FROM {name}").collect()
+        }
+
+    got = run("nd_plain")
+    assert {i for i, _ in got} == expect, got
+    # full rows pass through unmodified
+    assert got == {(i, t) for i, _, t in rows if i in expect}
+
+    # exact=True folds exact dedup in: the short duplicate now drops
+    got_x = run("nd_exact", exact=True)
+    assert {i for i, _ in got_x} == expect - {6}, got_x
+
+    # state TTL: a near-dup arriving past the horizon survives (band
+    # state evicted on the event clock); one inside it still drops
+    rows2 = [
+        (1, base_t + 0, t0),
+        (2, base_t + 1800, t1),   # inside 3600 s: dropped
+        (3, base_t + 7200, t1),   # past it: state evicted, survives
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id bigint, t bigint, text string"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+    src2 = str(tmp_path / "nd_ttl_in")
+    for i in (1, 2, 3):
+        df2.where(f"doc_id = {i}").coalesce(1).write.mode("append").parquet(src2)
+    stream = (
+        spark.readStream.schema(df2.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src2)
+    )
+    out = core.stream_neardup_dedup(stream, shards=8, state_ttl_s=3600.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nd_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck_nd_ttl"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_t = {r.doc_id for r in spark.sql("SELECT doc_id FROM nd_ttl").collect()}
+    assert got_t == {1, 3}, got_t
+
+
+def test_stream_curate_neardup_parity(spark, tmp_path):
+    """stream_curate(neardup=True) vs the batch compose: Gopher
+    quality gate -> exact ∪ near dedup -> PII masking, on an
+    id-ordered replay. The batch twin derives survivors as: quality
+    passers minus exact-dup losers (dedup_exact min-id winners)
+    minus every id_b of minhash_lsh_candidates over the passers —
+    the documented semantics of the absorbed single-state-store
+    near-dup pass."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import dedup, sampling, text as tx
+    from mirabelle_spark.streaming import core
+
+    base_t = 1704067200
+    good = (
+        "the data to be of and that have with quality words enough "
+        "for rules contact me at alice@example.com or +1 415-555-0100"
+    )
+    good_nd = good + " postscript"  # near-dup that still passes rules
+    good2 = (
+        "the plan to be of and that have with more words here today "
+        "ping bob.smith@corp.example.org for details about everything"
+    )
+    bad = "#### #### #### ####"
+    rows = [
+        (1, base_t + 0, good),
+        (2, base_t + 1, good2),
+        (3, base_t + 2, bad),
+        (4, base_t + 3, good_nd),   # near-dup of 1: the r13 catch —
+        # the r11 exact-only head silently admitted this
+        (5, base_t + 4, good2),     # exact dup of 2
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, t bigint, text string"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+
+    passed = (
+        tx.gopher_rules(df, min_words=5)
+        .filter(F.col("passes"))
+        .select(*df.columns)
+    )
+    exact_losers = {
+        r.doc_id
+        for r in passed.join(
+            dedup.dedup_exact(passed).select("doc_id"), "doc_id", "left_anti"
+        ).collect()
+    }
+    near_losers = {
+        r.id_b
+        for r in dedup.minhash_lsh_candidates(
+            passed, shingle_hash="fast"
+        ).collect()
+    }
+    keep = {r.doc_id for r in passed.collect()} - exact_losers - near_losers
+    assert keep == {1, 2}, (keep, exact_losers, near_losers)
+    batch = {
+        (r.doc_id, r.text_masked)
+        for r in sampling.mask_pii(
+            passed.filter(F.col("doc_id").isin(list(keep)))
+        ).select("doc_id", "text_masked").collect()
+    }
+
+    src = str(tmp_path / "cnd_in")
+    df.where("doc_id <= 3").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = core.stream_curate(
+        stream, min_words=5, time_col="time", dedup_within_s=86400.0,
+        neardup=True, neardup_shards=8,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_nd")
+        .option("checkpointLocation", str(tmp_path / "ck_cnd"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.text_masked)
+        for r in spark.sql(
+            "SELECT doc_id, text_masked FROM curate_nd"
+        ).collect()
+    }
+    assert got == batch, (got, batch)
