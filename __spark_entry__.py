@@ -28,20 +28,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
 # so ordering is coverage policy. Round-13 rotation (VERDICT r12 ask
-# #1, executed this time): (a) the 2 queries ADDED in round 13 (the
+# #1, executed this time): (a) the 4 queries ADDED in round 13 (the
 # prefilter_w byte-identity pair — same oracles as their
-# unprefiltered twins, so the gate itself proves parity); (b) the 12
-# r11 queries NEVER driver-gated through r12; (c) the first 36 of
-# the 49-entry r9 cohort — the oldest — in registry order.
-# 2 + 12 + 36 = 50 exactly. After this gate no entry's last-green is
-# older than r9, the never-gated set is empty (except the by-design
-# rows-only entry below), and the r9 tail of 13 leads r14:
-# stratified_sample_docs, boilerplate_removed_docs,
-# ann_ivfpq_trained_topk, winnow_dedup_pairs, bpe_top_pairs,
-# pca_power_iter, pca_project_trained, tfidf_top_terms,
-# dup_span_fraction_docs, top_suppliers, priority_conditional_counts,
-# brand_part_revenue, segment_top_orders — then the r10 cohort (45,
-# registry order: where_basic, over_filter, tagged_all, ...).
+# unprefiltered twins, so the gate itself proves parity — and the
+# production-nlist SemDeDup pair on the new 64-cell artifact);
+# (b) the 12 r11 queries NEVER driver-gated through r12; (c) the
+# first 34 of the 49-entry r9 cohort — the oldest — in registry
+# order. 4 + 12 + 34 = 50 exactly. After this gate no entry's
+# last-green is older than r9, the never-gated set is empty (except
+# the by-design rows-only entry below), and the r9 tail of 15 leads
+# r14: ngram_jaccard_pairs, ann_ivf_topk, stratified_sample_docs,
+# boilerplate_removed_docs, ann_ivfpq_trained_topk,
+# winnow_dedup_pairs, bpe_top_pairs, pca_power_iter,
+# pca_project_trained, tfidf_top_terms, dup_span_fraction_docs,
+# top_suppliers, priority_conditional_counts, brand_part_revenue,
+# segment_top_orders — then the r10 cohort (45, registry order:
+# where_basic, over_filter, tagged_all, ...).
 #
 # winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
 # DuckDB; overlap vs the portable path is pytest-pinned) — it must
@@ -52,6 +54,8 @@ GATE_PRIORITY = [
     # (a) added in round 13
     "dup_span_removed_prefilter_docs",       # NEW: prefilter parity, word
     "dup_span_removed_char_prefilter_docs",  # NEW: prefilter parity, char
+    "semdedup_prod_survivors",               # NEW: 64-cell quantizer, fold
+    "semdedup_prod_arrow_survivors",         # NEW: 64-cell, BLAS kernel
     # (b) the 12 r11 adds never driver-gated (registry order)
     "semdedup_survivors", "semdedup_arrow_survivors",
     "ngram_containment_pairs", "contamination_bloom_docs",
@@ -70,7 +74,6 @@ GATE_PRIORITY = [
     "coll_top3", "coll_bottom3", "coll_sort_ids", "by_sum_daily",
     "smax_running", "ddt_rate", "ewma_smoothed",
     "coll_percentiles_hourly", "dedup_exact_docs",
-    "ngram_jaccard_pairs", "ann_ivf_topk",
 ]
 
 

@@ -122,6 +122,10 @@ SF1_QUERIES = [
     "curate_head_dsir_docs", "volume_shipping",
     # r13: the sustained-throughput pipeline (events_per_sec source)
     "agg_sum_hourly",
+    # r13: SemDeDup at production nlist (64-cell artifact × BLAS
+    # kernel) — tracks nlist-prices-the-quadratic round-over-round;
+    # the 8-cell arrow entry stays excluded (by-design quadratic)
+    "semdedup_prod_arrow_survivors",
     # semdedup_survivors is deliberately NOT here: at the
     # pinned 8-cell quantizer its sf1 pair work is quadratic
     # BY DESIGN (~92 s; the nlist knob and the BLAS mode are

@@ -782,14 +782,57 @@ def semdedup_arrow_survivors(spark, sf):
     )
 
 
+@q("semdedup_prod_survivors")
+def semdedup_prod_survivors(spark, sf):
+    """SemDeDup at PRODUCTION nlist (r13; VERDICT r11/r12 carried
+    ask): the 64-cell quantizer trained on sf0.1
+    (semdedup_centroids_trained — nlist ≥ local cores, the arrow
+    mode's parallelism floor; Σ|cluster|² priced at ~1/64 of the
+    corpus quadratic, vs the 8-cell demo artifact that deliberately
+    understates the knob). Fold mode — the oracle-twinned contract
+    path."""
+    from mirabelle_spark.pipeline.semdedup_centroids_trained import (
+        TRAINED_SEMDEDUP_CENTROIDS,
+    )
+
+    return ann.semdedup(
+        embs(spark, sf), TRAINED_SEMDEDUP_CENTROIDS, threshold=0.35,
+        keep=("label",),
+    )
+
+
+@q("semdedup_prod_arrow_survivors")
+def semdedup_prod_arrow_survivors(spark, sf):
+    """semdedup_prod_survivors through the BLAS pairwise engine —
+    the true 100 TB shape: production nlist × blocked-GEMM kernel.
+    This is the sf1 BENCH entry that tracks nlist-prices-the-
+    quadratic round-over-round (the 8-cell arrow entry was excluded
+    from the bench for its by-design quadratic blowup). Same SQL
+    oracle as the fold twin: identical output IS the contract."""
+    from mirabelle_spark.pipeline.semdedup_centroids_trained import (
+        TRAINED_SEMDEDUP_CENTROIDS,
+    )
+
+    return ann.semdedup(
+        embs(spark, sf), TRAINED_SEMDEDUP_CENTROIDS, threshold=0.35,
+        keep=("label",), pairs="arrow",
+    )
+
+
 def _register_semdedup_oracle() -> None:
     from mirabelle_spark.pipeline.ivf_centroids_trained import (
         TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.semdedup_centroids_trained import (
+        TRAINED_SEMDEDUP_CENTROIDS,
     )
 
     sql = _semdedup_oracle(0.35, TRAINED_IVF_CENTROIDS)
     ORACLES["semdedup_survivors"] = sql
     ORACLES["semdedup_arrow_survivors"] = sql
+    prod_sql = _semdedup_oracle(0.35, TRAINED_SEMDEDUP_CENTROIDS)
+    ORACLES["semdedup_prod_survivors"] = prod_sql
+    ORACLES["semdedup_prod_arrow_survivors"] = prod_sql
 
 
 _register_semdedup_oracle()

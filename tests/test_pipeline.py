@@ -3055,3 +3055,104 @@ def test_minhash_band_keys_matches_batch_lsh(spark):
 
     with _pytest.raises(ValueError, match="multiple of bands"):
         dedup.minhash_band_keys(df, num_hashes=64, bands=7)
+
+
+def test_trained_semdedup_centroids_match_pinned(spark):
+    """The production-nlist SemDeDup quantizer
+    (semdedup_centroids_trained.py, nlist=64 on sf0.1) IS the
+    trainer's output: re-run train_ivf with the recorded
+    hyperparameters and require bit equality — the same pin
+    contract as the 8-cell demo artifact. Also pins the shape the
+    artifact exists for: 64 cells, every cluster far below the
+    corpus size (Σ|cluster|² priced), and the two artifacts
+    differ."""
+    from mirabelle_spark.pipeline import ann
+    from mirabelle_spark.pipeline.ivf_centroids_trained import (
+        TRAINED_IVF_CENTROIDS,
+    )
+    from mirabelle_spark.pipeline.semdedup_centroids_trained import (
+        TRAIN_ITERS, TRAIN_NLIST, TRAIN_SF_DIR,
+        TRAINED_SEMDEDUP_CENTROIDS,
+    )
+    from mirabelle_spark.queries_pipeline import embs
+
+    assert TRAIN_NLIST == 64 and len(TRAINED_SEMDEDUP_CENTROIDS) == 64
+    cents = ann.train_ivf(
+        embs(spark, TRAIN_SF_DIR), nlist=TRAIN_NLIST, iters=TRAIN_ITERS
+    )
+    assert cents == TRAINED_SEMDEDUP_CENTROIDS
+    assert cents != TRAINED_IVF_CENTROIDS
+
+    # the production shape holds: at sf0.1 the largest cluster is a
+    # small fraction of the corpus (the quadratic-term bound)
+    from mirabelle_spark.pipeline.ann import _cell_assign, as_double_vec
+    from pyspark.sql import functions as F
+
+    e = embs(spark, TRAIN_SF_DIR).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("__cv__")
+    )
+    sizes = (
+        _cell_assign(e, TRAINED_SEMDEDUP_CENTROIDS)
+        .groupBy("__cell__").count().agg(
+            F.max("count").alias("mx"), F.count(F.lit(1)).alias("cells")
+        ).first()
+    )
+    assert sizes.mx <= 400, sizes  # 2000 vecs / 64 cells, skew-tolerant
+    assert sizes.cells >= 32      # >= local cores: arrow-mode floor
+
+
+def test_bpe_32k_merges_end_to_end(spark):
+    """FULL tokenizer depth for real (r13; the r11/r12 carried ask —
+    PERF §63 measured 4,096 merges and extrapolated 32k; this runs
+    it): 32,768 merges trained fast-mode (batch=256) on a 50k-
+    distinct-word corpus and applied at full depth through the
+    constant-depth chunked path. Pins: the round count stays
+    ~merges/60 (544 measured — the batch trainer's promise at real
+    vocab scale, NOT 32k serial rounds), every one of the 50k words
+    reassembles exactly from its tokens after 164 chunked
+    projections (zero janino/depth blowups), and real compression
+    happens. DELIBERATELY the suite's longest test (~6 min
+    measured): the 32k cost model was extrapolated for two rounds;
+    this is the measurement."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import text as tx
+
+    rng = random.Random(42)
+    sylls = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"]
+    sylls += [
+        c + v + c2
+        for c, v, c2 in zip("bcdfghjklmn" * 9, "aeiou" * 20, "rstlnmpkd" * 11)
+    ][:60]
+    vocab_words = set()
+    while len(vocab_words) < 50000:
+        vocab_words.add(
+            "".join(rng.choice(sylls) for _ in range(rng.randint(2, 5)))
+        )
+    words = []
+    for w in sorted(vocab_words):
+        words.extend([w] * rng.randint(2, 4))
+    rng.shuffle(words)
+    docs = [(i // 500, " ".join(words[i : i + 500]))
+            for i in range(0, len(words), 500)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    stats = {}
+    merges = tx.bpe_train(
+        df, n_merges=32768, batch=256, exact=False, min_weight=2, stats=stats
+    )
+    assert len(merges) == 32768
+    assert stats["rounds"] <= 700, stats["rounds"]  # measured 544
+
+    vocab = df.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    seg = tx.bpe_apply_chunked(vocab, merges, chunk=200)
+    prof = seg.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("toks")).alias("tw"),
+        F.sum((F.concat_ws("", "toks") != F.col("word")).cast("int")).alias("bad"),
+    ).first()
+    assert prof.n == 50000
+    assert prof.bad == 0             # zero reassembly failures at 32k
+    assert prof.tw <= 2.5, prof.tw   # real compression (measured 1.944)
