@@ -28,22 +28,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
 # so ordering is coverage policy. Round-13 rotation (VERDICT r12 ask
-# #1, executed this time): (a) the 4 queries ADDED in round 13 (the
-# prefilter_w byte-identity pair — same oracles as their
-# unprefiltered twins, so the gate itself proves parity — and the
-# production-nlist SemDeDup pair on the new 64-cell artifact);
-# (b) the 12 r11 queries NEVER driver-gated through r12; (c) the
-# first 34 of the 49-entry r9 cohort — the oldest — in registry
-# order. 4 + 12 + 34 = 50 exactly. After this gate no entry's
-# last-green is older than r9, the never-gated set is empty (except
-# the by-design rows-only entry below), and the r9 tail of 15 leads
-# r14: ngram_jaccard_pairs, ann_ivf_topk, stratified_sample_docs,
-# boilerplate_removed_docs, ann_ivfpq_trained_topk,
-# winnow_dedup_pairs, bpe_top_pairs, pca_power_iter,
-# pca_project_trained, tfidf_top_terms, dup_span_fraction_docs,
-# top_suppliers, priority_conditional_counts, brand_part_revenue,
-# segment_top_orders — then the r10 cohort (45, registry order:
-# where_basic, over_filter, tagged_all, ...).
+# #1, executed this time): (a) the 5 queries ADDED in round 13 (the
+# two-phase ExactSubstr detection and the prefilter_w byte-identity
+# pair — same oracles as their window/unprefiltered twins, so the
+# gate itself proves parity — and the production-nlist SemDeDup pair
+# on the new 64-cell artifact); (b) the 12 r11 queries NEVER
+# driver-gated through r12; (c) the first 33 of the 49-entry r9
+# cohort — the oldest — in registry order. 5 + 12 + 33 = 50 exactly.
+# After this gate the never-gated set is empty (except the by-design
+# rows-only entry below), and the r9 tail of 16 leads r14:
+# dedup_exact_docs, ngram_jaccard_pairs, ann_ivf_topk,
+# stratified_sample_docs, boilerplate_removed_docs,
+# ann_ivfpq_trained_topk, winnow_dedup_pairs, bpe_top_pairs,
+# pca_power_iter, pca_project_trained, tfidf_top_terms,
+# dup_span_fraction_docs, top_suppliers, priority_conditional_counts,
+# brand_part_revenue, segment_top_orders — then the r10 cohort (45,
+# registry order: where_basic, over_filter, tagged_all, ...).
 #
 # winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
 # DuckDB; overlap vs the portable path is pytest-pinned) — it must
@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # this list holds exactly 50 oracle-backed names.
 GATE_PRIORITY = [
     # (a) added in round 13
+    "dup_span_removed_twophase_docs",        # NEW: skew-bounded detection
     "dup_span_removed_prefilter_docs",       # NEW: prefilter parity, word
     "dup_span_removed_char_prefilter_docs",  # NEW: prefilter parity, char
     "semdedup_prod_survivors",               # NEW: 64-cell quantizer, fold
@@ -73,7 +74,7 @@ GATE_PRIORITY = [
     "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
     "coll_top3", "coll_bottom3", "coll_sort_ids", "by_sum_daily",
     "smax_running", "ddt_rate", "ewma_smoothed",
-    "coll_percentiles_hourly", "dedup_exact_docs",
+    "coll_percentiles_hourly",
 ]
 
 

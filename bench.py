@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "curate_head_dsir_docs",  # trained domain-gated curation compose
     "volume_shipping",        # Q7-shaped two-fact-join star
     "bpe_fertility_by_lang",  # trained-tokenizer fit audit
+    # r13 additions
+    "dup_span_removed_twophase_docs",  # skew-bounded ExactSubstr detection
 ]
 
 
@@ -126,6 +128,10 @@ SF1_QUERIES = [
     # kernel) — tracks nlist-prices-the-quadratic round-over-round;
     # the 8-cell arrow entry stays excluded (by-design quadratic)
     "semdedup_prod_arrow_survivors",
+    # r13: the skew-bounded two-phase ExactSubstr detection — its
+    # sf1 cost vs dup_span_removed_docs (window plan, same n) is
+    # the price of hot-gram safety, tracked round-over-round
+    "dup_span_removed_twophase_docs",
     # semdedup_survivors is deliberately NOT here: at the
     # pinned 8-cell quantizer its sf1 pair work is quadratic
     # BY DESIGN (~92 s; the nlist knob and the BLAS mode are

@@ -1193,6 +1193,7 @@ def dup_span_removed(
     gram_hash: str = "portable",
     grain: str = "word",
     prefilter_w: int | None = None,
+    detect: str = "auto",
     _pos_bits: int = 20,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the corpus-rewrite step of
@@ -1330,13 +1331,47 @@ def dup_span_removed(
     meets the global threshold, but non-candidate docs (sharing no
     cross-doc fingerprint) would pass through unrewritten — the
     MOSS exactness argument only covers cross-document sharing, so
-    the combination is rejected rather than silently diverging."""
+    the combination is rejected rather than silently diverging.
+
+    ``detect`` selects the PHYSICAL plan for the duplicated-gram
+    detection — output is identical (parity pytest + shared driver
+    oracle); only the shuffle/skew trade changes:
+
+    - ``"window"`` — ONE wide crossing (r12): a single
+      ``Window.partitionBy(gram)`` computes the distinct-doc count
+      (Σ in-row first-in-doc flags) and the winning occurrence in
+      place. Cheapest where grams are discriminative, but the
+      unbounded frame buffers one gram's ENTIRE occurrence list in
+      a single task (spillable, two passes) — a 1e8-occurrence hot
+      gram (stopword word n≤3, short char n≤6 at corpus scale) pins
+      one straggler task.
+    - ``"two_phase"`` — TWO crossings, both skew-bounded: a
+      map-side-combining ``groupBy(gram)`` hash aggregate reduces
+      each hot gram to one partial per map partition (the reduce
+      side sees ~#partitions rows per gram, never the raw
+      occurrence list), then the occurrence table joins the
+      one-row-per-duplicated-gram result — a sort-merge join
+      STREAMS the hot gram (build side is a single row per key),
+      or broadcasts when the duplicated-gram table is small (AQE
+      size-decides). This is the r11 shape minus its (gram, doc)
+      pre-aggregate — the in-row first-flag trick (r12) replaces
+      that third crossing in both plans.
+    - ``"auto"`` (default) — ``"window"`` at discriminative grains
+      (word n ≥ 4, char n ≥ 12 — the hottest gram stays small),
+      ``"two_phase"`` otherwise (hot grams expected)."""
     if gram_hash not in ("portable", "fast"):
         raise ValueError(
             f"gram_hash must be 'portable' or 'fast', got {gram_hash!r}"
         )
     if grain not in ("word", "char"):
         raise ValueError(f"grain must be 'word' or 'char', got {grain!r}")
+    if detect not in ("auto", "window", "two_phase"):
+        raise ValueError(
+            f"detect must be 'auto', 'window' or 'two_phase', got {detect!r}"
+        )
+    if detect == "auto":
+        discriminative = n >= (4 if grain == "word" else 12)
+        detect = "window" if discriminative else "two_phase"
     sep = " " if grain == "word" else ""
     # In-row cost here is ~L gram constructions + an O(L log L) sort
     # per document — orders of magnitude more CPU per input byte than
@@ -1436,11 +1471,12 @@ def dup_span_removed(
             fps.join(dupfp, "fp", "left_semi").select(id_col).distinct()
         )
         occ_src = toks.join(cand, id_col, "left_semi")
-    # ---- detection in ONE wide crossing (r12; the r11 plan paid
-    # THREE occurrence-mass shuffles: groupBy(g, doc) — which barely
+    # ---- detection (r12/r13; the r11 plan paid THREE
+    # occurrence-mass shuffles: groupBy(g, doc) — which barely
     # combines map-side at char grain where nearly every gram is
     # locally unique — then groupBy(g), then the occ⋈dup sort-merge
-    # join re-sorting the full occurrence table). Instead:
+    # join re-sorting the full occurrence table). Both current
+    # plans share step (a):
     #
     # (a) IN-ROW, per document: tag each occurrence with a
     #     first-in-doc flag by sorting the row's own (gram, pos)
@@ -1448,26 +1484,23 @@ def dup_span_removed(
     #     Catalyst, zero shuffle. Σ first-flags per gram IS the
     #     distinct-doc count (the old (g, doc) pre-aggregate's only
     #     job), so the pre-aggregate crossing disappears.
-    # (b) ONE window partitioned by the gram computes both the
-    #     distinct-doc count (sum of flags) and the winning
-    #     occurrence (min over the pack) and leaves every occurrence
-    #     row annotated IN PLACE — which also deletes the occ⋈dup
-    #     join crossing. Both aggregates share the partition spec so
-    #     Spark plans a single sort + WindowExec.
-    #
-    # SKEW EXPOSURE (honest, ADVICE r12): the unbounded frame
-    # buffers one gram's ENTIRE occurrence list in a single task
-    # (spillable ExternalAppendOnlyUnsafeRowArray, two passes). At
-    # the tested discriminative grains (word n>=4, char n>=12) the
-    # hottest gram is small; but stopword-heavy word n<=3 grams or
-    # short char grams (n<=6) at corpus scale can reach 1e8+ rows
-    # per gram — there the r11 two-phase shape (map-side-combining
-    # groupBy(g, doc) pre-agg + one-row-per-gram broadcast join
-    # build side, see git history at tag r11) bounds the hot task
-    # and is the right trade despite its extra crossings. Pick by
-    # grain: this one-crossing plan for discriminative n, the
-    # two-phase plan (or per-gram salting of the count, which min()
-    # cannot use) when hot grams are expected.
+    # (b) detect="window": ONE window partitioned by the gram
+    #     computes both the distinct-doc count (sum of flags) and
+    #     the winning occurrence (min over the pack) and leaves
+    #     every occurrence row annotated IN PLACE. Both aggregates
+    #     share the partition spec so Spark plans a single sort +
+    #     WindowExec. SKEW EXPOSURE (ADVICE r12): the unbounded
+    #     frame buffers one gram's ENTIRE occurrence list in a
+    #     single task (spillable ExternalAppendOnlyUnsafeRowArray,
+    #     two passes) — fine at discriminative grains (word n>=4,
+    #     char n>=12) where the hottest gram is small; stopword
+    #     word n<=3 / short char n<=6 grams at corpus scale can
+    #     reach 1e8+ rows per gram.
+    # (b') detect="two_phase" (r13, the hot-gram escape hatch as a
+    #     real code path rather than a git-history pointer): a
+    #     map-side-combining groupBy(gram) hash agg + the occ⋈dup
+    #     join — two crossings, both bounded per task (see
+    #     docstring). detect="auto" picks by grain.
     #
     # The winner is a PACKED bigint (doc · 2²⁰ + pos), not a struct
     # (order-isomorphic for integral non-negative ids and pos < 2²⁰;
@@ -1515,8 +1548,6 @@ def dup_span_removed(
 
     id_type = dict(df.dtypes)[id_col]
     packed = id_type in ("tinyint", "smallint", "int", "bigint")
-    gw = Window.partitionBy("__g__")
-    nd = F.sum(F.col("__f__").cast("long")).over(gw)
     if packed:
         pos_cap = 1 << _pos_bits
 
@@ -1539,29 +1570,48 @@ def dup_span_removed(
                 ).cast("int")
             )
 
-        pk = (
+        win_expr = (
             F.col(id_col).cast("long") * F.lit(pos_cap)
             + _guarded_pos(F.col("__pos__"))
         )
-        ann = occ.withColumn("__nd__", nd).withColumn(
-            "__wpk__", F.min(pk).over(gw)
-        )
-        rem = ann.filter(F.col("__nd__") >= min_docs)
-        if keep_first:
-            rem = rem.filter(pk != F.col("__wpk__"))
+
+        def _not_winner(r):
+            return win_expr != r
+
     else:
-        st = F.struct(F.col(id_col).alias("d"), F.col("__pos__").alias("p"))
-        ann = occ.withColumn("__nd__", nd).withColumn(
-            "__win__", F.min(st).over(gw)
+        win_expr = F.struct(
+            F.col(id_col).alias("d"), F.col("__pos__").alias("p")
         )
-        rem = ann.filter(F.col("__nd__") >= min_docs)
-        if keep_first:
-            rem = rem.filter(
-                ~(
-                    (F.col(id_col) == F.col("__win__.d"))
-                    & (F.col("__pos__") == F.col("__win__.p"))
-                )
+
+        def _not_winner(r):
+            return ~(
+                (F.col(id_col) == r["d"]) & (F.col("__pos__") == r["p"])
             )
+
+    nd_agg = F.sum(F.col("__f__").cast("long"))
+    if detect == "window":
+        gw = Window.partitionBy("__g__")
+        rem = (
+            occ.withColumn("__nd__", nd_agg.over(gw))
+            .withColumn("__win__", F.min(win_expr).over(gw))
+            .filter(F.col("__nd__") >= min_docs)
+        )
+    else:
+        # two_phase (skew-bounded, see docstring): the hash agg
+        # combines map-side — a hot gram reduces to one partial per
+        # map partition before the shuffle — and the occ⋈dup join's
+        # build side is ONE row per duplicated gram, so a sort-merge
+        # join streams the hot gram instead of buffering it (AQE
+        # broadcasts the build side outright when it is small).
+        dup = (
+            occ.groupBy("__g__")
+            .agg(nd_agg.alias("__nd__"), F.min(win_expr).alias("__win__"))
+            .filter(F.col("__nd__") >= min_docs)
+            .select("__g__", "__win__")
+        )
+        rem = occ.join(dup, "__g__", "inner")
+    if keep_first:
+        rem = rem.filter(_not_winner(F.col("__win__")))
     starts = rem.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__pos__")).alias("__s__")
     )

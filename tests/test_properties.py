@@ -589,16 +589,19 @@ def test_bpe_trainer_matches_reference_property(spark, docs, n):
     n=st.integers(2, 4),
     min_docs=st.integers(2, 3),
     keep_first=st.booleans(),
+    detect=st.sampled_from(["auto", "window", "two_phase"]),
 )
 @SLOW
 def test_dup_span_removed_matches_reference_property(
-    spark, docs, n, min_docs, keep_first
+    spark, docs, n, min_docs, keep_first, detect
 ):
     """dup_span_removed == a literal Python transcription of the
     ExactSubstr removal on random tiny-vocab corpora (heavy gram
     collisions by construction): count n-gram occurrences, elect the
     (min doc, min pos) winner per duplicated gram, drop every token
-    covered by a non-winning duplicated-gram occurrence, rebuild."""
+    covered by a non-winning duplicated-gram occurrence, rebuild.
+    ``detect`` swept (r13): both physical detection plans — and the
+    auto router — must reproduce the same reference output."""
     from collections import defaultdict
 
     from mirabelle_spark.pipeline import dedup
@@ -629,7 +632,7 @@ def test_dup_span_removed_matches_reference_property(
     got = {
         r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
         for r in dedup.dup_span_removed(
-            df, n=n, min_docs=min_docs, keep_first=keep_first
+            df, n=n, min_docs=min_docs, keep_first=keep_first, detect=detect
         ).collect()
     }
     assert got == exp
