@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "bpe_fertility_by_lang",  # trained-tokenizer fit audit
     # r13 additions
     "dup_span_removed_twophase_docs",  # skew-bounded ExactSubstr detection
+    "lm_quality_docs",        # bigram-LM perplexity gate (map-literal fold)
 ]
 
 

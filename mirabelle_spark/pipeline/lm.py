@@ -1,0 +1,300 @@
+"""Pruned bigram language-model perplexity scoring — the CCNet-style
+LM quality filter (Wenzek et al. 2020 "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data" filters by KenLM perplexity;
+the reference pipeline's quality stage names the same idea).
+
+Lifecycle = the engine's trained-artifact pattern
+(logreg_quality_trained / dsir_logratios_trained): TRAIN once — exact
+integer n-gram counts via one relational aggregate, the only
+transcendental (log2) taken on the driver over the bounded top-K rows
+— PIN the per-n-gram costs as INTEGER micro-bit literals
+(``round(-log2(p) * 1e9)``), then INFER as a shuffle-free in-row
+projection: token pairs fold against two constant-folded map
+literals. Integer costs make the per-document sum exact, order-free,
+and bit-identical across engines — no floating summation anywhere in
+the inference path, so the DuckDB oracle (a join + SUM over the same
+VALUES table) hashes byte-equal.
+
+Model shape (classic pruned-LM backoff):
+
+- top-K corpus bigrams carry ``-log2 P(b|a)`` (MLE over exact counts,
+  denominator = bigrams starting with ``a``);
+- top-U unigrams carry ``backoff_bits + -log2 P(w)`` (the penalized
+  unigram backoff for unpinned bigrams);
+- everything else costs ``oov_bits_e9`` (backoff + add-one floor
+  ``-log2(1/(N+1))``).
+
+Scale: scoring is a pure Catalyst projection — zero shuffles, zero
+UDFs, the scan is the only I/O; the pinned maps ride the plan as two
+constant literals (~K+U entries), not a join side. Training is one
+explode + two hash aggregates + two bounded top-K collects (K rows of
+driver state, the train_dsir contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# U+001F unit separator: cannot appear in whitespace-split tokens, so
+# "a SEP b" is collision-free as a composite map key
+SEP = "\x1f"
+
+
+def _toks(text: Column) -> Column:
+    """The engine-wide token canon (text.tokens + non-empty filter)."""
+    from mirabelle_spark.pipeline.text import tokens
+
+    return F.filter(tokens(text), lambda t: t != F.lit(""))
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact corpus bigram counts: one in-row pair construction
+    (zip_with over two shifted slices — never a per-pair re-split)
+    then ONE map-side-combining hash aggregate. Returns
+    (a, b, c: bigint). At 100 TB: narrow rows, partials combine
+    map-side, output is vocabulary²-bounded (and Zipf-tiny in
+    practice)."""
+    w = _toks(F.col(text_col))
+    L = F.size(w)
+    pairs = F.zip_with(
+        F.slice(w, 1, F.greatest(L - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(L - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        df.select(F.explode(pairs).alias("__p__"))
+        .groupBy(
+            F.col("__p__.a").alias("a"), F.col("__p__.b").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    top_bigrams: int = 2000,
+    top_unigrams: int = 512,
+    backoff_bits: float = 4.0,
+    text_col: str = "text",
+) -> dict:
+    """Fit the pruned bigram LM. Deterministic and partitioning-
+    invariant: every count is an exact BIGINT aggregate, top-K ties
+    break lexicographically, and log2 happens once on the driver
+    over the K collected rows (the train_dsir contract — inference
+    never touches a transcendental).
+
+    Returns ``{"bigrams": [(a, b, bits_e9)], "unigrams":
+    [(w, bits_e9)], "oov_e9": int, "n_tokens": int, "backoff_e9":
+    int}`` where ``bits_e9 = round(-log2(p) * 1e9)`` (integer
+    micro-bits, the exact-summation currency)."""
+    import math
+
+    bg = bigram_counts(df, text_col=text_col)
+    # denominator: bigrams STARTING with a — the true MLE conditional
+    # denominator, an exact sum over the (already tiny) distinct-
+    # bigram table, not a second pass over the corpus
+    first = bg.groupBy("a").agg(F.sum("c").alias("ca"))
+    top_bg = (
+        bg.join(first, "a")
+        .orderBy(F.desc("c"), "a", "b")
+        .limit(top_bigrams)
+        .collect()
+    )
+    toks = df.select(
+        F.explode(_toks(F.col(text_col))).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = int(
+        uni.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0
+    )
+    top_uni = uni.orderBy(F.desc("c"), "w").limit(top_unigrams).collect()
+
+    def e9(bits: float) -> int:
+        return round(bits * 1_000_000_000)
+
+    backoff_e9 = e9(backoff_bits)
+    bigrams = sorted(
+        (r["a"], r["b"], e9(-math.log2(r["c"] / r["ca"])))
+        for r in top_bg
+    )
+    unigrams = sorted(
+        (r["w"], backoff_e9 + e9(-math.log2(r["c"] / n_tokens)))
+        for r in top_uni
+    )
+    oov_e9 = backoff_e9 + e9(math.log2(n_tokens + 1))
+    return {
+        "bigrams": bigrams,
+        "unigrams": unigrams,
+        "oov_e9": oov_e9,
+        "n_tokens": n_tokens,
+        "backoff_e9": backoff_e9,
+    }
+
+
+def _pair_structs(text_col: str) -> Column:
+    """In-row (a, b) token-pair structs: zip of two shifted slices,
+    never a per-pair re-split; empty for docs under 2 tokens."""
+    w = _toks(F.col(text_col))
+    L = F.size(w)
+    return F.zip_with(
+        F.slice(w, 1, F.greatest(L - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(L - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+# auto-strategy crossover: Spark's GetMapValue on a literal map is a
+# LINEAR scan (ArrayBasedMapData has no hash), so the in-row fold
+# costs O(model size) per token pair — measured 4× on the 962-entry
+# pinned model at sf0.1 (PERF §79). Below this bound the fold's
+# zero-shuffle plan still wins on total cost; above it the broadcast
+# hash join's O(1) probes do.
+FOLD_MAX_ENTRIES = 256
+
+
+def lm_bits(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+    strategy: str = "auto",
+) -> DataFrame:
+    """Per-document LM cost under a trained pruned bigram model:
+    ``bits_e9`` = Σ over token pairs of the pinned integer
+    micro-bit cost (bigram hit, else penalized unigram backoff on
+    the SECOND word, else OOV), ``n_bigrams`` = max(len-1, 0).
+    ``bits_e9 / n_bigrams / 1e9`` is bits-per-token — CCNet's
+    perplexity statistic in log form (perplexity = 2^bpt).
+    Returns every input row (empty/1-token docs score 0/0); output
+    is identical across strategies (parity pytest).
+
+    ``strategy`` picks the PHYSICAL lookup plan:
+
+    - ``"fold"`` — SHUFFLE-FREE: the two lookup tables ride the
+      plan as constant-folded map literals (built OUTSIDE the
+      lambda; a folded Literal has no per-row materialization cost,
+      the PERF §26 trap) and the pair fold is one in-row aggregate.
+      But Spark's map-literal access is a LINEAR scan per probe —
+      right only for small pinned models.
+    - ``"join"`` — the large-model path: pairs explode to narrow
+      rows, two BROADCAST hash joins price each pair in O(1), one
+      map-side-combining groupBy(doc) re-aggregates, and the
+      zero-pair docs come back via a union (no join against the
+      corpus). One shuffle of narrow (id, cost) rows; the model
+      broadcasts once per executor, which is exactly where a
+      200k-entry production LM belongs.
+    - ``"auto"`` (default) — fold iff the model carries at most
+      ``FOLD_MAX_ENTRIES`` entries."""
+    if strategy not in ("auto", "fold", "join"):
+        raise ValueError(
+            f"strategy must be 'auto', 'fold' or 'join', got {strategy!r}"
+        )
+    n_entries = len(model["bigrams"]) + len(model["unigrams"])
+    if strategy == "auto":
+        strategy = "fold" if n_entries <= FOLD_MAX_ENTRIES else "join"
+    oov = F.lit(int(model["oov_e9"])).cast("long")
+    pairs = _pair_structs(text_col)
+    n_pairs = F.size(pairs).cast("long").alias("n_bigrams")
+
+    if strategy == "fold":
+        bkeys = [a + SEP + b for a, b, _ in model["bigrams"]]
+        bvals = [v for _, _, v in model["bigrams"]]
+        ukeys = [w for w, _ in model["unigrams"]]
+        uvals = [v for _, v in model["unigrams"]]
+        bmap = F.map_from_arrays(F.lit(bkeys), F.lit(bvals))
+        umap = F.map_from_arrays(F.lit(ukeys), F.lit(uvals))
+        costs = F.transform(
+            pairs,
+            lambda s: F.coalesce(
+                F.try_element_at(
+                    bmap, F.concat(s["a"], F.lit(SEP), s["b"])
+                ),
+                F.try_element_at(umap, s["b"]),
+                oov,
+            ).cast("long"),
+        )
+        bits = F.aggregate(
+            costs, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            n_pairs,
+            bits.alias("bits_e9"),
+        )
+
+    spark = df.sparkSession
+    bg = spark.createDataFrame(
+        list(model["bigrams"]) or [("", "", 0)],
+        "__ba string, __bb string, __cb long",
+    )
+    if not model["bigrams"]:
+        bg = bg.limit(0)
+    ug = spark.createDataFrame(
+        list(model["unigrams"]) or [("", 0)], "__uw string, __cu long"
+    )
+    if not model["unigrams"]:
+        ug = ug.limit(0)
+    exploded = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(pairs).alias("__p__"),
+    ).select(
+        id_col, *keep_cols,
+        F.col("__p__.a").alias("__a__"), F.col("__p__.b").alias("__b__"),
+    )
+    costed = (
+        exploded.join(
+            F.broadcast(bg),
+            (F.col("__a__") == F.col("__ba"))
+            & (F.col("__b__") == F.col("__bb")),
+            "left",
+        )
+        .join(F.broadcast(ug), F.col("__b__") == F.col("__uw"), "left")
+        .select(
+            id_col, *keep_cols,
+            F.coalesce("__cb", "__cu", oov).alias("__c__"),
+        )
+    )
+    scored = costed.groupBy(id_col, *keep_cols).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__c__").alias("bits_e9"),
+    )
+    zeros = (
+        df.select(
+            F.col(id_col), *[F.col(c) for c in keep_cols], n_pairs
+        )
+        .filter(F.col("n_bigrams") == 0)
+        .withColumn("bits_e9", F.lit(0).cast("long"))
+    )
+    return scored.unionByName(zeros)
+
+
+def lm_quality(
+    df: DataFrame,
+    model: dict,
+    max_bits_per_token: float,
+    min_bigrams: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """The CCNet-style perplexity GATE: keep documents whose LM cost
+    is at most ``max_bits_per_token`` (perplexity ≤ 2^t) and that
+    carry at least ``min_bigrams`` pairs (the statistic is noise on
+    shorter docs). The threshold compare is EXACT integer
+    cross-multiplication — ``bits_e9 ≤ t·1e9 · n`` — no division,
+    no float, so the survivor set is bit-stable across engines.
+    Same shuffle-free plan as :func:`lm_bits` (keep_cols ride the
+    projection — no join back)."""
+    t_e9 = round(max_bits_per_token * 1_000_000_000)
+    scored = lm_bits(
+        df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols
+    )
+    return scored.filter(
+        (F.col("n_bigrams") >= min_bigrams)
+        & (F.col("bits_e9") <= F.lit(t_e9) * F.col("n_bigrams"))
+    )

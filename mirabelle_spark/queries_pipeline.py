@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mirabelle_spark.pipeline import ann, dedup, multimodal, text
+from mirabelle_spark.pipeline import ann, dedup, lm, multimodal, text
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -3034,6 +3034,104 @@ def dup_span_removed_twophase_docs(spark, sf):
     gate-level proof the two plans agree."""
     return dedup.dup_span_removed(
         docs(spark, sf), n=4, min_docs=2, detect="two_phase"
+    )
+
+
+def _lm_oracle(min_bigrams: int | None = None, t_e9: int | None = None) -> str:
+    """Bigram-LM scoring in SQL: the same token canon, the same
+    pinned integer micro-bit costs (inlined as VALUES tables the
+    oracle LEFT JOINs where Spark folds constant maps in-row), the
+    same bigram→unigram-backoff→OOV coalesce. Integer sums are
+    order-free, so the join+GROUP BY here equals the in-row
+    aggregate exactly."""
+    from mirabelle_spark.pipeline.bigram_lm_trained import (
+        LM_BIGRAMS, LM_OOV_E9, LM_UNIGRAMS,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    bg = ",\n  ".join(
+        f"('{esc(a)}','{esc(b)}',{v})" for a, b, v in LM_BIGRAMS
+    )
+    ug = ",\n  ".join(f"('{esc(w)}',{v})" for w, v in LM_UNIGRAMS)
+    gate = (
+        f"WHERE n_bigrams >= {min_bigrams} AND bits_e9 <= {t_e9} * n_bigrams"
+        if min_bigrams is not None
+        else ""
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS w
+  FROM documents
+),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS wa,
+         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS wb
+  FROM t WHERE len(w) >= 2
+),
+bg(ba, bb, cb) AS (VALUES
+  {bg}),
+ug(uw, cu) AS (VALUES
+  {ug}),
+costed AS (
+  SELECT pr.doc_id, coalesce(bg.cb, ug.cu, {LM_OOV_E9}) AS c
+  FROM pr LEFT JOIN bg ON bg.ba = pr.wa AND bg.bb = pr.wb
+          LEFT JOIN ug ON ug.uw = pr.wb
+),
+s AS (SELECT doc_id, count(*) AS np, sum(c) AS bits FROM costed GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(s.np, 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(s.bits, 0) AS BIGINT) AS bits_e9
+  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_bigrams, bits_e9 FROM scored {gate}
+"""
+
+
+# the CCNet gate threshold for the synthetic corpus: sf0.01 bits-per-
+# token spans 4.85-5.41 with median 4.911, so 4.91 bits (perplexity
+# 2^4.91 ≈ 30) keeps roughly the better-scoring half — a REAL split,
+# not a pass-through
+_LM_GATE_BPT = 4.91
+_LM_GATE_T_E9 = round(_LM_GATE_BPT * 1_000_000_000)
+
+
+@q("lm_bits_docs", _lm_oracle())
+def lm_bits_docs(spark, sf):
+    """Pruned-bigram-LM cost per document (r13) — the CCNet-style
+    perplexity statistic (Wenzek et al. 2020 score web text with a
+    pruned KenLM; bits_e9 / n_bigrams / 1e9 = bits-per-token,
+    perplexity = 2^bpt) under the ENGINE-TRAINED pinned model
+    (bigram_lm_trained: MLE bigrams + penalized unigram backoff +
+    OOV floor, costs pinned as INTEGER micro-bits so the per-doc
+    sum is exact and order-free). The 962-entry pinned model is
+    over the fold/join crossover (map-literal access is a linear
+    scan per probe, PERF §79), so strategy='auto' prices each pair
+    via BROADCAST hash joins — the corpus never shuffles for the
+    probe; one narrow-row re-aggregate — the logreg_quality
+    lifecycle applied to language modeling."""
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+
+    return lm.lm_bits(docs(spark, sf), TRAINED_LM, keep_cols=("lang",))
+
+
+@q("lm_quality_docs", _lm_oracle(min_bigrams=16, t_e9=_LM_GATE_T_E9))
+def lm_quality_docs(spark, sf):
+    """The CCNet perplexity GATE (r13): documents with ≥16 token
+    pairs whose LM cost is ≤ 4.91 bits/token (perplexity ≲ 30 under
+    the pinned corpus model — the median split on this corpus).
+    The threshold compare is exact integer cross-multiplication
+    (bits_e9 ≤ t·1e9 · n_bigrams): no division, no float, so the
+    survivor set is bit-stable across engines. Plan: same
+    broadcast-probe shape as lm_bits_docs plus one filter."""
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+
+    return lm.lm_quality(
+        docs(spark, sf), TRAINED_LM, _LM_GATE_BPT,
+        min_bigrams=16, keep_cols=("lang",),
     )
 
 

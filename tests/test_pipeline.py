@@ -2640,6 +2640,95 @@ def test_semdedup_matches_pure_python(spark):
     assert got_rep == got
 
 
+def test_trained_bigram_lm_match_pinned(spark):
+    """Pin contract for the bigram LM artifact (r13): re-running
+    train_bigram_lm with the recorded hyperparameters reproduces
+    bigram_lm_trained.py exactly, and the trainer is partitioning-
+    invariant (exact integer counts, lexicographic tie-breaks, log2
+    once on the driver)."""
+    from mirabelle_spark.pipeline import lm
+    from mirabelle_spark.pipeline.bigram_lm_trained import (
+        TRAIN_BACKOFF_BITS, TRAIN_SF_DIR, TRAIN_TOP_BIGRAMS,
+        TRAIN_TOP_UNIGRAMS, TRAINED_LM,
+    )
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, TRAIN_SF_DIR)
+    m = lm.train_bigram_lm(
+        d, top_bigrams=TRAIN_TOP_BIGRAMS,
+        top_unigrams=TRAIN_TOP_UNIGRAMS,
+        backoff_bits=TRAIN_BACKOFF_BITS,
+    )
+    assert m == TRAINED_LM
+    m2 = lm.train_bigram_lm(
+        d.repartition(13), top_bigrams=TRAIN_TOP_BIGRAMS,
+        top_unigrams=TRAIN_TOP_UNIGRAMS,
+        backoff_bits=TRAIN_BACKOFF_BITS,
+    )
+    assert m2 == TRAINED_LM
+
+
+def test_lm_bits_matches_python_reference(spark):
+    """lm_bits == a pure-Python transcription of the pruned-LM
+    scorer on a fixture built to hit ALL THREE cost branches
+    (pinned bigram, unigram backoff, OOV), plus the empty/1-token
+    zero rows and the exact-integer gate arithmetic of
+    lm_quality."""
+    import re
+
+    from mirabelle_spark.pipeline import lm
+
+    rows = [
+        (1, "the quick brown fox the quick brown dog"),
+        (2, "the quick red fox jumps high"),        # backoff + OOV
+        (3, "zz yy xx ww"),                          # all-OOV
+        (4, ""),                                     # zero row
+        (5, "single"),                               # zero row
+        (6, "the quick the quick the quick brown"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = lm.train_bigram_lm(df, top_bigrams=4, top_unigrams=3)
+    # the pruned model must NOT cover everything, or the backoff and
+    # OOV branches go untested
+    assert len(m["bigrams"]) == 4 and len(m["unigrams"]) == 3
+
+    bmap = {(a, b): v for a, b, v in m["bigrams"]}
+    umap = dict(m["unigrams"])
+
+    def ref(text):
+        w = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        bits = sum(
+            bmap.get((w[i], w[i + 1]), umap.get(w[i + 1], m["oov_e9"]))
+            for i in range(len(w) - 1)
+        )
+        return (max(len(w) - 1, 0), bits if len(w) >= 2 else 0)
+
+    exp = {i: ref(t) for i, t in rows}
+    for strategy in ("auto", "fold", "join"):
+        got = {
+            r.doc_id: (r.n_bigrams, r.bits_e9)
+            for r in lm.lm_bits(df, m, strategy=strategy).collect()
+        }
+        assert got == exp, strategy
+    # all three branches fired: doc 3 is pure OOV; doc 2 mixes
+    # pinned, backoff, and OOV costs so it sits strictly between
+    # doc 1 (mostly pinned) and an all-OOV doc of its length
+    assert exp[3][1] == 3 * m["oov_e9"]
+    assert exp[1][1] < exp[2][1] < 5 * m["oov_e9"]
+
+    # gate arithmetic: integer cross-multiplication, no division
+    thr = 5.0
+    kept = {
+        r.doc_id
+        for r in lm.lm_quality(df, m, thr, min_bigrams=3).collect()
+    }
+    t_e9 = round(thr * 1_000_000_000)
+    exp_kept = {
+        i for i, (n, b) in exp.items() if n >= 3 and b <= t_e9 * n
+    }
+    assert kept == exp_kept
+
+
 def test_trained_dsir_match_pinned(spark):
     """Pin contract for the DSIR artifact: re-running train_dsir
     with the recorded hyperparameters reproduces

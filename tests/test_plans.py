@@ -290,6 +290,27 @@ def test_linear_quality_shuffle_free_and_pruned(spark, qs):
     assert "doc_id" in plan and "text" in plan
 
 
+def test_lm_bits_plans(spark, qs):
+    """Bigram-LM scorer plans (r13). The pinned 962-entry model is
+    over the fold/join crossover, so the gated queries must take
+    the JOIN strategy: model lookups are BROADCAST hash joins (the
+    corpus never shuffles for the probe — no SortMergeJoin), and
+    the per-doc re-aggregate is the only non-broadcast exchange.
+    The fold strategy must stay a pure scan→project (no Exchange,
+    no Join) — the zero-shuffle shape small pinned models keep."""
+    from mirabelle_spark.pipeline import lm
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+
+    for name in ("lm_bits_docs", "lm_quality_docs"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}:\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fold = _plan(lm.lm_bits(d, TRAINED_LM, strategy="fold"))
+    assert "Exchange" not in fold, fold
+    assert "Join" not in fold, fold
+
+
 def test_ivf_centroid_update_single_exchange(spark, qs):
     """The k-means step = partial (cell, lane) aggregate → ONE
     shuffle → final aggregate; the scan reads only the embedding
