@@ -28,16 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
 # so ordering is coverage policy. Round-13 rotation (VERDICT r12 ask
-# #1, executed this time): (a) the 7 queries ADDED in round 13 (the
+# #1, executed this time): (a) the 8 queries ADDED in round 13 (the
 # two-phase ExactSubstr detection and the prefilter_w byte-identity
 # pair — same oracles as their window/unprefiltered twins, so the
 # gate itself proves parity — the production-nlist SemDeDup pair on
-# the new 64-cell artifact, and the bigram-LM perplexity pair on the
-# new pinned model); (b) the 12 r11 queries NEVER driver-gated
-# through r12; (c) the first 31 of the 49-entry r9 cohort — the
-# oldest — in registry order. 7 + 12 + 31 = 50 exactly. After this
-# gate the never-gated set is empty (except the by-design rows-only
-# entry below), and the r9 tail of 18 leads r14: ewma_smoothed,
+# the new 64-cell artifact, and the bigram-LM perplexity trio on the
+# new pinned model: scoring, gate, curation compose); (b) the 12 r11
+# queries NEVER driver-gated through r12; (c) the first 30 of the
+# 49-entry r9 cohort — the oldest — in registry order.
+# 8 + 12 + 30 = 50 exactly. After this gate the never-gated set is
+# empty (except the by-design rows-only entry below), and the r9
+# tail of 19 leads r14: ddt_rate, ewma_smoothed,
 # coll_percentiles_hourly, dedup_exact_docs, ngram_jaccard_pairs,
 # ann_ivf_topk, stratified_sample_docs, boilerplate_removed_docs,
 # ann_ivfpq_trained_topk, winnow_dedup_pairs, bpe_top_pairs,
@@ -60,6 +61,7 @@ GATE_PRIORITY = [
     "semdedup_prod_arrow_survivors",         # NEW: 64-cell, BLAS kernel
     "lm_bits_docs",                          # NEW: bigram-LM scoring
     "lm_quality_docs",                       # NEW: CCNet perplexity gate
+    "curate_head_lm_docs",                   # NEW: curation + LM gate
     # (b) the 12 r11 adds never driver-gated (registry order)
     "semdedup_survivors", "semdedup_arrow_survivors",
     "ngram_containment_pairs", "contamination_bloom_docs",
@@ -76,7 +78,7 @@ GATE_PRIORITY = [
     "agg_percentiles_hourly", "coll_count_hourly", "coll_max_hourly",
     "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
     "coll_top3", "coll_bottom3", "coll_sort_ids", "by_sum_daily",
-    "smax_running", "ddt_rate",
+    "smax_running",
 ]
 
 

@@ -154,6 +154,58 @@ def _pair_structs(text_col: str) -> Column:
 FOLD_MAX_ENTRIES = 256
 
 
+def _fold_bits(pairs: Column, model: dict) -> Column:
+    """In-row bits_e9 over a pair-structs column — the fold
+    strategy's cost expression. The two lookup maps are built
+    OUTSIDE the lambda (a constant-folded Literal has no per-row
+    materialization cost — the PERF §26 re-evaluation trap applies
+    to non-literal columns only); each probe is a LINEAR scan of
+    the literal map, so this expression is for small pinned
+    models and for row-local contexts (streaming gates) where a
+    join is not available."""
+    bkeys = [a + SEP + b for a, b, _ in model["bigrams"]]
+    bvals = [v for _, _, v in model["bigrams"]]
+    ukeys = [w for w, _ in model["unigrams"]]
+    uvals = [v for _, v in model["unigrams"]]
+    bmap = F.map_from_arrays(F.lit(bkeys), F.lit(bvals))
+    umap = F.map_from_arrays(F.lit(ukeys), F.lit(uvals))
+    oov = F.lit(int(model["oov_e9"])).cast("long")
+    costs = F.transform(
+        pairs,
+        lambda s: F.coalesce(
+            F.try_element_at(bmap, F.concat(s["a"], F.lit(SEP), s["b"])),
+            F.try_element_at(umap, s["b"]),
+            oov,
+        ).cast("long"),
+    )
+    return F.aggregate(
+        costs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def lm_gate_expr(
+    model: dict,
+    max_bits_per_token: float,
+    min_bigrams: int = 16,
+    text_col: str = "text",
+) -> Column:
+    """The CCNet perplexity gate as a ROW-LOCAL boolean Column —
+    composable into any stateless projection (the curation head's
+    quality stage, a streaming filter) without a join or shuffle:
+    at least ``min_bigrams`` token pairs AND LM cost ≤
+    ``max_bits_per_token`` by exact integer cross-multiplication
+    (``bits_e9 ≤ t·1e9 · n`` — no division, no float, bit-stable
+    across engines). Uses the fold cost expression, so it is priced
+    for small pinned models; batch pipelines with large models
+    should filter on :func:`lm_bits` (strategy='join') instead."""
+    t_e9 = round(max_bits_per_token * 1_000_000_000)
+    pairs = _pair_structs(text_col)
+    n = F.size(pairs).cast("long")
+    return (n >= F.lit(int(min_bigrams))) & (
+        _fold_bits(pairs, model) <= F.lit(t_e9) * n
+    )
+
+
 def lm_bits(
     df: DataFrame,
     model: dict,
@@ -200,30 +252,11 @@ def lm_bits(
     n_pairs = F.size(pairs).cast("long").alias("n_bigrams")
 
     if strategy == "fold":
-        bkeys = [a + SEP + b for a, b, _ in model["bigrams"]]
-        bvals = [v for _, _, v in model["bigrams"]]
-        ukeys = [w for w, _ in model["unigrams"]]
-        uvals = [v for _, v in model["unigrams"]]
-        bmap = F.map_from_arrays(F.lit(bkeys), F.lit(bvals))
-        umap = F.map_from_arrays(F.lit(ukeys), F.lit(uvals))
-        costs = F.transform(
-            pairs,
-            lambda s: F.coalesce(
-                F.try_element_at(
-                    bmap, F.concat(s["a"], F.lit(SEP), s["b"])
-                ),
-                F.try_element_at(umap, s["b"]),
-                oov,
-            ).cast("long"),
-        )
-        bits = F.aggregate(
-            costs, F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
         return df.select(
             F.col(id_col),
             *[F.col(c) for c in keep_cols],
             n_pairs,
-            bits.alias("bits_e9"),
+            _fold_bits(pairs, model).alias("bits_e9"),
         )
 
     spark = df.sparkSession

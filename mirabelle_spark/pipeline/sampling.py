@@ -247,6 +247,7 @@ def curate_head(
     model: tuple[list[float], float] | None = None,
     dim: int = 16,
     dsir: tuple[list[float], float] | None = None,
+    lm_gate: tuple[dict, float, int] | None = None,
 ) -> DataFrame:
     """The batch curation head (r11): Gopher quality rules → exact
     dedup (min-id winner per normalized text) → PII masking — the
@@ -274,6 +275,13 @@ def curate_head(
     k-th weight of a trained run; 0.0 = "likelier under the target
     model than the raw one"). Still one stateless projection.
 
+    ``lm_gate=(model, max_bits_per_token, min_bigrams)`` adds the
+    CCNet perplexity gate (r13; Wenzek et al. 2020 filter by pruned
+    LM perplexity) after the quality/domain gates:
+    :func:`mirabelle_spark.pipeline.lm.lm_gate_expr`, a row-local
+    integer-exact predicate — still one stateless projection, so
+    the compose stays one narrow shuffle end to end.
+
     Scale shape: quality is a stateless projection; dedup shuffles
     only (id, 24-byte hash) rows (bodies never move); masking is a
     projection. One narrow shuffle end to end."""
@@ -299,6 +307,13 @@ def curate_head(
         dw, thr = dsir
         passed = passed.filter(
             dsir_gate_expr(dw, text_col=text_col) >= F.lit(float(thr))
+        )
+    if lm_gate is not None:
+        from mirabelle_spark.pipeline.lm import lm_gate_expr
+
+        lmodel, max_bpt, min_bg = lm_gate
+        passed = passed.filter(
+            lm_gate_expr(lmodel, max_bpt, min_bg, text_col=text_col)
         )
     winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
         id_col

@@ -338,14 +338,34 @@ def _curate_dsir(cfg):
     return TRAINED_DSIR_W, float(cfg.get("domain-min-logw", 0.0))
 
 
+def _curate_lm(cfg):
+    """cfg {"perplexity": "trained"} adds the PINNED bigram-LM
+    perplexity gate (r13, the CCNet quality stage): LM cost ≤
+    "perplexity-max-bpt" bits/token (default 4.91) over ≥
+    "perplexity-min-bigrams" pairs (default 16); returns the
+    (model, max_bpt, min_bigrams) triple for curate_head /
+    stream_curate or None."""
+    if cfg.get("perplexity") != "trained":
+        return None
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+
+    return (
+        TRAINED_LM,
+        float(cfg.get("perplexity-max-bpt", 4.91)),
+        int(cfg.get("perplexity-min-bigrams", 16)),
+    )
+
+
 @action("curate")
 def _curate(df, ctx, cfg=None):
     """LLM-curation head over a document stream (r11): quality gate
     (Gopher rules, or the pinned trained classifier with
     {"quality": "trained"}) -> optional DSIR domain gate
-    ({"domain": "dsir"}) -> exact dedup (deterministic min-id
-    winner) -> PII masking. cfg keys: text-col, id-col, min-words,
-    rules, quality, domain, domain-min-logw."""
+    ({"domain": "dsir"}) -> optional bigram-LM perplexity gate
+    ({"perplexity": "trained"}, r13) -> exact dedup (deterministic
+    min-id winner) -> PII masking. cfg keys: text-col, id-col,
+    min-words, rules, quality, domain, domain-min-logw, perplexity,
+    perplexity-max-bpt, perplexity-min-bigrams."""
     from mirabelle_spark.pipeline import sampling as smp
 
     cfg = cfg or {}
@@ -359,6 +379,7 @@ def _curate(df, ctx, cfg=None):
         model=model,
         dim=dim,
         dsir=_curate_dsir(cfg),
+        lm_gate=_curate_lm(cfg),
     )
 
 # -- stateful --------------------------------------------------------------
@@ -635,6 +656,7 @@ def _s_curate(df, ctx, cfg=None):
         model=model,
         dim=dim,
         dsir=_curate_dsir(cfg),
+        lm_gate=_curate_lm(cfg),
         neardup=neardup,
         neardup_bands=int(cfg.get("near-dup-bands", 8)),
         neardup_shards=int(cfg.get("near-dup-shards", 64)),

@@ -2875,6 +2875,115 @@ def curate_head_dsir_docs(spark, sf):
     )
 
 
+# the CCNet gate threshold for the synthetic corpus: sf0.01 bits-per-
+# token spans 4.85-5.41 with median 4.911, so 4.91 bits (perplexity
+# 2^4.91 ≈ 30) keeps roughly the better-scoring half — a REAL split,
+# not a pass-through
+_LM_GATE_BPT = 4.91
+_LM_GATE_T_E9 = round(_LM_GATE_BPT * 1_000_000_000)
+
+
+def _lm_values() -> tuple[str, str, int]:
+    """The pinned LM as SQL VALUES bodies: (bigram rows, unigram
+    rows, oov cost) — shared by every LM oracle so the inlined
+    artifact can never drift between them."""
+    from mirabelle_spark.pipeline.bigram_lm_trained import (
+        LM_BIGRAMS, LM_OOV_E9, LM_UNIGRAMS,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    bg = ",\n  ".join(
+        f"('{esc(a)}','{esc(b)}',{v})" for a, b, v in LM_BIGRAMS
+    )
+    ug = ",\n  ".join(f"('{esc(w)}',{v})" for w, v in LM_UNIGRAMS)
+    return bg, ug, LM_OOV_E9
+
+
+def _curate_head_lm_oracle(t_e9: int, min_bigrams: int) -> str:
+    """Rules-gate curation with the trained bigram-LM perplexity
+    gate between quality and dedup: the curate_head_docs CTE chain
+    plus the LM scoring CTEs (shared VALUES via _lm_values), joined
+    as a semi-filter. Docs absent from the pair table have 0 <
+    min_bigrams pairs, so the inner semi-join IS the gate."""
+    bg, ug, oov = _lm_values()
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents),
+m AS (
+  SELECT doc_id, text, len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha_words
+  FROM t
+),
+good AS (
+  SELECT doc_id, text FROM m
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND (CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8 ELSE FALSE END)
+),
+lw AS (SELECT doc_id, list_filter(w, x -> x <> '') AS w FROM t),
+pr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS wa,
+         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS wb
+  FROM lw WHERE len(w) >= 2
+),
+bg(ba, bb, cb) AS (VALUES
+  {bg}),
+ug(uw, cu) AS (VALUES
+  {ug}),
+costed AS (
+  SELECT pr.doc_id, coalesce(bg.cb, ug.cu, {oov}) AS c
+  FROM pr LEFT JOIN bg ON bg.ba = pr.wa AND bg.bb = pr.wb
+          LEFT JOIN ug ON ug.uw = pr.wb
+),
+lgate AS (
+  SELECT doc_id FROM costed GROUP BY doc_id
+  HAVING count(*) >= {min_bigrams} AND sum(c) <= {t_e9} * count(*)
+),
+h AS (
+  SELECT g.doc_id, g.text,
+         trim(regexp_replace(lower(g.text), '\\s+', ' ', 'g')) AS nt
+  FROM good g JOIN lgate USING (doc_id)
+),
+win AS (SELECT nt, min(doc_id) AS doc_id FROM h GROUP BY nt)
+SELECT h.doc_id,
+       regexp_replace(regexp_replace(h.text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM h JOIN win USING (nt, doc_id)
+"""
+
+
+@q(
+    "curate_head_lm_docs",
+    _curate_head_lm_oracle(_LM_GATE_T_E9, 16),
+)
+def curate_head_lm_docs(spark, sf):
+    """The curation head with the trained bigram-LM PERPLEXITY gate
+    (r13) — the CCNet pipeline shape (Wenzek et al. 2020: quality →
+    LM perplexity filter → dedup): Gopher rules → LM cost ≤ 4.91
+    bits/token over ≥16 pairs (exact integer cross-multiplication
+    against the pinned micro-bit model) → min-id exact dedup → PII
+    mask. DSL: {"action": "curate", "params": [{"rules": [...],
+    "perplexity": "trained"}]}; streaming twin via
+    stream_curate(lm_gate=...) — the gate is the row-local fold
+    expression, so batch/stream parity is structural. All gates
+    stateless; bodies still move once."""
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+
+    return smp.curate_head(
+        docs(spark, sf),
+        min_words=30,
+        rules=("word_count_ok", "word_len_ok", "alpha_ok"),
+        lm_gate=(TRAINED_LM, _LM_GATE_BPT, 16),
+    )
+
+
 @q("logreg_quality_docs", _logreg_quality_oracle())
 def logreg_quality_docs(spark, sf):
     """ENGINE-TRAINED quality classifier inference (r11) — the
@@ -3040,21 +3149,11 @@ def dup_span_removed_twophase_docs(spark, sf):
 def _lm_oracle(min_bigrams: int | None = None, t_e9: int | None = None) -> str:
     """Bigram-LM scoring in SQL: the same token canon, the same
     pinned integer micro-bit costs (inlined as VALUES tables the
-    oracle LEFT JOINs where Spark folds constant maps in-row), the
-    same bigram→unigram-backoff→OOV coalesce. Integer sums are
-    order-free, so the join+GROUP BY here equals the in-row
-    aggregate exactly."""
-    from mirabelle_spark.pipeline.bigram_lm_trained import (
-        LM_BIGRAMS, LM_OOV_E9, LM_UNIGRAMS,
-    )
-
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
-    bg = ",\n  ".join(
-        f"('{esc(a)}','{esc(b)}',{v})" for a, b, v in LM_BIGRAMS
-    )
-    ug = ",\n  ".join(f"('{esc(w)}',{v})" for w, v in LM_UNIGRAMS)
+    oracle LEFT JOINs where Spark folds constant maps in-row or
+    broadcast-joins), the same bigram→unigram-backoff→OOV coalesce.
+    Integer sums are order-free, so the join+GROUP BY here equals
+    the in-row aggregate exactly."""
+    bg, ug, LM_OOV_E9 = _lm_values()
     gate = (
         f"WHERE n_bigrams >= {min_bigrams} AND bits_e9 <= {t_e9} * n_bigrams"
         if min_bigrams is not None
@@ -3089,14 +3188,6 @@ scored AS (
 )
 SELECT doc_id, lang, n_bigrams, bits_e9 FROM scored {gate}
 """
-
-
-# the CCNet gate threshold for the synthetic corpus: sf0.01 bits-per-
-# token spans 4.85-5.41 with median 4.911, so 4.91 bits (perplexity
-# 2^4.91 ≈ 30) keeps roughly the better-scoring half — a REAL split,
-# not a pass-through
-_LM_GATE_BPT = 4.91
-_LM_GATE_T_E9 = round(_LM_GATE_BPT * 1_000_000_000)
 
 
 @q("lm_bits_docs", _lm_oracle())

@@ -432,6 +432,7 @@ def stream_curate(
     model: tuple[list[float], float] | None = None,
     dim: int = 16,
     dsir: tuple[list[float], float] | None = None,
+    lm_gate: tuple[dict, float, int] | None = None,
     neardup: bool = False,
     neardup_bands: int = 8,
     neardup_hashes: int = 64,
@@ -478,8 +479,12 @@ def stream_curate(
     deterministic batch twin); ``dsir=(weights, min_logw)`` adds
     the trained DOMAIN gate after quality (importance log-weight ≥
     threshold — DSIR's streaming-safe form, since top-k is not
-    incremental), also stateless. Returns
-    (id_col, [time_col], text_masked)."""
+    incremental), also stateless;
+    ``lm_gate=(model, max_bits_per_token, min_bigrams)`` adds the
+    CCNet perplexity gate (r13) — the row-local fold form of
+    :func:`mirabelle_spark.pipeline.lm.lm_gate_expr`, integer-exact
+    and stateless, the same expression the batch head applies.
+    Returns (id_col, [time_col], text_masked)."""
     from functools import reduce
     from operator import and_
 
@@ -504,6 +509,18 @@ def stream_curate(
         dw, thr = dsir
         passed = passed.filter(
             dsir_gate_expr(dw, text_col=text_col) >= F.lit(float(thr))
+        )
+    if lm_gate is not None:
+        # the CCNet perplexity gate (r13): lm_gate_expr is the FOLD
+        # cost expression — row-local, stateless, no join — so it
+        # composes into the stream exactly like the quality/domain
+        # gates; the batch head applies the IDENTICAL expression
+        # (structural parity, not re-implementation)
+        from mirabelle_spark.pipeline.lm import lm_gate_expr
+
+        lmodel, max_bpt, min_bg = lm_gate
+        passed = passed.filter(
+            lm_gate_expr(lmodel, max_bpt, min_bg, text_col=text_col)
         )
     norm = normalized(F.col(text_col))
     hashed = passed.select(

@@ -507,6 +507,55 @@ def test_curate_dsl_dsir_domain(spark):
                              "children": []})
 
 
+def test_curate_dsl_lm_perplexity(spark):
+    """{"perplexity": "trained"} (r13) adds the pinned bigram-LM
+    perplexity gate between quality and dedup; the batch
+    realization matches curate_head(lm_gate=(pinned, bpt, n)), the
+    gate actually drops documents at a tight threshold, and a
+    non-positive threshold is rejected by the spec."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, "/root/testdata/sf0.001").limit(80)
+    cfg = {"min-words": 30,
+           "rules": ["word_count_ok", "word_len_ok", "alpha_ok"],
+           "perplexity": "trained", "perplexity-max-bpt": 4.91,
+           "perplexity-min-bigrams": 16}
+    tree = {
+        "action": "curate", "params": [cfg],
+        "children": [{"action": "tap", "params": ["cur"]}],
+    }
+    got = {
+        (r.doc_id, r.text_masked)
+        for r in b.build_stream(d, tree)["cur"].collect()
+    }
+    want = {
+        (r.doc_id, r.text_masked)
+        for r in smp.curate_head(
+            d, min_words=30,
+            rules=("word_count_ok", "word_len_ok", "alpha_ok"),
+            lm_gate=(TRAINED_LM, 4.91, 16),
+        ).collect()
+    }
+    assert got == want and got  # non-empty and identical
+    # the gate actually gates: without it, strictly more docs pass
+    no_gate = smp.curate_head(
+        d, min_words=30, rules=("word_count_ok", "word_len_ok", "alpha_ok")
+    ).count()
+    assert len(got) < no_gate
+
+    with _pytest.raises(InvalidActionParams, match="perplexity-max-bpt"):
+        b.compile_stream(d, {"action": "curate",
+                             "params": [{"perplexity": "trained",
+                                         "perplexity-max-bpt": -1}],
+                             "children": []})
+
+
 def test_curate_dsl_neardup(spark, tmp_path):
     """{"near-dup": true} (r13) wires the incremental banded-MinHash
     near-dup stage into the streaming curate dispatch: the DSL tree

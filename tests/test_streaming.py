@@ -3565,6 +3565,53 @@ def test_stream_curate_parity(spark, tmp_path):
     }
     assert got_d == batch_d, got_d
 
+    # bigram-LM perplexity-gate mode (r13): lm_gate_expr is the
+    # row-local FOLD cost expression — stateless — so the streaming
+    # compose stays parity-exact with the batch twin under the same
+    # model. The model is trained on the static frame and the
+    # threshold sits between the good docs' scores and the bad
+    # doc's, so the gate passes SOME docs and drops others.
+    from mirabelle_spark.pipeline import lm
+
+    lmodel = lm.train_bigram_lm(df, top_bigrams=16, top_unigrams=8)
+    scores = {
+        r.doc_id: (r.n_bigrams, r.bits_e9)
+        for r in lm.lm_bits(df, lmodel).collect()
+    }
+    # threshold midway across the RULE-SURVIVING docs' bits-per-token
+    # so the LM gate keeps some survivors and drops others
+    bpts = sorted(scores[i][1] / scores[i][0] / 1e9 for i in (1, 2, 6))
+    assert bpts[0] < bpts[-1], bpts
+    thr = (bpts[0] + bpts[-1]) / 2
+    lg = (lmodel, thr, 3)
+    batch_l = {
+        (r.doc_id, r.text_masked)
+        for r in sampling.curate_head(df, min_words=5, lm_gate=lg).collect()
+    }
+    assert 0 < len(batch_l) < len(batch)  # gate dropped someone
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = core.stream_curate(stream, min_words=5, lm_gate=lg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_lm")
+        .option("checkpointLocation", str(tmp_path / "ck_lm"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_l = {
+        (r.doc_id, r.text_masked)
+        for r in spark.sql(
+            "SELECT doc_id, text_masked FROM curate_lm"
+        ).collect()
+    }
+    assert got_l == batch_l, got_l
+
 
 def test_stream_neardup_dedup_parity(spark, tmp_path):
     """Streaming near-dup dedup (r13) vs the batch LSH derivation:
