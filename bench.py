@@ -133,6 +133,10 @@ SF1_QUERIES = [
     # sf1 cost vs dup_span_removed_docs (window plan, same n) is
     # the price of hot-gram safety, tracked round-over-round
     "dup_span_removed_twophase_docs",
+    # r13: the bigram-LM perplexity gate at 10x rows — the
+    # broadcast-probe strategy's scale datapoint (the model side is
+    # constant; the corpus side must scale linearly)
+    "lm_quality_docs",
     # semdedup_survivors is deliberately NOT here: at the
     # pinned 8-cell quantizer its sf1 pair work is quadratic
     # BY DESIGN (~92 s; the nlist knob and the BLAS mode are
