@@ -1382,19 +1382,28 @@ def dup_span_removed(
     # (id, text) rows fixes it; the partition count is pinned so AQE
     # cannot coalesce the tiny-bytes exchange back down (the bytes
     # are small precisely because the work is per-CHARACTER, not
-    # per-byte-of-input). At 100 TB the scan already yields >> cores
-    # partitions and this never fires — bodies still never shuffle.
-    # The .rdd probe forces one extra analysis/physical-planning pass
-    # per call (ADVICE r12) — accepted: it is the only PySpark-level
-    # way to read the scan's partition count, it is driver-side and
-    # O(plan), and it guards a real idle-cores cliff. Known limit:
-    # hash repartition by id cannot split a SINGLE giant document —
-    # one row rides one core through the O(L log L) in-row sort;
-    # the _pos_bits guard below fails loudly long before that
-    # (>= 2^20 tokens), naming the remedy.
+    # per-byte-of-input).
+    #
+    # The rebalance decision is the shared two-armed probe
+    # (scale.needs_rebalance, r13): split COUNT lies — parquet
+    # cannot split below row-group granularity, so a small-split
+    # profile over a one-row-group file yields `par` split
+    # DESCRIPTORS of which all but one are EMPTY. The r12
+    # count-only probe read "32 partitions", skipped the rebalance,
+    # and ONE core ran the whole per-character explode (measured
+    # 112 s vs 11 s at sf1 — the real cause of the "116 s
+    # char-grain regression" three rounds of bench forensics chased
+    # as JVM state). The hash is on id (not round-robin) so the
+    # rebuild join downstream reuses the partitioning where AQE
+    # allows. Known limit: hash repartition by id cannot split a
+    # SINGLE giant document — one row rides one core through the
+    # O(L log L) in-row sort; the _pos_bits guard below fails
+    # loudly long before that (>= 2^20 tokens), naming the remedy.
+    from mirabelle_spark.scale import needs_rebalance
+
     src = df
     par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    if needs_rebalance(df, par):
         src = src.repartition(par, F.col(id_col))
     norm = normalized(F.col(text_col))
     words = F.when(F.length(norm) > 0, F.split(norm, sep)).otherwise(

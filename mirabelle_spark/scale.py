@@ -79,14 +79,54 @@ def partition_count_for(total_bytes: int, target_mb: int = 256) -> int:
     return max(64, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
 
 
+# needs_rebalance arm 1 (see docstring): below this catalyst-stats
+# size an explicit repartition is unconditionally cheap insurance;
+# above it real inputs have many row groups and the split count is
+# trustworthy.
+REBALANCE_MAX_BYTES = 4 << 30  # 4 GiB
+
+
+def needs_rebalance(df: DataFrame, target: int) -> bool:
+    """Should an expensive projection over ``df`` be preceded by an
+    explicit repartition? TWO arms, because split COUNT lies:
+    parquet cannot split below row-group granularity, so a
+    small-split scan profile over a one-row-group file yields
+    ``target`` split DESCRIPTORS of which all but one are EMPTY — a
+    count-only probe reads "well-partitioned" while one core does
+    all the work (measured 112 s vs 11 s on the sf1 char-grain
+    ExactSubstr; the real cause of the r12 "116 s regression" three
+    rounds of bench forensics chased as JVM state).
+
+    1. catalyst plan-stats bytes < :data:`REBALANCE_MAX_BYTES` →
+       rebalance unconditionally: the shuffle is bounded-cheap, and
+       no count is trustworthy at sizes where files have ~1 row
+       group. Driver-side, no job, no RDD planning.
+    2. else (big input): rebalance only when the scan REALLY
+       under-partitions (split count < ``target`` — the handful-of-
+       unsplittable-.gz case). At 100 TB neither arm moves bodies
+       unless the scan was already degenerate."""
+    try:
+        # py4j auto-converts the scala BigInt to a Python int
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size_bytes = None
+    if size_bytes is not None and size_bytes < REBALANCE_MAX_BYTES:
+        return True
+    return df.rdd.getNumPartitions() < target
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition when the input has fewer partitions than cores —
-    a small parquet file arrives as ONE split, serializing any
-    expensive projection behind it (measured: the minhash shingle
-    explode ran 1-way on 32 cores). The shuffle this adds is tiny
+    """Repartition when the input would serialize an expensive
+    projection behind too few REAL partitions — a small parquet
+    file arrives as ONE split (measured: the minhash shingle
+    explode ran 1-way on 32 cores), and a small-split profile over
+    a one-row-group file arrives as N splits with N-1 of them empty
+    (see :func:`needs_rebalance`). The shuffle this adds is tiny
     compared to unlocking the cluster; no-op when the source is
-    already well-split (the 100 TB case)."""
+    already genuinely well-split (the 100 TB case)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if needs_rebalance(df, target):
         return df.repartition(target)
     return df

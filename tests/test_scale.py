@@ -33,6 +33,46 @@ def test_partition_count_for():
     assert scale.partition_count_for(1024) == 64  # clamped floor
 
 
+def test_needs_rebalance_sees_through_empty_splits(spark, tmp_path):
+    """The r13 two-armed rebalance probe: a small-split scan profile
+    over a one-row-group parquet yields many split DESCRIPTORS with
+    all rows in ONE of them — the r12 count-only probe read that as
+    'well-partitioned' and one core ran the whole downstream explode
+    (112 s vs 11 s on the sf1 char-grain ExactSubstr). Arm 1
+    (plan-stats bytes < 4 GiB) must fire regardless of the split
+    count, and ensure_parallelism must actually spread the rows."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark import scale
+
+    p = str(tmp_path / "onegroup")
+    spark.range(20000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(p)
+
+    old_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        df = spark.read.parquet(p)
+        n_splits = df.rdd.getNumPartitions()
+        assert n_splits >= 3  # several descriptors...
+        dist = df.groupBy(F.spark_partition_id().alias("pp")).count().collect()
+        # ...but parquet can't split below the row group: ONE real
+        assert len(dist) == 1 and dist[0]["count"] == 20000
+        # the count-only probe (splits < target) says False at
+        # target == n_splits; arm 1 must say True anyway
+        assert scale.needs_rebalance(df, n_splits)
+        out = scale.ensure_parallelism(df, n_splits)
+        dist2 = out.groupBy(F.spark_partition_id().alias("pp")).count().collect()
+        assert len(dist2) >= 3  # rows actually spread
+        assert sum(r["count"] for r in dist2) == 20000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
 def test_bucket_pairs_exhaustive_and_degenerate(spark):
     """_bucket_pairs must emit exactly the i<j pairs of each bucket
     (index-based element_at emission — no slice copies), including a

@@ -19,6 +19,11 @@ CHARACTERISTICS scale ~linearly instead of degenerately:
 - ``lineitem``/``orders``: order keys offset per replica (FK between
   the two preserved); customer keys untouched so the star join fans
   out 10× over the same dimension tables.
+- ``events``: replicated 10× with event_id AND user_id offset per
+  replica — same 30-day time range, 10× rows and 10× distinct keys,
+  so windowed by-key aggregations fan out linearly (r13; previously
+  copied as-is, which left the sf1 throughput number measuring the
+  sf0.1 table).
 - dimensions (``customer``/``nation``/``region``/``supplier``/
   ``part``): copied as-is — at any scale these stay broadcast-side.
 
@@ -92,13 +97,32 @@ def _fact(spark: SparkSession, src: str, dst: str, name: str,
     out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
 
+def _events(spark: SparkSession, src: str, dst: str) -> None:
+    """events scale 10× with BOTH event_id and user_id offset per
+    replica: same 30-day time range, 10× rows AND 10× distinct keys,
+    so windowed `by`-key aggregations fan out linearly (10× groups ×
+    the original windows) instead of deepening the same 1,500 key
+    groups 10×. (r13: events was previously COPIED like a dimension,
+    which left the sf1 flagship-throughput run measuring the sf0.1
+    table — a 0.3 s 'sustained' number.)"""
+    df = _with_replicas(spark.read.parquet(f"{src}/events.parquet"))
+    out = (
+        df.withColumn("event_id", F.col("event_id") + F.col("__r__") * BASE)
+        .withColumn("user_id", F.col("user_id") + F.col("__r__") * BASE)
+        .drop("__r__")
+    )
+    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+
 def ensure_sf1(spark: SparkSession, src: str = "/root/testdata/sf0.1",
                dst: str | None = None) -> str:
     """Build (once) and return the sf1 directory."""
     if dst is None:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         dst = os.path.join(repo, ".cache", "sf1")
-    marker = os.path.join(dst, "_DONE")
+    # v2: events now replicate 10× (were copied); version the marker
+    # so pre-r13 caches rebuild instead of serving the stale table
+    marker = os.path.join(dst, "_DONE_v2")
     if os.path.exists(marker):
         return dst
     os.makedirs(dst, exist_ok=True)
@@ -110,8 +134,8 @@ def ensure_sf1(spark: SparkSession, src: str = "/root/testdata/sf0.1",
     _embeddings(spark, src, dst)
     _fact(spark, src, dst, "lineitem", "l_orderkey")
     _fact(spark, src, dst, "orders", "o_orderkey")
-    for dim in ("customer", "supplier", "part", "nation", "region",
-                "events"):
+    _events(spark, src, dst)
+    for dim in ("customer", "supplier", "part", "nation", "region"):
         s = f"{src}/{dim}.parquet"
         if os.path.isfile(s):
             shutil.copyfile(s, f"{dst}/{dim}.parquet")
