@@ -702,3 +702,43 @@ def test_dup_span_removed_prefilter_property(
         )
 
     assert run(prefilter_w) == run(None)
+
+
+@given(
+    docs=st.lists(WORDS, min_size=1, max_size=6),
+    top_bg=st.integers(1, 8),
+    top_ug=st.integers(1, 4),
+    strategy=st.sampled_from(["fold", "join"]),
+)
+@SLOW
+def test_lm_bits_matches_reference_property(
+    spark, docs, top_bg, top_ug, strategy
+):
+    """lm train+score == the pure-Python pruned-bigram transcription
+    on random tiny-vocab corpora (heavy pair collisions by
+    construction, pruning cutoffs landing mid-tie): train on the
+    corpus itself, then both scoring strategies must reproduce the
+    reference's (n_bigrams, bits_e9) for every doc — including the
+    empty/1-token zero rows and every bigram/backoff/OOV branch the
+    random pruning exposes."""
+    from mirabelle_spark.pipeline import lm
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = lm.train_bigram_lm(df, top_bigrams=top_bg, top_unigrams=top_ug)
+
+    bmap = {(a, b): v for a, b, v in m["bigrams"]}
+    umap = dict(m["unigrams"])
+    exp = {}
+    for i, ws in enumerate(docs):
+        bits = sum(
+            bmap.get((ws[j], ws[j + 1]), umap.get(ws[j + 1], m["oov_e9"]))
+            for j in range(len(ws) - 1)
+        )
+        exp[i] = (max(len(ws) - 1, 0), bits if len(ws) >= 2 else 0)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.bits_e9)
+        for r in lm.lm_bits(df, m, strategy=strategy).collect()
+    }
+    assert got == exp
