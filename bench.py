@@ -27,10 +27,18 @@ item):
   multi-second run) in the fresh child — not extrapolated from one
   sub-second sf0.1 query (the r11/r12 ±30%-on-no-code-change
   artifact). Absent the sf1 block the field is omitted.
-- input splits: small local parquet arrives as 1-3 splits, starving
-  32 cores, so the bench profile lowers
-  ``spark.sql.files.maxPartitionBytes``/``openCostInBytes``. A real
-  100 TB table has thousands of row groups and never needs this.
+- input splits: the profile still lowers
+  ``spark.sql.files.maxPartitionBytes``/``openCostInBytes``, but
+  KNOW WHAT IT DOES NOT DO (r13, PERF §80): local testdata files
+  have ONE parquet row group, and parquet cannot split below
+  row-group granularity — the small-split profile only multiplies
+  EMPTY split descriptors (all rows stay in one task) and once even
+  fooled a count-based rebalance probe into serializing the sf1
+  char-grain explode onto one core (112 s vs 11 s). Real scan
+  parallelism on this testdata comes from the operators' explicit
+  rebalance (``scale.needs_rebalance``), not from this profile; it
+  is kept only for round-over-round comparability. A real 100 TB
+  table has thousands of row groups and needs neither.
 """
 
 from __future__ import annotations
@@ -151,9 +159,11 @@ def _make_spark():
     return get_spark(
         app_name="mirabelle_bench",
         extra_conf={
-            # local-data split sizing: a 10 MB parquet file must not
-            # arrive as one input split on a 32-core box (no-op at
-            # real scale where files are many)
+            # local-data split sizing — kept for round-over-round
+            # comparability only; it CANNOT create real parallelism
+            # on one-row-group local files (parquet splits at
+            # row-group granularity; the extra descriptors are
+            # empty — see the module docstring and PERF §80)
             "spark.sql.files.maxPartitionBytes": "1m",
             "spark.sql.files.openCostInBytes": "131072",
         },
