@@ -56,6 +56,8 @@ def bigram_counts(
     (a, b, c: bigint). At 100 TB: narrow rows, partials combine
     map-side, output is vocabulary²-bounded (and Zipf-tiny in
     practice)."""
+    from mirabelle_spark.scale import ensure_parallelism
+
     w = _toks(F.col(text_col))
     L = F.size(w)
     pairs = F.zip_with(
@@ -64,7 +66,7 @@ def bigram_counts(
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
     return (
-        df.select(F.explode(pairs).alias("__p__"))
+        ensure_parallelism(df).select(F.explode(pairs).alias("__p__"))
         .groupBy(
             F.col("__p__.a").alias("a"), F.col("__p__.b").alias("b")
         )
@@ -223,14 +225,19 @@ def lm_bits(
     Returns every input row (empty/1-token docs score 0/0); output
     is identical across strategies (parity pytest).
 
-    ``strategy`` picks the PHYSICAL lookup plan:
+    ``strategy`` picks the PHYSICAL lookup plan (both behind one
+    input-rebalance insurance — the pair explode/probe work is
+    CPU-dense per input byte, and a one-row-group file otherwise
+    runs it all on one core no matter what the split count claims,
+    :func:`mirabelle_spark.scale.needs_rebalance` / PERF §80):
 
-    - ``"fold"`` — SHUFFLE-FREE: the two lookup tables ride the
-      plan as constant-folded map literals (built OUTSIDE the
-      lambda; a folded Literal has no per-row materialization cost,
-      the PERF §26 trap) and the pair fold is one in-row aggregate.
-      But Spark's map-literal access is a LINEAR scan per probe —
-      right only for small pinned models.
+    - ``"fold"`` — JOIN-free: the two lookup tables ride the plan
+      as constant-folded map literals (built OUTSIDE the lambda; a
+      folded Literal has no per-row materialization cost, the PERF
+      §26 trap) and the pair fold is one in-row aggregate — no
+      exchange beyond the input rebalance. But Spark's map-literal
+      access is a LINEAR scan per probe — right only for small
+      pinned models.
     - ``"join"`` — the large-model path: pairs explode to narrow
       rows, two BROADCAST hash joins price each pair in O(1), one
       map-side-combining groupBy(doc) re-aggregates, and the
@@ -247,6 +254,13 @@ def lm_bits(
     n_entries = len(model["bigrams"]) + len(model["unigrams"])
     if strategy == "auto":
         strategy = "fold" if n_entries <= FOLD_MAX_ENTRIES else "join"
+    # the pair explode + probe work is CPU-dense per input byte; a
+    # one-row-group file otherwise runs it on one core no matter how
+    # many split descriptors the scan shows (scale.needs_rebalance,
+    # PERF §80) — rebalance the narrow (id, text) rows first
+    from mirabelle_spark.scale import ensure_parallelism
+
+    df = ensure_parallelism(df)
     oov = F.lit(int(model["oov_e9"])).cast("long")
     pairs = _pair_structs(text_col)
     n_pairs = F.size(pairs).cast("long").alias("n_bigrams")
@@ -321,8 +335,8 @@ def lm_quality(
     shorter docs). The threshold compare is EXACT integer
     cross-multiplication — ``bits_e9 ≤ t·1e9 · n`` — no division,
     no float, so the survivor set is bit-stable across engines.
-    Same shuffle-free plan as :func:`lm_bits` (keep_cols ride the
-    projection — no join back)."""
+    Same plan as :func:`lm_bits` plus one filter (keep_cols ride
+    the projection — no join back)."""
     t_e9 = round(max_bits_per_token * 1_000_000_000)
     scored = lm_bits(
         df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols
