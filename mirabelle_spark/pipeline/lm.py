@@ -35,16 +35,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# U+001F unit separator: cannot appear in whitespace-split tokens, so
-# "a SEP b" is collision-free as a composite map key
+# U+001F unit separator, the fold strategy's composite-key glue for
+# "a SEP b" bigram keys. NOTE (ADVICE r13): \x1f is NOT Java-regex
+# whitespace (\s is [ \t\n\x0B\f\r]), so corpus tokens CAN contain
+# it — collision-freedom is guaranteed on the MODEL side instead:
+# train_bigram_lm drops SEP-bearing tokens, so every pinned map key
+# carries exactly one SEP; a probe key built from a SEP-bearing
+# corpus token has ≥ 2 and can never falsely hit (and map_from_arrays
+# can never see duplicate keys).
 SEP = "\x1f"
 
 
 def _toks(text: Column) -> Column:
-    """The engine-wide token canon (text.tokens + non-empty filter)."""
+    """The engine-wide token canon (text.tokens + non-empty filter).
+    NULL text coalesces to the empty document (0 tokens → 0 pairs,
+    0 bits) so both lookup strategies keep the row instead of the
+    join path silently dropping it (ADVICE r13)."""
     from mirabelle_spark.pipeline.text import tokens
 
-    return F.filter(tokens(text), lambda t: t != F.lit(""))
+    return F.filter(
+        tokens(F.coalesce(text, F.lit(""))), lambda t: t != F.lit("")
+    )
 
 
 def bigram_counts(
@@ -93,7 +104,15 @@ def train_bigram_lm(
     micro-bits, the exact-summation currency)."""
     import math
 
-    bg = bigram_counts(df, text_col=text_col)
+    # SEP-bearing tokens are excluded from the MODEL (not from
+    # inference tokenization): pinned map keys then carry exactly one
+    # SEP each, so the fold strategy's composite probe keys can never
+    # collide and map_from_arrays can never see duplicates (the \x1f
+    # note at SEP; ADVICE r13). Such tokens score as OOV — the
+    # correct price for control-character junk.
+    bg = bigram_counts(df, text_col=text_col).filter(
+        ~F.col("a").contains(SEP) & ~F.col("b").contains(SEP)
+    )
     # denominator: bigrams STARTING with a — the true MLE conditional
     # denominator, an exact sum over the (already tiny) distinct-
     # bigram table, not a second pass over the corpus
@@ -107,7 +126,9 @@ def train_bigram_lm(
     toks = df.select(
         F.explode(_toks(F.col(text_col))).alias("w")
     )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).filter(
+        ~F.col("w").contains(SEP)
+    )
     n_tokens = int(
         uni.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0
     )
@@ -222,8 +243,15 @@ def lm_bits(
     the SECOND word, else OOV), ``n_bigrams`` = max(len-1, 0).
     ``bits_e9 / n_bigrams / 1e9`` is bits-per-token — CCNet's
     perplexity statistic in log form (perplexity = 2^bpt).
-    Returns every input row (empty/1-token docs score 0/0); output
-    is identical across strategies (parity pytest).
+    Returns every input row (empty/1-token/NULL-text docs score
+    0/0); output is identical across strategies (parity pytest).
+
+    CONTRACT (ADVICE r13): ``(id_col, *keep_cols)`` must be
+    row-unique — the join strategy re-aggregates on that tuple, so
+    duplicate ids would merge into one summed row while the fold
+    strategy keeps them separate. Every engine id column
+    (``doc_id``) satisfies this; pre-aggregate or add a surrogate
+    key before scoring anything that doesn't.
 
     ``strategy`` picks the PHYSICAL lookup plan (both behind one
     input-rebalance insurance — the pair explode/probe work is
@@ -336,7 +364,15 @@ def lm_quality(
     cross-multiplication — ``bits_e9 ≤ t·1e9 · n`` — no division,
     no float, so the survivor set is bit-stable across engines.
     Same plan as :func:`lm_bits` plus one filter (keep_cols ride
-    the projection — no join back)."""
+    the projection — no join back).
+
+    CAVEAT (ADVICE r13): the bigram conditionals are unsmoothed
+    MLE, so a bigram with ``c == ca`` costs exactly 0 bits — a
+    degenerate document spamming one deterministic pair scores 0
+    bits/token and always passes. The trigram artifact
+    (:mod:`~mirabelle_spark.pipeline.lm3`, r14) closes this with
+    add-one-smoothed conditionals that never emit zero; prefer it
+    for adversarial corpora."""
     t_e9 = round(max_bits_per_token * 1_000_000_000)
     scored = lm_bits(
         df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols

@@ -277,10 +277,20 @@ def curate_head(
 
     ``lm_gate=(model, max_bits_per_token, min_bigrams)`` adds the
     CCNet perplexity gate (r13; Wenzek et al. 2020 filter by pruned
-    LM perplexity) after the quality/domain gates:
-    :func:`mirabelle_spark.pipeline.lm.lm_gate_expr`, a row-local
-    integer-exact predicate — still one stateless projection, so
-    the compose stays one narrow shuffle end to end.
+    LM perplexity) after the quality/domain gates. The PHYSICAL plan
+    follows the model size (r14; :data:`mirabelle_spark.pipeline.lm.
+    FOLD_MAX_ENTRIES` — Spark's literal-map probe is a LINEAR scan,
+    measured 1.5× slower than the broadcast join on the 962-entry
+    pinned model, PERF §79/§82): at most FOLD_MAX_ENTRIES entries →
+    :func:`~mirabelle_spark.pipeline.lm.lm_gate_expr`, a row-local
+    integer-exact predicate folded into the stateless projection;
+    larger models → survivor ids from
+    :func:`~mirabelle_spark.pipeline.lm.lm_quality` (pair explode →
+    two broadcast O(1) hash probes → one map-side-combining
+    groupBy(id)) pulled back by a LEFT SEMI join on ``id_col`` —
+    only narrow (id) rows cross, the same shape as the dedup-winner
+    join below. Both plans gate the identical survivor set (the
+    strategies are output-identical; parity pytest).
 
     Scale shape: quality is a stateless projection; dedup shuffles
     only (id, 24-byte hash) rows (bodies never move); masking is a
@@ -309,12 +319,30 @@ def curate_head(
             dsir_gate_expr(dw, text_col=text_col) >= F.lit(float(thr))
         )
     if lm_gate is not None:
-        from mirabelle_spark.pipeline.lm import lm_gate_expr
+        from mirabelle_spark.pipeline.lm import (
+            FOLD_MAX_ENTRIES,
+            lm_gate_expr,
+            lm_quality,
+        )
 
         lmodel, max_bpt, min_bg = lm_gate
-        passed = passed.filter(
-            lm_gate_expr(lmodel, max_bpt, min_bg, text_col=text_col)
-        )
+        n_entries = len(lmodel["bigrams"]) + len(lmodel["unigrams"])
+        if n_entries <= FOLD_MAX_ENTRIES:
+            # small model: the fold expression rides the existing
+            # projection — no extra exchange at all
+            passed = passed.filter(
+                lm_gate_expr(lmodel, max_bpt, min_bg, text_col=text_col)
+            )
+        else:
+            # large model: broadcast-join scoring (O(1) probes), then
+            # pull survivors back via a narrow left-semi on ids — the
+            # fold's linear map-literal scan is past its measured
+            # crossover here (lm.FOLD_MAX_ENTRIES, PERF §79/§82)
+            keep = lm_quality(
+                passed, lmodel, max_bpt, min_bg,
+                text_col=text_col, id_col=id_col,
+            ).select(id_col)
+            passed = passed.join(keep, id_col, "left_semi")
     winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
         id_col
     )

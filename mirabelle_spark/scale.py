@@ -85,6 +85,34 @@ def partition_count_for(total_bytes: int, target_mb: int = 256) -> int:
 # trustworthy.
 REBALANCE_MAX_BYTES = 4 << 30  # 4 GiB
 
+# logical nodes that force an exchange (or an explicit
+# repartition) between the file scan and `df` — behind any of
+# these the physical partition count is shuffle-determined, so the
+# empty-parquet-split lie (arm 1's reason to distrust counts)
+# cannot apply and the count probe is authoritative. Join is
+# deliberately ABSENT: a broadcast join preserves the stream side's
+# scan partitioning, descriptors and all, so behind one the lie can
+# still apply.
+_EXCHANGE_NODES = (
+    "Repartition",  # also matches RepartitionByExpression/Rebalance…
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+)
+
+
+def _plan_has_exchange(plan_str: str) -> bool:
+    """Does the optimized LOGICAL plan contain a node that plans an
+    exchange? Node names are matched at line heads (after the
+    ``+- :- *`` tree art), never inside expression text, so a
+    column literally named ``join_key`` can't false-positive."""
+    for line in plan_str.splitlines():
+        head = line.lstrip(" +-:*'(0123456789)")
+        if head.startswith(_EXCHANGE_NODES):
+            return True
+    return False
+
 
 def needs_rebalance(df: DataFrame, target: int) -> bool:
     """Should an expensive projection over ``df`` be preceded by an
@@ -97,21 +125,38 @@ def needs_rebalance(df: DataFrame, target: int) -> bool:
     ExactSubstr; the real cause of the r12 "116 s regression" three
     rounds of bench forensics chased as JVM state).
 
+    0. (r14, ADVICE r13) the optimized plan already contains an
+       exchange-planning node (aggregate/join/window/repartition/…)
+       between the scan and here → the physical partitioning is
+       shuffle-determined, descriptors cannot be empty-split lies,
+       and the count probe is authoritative — a mid-pipeline
+       DataFrame fresh out of a shuffle no longer pays an
+       unconditional extra exchange.
     1. catalyst plan-stats bytes < :data:`REBALANCE_MAX_BYTES` →
        rebalance unconditionally: the shuffle is bounded-cheap, and
        no count is trustworthy at sizes where files have ~1 row
        group. Driver-side, no job, no RDD planning.
     2. else (big input): rebalance only when the scan REALLY
        under-partitions (split count < ``target`` — the handful-of-
-       unsplittable-.gz case). At 100 TB neither arm moves bodies
+       unsplittable-.gz case). At 100 TB no arm moves bodies
        unless the scan was already degenerate."""
+    size_bytes = None
+    plan_str = ""
     try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        plan_str = plan.toString()
         # py4j auto-converts the scala BigInt to a Python int
-        size_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size_bytes = int(plan.stats().sizeInBytes())
+    except Exception:  # py4j/analysis failure — log, fall through
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "needs_rebalance: plan-stats probe failed; falling back "
+            "to the partition-count arm",
+            exc_info=True,
         )
-    except Exception:
-        size_bytes = None
+    if _plan_has_exchange(plan_str):
+        return df.rdd.getNumPartitions() < target
     if size_bytes is not None and size_bytes < REBALANCE_MAX_BYTES:
         return True
     return df.rdd.getNumPartitions() < target

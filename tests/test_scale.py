@@ -73,6 +73,53 @@ def test_needs_rebalance_sees_through_empty_splits(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
+def test_needs_rebalance_trusts_post_shuffle_plans(spark, tmp_path):
+    """Arm 0 (r14, ADVICE r13): a DataFrame whose plan already
+    contains an exchange-planning node (repartition / aggregate)
+    must NOT pay arm 1's unconditional insurance exchange — its
+    physical partition count is shuffle-determined and
+    authoritative — while a bare scan of the same tiny file still
+    triggers arm 1 regardless of its (lying) descriptor count."""
+    from pyspark.sql import functions as F
+
+    from mirabelle_spark import scale
+
+    p = str(tmp_path / "tiny")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    # bare tiny scan: arm 1 fires (stats < 4 GiB), count irrelevant
+    assert scale.needs_rebalance(scan, 1)
+
+    shuffled = scan.repartition(8)
+    # post-repartition: count (8) >= target → no rebalance...
+    assert not scale.needs_rebalance(shuffled, 8)
+    assert scale.ensure_parallelism(shuffled, 8) is shuffled
+    # ...but a genuinely under-partitioned post-shuffle plan still
+    # rebalances via the count probe
+    assert scale.needs_rebalance(scan.repartition(2), 8)
+
+    agged = scan.groupBy("k").agg(F.count("*").alias("c"))
+    n = agged.rdd.getNumPartitions()
+    assert not scale.needs_rebalance(agged, n)
+
+
+def test_plan_has_exchange_never_matches_expression_text(spark):
+    """Node-name matching is anchored at line heads: a column named
+    after an exchange node ('Sort', 'Aggregate') inside expression
+    text must not flip arm 0."""
+    from mirabelle_spark import scale
+
+    df = spark.range(10).selectExpr(
+        "id AS Sort", "id AS Aggregate", "id AS Repartition"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Sort" in plan  # the decoy columns really are in the text
+    assert not scale._plan_has_exchange(plan)
+    assert scale._plan_has_exchange(
+        df.repartition(4)._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
 def test_bucket_pairs_exhaustive_and_degenerate(spark):
     """_bucket_pairs must emit exactly the i<j pairs of each bucket
     (index-based element_at emission — no slice copies), including a
