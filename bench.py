@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     # r13 additions
     "dup_span_removed_twophase_docs",  # skew-bounded ExactSubstr detection
     "lm_quality_docs",        # bigram-LM perplexity gate (map-literal fold)
+    # r14 additions
+    "lm3_quality_docs",       # trigram-LM gate (3-level broadcast probe)
+    "curate_head_lm_docs",    # curation head with join-routed LM gate
 ]
 
 
@@ -152,6 +155,9 @@ SF1_QUERIES = [
     # broadcast-probe strategy's scale datapoint (the model side is
     # constant; the corpus side must scale linearly)
     "lm_quality_docs",
+    # r14: the trigram gate — 3x the probe columns, ~3.5x the model
+    # rows; must stay linear in the corpus like the bigram gate
+    "lm3_quality_docs",
     # semdedup_survivors is deliberately NOT here: at the
     # pinned 8-cell quantizer its sf1 pair work is quadratic
     # BY DESIGN (~92 s; the nlist knob and the BLAS mode are

@@ -3226,6 +3226,124 @@ def lm_quality_docs(spark, sf):
     )
 
 
+_LM3_GATE_BPT = 8.57
+_LM3_GATE_T_E9 = round(_LM3_GATE_BPT * 1_000_000_000)
+
+
+def _lm3_values() -> tuple[str, str, str, int]:
+    """The pinned TRIGRAM LM as SQL VALUES bodies: (trigram rows,
+    bigram rows, unigram rows, oov cost) — shared by every lm3
+    oracle so the inlined artifact can never drift between them."""
+    from mirabelle_spark.pipeline.trigram_lm_trained import (
+        LM3_BIGRAMS, LM3_OOV_E9, LM3_TRIGRAMS, LM3_UNIGRAMS,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    tg = ",\n  ".join(
+        f"('{esc(a)}','{esc(b)}','{esc(c)}',{v})"
+        for a, b, c, v in LM3_TRIGRAMS
+    )
+    bg = ",\n  ".join(
+        f"('{esc(a)}','{esc(b)}',{v})" for a, b, v in LM3_BIGRAMS
+    )
+    ug = ",\n  ".join(f"('{esc(w)}',{v})" for w, v in LM3_UNIGRAMS)
+    return tg, bg, ug, LM3_OOV_E9
+
+
+def _lm3_oracle(
+    min_trigrams: int | None = None, t_e9: int | None = None
+) -> str:
+    """Trigram-LM scoring in SQL: the same token canon, the same
+    pinned integer micro-bit costs (VALUES tables the oracle LEFT
+    JOINs three levels deep where Spark broadcast-joins), the same
+    trigram→bigram-backoff→unigram-backoff→OOV coalesce. Integer
+    sums are order-free, so the join+GROUP BY equals Spark's
+    re-aggregate exactly."""
+    tg, bg, ug, oov = _lm3_values()
+    gate = (
+        f"WHERE n_trigrams >= {min_trigrams}"
+        f" AND bits_e9 <= {t_e9} * n_trigrams"
+        if min_trigrams is not None
+        else ""
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_TOKENS_SQL}, x -> x <> '') AS w
+  FROM documents
+),
+tr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS wa,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS wb,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS wc
+  FROM t WHERE len(w) >= 3
+),
+tg(ta, tb, tc, ct) AS (VALUES
+  {tg}),
+bg(ba, bb, cb) AS (VALUES
+  {bg}),
+ug(uw, cu) AS (VALUES
+  {ug}),
+costed AS (
+  SELECT tr.doc_id, coalesce(tg.ct, bg.cb, ug.cu, {oov}) AS c
+  FROM tr LEFT JOIN tg ON tg.ta = tr.wa AND tg.tb = tr.wb AND tg.tc = tr.wc
+          LEFT JOIN bg ON bg.ba = tr.wb AND bg.bb = tr.wc
+          LEFT JOIN ug ON ug.uw = tr.wc
+),
+s AS (SELECT doc_id, count(*) AS np, sum(c) AS bits FROM costed GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(s.np, 0) AS BIGINT) AS n_trigrams,
+         CAST(coalesce(s.bits, 0) AS BIGINT) AS bits_e9
+  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_trigrams, bits_e9 FROM scored {gate}
+"""
+
+
+@q("lm3_bits_docs", _lm3_oracle())
+def lm3_bits_docs(spark, sf):
+    """Pruned-TRIGRAM-LM cost per document (r14) — one backoff
+    level closer to CCNet's pruned KenLM (Wenzek et al. 2020) than
+    lm_bits_docs: trigram hit → bigram backoff on (b, c) → unigram
+    backoff on c → OOV, all costs pinned INTEGER micro-bits from
+    the engine-trained sf0.1 artifact (trigram_lm_trained, smoothed
+    conditionals — strictly positive costs, no zero-cost spam
+    loophole). Join strategy only: a trigram model is past the
+    fold/join crossover by construction, so every probe is a
+    BROADCAST hash join — the corpus never shuffles for the probe;
+    one map-side-combining re-aggregate on doc_id."""
+    from mirabelle_spark.pipeline import lm3
+    from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+
+    return lm3.lm3_bits(docs(spark, sf), TRAINED_LM3, keep_cols=("lang",))
+
+
+@q(
+    "lm3_quality_docs",
+    _lm3_oracle(min_trigrams=16, t_e9=_LM3_GATE_T_E9),
+)
+def lm3_quality_docs(spark, sf):
+    """The TRIGRAM perplexity GATE (r14): documents with ≥16 token
+    triples whose LM cost is ≤ 8.57 bits/token (the median split on
+    this corpus under the pinned trigram model). Exact integer
+    cross-multiplication (bits_e9 ≤ t·1e9 · n_trigrams) — no
+    division, no float, survivor set bit-stable across engines; and
+    because every pinned cost is strictly positive (smoothed
+    conditionals), no degenerate repetitive document can score 0
+    and slip through (the bigram gate's documented caveat, closed).
+    Same broadcast-probe plan as lm3_bits_docs plus one filter."""
+    from mirabelle_spark.pipeline import lm3
+    from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+
+    return lm3.lm3_quality(
+        docs(spark, sf), TRAINED_LM3, _LM3_GATE_BPT,
+        min_trigrams=16, keep_cols=("lang",),
+    )
+
+
 @q(
     "vocab_cardinality_by_lang",
     f"""

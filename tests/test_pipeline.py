@@ -3313,3 +3313,106 @@ def test_bpe_32k_merges_end_to_end(spark):
     assert prof.n == 50000
     assert prof.bad == 0             # zero reassembly failures at 32k
     assert prof.tw <= 2.5, prof.tw   # real compression (measured 1.944)
+
+
+def test_trained_trigram_lm_match_pinned(spark):
+    """Pin contract for the trigram LM artifact (r14): re-running
+    train_trigram_lm with the recorded hyperparameters reproduces
+    trigram_lm_trained.py exactly, the trainer is partitioning-
+    invariant, and — the ADVICE-r13 smoothing guarantee — every
+    pinned cost is strictly positive."""
+    from mirabelle_spark.pipeline import lm3
+    from mirabelle_spark.pipeline.trigram_lm_trained import (
+        TRAIN_BACKOFF_BITS, TRAIN_SF_DIR, TRAIN_TOP_BIGRAMS,
+        TRAIN_TOP_TRIGRAMS, TRAIN_TOP_UNIGRAMS, TRAINED_LM3,
+    )
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, TRAIN_SF_DIR)
+    m = lm3.train_trigram_lm(
+        d, top_trigrams=TRAIN_TOP_TRIGRAMS,
+        top_bigrams=TRAIN_TOP_BIGRAMS,
+        top_unigrams=TRAIN_TOP_UNIGRAMS,
+        backoff_bits=TRAIN_BACKOFF_BITS,
+    )
+    assert m == TRAINED_LM3
+    m2 = lm3.train_trigram_lm(
+        d.repartition(13), top_trigrams=TRAIN_TOP_TRIGRAMS,
+        top_bigrams=TRAIN_TOP_BIGRAMS,
+        top_unigrams=TRAIN_TOP_UNIGRAMS,
+        backoff_bits=TRAIN_BACKOFF_BITS,
+    )
+    assert m2 == TRAINED_LM3
+    assert all(v > 0 for *_, v in TRAINED_LM3["trigrams"])
+    assert all(v > 0 for *_, v in TRAINED_LM3["bigrams"])
+    assert all(v > 0 for _, v in TRAINED_LM3["unigrams"])
+    assert TRAINED_LM3["oov_e9"] > 0
+
+
+def test_lm3_bits_matches_python_reference(spark):
+    """lm3_bits == a pure-Python transcription of the pruned
+    trigram scorer on a fixture hitting ALL FOUR cost branches
+    (pinned trigram, bigram backoff, unigram backoff, OOV), the
+    sub-3-token / NULL-text zero rows, and the exact-integer gate
+    arithmetic of lm3_quality — including the no-zero-cost
+    guarantee on a degenerate one-n-gram spam document."""
+    import re
+
+    from mirabelle_spark.pipeline import lm3
+
+    rows = [
+        (1, "the quick brown fox the quick brown dog"),
+        (2, "the quick red fox jumps high"),
+        (3, "zz yy xx ww"),                          # all-OOV
+        (4, ""),                                     # zero row
+        (5, "single"),                               # zero row
+        (6, "two words"),                            # zero row
+        (7, None),                                   # NULL → zero row
+        (8, "dup dup dup dup dup dup dup dup"),      # degenerate spam
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = lm3.train_trigram_lm(
+        df, top_trigrams=5, top_bigrams=4, top_unigrams=3
+    )
+    # the pruned model must NOT cover everything, or the backoff
+    # and OOV branches go untested
+    assert len(m["trigrams"]) == 5 and len(m["bigrams"]) == 4
+
+    tmap = {(a, b, c): v for a, b, c, v in m["trigrams"]}
+    bmap = {(a, b): v for a, b, v in m["bigrams"]}
+    umap = dict(m["unigrams"])
+
+    def ref(text):
+        w = [t for t in re.split(r"\s+", (text or "").strip().lower()) if t]
+        bits = sum(
+            tmap.get(
+                (w[j], w[j + 1], w[j + 2]),
+                bmap.get((w[j + 1], w[j + 2]), umap.get(w[j + 2], m["oov_e9"])),
+            )
+            for j in range(len(w) - 2)
+        )
+        return (max(len(w) - 2, 0), bits if len(w) >= 3 else 0)
+
+    exp = {i: ref(t) for i, t in rows}
+    got = {
+        r.doc_id: (r.n_trigrams, r.bits_e9)
+        for r in lm3.lm3_bits(df, m).collect()
+    }
+    assert got == exp
+    assert exp[3][1] == 2 * m["oov_e9"]  # pure-OOV branch fired
+    # the spam doc's ('dup','dup','dup') trigram is pinned (it's the
+    # most frequent) yet its cost is STRICTLY positive — smoothing
+    # closes the bigram module's 0-bits/token loophole
+    assert ("dup", "dup", "dup") in tmap
+    assert exp[8][1] > 0
+
+    thr = 6.0
+    kept = {
+        r.doc_id
+        for r in lm3.lm3_quality(df, m, thr, min_trigrams=2).collect()
+    }
+    t_e9 = round(thr * 1_000_000_000)
+    exp_kept = {
+        i for i, (n, b) in exp.items() if n >= 2 and b <= t_e9 * n
+    }
+    assert kept == exp_kept

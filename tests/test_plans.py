@@ -313,6 +313,19 @@ def test_lm_bits_plans(spark, qs):
     assert fold.count("Exchange") == 1 and "roundrobin" in fold.lower(), fold
 
 
+def test_lm3_plans_broadcast_only(spark, qs):
+    """Trigram-LM scorer plans (r14): join strategy only — every
+    model lookup is a BROADCAST hash join (no SortMergeJoin: the
+    corpus never shuffles for a probe) and no literal-map linear
+    scan exists anywhere (the fold tier is deliberately not built
+    for trigram-scale models)."""
+    for name in ("lm3_bits_docs", "lm3_quality_docs"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 3, f"{name}:\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{name}:\n{plan}"
+        assert "map(keys:" not in plan, f"{name}:\n{plan}"
+
+
 def test_curate_head_lm_gate_takes_join_strategy(spark, qs):
     """The batch curation head must price the LM gate by model size
     (r14; VERDICT r13 'What's wrong #1'): with the 962-entry pinned

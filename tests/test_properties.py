@@ -742,3 +742,57 @@ def test_lm_bits_matches_reference_property(
         for r in lm.lm_bits(df, m, strategy=strategy).collect()
     }
     assert got == exp
+
+
+@given(
+    docs=st.lists(WORDS, min_size=1, max_size=6),
+    top_tg=st.integers(1, 8),
+    top_bg=st.integers(1, 6),
+    top_ug=st.integers(1, 4),
+)
+@SLOW
+def test_lm3_bits_matches_reference_property(
+    spark, docs, top_tg, top_bg, top_ug
+):
+    """lm3 train+score == the pure-Python pruned-trigram
+    transcription on random tiny-vocab corpora (heavy n-gram
+    collisions by construction, pruning cutoffs landing mid-tie):
+    train on the corpus itself, then the broadcast-join scorer must
+    reproduce the reference's (n_trigrams, bits_e9) for every doc —
+    including sub-3-token zero rows and every
+    trigram/bigram/unigram/OOV branch the random pruning exposes —
+    and every pinned cost must be strictly positive (the smoothing
+    guarantee)."""
+    from mirabelle_spark.pipeline import lm3
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = lm3.train_trigram_lm(
+        df, top_trigrams=top_tg, top_bigrams=top_bg, top_unigrams=top_ug
+    )
+    assert all(v > 0 for *_, v in m["trigrams"])
+    assert all(v > 0 for *_, v in m["bigrams"])
+    assert all(v > 0 for _, v in m["unigrams"]) and m["oov_e9"] > 0
+
+    tmap = {(a, b, c): v for a, b, c, v in m["trigrams"]}
+    bmap = {(a, b): v for a, b, v in m["bigrams"]}
+    umap = dict(m["unigrams"])
+    exp = {}
+    for i, ws in enumerate(docs):
+        bits = sum(
+            tmap.get(
+                (ws[j], ws[j + 1], ws[j + 2]),
+                bmap.get(
+                    (ws[j + 1], ws[j + 2]),
+                    umap.get(ws[j + 2], m["oov_e9"]),
+                ),
+            )
+            for j in range(len(ws) - 2)
+        )
+        exp[i] = (max(len(ws) - 2, 0), bits if len(ws) >= 3 else 0)
+
+    got = {
+        r.doc_id: (r.n_trigrams, r.bits_e9)
+        for r in lm3.lm3_bits(df, m).collect()
+    }
+    assert got == exp
