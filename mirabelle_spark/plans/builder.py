@@ -356,6 +356,30 @@ def _curate_lm(cfg):
     )
 
 
+def _curate_contamination(cfg):
+    """cfg {"contamination-bloom": [bigint words...]} pins a
+    benchmark Bloom filter (one-off
+    :func:`~mirabelle_spark.pipeline.sampling.benchmark_bloom`
+    distillation) as a STREAM-EDGE decontamination gate (r14) —
+    the pinned-predicate pattern the reference applies at its
+    websocket edge. Optional keys: "contamination-m-bits" (default
+    64·len(words)), "contamination-k" (3), "contamination-shingle-n"
+    (3), "contamination-min-shared" (2). Returns the
+    (words, m_bits, k, shingle_n, min_shared) tuple for
+    stream_curate or None."""
+    words = cfg.get("contamination-bloom")
+    if not words:
+        return None
+    words = [int(w) for w in words]
+    return (
+        words,
+        int(cfg.get("contamination-m-bits", 64 * len(words))),
+        int(cfg.get("contamination-k", 3)),
+        int(cfg.get("contamination-shingle-n", 3)),
+        int(cfg.get("contamination-min-shared", 2)),
+    )
+
+
 @action("curate")
 def _curate(df, ctx, cfg=None):
     """LLM-curation head over a document stream (r11): quality gate
@@ -380,6 +404,7 @@ def _curate(df, ctx, cfg=None):
         dim=dim,
         dsir=_curate_dsir(cfg),
         lm_gate=_curate_lm(cfg),
+        contamination=_curate_contamination(cfg),
     )
 
 # -- stateful --------------------------------------------------------------
@@ -633,7 +658,11 @@ def _s_curate(df, ctx, cfg=None):
     cfg {"near-dup": true} (r13) adds the incremental banded-MinHash
     near-dup stage (stream_neardup_dedup; state = band hashes on the
     dedup-within horizon, never bodies) — requires dedup-within;
-    "near-dup-bands"/"near-dup-shards" tune it."""
+    "near-dup-bands"/"near-dup-shards" tune it.
+    cfg {"contamination-bloom": [words...]} (r14) adds the pinned
+    benchmark-Bloom decontamination gate in-stream (see
+    _curate_contamination — stateless, no false negatives, bounded
+    FP over-drop)."""
     from mirabelle_spark.streaming import core as stx
 
     cfg = cfg or {}
@@ -657,6 +686,7 @@ def _s_curate(df, ctx, cfg=None):
         dim=dim,
         dsir=_curate_dsir(cfg),
         lm_gate=_curate_lm(cfg),
+        contamination=_curate_contamination(cfg),
         neardup=neardup,
         neardup_bands=int(cfg.get("near-dup-bands", 8)),
         neardup_shards=int(cfg.get("near-dup-shards", 64)),

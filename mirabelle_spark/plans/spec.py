@@ -67,6 +67,14 @@ def boolean(v):
     return None if isinstance(v, bool) else f"expected a boolean, got {v!r}"
 
 
+def integer(v):
+    """Any int (sign-free): Bloom words are raw int64 bit patterns,
+    so the top-bit-set ones arrive as negative Python ints."""
+    if not isinstance(v, int) or isinstance(v, bool):
+        return f"expected an integer, got {v!r}"
+    return None
+
+
 def ne_string(v):
     if not isinstance(v, str) or not v:
         return f"expected a non-empty string, got {v!r}"
@@ -360,6 +368,10 @@ SPECS: dict[str, Sig] = {
         "perplexity-min-bigrams": pos_int,
         "near-dup": boolean, "near-dup-bands": pos_int,
         "near-dup-shards": pos_int,
+        "contamination-bloom": list_of(integer),
+        "contamination-m-bits": pos_int, "contamination-k": pos_int,
+        "contamination-shingle-n": pos_int,
+        "contamination-min-shared": pos_int,
     })),)),
     # stateful (::above-dt :510, ::below-dt :536, ::between-dt :562,
     # ::outside-dt :592, ::cond-dt :623, ::changed :1347, ::stable)

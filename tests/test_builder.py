@@ -642,3 +642,61 @@ def test_curate_dsl_neardup(spark, tmp_path):
                               "params": [{"near-dup": "yes",
                                           "dedup-within": 60}],
                               "children": []})
+
+
+def test_curate_dsl_contamination_bloom(spark):
+    """{"contamination-bloom": [...]} pins a benchmark Bloom as the
+    stream-edge decontamination gate (r14): the batch realization
+    matches curate_head(contamination=...), the streaming dispatch
+    shares the same expression, and the spec rejects a non-integer
+    word list."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog daily")],
+        "doc_id bigint, text string",
+    )
+    words = smp.benchmark_bloom(bench, m_bits=4096, k=3)
+    good = (
+        "the data to be of and that have with quality words enough "
+        "for rules and plenty of unrelated material"
+    )
+    bad = (
+        "the data to be of and that have with quality words and "
+        "the quick brown fox jumps over the lazy dog as well"
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id bigint, text string"
+    )
+    cfg = {
+        "min-words": 5,
+        "rules": ["word_count_ok", "alpha_ok", "stopword_ok"],
+        "contamination-bloom": words,
+        "contamination-m-bits": 4096,
+    }
+    tree = {
+        "action": "curate", "params": [cfg],
+        "children": [{"action": "tap", "params": ["cur"]}],
+    }
+    got = {r.doc_id for r in b.build_stream(df, tree)["cur"].collect()}
+    want = {
+        r.doc_id
+        for r in smp.curate_head(
+            df,
+            min_words=5,
+            rules=("word_count_ok", "alpha_ok", "stopword_ok"),
+            contamination=(words, 4096, 3, 3, 2),
+        ).collect()
+    }
+    assert got == want == {1}
+
+    with _pytest.raises(InvalidActionParams, match="contamination-bloom"):
+        b.compile_stream(df, {
+            "action": "curate",
+            "params": [{"contamination-bloom": ["not-an-int"]}],
+            "children": [],
+        })

@@ -3820,3 +3820,129 @@ def test_stream_curate_neardup_parity(spark, tmp_path):
         ).collect()
     }
     assert got == batch, (got, batch)
+
+
+def test_stream_curate_contamination_parity(spark, tmp_path):
+    """Streaming decontamination via the pinned benchmark Bloom
+    (r14; VERDICT r13 'What's missing #1'): stream_curate's
+    contamination gate must drop EVERY document the batch
+    exact-confirm join (contamination_bloom) flags — no false
+    negatives by Bloom construction — and any extra drop must be
+    explained by >= min_shared bloom-POSITIVE shingles (the
+    documented FP over-drop). At a generously-sized m the replay is
+    bit-equal to the batch head's survivors; a deliberately
+    starved 64-bit filter then exercises the FP bound."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import sampling
+    from mirabelle_spark.streaming import core
+
+    bench_rows = [
+        (100, "the quick brown fox jumps over the lazy dog every day"),
+        (101, "pack my box with five dozen liquor jugs for the test"),
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+    good = (
+        "the data to be of and that have with quality words enough "
+        "for rules plus plenty of unrelated material here"
+    )
+    contaminated = (
+        "the data to be of and that have with quality words like "
+        "the quick brown fox jumps over the lazy dog said the test"
+    )
+    base = 1704067200
+    rows = [
+        (1, base + 0, good),
+        (2, base + 1, contaminated),   # >= 2 shared shingles w/ bench
+        (3, base + 2, good + " more"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, t bigint, text string"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+
+    M, K, N, MS = 16384, 3, 3, 2
+    words = sampling.benchmark_bloom(bench, shingle_n=N, m_bits=M, k=K)
+    # batch truth: the exact-confirm join's contaminated set
+    batch_bad = {
+        r.doc_id
+        for r in sampling.contamination_bloom(
+            df, bench, min_shared=MS, shingle_n=N, m_bits=M, k=K
+        ).collect()
+    }
+    assert batch_bad == {2}
+
+    src = str(tmp_path / "decon_in")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = core.stream_curate(
+        stream, min_words=5, contamination=(words, M, K, N, MS)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_decon")
+        .option("checkpointLocation", str(tmp_path / "ck_decon"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survivors = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM curate_decon").collect()
+    }
+    # no false negatives: every batch-contaminated doc is gone
+    assert survivors & batch_bad == set()
+    # at this m (16384 bits vs ~20 bench shingles) FPs are ~absent:
+    # the replay equals the batch survivor set exactly
+    assert survivors == {1, 3}
+
+    # batch head parity: the SAME expression gates curate_head, so
+    # the DSL's batch and stream `curate` stay structurally equal
+    batch_head = {
+        r.doc_id
+        for r in sampling.curate_head(
+            df, min_words=5, contamination=(words, M, K, N, MS)
+        ).collect()
+    }
+    assert batch_head == survivors
+
+    # starved filter (64 bits, saturated): everything bloom-positive
+    # -> every doc with >= MS distinct shingles drops; the invariant
+    # "extra drops are bloom-explained over-drops" holds by
+    # construction and batch_bad is still a subset of the drops
+    words64 = sampling.benchmark_bloom(bench, shingle_n=N, m_bits=64, k=K)
+    kept64 = {
+        r.doc_id
+        for r in df.filter(
+            sampling.contamination_gate_expr(
+                words64, 64, k=K, shingle_n=N, min_shared=MS
+            )
+        ).collect()
+    }
+    dropped64 = {1, 2, 3} - kept64
+    assert batch_bad <= dropped64
+    for d in dropped64 - batch_bad:
+        n_pos = (
+            df.filter(F.col("doc_id") == d)
+            .select(
+                F.size(
+                    F.filter(
+                        F.array_distinct(
+                            F.transform(
+                                sampling.word_shingles(F.col("text"), N),
+                                lambda s: F.xxhash64(s),
+                            )
+                        ),
+                        lambda h: sampling.bloom_might_contain(
+                            words64, h, 64, k=K
+                        ),
+                    )
+                ).alias("n")
+            )
+            .first()["n"]
+        )
+        assert n_pos >= MS  # the over-drop is bloom-explained
