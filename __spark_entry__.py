@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-gated in round 9, the oldest cohort; (c) the head of the
 # 45-entry r10 cohort, registry order, filling to exactly 50.
 # After this gate no query's last-green is older than r10; the r10
-# tail of 17 (vocab_top100, token_rarity_docs, mixture_sample_docs,
+# tail of 18 (gopher_quality_docs, vocab_top100, token_rarity_docs,
+# mixture_sample_docs,
 # clean_corpus_docs, paragraph_dedup_docs, multimodal_features,
 # video_frame_sample, linear_quality_docs, ivf_centroid_update,
 # best_docs_per_lang, token_chunks_docs, ann_sq_topk, ann_ivfpq_topk,
@@ -50,6 +51,7 @@ GATE_PRIORITY = [
     # (a) added/changed in round 14
     "lm3_bits_docs",                 # NEW r14: trigram-LM scoring (smoothed)
     "lm3_quality_docs",              # NEW r14: trigram perplexity gate
+    "curate_head_lm3_docs",          # NEW r14: curation + trigram gate compose
     "curate_head_lm_docs",           # CHANGED r14: head now joins >256-entry models
     # (b) the 19-query r9 tail (registry order; 5 rounds since last gate)
     "ddt_rate", "ewma_smoothed", "coll_percentiles_hourly",
@@ -60,7 +62,7 @@ GATE_PRIORITY = [
     "dup_span_fraction_docs", "top_suppliers",
     "priority_conditional_counts", "brand_part_revenue",
     "segment_top_orders",
-    # (c) first 28 of the 45-entry r10 cohort (registry order)
+    # (c) first 27 of the 45-entry r10 cohort (registry order)
     "where_basic", "over_filter", "tagged_all", "split_routing",
     "throttle", "stable_states", "with_const", "default_missing",
     "scale_metric", "coll_increase_daily", "coll_where_inside_window",
@@ -69,7 +71,7 @@ GATE_PRIORITY = [
     "dedup_clusters", "dedup_survivors_docs", "ann_bruteforce_topk",
     "ann_bruteforce_l2_topk", "ann_lsh_topk", "ann_pq_topk",
     "embedding_near_dups", "semantic_dedup_survivors",
-    "contamination_docs", "pack_docs", "gopher_quality_docs",
+    "contamination_docs", "pack_docs",
 ]
 
 

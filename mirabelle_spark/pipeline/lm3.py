@@ -21,12 +21,15 @@ Two deliberate deltas from the bigram module (both ADVICE r13):
   document spamming one deterministic n-gram can no longer score 0
   bits/token and walk through the gate (the unsmoothed bigram
   module's documented caveat).
-- **Join strategy ONLY.** The fold's literal-map probe is a linear
-  scan per token triple and is already past its measured crossover
-  at bigram model sizes (lm.FOLD_MAX_ENTRIES, PERF §79/§82); a
-  trigram model is strictly larger, so the fold tier is not built.
-  Lookups are three BROADCAST hash joins (trigram → bigram backoff
-  → unigram backoff → OOV), each O(1) per probe.
+- **Join strategy for every batch path.** The fold's literal-map
+  probe is a linear scan per token triple and is already past its
+  measured crossover at bigram model sizes (lm.FOLD_MAX_ENTRIES,
+  PERF §79/§82); a trigram model is strictly larger, so scoring
+  has no fold tier. Lookups are three BROADCAST hash joins
+  (trigram → bigram backoff → unigram backoff → OOV), each O(1)
+  per probe. The ONLY fold form is :func:`lm3_gate_expr`, the
+  row-local gate for streaming projections where a join is
+  unavailable — priced as measured-slower and documented as such.
 
 Backoff chain for scoring token ``c`` after context ``(a, b)``::
 
@@ -121,7 +124,19 @@ def train_trigram_lm(
 
     backoff_e9 = e9(backoff_bits)
 
-    tg = trigram_counts(df, text_col=text_col)
+    # SEP-bearing tokens are excluded from the MODEL (as in
+    # train_bigram_lm, ADVICE r13): pinned composite keys then
+    # carry exactly their level's SEP count, so lm3_gate_expr's
+    # fold probes can never collide and its map literals can never
+    # see duplicate keys; such tokens score as OOV — the right
+    # price for control-character junk
+    from mirabelle_spark.pipeline.lm import SEP
+
+    tg = trigram_counts(df, text_col=text_col).filter(
+        ~F.col("a").contains(SEP)
+        & ~F.col("b").contains(SEP)
+        & ~F.col("c").contains(SEP)
+    )
     tg_den = tg.groupBy("a", "b").agg(F.sum("n").alias("nab"))
     top_tg = (
         tg.join(tg_den, ["a", "b"])
@@ -139,7 +154,9 @@ def train_trigram_lm(
         for r in top_tg
     )
 
-    bg = bigram_counts(df, text_col=text_col)
+    bg = bigram_counts(df, text_col=text_col).filter(
+        ~F.col("a").contains(SEP) & ~F.col("b").contains(SEP)
+    )
     bg_den = bg.groupBy("a").agg(F.sum("c").alias("na"))
     top_bg = (
         bg.join(bg_den, "a")
@@ -160,6 +177,7 @@ def train_trigram_lm(
         df.select(F.explode(_toks(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .filter(~F.col("w").contains(SEP))
     )
     n_tokens = int(uni.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0)
     top_uni = uni.orderBy(F.desc("c"), "w").limit(top_unigrams).collect()
@@ -179,6 +197,62 @@ def train_trigram_lm(
         "n_tokens": n_tokens,
         "backoff_e9": backoff_e9,
     }
+
+
+def lm3_gate_expr(
+    model: dict,
+    max_bits_per_token: float,
+    min_trigrams: int = 16,
+    text_col: str = "text",
+) -> Column:
+    """The trigram perplexity gate as a ROW-LOCAL boolean Column —
+    for contexts where a join is UNAVAILABLE (the streaming curation
+    head's stateless projection), mirroring
+    :func:`~mirabelle_spark.pipeline.lm.lm_gate_expr`. Probes three
+    constant-folded map literals with SEP-composite keys
+    (collision-free: train_trigram_lm pins only SEP-free tokens, so
+    every pinned key carries exactly its level's SEP count).
+    Same exact integer cross-multiplication as :func:`lm3_quality`
+    and the identical backoff coalesce, so the survivor set equals
+    the join path's bit-for-bit (parity pytest).
+
+    PRICE THIS CORRECTLY: each probe is a LINEAR scan of the
+    literal maps (the lm module's measured fold trap, PERF
+    §79/§82) — at the pinned ~3.5k-entry artifact this is the
+    measured-slower strategy and exists ONLY because a streaming
+    projection cannot join; batch pipelines must use
+    :func:`lm3_quality`."""
+    from mirabelle_spark.pipeline.lm import SEP
+
+    tkeys = [a + SEP + b + SEP + c for a, b, c, _ in model["trigrams"]]
+    tvals = [v for *_, v in model["trigrams"]]
+    bkeys = [a + SEP + b for a, b, _ in model["bigrams"]]
+    bvals = [v for _, _, v in model["bigrams"]]
+    ukeys = [w for w, _ in model["unigrams"]]
+    uvals = [v for _, v in model["unigrams"]]
+    tmap = F.map_from_arrays(F.lit(tkeys), F.lit(tvals))
+    bmap = F.map_from_arrays(F.lit(bkeys), F.lit(bvals))
+    umap = F.map_from_arrays(F.lit(ukeys), F.lit(uvals))
+    oov = F.lit(int(model["oov_e9"])).cast("long")
+    triples = _triple_structs(text_col)
+    costs = F.transform(
+        triples,
+        lambda s: F.coalesce(
+            F.try_element_at(
+                tmap,
+                F.concat(s["a"], F.lit(SEP), s["b"], F.lit(SEP), s["c"]),
+            ),
+            F.try_element_at(bmap, F.concat(s["b"], F.lit(SEP), s["c"])),
+            F.try_element_at(umap, s["c"]),
+            oov,
+        ).cast("long"),
+    )
+    bits = F.aggregate(
+        costs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    t_e9 = round(max_bits_per_token * 1_000_000_000)
+    n = F.size(triples).cast("long")
+    return (n >= F.lit(int(min_trigrams))) & (bits <= F.lit(t_e9) * n)
 
 
 def lm3_bits(

@@ -248,6 +248,7 @@ def curate_head(
     dim: int = 16,
     dsir: tuple[list[float], float] | None = None,
     lm_gate: tuple[dict, float, int] | None = None,
+    lm3_gate: tuple[dict, float, int] | None = None,
     contamination: tuple[list[int], int, int, int, int] | None = None,
 ) -> DataFrame:
     """The batch curation head (r11): Gopher quality rules → exact
@@ -292,6 +293,13 @@ def curate_head(
     only narrow (id) rows cross, the same shape as the dedup-winner
     join below. Both plans gate the identical survivor set (the
     strategies are output-identical; parity pytest).
+
+    ``lm3_gate=(model, max_bits_per_token, min_trigrams)`` (r14)
+    swaps in the TRIGRAM perplexity gate
+    (:mod:`~mirabelle_spark.pipeline.lm3` — smoothed, no zero-cost
+    loophole): always the broadcast-join scorer + LEFT SEMI on ids
+    (a trigram model is past the fold crossover by construction).
+    Mutually exclusive with ``lm_gate``.
 
     ``contamination=(bloom_words, m_bits, k, shingle_n,
     min_shared)`` (r14) adds the pinned-Bloom decontamination gate
@@ -354,6 +362,17 @@ def curate_head(
                 text_col=text_col, id_col=id_col,
             ).select(id_col)
             passed = passed.join(keep, id_col, "left_semi")
+    if lm3_gate is not None:
+        if lm_gate is not None:
+            raise ValueError("pass lm_gate or lm3_gate, not both")
+        from mirabelle_spark.pipeline.lm3 import lm3_quality
+
+        l3model, max_bpt3, min_tg = lm3_gate
+        keep3 = lm3_quality(
+            passed, l3model, max_bpt3, min_tg,
+            text_col=text_col, id_col=id_col,
+        ).select(id_col)
+        passed = passed.join(keep3, id_col, "left_semi")
     if contamination is not None:
         bwords, m_bits, bk, sh_n, min_sh = contamination
         passed = passed.filter(

@@ -342,18 +342,27 @@ def _curate_lm(cfg):
     """cfg {"perplexity": "trained"} adds the PINNED bigram-LM
     perplexity gate (r13, the CCNet quality stage): LM cost ≤
     "perplexity-max-bpt" bits/token (default 4.91) over ≥
-    "perplexity-min-bigrams" pairs (default 16); returns the
-    (model, max_bpt, min_bigrams) triple for curate_head /
-    stream_curate or None."""
-    if cfg.get("perplexity") != "trained":
-        return None
-    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+    "perplexity-min-bigrams" pairs (default 16).
+    cfg {"perplexity": "trained3"} (r14) selects the TRIGRAM
+    artifact instead (smoothed — no zero-cost loophole; default
+    max-bpt 8.57, the corpus median; "perplexity-min-bigrams" then
+    counts token TRIPLES). Returns the (lm_gate, lm3_gate) pair
+    for curate_head / stream_curate — at most one is non-None."""
+    kind = cfg.get("perplexity")
+    min_n = int(cfg.get("perplexity-min-bigrams", 16))
+    if kind == "trained":
+        from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
 
-    return (
-        TRAINED_LM,
-        float(cfg.get("perplexity-max-bpt", 4.91)),
-        int(cfg.get("perplexity-min-bigrams", 16)),
-    )
+        return (
+            TRAINED_LM, float(cfg.get("perplexity-max-bpt", 4.91)), min_n,
+        ), None
+    if kind == "trained3":
+        from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+
+        return None, (
+            TRAINED_LM3, float(cfg.get("perplexity-max-bpt", 8.57)), min_n,
+        )
+    return None, None
 
 
 def _curate_contamination(cfg):
@@ -394,6 +403,7 @@ def _curate(df, ctx, cfg=None):
 
     cfg = cfg or {}
     model, dim = _curate_model(cfg)
+    lm_gate, lm3_gate = _curate_lm(cfg)
     return smp.curate_head(
         df,
         text_col=cfg.get("text-col", "text"),
@@ -403,7 +413,8 @@ def _curate(df, ctx, cfg=None):
         model=model,
         dim=dim,
         dsir=_curate_dsir(cfg),
-        lm_gate=_curate_lm(cfg),
+        lm_gate=lm_gate,
+        lm3_gate=lm3_gate,
         contamination=_curate_contamination(cfg),
     )
 
@@ -674,6 +685,7 @@ def _s_curate(df, ctx, cfg=None):
             "(the band-hash state evicts on that event-time horizon)"
         )
     model, dim = _curate_model(cfg)
+    lm_gate, lm3_gate = _curate_lm(cfg)
     return stx.stream_curate(
         df,
         text_col=cfg.get("text-col", "text"),
@@ -685,7 +697,8 @@ def _s_curate(df, ctx, cfg=None):
         model=model,
         dim=dim,
         dsir=_curate_dsir(cfg),
-        lm_gate=_curate_lm(cfg),
+        lm_gate=lm_gate,
+        lm3_gate=lm3_gate,
         contamination=_curate_contamination(cfg),
         neardup=neardup,
         neardup_bands=int(cfg.get("near-dup-bands", 8)),

@@ -2901,6 +2901,32 @@ def _lm_values() -> tuple[str, str, int]:
     return bg, ug, LM_OOV_E9
 
 
+_LM3_GATE_BPT = 8.57
+_LM3_GATE_T_E9 = round(_LM3_GATE_BPT * 1_000_000_000)
+
+
+def _lm3_values() -> tuple[str, str, str, int]:
+    """The pinned TRIGRAM LM as SQL VALUES bodies: (trigram rows,
+    bigram rows, unigram rows, oov cost) — shared by every lm3
+    oracle so the inlined artifact can never drift between them."""
+    from mirabelle_spark.pipeline.trigram_lm_trained import (
+        LM3_BIGRAMS, LM3_OOV_E9, LM3_TRIGRAMS, LM3_UNIGRAMS,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    tg = ",\n  ".join(
+        f"('{esc(a)}','{esc(b)}','{esc(c)}',{v})"
+        for a, b, c, v in LM3_TRIGRAMS
+    )
+    bg = ",\n  ".join(
+        f"('{esc(a)}','{esc(b)}',{v})" for a, b, v in LM3_BIGRAMS
+    )
+    ug = ",\n  ".join(f"('{esc(w)}',{v})" for w, v in LM3_UNIGRAMS)
+    return tg, bg, ug, LM3_OOV_E9
+
+
 def _curate_head_lm_oracle(t_e9: int, min_bigrams: int) -> str:
     """Rules-gate curation with the trained bigram-LM perplexity
     gate between quality and dedup: the curate_head_docs CTE chain
@@ -2970,9 +2996,12 @@ def curate_head_lm_docs(spark, sf):
     against the pinned micro-bit model) → min-id exact dedup → PII
     mask. DSL: {"action": "curate", "params": [{"rules": [...],
     "perplexity": "trained"}]}; streaming twin via
-    stream_curate(lm_gate=...) — the gate is the row-local fold
-    expression, so batch/stream parity is structural. All gates
-    stateless; bodies still move once."""
+    stream_curate(lm_gate=...). r14: the batch head routes this
+    962-entry model through the BROADCAST-JOIN scorer + left-semi
+    (2.3× the fold here, PERF §82); the streaming twin keeps the
+    row-local fold expression — the two are output-identical
+    (strategy-parity pytest), so batch/stream parity holds as
+    survivor-set equality. Bodies still move once."""
     from mirabelle_spark.pipeline import sampling as smp
     from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
 
@@ -2981,6 +3010,93 @@ def curate_head_lm_docs(spark, sf):
         min_words=30,
         rules=("word_count_ok", "word_len_ok", "alpha_ok"),
         lm_gate=(TRAINED_LM, _LM_GATE_BPT, 16),
+    )
+
+
+def _curate_head_lm3_oracle(t_e9: int, min_trigrams: int) -> str:
+    """Rules-gate curation with the trained TRIGRAM perplexity gate
+    (r14): the curate_head_docs CTE chain plus the lm3 scoring CTEs
+    (shared VALUES via _lm3_values), joined as a semi-filter. Docs
+    absent from the triple table have 0 < min_trigrams triples, so
+    the inner semi-join IS the gate."""
+    tg, bg, ug, oov = _lm3_values()
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents),
+m AS (
+  SELECT doc_id, text, len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w)
+              ELSE 0.0 END AS mean_wl,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS alpha_words
+  FROM t
+),
+good AS (
+  SELECT doc_id, text FROM m
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND (CASE WHEN n_words > 0 THEN alpha_words / n_words >= 0.8 ELSE FALSE END)
+),
+lw AS (SELECT doc_id, list_filter(w, x -> x <> '') AS w FROM t),
+tr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS wa,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS wb,
+         unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS wc
+  FROM lw WHERE len(w) >= 3
+),
+tg(ta, tb, tc, ct) AS (VALUES
+  {tg}),
+bg(ba, bb, cb) AS (VALUES
+  {bg}),
+ug(uw, cu) AS (VALUES
+  {ug}),
+costed AS (
+  SELECT tr.doc_id, coalesce(tg.ct, bg.cb, ug.cu, {oov}) AS c
+  FROM tr LEFT JOIN tg ON tg.ta = tr.wa AND tg.tb = tr.wb AND tg.tc = tr.wc
+          LEFT JOIN bg ON bg.ba = tr.wb AND bg.bb = tr.wc
+          LEFT JOIN ug ON ug.uw = tr.wc
+),
+lgate AS (
+  SELECT doc_id FROM costed GROUP BY doc_id
+  HAVING count(*) >= {min_trigrams} AND sum(c) <= {t_e9} * count(*)
+),
+h AS (
+  SELECT g.doc_id, g.text,
+         trim(regexp_replace(lower(g.text), '\\s+', ' ', 'g')) AS nt
+  FROM good g JOIN lgate USING (doc_id)
+),
+win AS (SELECT nt, min(doc_id) AS doc_id FROM h GROUP BY nt)
+SELECT h.doc_id,
+       regexp_replace(regexp_replace(h.text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PHONE>', 'g') AS text_masked
+FROM h JOIN win USING (nt, doc_id)
+"""
+
+
+@q(
+    "curate_head_lm3_docs",
+    _curate_head_lm3_oracle(_LM3_GATE_T_E9, 16),
+)
+def curate_head_lm3_docs(spark, sf):
+    """The curation head with the trained TRIGRAM perplexity gate
+    (r14) — the CCNet pipeline shape with the smoothed trigram
+    artifact (no zero-cost spam loophole): Gopher rules → lm3 cost
+    ≤ 8.57 bits/token over ≥16 triples (broadcast-join scorer +
+    left-semi on ids — a trigram model is always past the fold
+    crossover) → min-id exact dedup → PII mask. DSL: {"action":
+    "curate", "params": [{"rules": [...], "perplexity":
+    "trained3"}]}; streaming twin via stream_curate(lm3_gate=...)
+    — the row-local lm3_gate_expr fold, output-identical to this
+    join path (parity pytest)."""
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+
+    return smp.curate_head(
+        docs(spark, sf),
+        min_words=30,
+        rules=("word_count_ok", "word_len_ok", "alpha_ok"),
+        lm3_gate=(TRAINED_LM3, _LM3_GATE_BPT, 16),
     )
 
 
@@ -3224,32 +3340,6 @@ def lm_quality_docs(spark, sf):
         docs(spark, sf), TRAINED_LM, _LM_GATE_BPT,
         min_bigrams=16, keep_cols=("lang",),
     )
-
-
-_LM3_GATE_BPT = 8.57
-_LM3_GATE_T_E9 = round(_LM3_GATE_BPT * 1_000_000_000)
-
-
-def _lm3_values() -> tuple[str, str, str, int]:
-    """The pinned TRIGRAM LM as SQL VALUES bodies: (trigram rows,
-    bigram rows, unigram rows, oov cost) — shared by every lm3
-    oracle so the inlined artifact can never drift between them."""
-    from mirabelle_spark.pipeline.trigram_lm_trained import (
-        LM3_BIGRAMS, LM3_OOV_E9, LM3_TRIGRAMS, LM3_UNIGRAMS,
-    )
-
-    def esc(s: str) -> str:
-        return s.replace("'", "''")
-
-    tg = ",\n  ".join(
-        f"('{esc(a)}','{esc(b)}','{esc(c)}',{v})"
-        for a, b, c, v in LM3_TRIGRAMS
-    )
-    bg = ",\n  ".join(
-        f"('{esc(a)}','{esc(b)}',{v})" for a, b, v in LM3_BIGRAMS
-    )
-    ug = ",\n  ".join(f"('{esc(w)}',{v})" for w, v in LM3_UNIGRAMS)
-    return tg, bg, ug, LM3_OOV_E9
 
 
 def _lm3_oracle(

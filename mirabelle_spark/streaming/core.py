@@ -433,6 +433,7 @@ def stream_curate(
     dim: int = 16,
     dsir: tuple[list[float], float] | None = None,
     lm_gate: tuple[dict, float, int] | None = None,
+    lm3_gate: tuple[dict, float, int] | None = None,
     contamination: tuple[list[int], int, int, int, int] | None = None,
     neardup: bool = False,
     neardup_bands: int = 8,
@@ -483,6 +484,13 @@ def stream_curate(
     CCNet perplexity gate (r13) — the row-local fold form of
     :func:`mirabelle_spark.pipeline.lm.lm_gate_expr`, integer-exact
     and stateless, the same expression the batch head applies.
+
+    ``lm3_gate=(model, max_bits_per_token, min_trigrams)`` (r14)
+    swaps in the TRIGRAM gate: :func:`mirabelle_spark.pipeline.lm3.
+    lm3_gate_expr`, the row-local fold form — bit-equal to the
+    batch head's lm3_quality join (parity pytest), priced
+    measured-slower and used here only because a streaming
+    projection cannot join. Mutually exclusive with ``lm_gate``.
 
     ``contamination=(bloom_words, m_bits, k, shingle_n,
     min_shared)`` (r14, closing VERDICT r13 "What's missing #1")
@@ -540,6 +548,20 @@ def stream_curate(
         lmodel, max_bpt, min_bg = lm_gate
         passed = passed.filter(
             lm_gate_expr(lmodel, max_bpt, min_bg, text_col=text_col)
+        )
+    if lm3_gate is not None:
+        # the TRIGRAM perplexity gate (r14): a streaming projection
+        # cannot join, so this is lm3_gate_expr — the row-local fold
+        # form, bit-equal to the batch head's lm3_quality join path
+        # (parity pytest) and priced as measured-slower (its
+        # docstring); batch pipelines use the join
+        if lm_gate is not None:
+            raise ValueError("pass lm_gate or lm3_gate, not both")
+        from mirabelle_spark.pipeline.lm3 import lm3_gate_expr
+
+        l3model, max_bpt3, min_tg = lm3_gate
+        passed = passed.filter(
+            lm3_gate_expr(l3model, max_bpt3, min_tg, text_col=text_col)
         )
     if contamination is not None:
         # streaming decontamination (r14): the Bloom membership test

@@ -700,3 +700,48 @@ def test_curate_dsl_contamination_bloom(spark):
             "params": [{"contamination-bloom": ["not-an-int"]}],
             "children": [],
         })
+
+
+def test_curate_dsl_trained3_perplexity(spark):
+    """{"perplexity": "trained3"} routes the curation head through
+    the pinned TRIGRAM artifact (r14): batch realization matches
+    curate_head(lm3_gate=(TRAINED_LM3, 8.57, 16)), and the spec
+    rejects an unknown perplexity kind."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import sampling as smp
+    from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.plans.spec import InvalidActionParams
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, "/root/testdata/sf0.001").limit(80)
+    cfg = {
+        "min-words": 30,
+        "rules": ["word_count_ok", "word_len_ok", "alpha_ok"],
+        "perplexity": "trained3",
+    }
+    tree = {
+        "action": "curate", "params": [cfg],
+        "children": [{"action": "tap", "params": ["cur"]}],
+    }
+    got = {
+        (r.doc_id, r.text_masked)
+        for r in b.build_stream(d, tree)["cur"].collect()
+    }
+    want = {
+        (r.doc_id, r.text_masked)
+        for r in smp.curate_head(
+            d, min_words=30,
+            rules=("word_count_ok", "word_len_ok", "alpha_ok"),
+            lm3_gate=(TRAINED_LM3, 8.57, 16),
+        ).collect()
+    }
+    assert got == want and got
+
+    with _pytest.raises(InvalidActionParams, match="perplexity"):
+        b.compile_stream(d, {
+            "action": "curate",
+            "params": [{"perplexity": "kenlm"}],
+            "children": [],
+        })

@@ -3416,3 +3416,39 @@ def test_lm3_bits_matches_python_reference(spark):
         i for i, (n, b) in exp.items() if n >= 2 and b <= t_e9 * n
     }
     assert kept == exp_kept
+
+
+def test_lm3_gate_expr_matches_join_gate(spark):
+    """The row-local fold gate (streaming form) must select the
+    IDENTICAL survivor set as the lm3_quality broadcast-join gate —
+    including on a corpus containing U+001F-bearing tokens (the
+    composite-key collision surface: train drops them, so fold
+    probe keys with extra SEPs can never falsely hit)."""
+    from mirabelle_spark.pipeline import lm3
+
+    rows = [
+        (1, "the quick brown fox the quick brown dog jumps today"),
+        (2, "the quick red fox jumps high over things"),
+        (3, "zz yy xx ww vv uu"),
+        (4, ""),
+        (5, None),
+        (6, "a\x1fb the quick brown a\x1fb the quick brown end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    m = lm3.train_trigram_lm(df, top_trigrams=6, top_bigrams=4, top_unigrams=3)
+    # the SEP-bearing token must not be pinned at any level
+    assert all("\x1f" not in x for t in m["trigrams"] for x in t[:3])
+    assert all("\x1f" not in x for b in m["bigrams"] for x in b[:2])
+    assert all("\x1f" not in w for w, _ in m["unigrams"])
+    for thr, min_tg in ((6.0, 2), (9.0, 4), (30.0, 1)):
+        want = {
+            r.doc_id
+            for r in lm3.lm3_quality(df, m, thr, min_trigrams=min_tg).collect()
+        }
+        got = {
+            r.doc_id
+            for r in df.filter(
+                lm3.lm3_gate_expr(m, thr, min_trigrams=min_tg)
+            ).collect()
+        }
+        assert got == want, (thr, min_tg)

@@ -3946,3 +3946,71 @@ def test_stream_curate_contamination_parity(spark, tmp_path):
             .first()["n"]
         )
         assert n_pos >= MS  # the over-drop is bloom-explained
+
+
+def test_stream_curate_lm3_parity(spark, tmp_path):
+    """Streaming trigram perplexity gate (r14): stream_curate's
+    lm3_gate (the row-local lm3_gate_expr fold) must produce the
+    same survivors as the batch head's lm3_quality broadcast-join +
+    left-semi path on an id-ordered replay — the two strategies are
+    output-identical by construction."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import lm3, sampling
+    from mirabelle_spark.streaming import core
+
+    base = 1704067200
+    good = (
+        "the data to be of and that have with quality words enough "
+        "for rules and plenty of likely material in this document"
+    )
+    rows = [
+        (1, base + 0, good),
+        (2, base + 1, good + " extra tail words beyond the original"),
+        (3, base + 2, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, t bigint, text string"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+
+    m = lm3.train_trigram_lm(
+        df.filter("doc_id <= 2"), top_trigrams=32, top_bigrams=16,
+        top_unigrams=8,
+    )
+    gate = (m, 10.0, 4)
+    batch = {
+        r.doc_id
+        for r in sampling.curate_head(
+            df, min_words=5,
+            rules=("word_count_ok", "alpha_ok"),
+            lm3_gate=gate,
+        ).collect()
+    }
+    # the all-OOV doc must be gated out, or the test proves nothing
+    assert 3 not in batch and batch
+
+    src = str(tmp_path / "lm3_in")
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = core.stream_curate(
+        stream, min_words=5, rules=("word_count_ok", "alpha_ok"),
+        lm3_gate=gate,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curate_lm3")
+        .option("checkpointLocation", str(tmp_path / "ck_lm3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM curate_lm3").collect()
+    }
+    assert got == batch
