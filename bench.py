@@ -22,13 +22,17 @@ item):
   the plan's cost, not the machine's mood — plus the per-query
   spread ([min, median, max] under "spread") so round-over-round
   comparisons are made on minima with the noise band visible.
-- the sf1 block runs in a FRESH CHILD JVM (subprocess; the parent
-  session is stopped first). Evidence for why (VERDICT r12):
-  identical char-grain ExactSubstr code measured 116 s in the
-  suite-soaked bench JVM vs 32-53 s in a fresh session — the soaked
-  heap/GC state, not the code, was the signal. Ratios vs sf0.1 are
-  computed against base timings measured IN THE SAME fresh child,
-  so both sides of every ratio share one JVM state.
+- the sf1 block runs ONE FRESH CHILD JVM PER QUERY (r14; the r13
+  single shared child was retired after its own lesson repeated:
+  identical sf0.1 code measured 1.65 s in the parent and 15.4 s as
+  a late-list base INSIDE the shared child — a JVM soaks over its
+  own lifetime, so every minimum silently depended on the query's
+  list position, the same class of trap as r12's 116-s suite-soaked
+  reading). Each child warms up untimed, then measures its query's
+  sf0.1 base (min of 2) and sf1 time (min of BENCH_SF1_RUNS) —
+  both sides of every ratio share one fresh JVM state, and any
+  number is reproducible in isolation with
+  SPARK_GRAFT_SF1_CHILD=<query> python bench.py.
 - ``events_per_sec`` is a SUSTAINED number: the flagship
   where→by→window→sum pipeline over the sf1 events table (10× rows,
   multi-second run) in the fresh child — not extrapolated from one
@@ -183,73 +187,112 @@ def _make_spark():
     )
 
 
-def _sf1_child() -> None:
-    """Fresh-JVM sf1 block: base (sf0.1, min of 2) and sf1 (min of
-    BENCH_SF1_RUNS) timings per query, one JSON line to stdout.
-    Both sides of each ratio share this one fresh JVM state."""
+def _sf1_child(name: str) -> None:
+    """ONE-QUERY fresh-JVM sf1 probe (r14): warm-up (where_basic +
+    this query at sf0.1, untimed), then sf0.1 base (min of 2) and
+    sf1 (min of BENCH_SF1_RUNS) timings; one JSON line to stdout.
+
+    Why per-QUERY children (the r14 finding that retired the r13
+    shared child): a JVM running the whole 26-query sf1 list SOAKS
+    OVER ITS OWN LIFETIME — the same sf0.1 query measured 1.65 s in
+    the parent and 15.4 s as a late-list base inside the r13-style
+    shared child (9×: code-cache/GC/broadcast-backlog state, the
+    §80-adjacent trap AGAIN), so every minimum silently depended on
+    the query's LIST POSITION. One child per query makes each
+    number position-independent and reproducible in isolation:
+    SPARK_GRAFT_SF1_CHILD=<query> python bench.py."""
     import __spark_entry__ as entry_mod
     from tools.make_sf1 import ensure_sf1
 
     spark = _make_spark()
     qs = entry_mod.queries()
-    # warmup: JIT + parquet footer + Arrow init, outside the timings
-    qs["where_basic"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    fn = qs[name]
     sf1_dir = ensure_sf1(spark, SF_DIR)
-    # one UNTIMED warm-up pass over the whole sf1 list at sf0.1
-    # (r14; VERDICT r13 ask #3): JIT-compiles every query's code
-    # paths and warms the shuffle machinery before ANY timed run,
-    # so cold-start stops polluting the per-query minima — the r13
-    # fresh-child methodology otherwise charged the first query
-    # families the whole JVM warm-up.
-    for name in SF1_QUERIES:
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    sf1_runs = int(os.environ.get("BENCH_SF1_RUNS", "3"))
-    base: dict[str, float] = {}
+    # warm-up, untimed: session machinery + this query's own code
+    # paths (JIT, parquet footers, Arrow init)
+    qs["where_basic"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    b = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        b = dt if b is None else min(b, dt)
+    sf1_runs = max(int(os.environ.get("BENCH_SF1_RUNS", "3")), 1)
+    best = None
+    for _ in range(sf1_runs):
+        t0 = time.perf_counter()
+        fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out = {
+        "name": name,
+        "base": round(b, 3),
+        "sf1": round(best, 3),
+        "runs": sf1_runs,
+    }
+    if name == "agg_sum_hourly":
+        # sustained engine throughput: the flagship pipeline over
+        # the sf1 events table — a multi-second fixed-count run
+        out["n_events"] = spark.read.parquet(
+            f"{sf1_dir}/events.parquet"
+        ).count()
+    print(json.dumps(out))
+
+
+def _run_sf1_block() -> dict:
+    """Spawn one fresh child JVM per SF1 query (see _sf1_child) and
+    assemble the block payload. ~12 s JVM startup per query is the
+    price of position-independent minima."""
+    import subprocess
+
     sf1_timings: dict[str, float] = {}
+    base: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    block: dict = {}
     for name in SF1_QUERIES:
-        b = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            b = dt if b is None else min(b, dt)
-        base[name] = round(b, 3)
-        best = None
-        for _ in range(max(sf1_runs, 1)):
-            t0 = time.perf_counter()
-            qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        sf1_timings[name] = round(best, 3)
-        ratios[name] = round(best / b, 2)
+        env = dict(os.environ, SPARK_GRAFT_SF1_CHILD=name)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:])
+            block.setdefault("errors", {})[name] = proc.stderr[-300:]
+            continue
+        child = json.loads(proc.stdout.strip().splitlines()[-1])
+        base[name] = child["base"]
+        sf1_timings[name] = child["sf1"]
+        ratios[name] = round(child["sf1"] / child["base"], 2)
         print(
-            f"# sf1 {name}: {sf1_timings[name]:.3f}s "
-            f"({ratios[name]}x sf0.1 base {base[name]:.3f}s, min of {sf1_runs})",
+            f"# sf1 {name}: {child['sf1']:.3f}s "
+            f"({ratios[name]}x sf0.1 base {child['base']:.3f}s, "
+            f"min of {child['runs']}, own JVM)",
             file=sys.stderr,
         )
-    out = {
-        "queries": sf1_timings,
-        "total": round(sum(sf1_timings.values()), 3),
-        "ratio_vs_sf0.1": ratios,
-        "base_sf0.1": base,
-        "runs_per_query": max(sf1_runs, 1),
-        "fresh_jvm": True,
-    }
-    # sustained engine throughput: the flagship pipeline over the
-    # sf1 events table — a multi-second fixed-event-count run
-    n_events = spark.read.parquet(f"{sf1_dir}/events.parquet").count()
-    out["events_per_sec"] = int(n_events / sf1_timings["agg_sum_hourly"])
-    out["events_per_sec_n_events"] = n_events
-    out["events_per_sec_elapsed"] = sf1_timings["agg_sum_hourly"]
-    print(json.dumps(out))
+        if "n_events" in child:
+            block["events_per_sec"] = int(child["n_events"] / child["sf1"])
+            block["events_per_sec_n_events"] = child["n_events"]
+            block["events_per_sec_elapsed"] = child["sf1"]
+    block.update(
+        queries=sf1_timings,
+        total=round(sum(sf1_timings.values()), 3),
+        ratio_vs_sf0=ratios,
+        base_sf0=base,
+        runs_per_query=max(int(os.environ.get("BENCH_SF1_RUNS", "3")), 1),
+        fresh_jvm_per_query=True,
+    )
+    return block
 
 
 def main() -> None:
     import __spark_entry__ as entry_mod
 
-    if os.environ.get("SPARK_GRAFT_SF1_CHILD") == "1":
-        _sf1_child()
+    child = os.environ.get("SPARK_GRAFT_SF1_CHILD")
+    if child:
+        _sf1_child(child)
         return
 
     runs = int(os.environ.get("BENCH_RUNS", "5"))
@@ -295,33 +338,21 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    # sf1 stress block in a FRESH child JVM (r13; see module
-    # docstring): the parent session stops first so the child gets
-    # the machine to itself, then the child re-measures sf0.1 bases
-    # and sf1 minima in one clean JVM state and hands back one JSON
-    # line. Linear scaling on 32 local cores shows as ratio <= ~10.
+    # sf1 stress block: ONE FRESH CHILD JVM PER QUERY (r14; see
+    # _sf1_child for why the r13 shared child was retired — its
+    # minima depended on list position). The parent session stops
+    # first so each child gets the machine to itself. Linear
+    # scaling on 32 local cores shows as ratio <= ~10.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
-        import subprocess
-
         spark.stop()
-        env = dict(os.environ, SPARK_GRAFT_SF1_CHILD="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
-        sys.stderr.write(proc.stderr)
-        if proc.returncode == 0:
-            child = json.loads(proc.stdout.strip().splitlines()[-1])
-            payload["events_per_sec"] = child.pop("events_per_sec")
-            payload["n_events"] = child.pop("events_per_sec_n_events")
-            payload["events_per_sec_elapsed"] = child.pop(
+        block = _run_sf1_block()
+        if "events_per_sec" in block:
+            payload["events_per_sec"] = block.pop("events_per_sec")
+            payload["n_events"] = block.pop("events_per_sec_n_events")
+            payload["events_per_sec_elapsed"] = block.pop(
                 "events_per_sec_elapsed"
             )
-            payload["sf1"] = child
-        else:
-            payload["sf1"] = {"error": proc.stderr[-2000:]}
+        payload["sf1"] = block
 
     # The driver records only a TAIL of stdout, and r12/r13's full
     # payloads were truncated into "parsed": null (VERDICT r13 ask
@@ -334,9 +365,9 @@ def main() -> None:
         "runs_per_query": payload["runs_per_query"],
     }
     sf1 = payload.get("sf1")
-    if isinstance(sf1, dict) and "base_sf0.1" in sf1:
-        detail["sf1_base_sf0.1"] = sf1.pop("base_sf0.1")
-        detail["sf1_ratio_vs_sf0.1"] = sf1.pop("ratio_vs_sf0.1")
+    if isinstance(sf1, dict) and "base_sf0" in sf1:
+        detail["sf1_base_sf0.1"] = sf1.pop("base_sf0")
+        detail["sf1_ratio_vs_sf0.1"] = sf1.pop("ratio_vs_sf0")
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"),
