@@ -219,6 +219,13 @@ def _sf1_child(name: str) -> None:
         dt = time.perf_counter() - t0
         b = dt if b is None else min(b, dt)
     sf1_runs = max(int(os.environ.get("BENCH_SF1_RUNS", "3")), 1)
+    if name == "agg_sum_hourly":
+        # the events_per_sec source: "sustained" means STEADY STATE,
+        # and a fresh JVM reaches it only after several runs (min of
+        # 3 read 1.95 s where min of 8 reads 1.59 s — pure JIT
+        # warm-up, measured r14); the query is ~1.6 s so the extra
+        # runs cost seconds
+        sf1_runs = max(sf1_runs, 8)
     best = None
     for _ in range(sf1_runs):
         t0 = time.perf_counter()
