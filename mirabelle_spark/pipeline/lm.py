@@ -206,6 +206,24 @@ def _fold_bits(pairs: Column, model: dict) -> Column:
     )
 
 
+def model_table(spark, rows, schema: str):
+    """Tiny broadcast-side model table from pinned rows, shared by
+    the bigram and trigram join scorers (r14 review: the
+    placeholder-or-limit(0) idiom lived in five copies).
+    ``createDataFrame([])`` cannot infer types, so an EMPTY model
+    still materializes one placeholder row of the right shape and
+    immediately ``limit(0)``s it away — the schema survives, the
+    row never exists."""
+    placeholder = tuple(
+        "" if col.split()[-1] == "string" else 0
+        for col in schema.split(",")
+    )
+    df = spark.createDataFrame(list(rows) or [placeholder], schema)
+    if not rows:
+        df = df.limit(0)
+    return df
+
+
 def lm_gate_expr(
     model: dict,
     max_bits_per_token: float,
@@ -302,17 +320,10 @@ def lm_bits(
         )
 
     spark = df.sparkSession
-    bg = spark.createDataFrame(
-        list(model["bigrams"]) or [("", "", 0)],
-        "__ba string, __bb string, __cb long",
+    bg = model_table(
+        spark, model["bigrams"], "__ba string, __bb string, __cb long"
     )
-    if not model["bigrams"]:
-        bg = bg.limit(0)
-    ug = spark.createDataFrame(
-        list(model["unigrams"]) or [("", 0)], "__uw string, __cu long"
-    )
-    if not model["unigrams"]:
-        ug = ug.limit(0)
+    ug = model_table(spark, model["unigrams"], "__uw string, __cu long")
     exploded = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],

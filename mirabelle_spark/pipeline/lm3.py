@@ -286,23 +286,16 @@ def lm3_bits(
     spark = df.sparkSession
     oov = F.lit(int(model["oov_e9"])).cast("long")
 
-    tg = spark.createDataFrame(
-        list(model["trigrams"]) or [("", "", "", 0)],
+    from mirabelle_spark.pipeline.lm import model_table
+
+    tg = model_table(
+        spark, model["trigrams"],
         "__ta string, __tb string, __tc string, __ct long",
     )
-    if not model["trigrams"]:
-        tg = tg.limit(0)
-    bg = spark.createDataFrame(
-        list(model["bigrams"]) or [("", "", 0)],
-        "__ba string, __bb string, __cb long",
+    bg = model_table(
+        spark, model["bigrams"], "__ba string, __bb string, __cb long"
     )
-    if not model["bigrams"]:
-        bg = bg.limit(0)
-    ug = spark.createDataFrame(
-        list(model["unigrams"]) or [("", 0)], "__uw string, __cu long"
-    )
-    if not model["unigrams"]:
-        ug = ug.limit(0)
+    ug = model_table(spark, model["unigrams"], "__uw string, __cu long")
 
     triples = _triple_structs(text_col)
     n_triples = F.size(triples).cast("long").alias("n_trigrams")

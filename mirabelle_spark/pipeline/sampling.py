@@ -303,7 +303,9 @@ def curate_head(
 
     ``contamination=(bloom_words, m_bits, k, shingle_n,
     min_shared)`` (r14) adds the pinned-Bloom decontamination gate
-    (:func:`contamination_gate_expr`) after the LM gate — the SAME
+    (:func:`contamination_gate_expr`) ahead of the LM gates —
+    cheapest row filter first (order is output-neutral; the LM
+    scoring work saved is proportional to the drop rate) — the SAME
     row-local expression the streaming twin evaluates, so the
     batch/stream DSL `curate` actions stay structurally identical.
     Approximate by design (over-drops at the designed FP rate,
@@ -336,6 +338,20 @@ def curate_head(
         dw, thr = dsir
         passed = passed.filter(
             dsir_gate_expr(dw, text_col=text_col) >= F.lit(float(thr))
+        )
+    if contamination is not None:
+        # cheapest gate first (r14 review): all gates here are pure
+        # row filters, so order is output-neutral — and the Bloom
+        # test (k hashes + k array lookups per shingle) costs far
+        # less per row than LM scoring (triple explode + broadcast
+        # probes + a groupBy), so dropping contaminated docs BEFORE
+        # the LM stage saves that work on exactly the drop rate
+        bwords, m_bits, bk, sh_n, min_sh = contamination
+        passed = passed.filter(
+            contamination_gate_expr(
+                bwords, m_bits, k=bk, shingle_n=sh_n,
+                min_shared=min_sh, text_col=text_col,
+            )
         )
     if lm_gate is not None:
         from mirabelle_spark.pipeline.lm import (
@@ -373,14 +389,6 @@ def curate_head(
             text_col=text_col, id_col=id_col,
         ).select(id_col)
         passed = passed.join(keep3, id_col, "left_semi")
-    if contamination is not None:
-        bwords, m_bits, bk, sh_n, min_sh = contamination
-        passed = passed.filter(
-            contamination_gate_expr(
-                bwords, m_bits, k=bk, shingle_n=sh_n,
-                min_shared=min_sh, text_col=text_col,
-            )
-        )
     winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
         id_col
     )

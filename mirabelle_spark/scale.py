@@ -85,16 +85,20 @@ def partition_count_for(total_bytes: int, target_mb: int = 256) -> int:
 # trustworthy.
 REBALANCE_MAX_BYTES = 4 << 30  # 4 GiB
 
-# logical nodes that force an exchange (or an explicit
+# logical nodes that force an exchange (or an explicit shuffling
 # repartition) between the file scan and `df` — behind any of
 # these the physical partition count is shuffle-determined, so the
 # empty-parquet-split lie (arm 1's reason to distrust counts)
 # cannot apply and the count probe is authoritative. Join is
 # deliberately ABSENT: a broadcast join preserves the stream side's
 # scan partitioning, descriptors and all, so behind one the lie can
-# still apply.
+# still apply. Plain ``Repartition`` is handled separately below —
+# coalesce() prints the same node name with shuffle=false and
+# merges partitions WITHOUT redistributing rows, which would leave
+# the one-row-group skew intact.
 _EXCHANGE_NODES = (
-    "Repartition",  # also matches RepartitionByExpression/Rebalance…
+    "RepartitionByExpression",
+    "RebalancePartitions",
     "Aggregate",
     "Window",
     "Sort",
@@ -104,14 +108,30 @@ _EXCHANGE_NODES = (
 
 def _plan_has_exchange(plan_str: str) -> bool:
     """Does the optimized LOGICAL plan contain a node that plans an
-    exchange? Node names are matched at line heads (after the
-    ``+- :- *`` tree art), never inside expression text, so a
-    column literally named ``join_key`` can't false-positive."""
+    exchange on the path to EVERY output row? Node names are matched
+    at line heads (after the ``+- :- *`` tree art), never inside
+    expression text, so a column literally named ``join_key`` can't
+    false-positive. Two deliberate conservatisms (r14 review):
+
+    - any ``Join`` in the plan → False: an exchange node might sit
+      only on a broadcast join's BUILD side (e.g. a distinct'd
+      benchmark table) while the stream side is still a raw scan
+      whose descriptors lie — falling through to arms 1/2 merely
+      costs one cheap narrow shuffle when wrong, while trusting the
+      count re-opens the measured one-core trap (PERF §80).
+    - plain ``Repartition`` counts only with ``true`` (shuffle) on
+      the line: ``coalesce()`` prints ``Repartition n, false`` and
+      does NOT redistribute rows."""
+    found = False
     for line in plan_str.splitlines():
         head = line.lstrip(" +-:*'(0123456789)")
+        if head.startswith("Join"):
+            return False
         if head.startswith(_EXCHANGE_NODES):
-            return True
-    return False
+            found = True
+        elif head.startswith("Repartition ") and "true" in line:
+            found = True
+    return found
 
 
 def needs_rebalance(df: DataFrame, target: int) -> bool:

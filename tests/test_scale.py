@@ -102,6 +102,19 @@ def test_needs_rebalance_trusts_post_shuffle_plans(spark, tmp_path):
     n = agged.rdd.getNumPartitions()
     assert not scale.needs_rebalance(agged, n)
 
+    # coalesce prints the same 'Repartition' node name with
+    # shuffle=false but does NOT redistribute rows — it must fall
+    # through to arm 1 (r14 review)
+    assert scale.needs_rebalance(scan.coalesce(4), 1)
+    # an exchange node on a broadcast join's BUILD side must not
+    # vouch for the stream side's scan descriptors: any Join in the
+    # plan falls through to arms 1/2 (r14 review)
+    small = spark.range(5).selectExpr("id % 7 AS k").distinct()
+    joined = scan.join(F.broadcast(small), "k")
+    assert scale.needs_rebalance(joined, 1)
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert not scale._plan_has_exchange(plan)
+
 
 def test_plan_has_exchange_never_matches_expression_text(spark):
     """Node-name matching is anchored at line heads: a column named

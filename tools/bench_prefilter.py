@@ -36,8 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_GRAM = 20          # char n, the discriminative-length choice
 PREF_W = 8           # winnow window of the prefilter pass
-TOKENS_PER_DOC = 80  # ~480 chars/doc normalized
-VOCAB = 50_000       # big enough that random 20-char-grams never collide
+TOKENS_PER_DOC = 80  # ~560 chars/doc normalized (6-letter words)
 DUP_EVERY = 20       # 1 in 20 docs carries the injected duplicate span
 
 
@@ -148,13 +147,21 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    results = []
+    # corpus builds + selectivity up front, then STOP the parent
+    # JVM before any timed child runs (r14 review: a live 32-thread
+    # parent is exactly the cross-JVM noise this tool's fresh-child
+    # protocol claims to eliminate)
+    selectivity = {}
     for n_docs in sizes:
         build_corpus(spark, n_docs)
-        sel = dedup.prefilter_selectivity(
+        selectivity[n_docs] = dedup.prefilter_selectivity(
             spark.read.parquet(corpus_path(n_docs)),
             n=N_GRAM, prefilter_w=PREF_W, grain="char",
         )
+    spark.stop()
+    results = []
+    for n_docs in sizes:
+        sel = selectivity[n_docs]
         timing = {}
         for tag in ("none", str(PREF_W)):
             env = dict(os.environ, PREFILTER_CHILD=f"{n_docs}:{tag}")
