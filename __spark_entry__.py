@@ -27,20 +27,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-14 rotation (VERDICT r13 ask
-# #1, executed as written at its lines 41-48): (a) queries ADDED or
-# CHANGED in round 14 lead; (b) the 19-query r9 tail — last
-# driver-gated in round 9, the oldest cohort; (c) the head of the
-# 45-entry r10 cohort, registry order, filling to exactly 50.
-# After this gate no query's last-green is older than r10; the r10
-# tail of 18 (gopher_quality_docs, vocab_top100, token_rarity_docs,
-# mixture_sample_docs,
-# clean_corpus_docs, paragraph_dedup_docs, multimodal_features,
-# video_frame_sample, linear_quality_docs, ivf_centroid_update,
-# best_docs_per_lang, token_chunks_docs, ann_sq_topk, ann_ivfpq_topk,
-# ann_ivfpq_rerank_topk, ann_ivfpq_cosine_topk, tpch_pricing_summary,
-# revenue_by_nation) leads r15 together with r15's own adds, then the
-# oldest r12-gated entries in registry order.
+# so ordering is coverage policy. Round-15 rotation (VERDICT r14 ask
+# #1, executed as written): (a) queries CHANGED in round 15 lead —
+# the bigram-LM pair, whose default gate gains a cost floor this
+# round (both were last gated r13, so re-gating them is legal under
+# the "no r14 repeats" rule); (b) the 18-query r10 tail — last
+# driver-gated in round 10, the oldest cohort; (c) the first 30 of
+# the 50-entry r12 cohort, registry order, filling to exactly 50.
+# After this gate no query's last-green is older than r12; the r12
+# tail of 20 (text_quality, text_lang_id, text_fingerprint,
+# text_rolling_fp, neardup_degree_histogram, soft_dedup_docs,
+# corpus_split_docs, search_quality_docs, doc_length_profile,
+# split_token_budget, bpe_segment_trained, scrubbed_corpus_docs,
+# curate_head_logreg_docs, logreg_quality_docs, curate_head_docs,
+# dup_span_removed_docs, dup_span_removed_char_docs,
+# order_priority_counts, returned_item_customers,
+# large_order_customers) leads r16 together with r16's own adds,
+# then the oldest r13-gated entries in registry order.
 #
 # winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
 # DuckDB; overlap vs the portable path is pytest-pinned) — it must
@@ -48,30 +51,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # an `err` for its missing oracle. It stays below slot 50 because
 # this list holds exactly 50 oracle-backed names.
 GATE_PRIORITY = [
-    # (a) added/changed in round 14
-    "lm3_bits_docs",                 # NEW r14: trigram-LM scoring (smoothed)
-    "lm3_quality_docs",              # NEW r14: trigram perplexity gate
-    "curate_head_lm3_docs",          # NEW r14: curation + trigram gate compose
-    "curate_head_lm_docs",           # CHANGED r14: head now joins >256-entry models
-    # (b) the 19-query r9 tail (registry order; 5 rounds since last gate)
-    "ddt_rate", "ewma_smoothed", "coll_percentiles_hourly",
-    "dedup_exact_docs", "ngram_jaccard_pairs", "ann_ivf_topk",
-    "stratified_sample_docs", "boilerplate_removed_docs",
-    "ann_ivfpq_trained_topk", "winnow_dedup_pairs", "bpe_top_pairs",
-    "pca_power_iter", "pca_project_trained", "tfidf_top_terms",
-    "dup_span_fraction_docs", "top_suppliers",
-    "priority_conditional_counts", "brand_part_revenue",
-    "segment_top_orders",
-    # (c) first 27 of the 45-entry r10 cohort (registry order)
-    "where_basic", "over_filter", "tagged_all", "split_routing",
-    "throttle", "stable_states", "with_const", "default_missing",
-    "scale_metric", "coll_increase_daily", "coll_where_inside_window",
-    "coll_sum_hourly", "coll_mean_hourly", "sessionize_user_events",
-    "zscore_events", "minhash_lsh_pairs", "simhash_pairs",
-    "dedup_clusters", "dedup_survivors_docs", "ann_bruteforce_topk",
-    "ann_bruteforce_l2_topk", "ann_lsh_topk", "ann_pq_topk",
-    "embedding_near_dups", "semantic_dedup_survivors",
-    "contamination_docs", "pack_docs",
+    # (a) changed in round 15 (bigram gate cost floor; last gated r13)
+    "lm_bits_docs", "lm_quality_docs",
+    # (b) the 18-query r10 tail (registry order; 5 rounds since last gate)
+    "gopher_quality_docs", "vocab_top100", "token_rarity_docs",
+    "mixture_sample_docs", "clean_corpus_docs", "paragraph_dedup_docs",
+    "multimodal_features", "video_frame_sample", "linear_quality_docs",
+    "ivf_centroid_update", "best_docs_per_lang", "token_chunks_docs",
+    "ann_sq_topk", "ann_ivfpq_topk", "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_cosine_topk", "tpch_pricing_summary",
+    "revenue_by_nation",
+    # (c) first 30 of the 50-entry r12 cohort (registry order)
+    "increment_metric", "decrement_metric", "sformat_label",
+    "to_string_field", "base64_roundtrip", "from_json_props",
+    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj", "tag_untag",
+    "iterate_on_explode", "fixed_time_window_ids",
+    "fixed_event_window_ids", "moving_event_window_vals",
+    "ssort_sorted", "project_correlate", "smin_running",
+    "ddt_pos_rate", "below_dt_alert", "between_dt_alert",
+    "critical_dt_alert", "dsl_pipeline", "coalesce_fill",
+    "ann_ivf_trained_topk", "ann_pq_trained_topk", "hash_sample_docs",
+    "mask_pii_docs", "text_token_count", "text_bpe_token_count",
+    "text_repetition",
 ]
 
 
