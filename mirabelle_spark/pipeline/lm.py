@@ -138,8 +138,18 @@ def train_bigram_lm(
         return round(bits * 1_000_000_000)
 
     backoff_e9 = e9(backoff_bits)
+    # floor pinned conditionals at 1 micro-bit (r15, VERDICT r14):
+    # unsmoothed MLE prices a deterministic bigram (c == ca) at
+    # exactly 0 bits, which a degenerate one-pair spam document can
+    # ride through ANY bits/token threshold. One micro-bit keeps the
+    # integer-exact currency, never changes a non-degenerate pin
+    # (the next-cheapest real conditional is ~1e9 units), and makes
+    # every pinned cost strictly positive. The enforceable-gate fix
+    # is the DSL default now routing to the smoothed trigram model
+    # (plans/builder._curate_lm); this floor hardens the opt-in
+    # bigram path itself.
     bigrams = sorted(
-        (r["a"], r["b"], e9(-math.log2(r["c"] / r["ca"])))
+        (r["a"], r["b"], max(1, e9(-math.log2(r["c"] / r["ca"]))))
         for r in top_bg
     )
     unigrams = sorted(
@@ -377,13 +387,16 @@ def lm_quality(
     Same plan as :func:`lm_bits` plus one filter (keep_cols ride
     the projection — no join back).
 
-    CAVEAT (ADVICE r13): the bigram conditionals are unsmoothed
-    MLE, so a bigram with ``c == ca`` costs exactly 0 bits — a
-    degenerate document spamming one deterministic pair scores 0
-    bits/token and always passes. The trigram artifact
-    (:mod:`~mirabelle_spark.pipeline.lm3`, r14) closes this with
-    add-one-smoothed conditionals that never emit zero; prefer it
-    for adversarial corpora."""
+    CAVEAT (ADVICE r13, hardened r15): the bigram conditionals are
+    unsmoothed MLE; a deterministic pair (``c == ca``) is now
+    FLOORED at 1 micro-bit by the trainer, so pinned costs are
+    strictly positive — but a one-pair spam document still scores
+    ~1e-9 bits/token and passes any practical threshold. The
+    trigram artifact (:mod:`~mirabelle_spark.pipeline.lm3`, r14)
+    closes this with add-one-smoothed conditionals that price such
+    spam at real bits; it is the DSL ``{"perplexity": "trained"}``
+    default since r15 (this bigram path is the opt-in
+    ``"trained2"``). Prefer lm3 for adversarial corpora."""
     t_e9 = round(max_bits_per_token * 1_000_000_000)
     scored = lm_bits(
         df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols

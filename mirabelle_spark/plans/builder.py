@@ -339,24 +339,32 @@ def _curate_dsir(cfg):
 
 
 def _curate_lm(cfg):
-    """cfg {"perplexity": "trained"} adds the PINNED bigram-LM
-    perplexity gate (r13, the CCNet quality stage): LM cost ≤
-    "perplexity-max-bpt" bits/token (default 4.91) over ≥
-    "perplexity-min-bigrams" pairs (default 16).
-    cfg {"perplexity": "trained3"} (r14) selects the TRIGRAM
-    artifact instead (smoothed — no zero-cost loophole; default
-    max-bpt 8.57, the corpus median; "perplexity-min-bigrams" then
-    counts token TRIPLES). Returns the (lm_gate, lm3_gate) pair
-    for curate_head / stream_curate — at most one is non-None."""
+    """cfg {"perplexity": "trained"} adds the PINNED perplexity gate
+    (r13, the CCNet quality stage): LM cost ≤ "perplexity-max-bpt"
+    bits/token over ≥ "perplexity-min-bigrams" n-grams (default 16).
+
+    Since r15 "trained" resolves to the SMOOTHED TRIGRAM artifact
+    (alias of "trained3"; default max-bpt 8.57, the corpus median;
+    min-bigrams counts token TRIPLES): the r13 bigram model's
+    unsmoothed MLE priced a deterministic pair near zero bits, so a
+    one-pair spam document passed the default gate at ANY threshold
+    (VERDICT r14 #3) — under lm3's add-one smoothing every token
+    costs real bits and the threshold is enforceable. The bigram
+    artifact stays reachable as the OPT-IN "trained2" (default
+    max-bpt 4.91), with its floor-hardened but still near-free
+    deterministic pairs documented at
+    :func:`mirabelle_spark.pipeline.lm.lm_quality`. Returns the
+    (lm_gate, lm3_gate) pair for curate_head / stream_curate — at
+    most one is non-None."""
     kind = cfg.get("perplexity")
     min_n = int(cfg.get("perplexity-min-bigrams", 16))
-    if kind == "trained":
+    if kind == "trained2":
         from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
 
         return (
             TRAINED_LM, float(cfg.get("perplexity-max-bpt", 4.91)), min_n,
         ), None
-    if kind == "trained3":
+    if kind in ("trained", "trained3"):
         from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
 
         return None, (
@@ -394,11 +402,13 @@ def _curate(df, ctx, cfg=None):
     """LLM-curation head over a document stream (r11): quality gate
     (Gopher rules, or the pinned trained classifier with
     {"quality": "trained"}) -> optional DSIR domain gate
-    ({"domain": "dsir"}) -> optional bigram-LM perplexity gate
-    ({"perplexity": "trained"}, r13) -> exact dedup (deterministic
-    min-id winner) -> PII masking. cfg keys: text-col, id-col,
-    min-words, rules, quality, domain, domain-min-logw, perplexity,
-    perplexity-max-bpt, perplexity-min-bigrams."""
+    ({"domain": "dsir"}) -> optional LM perplexity gate
+    ({"perplexity": "trained"}, r13; since r15 the smoothed trigram
+    model — "trained2" opts into the bigram one) -> exact dedup
+    (deterministic min-id winner) -> PII masking. cfg keys:
+    text-col, id-col, min-words, rules, quality, domain,
+    domain-min-logw, perplexity, perplexity-max-bpt,
+    perplexity-min-bigrams."""
     from mirabelle_spark.pipeline import sampling as smp
 
     cfg = cfg or {}

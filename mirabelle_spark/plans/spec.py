@@ -364,7 +364,7 @@ SPECS: dict[str, Sig] = {
         "min-words": pos_int, "rules": str_or_strs,
         "dedup-within": pos_number, "quality": ne_string,
         "domain": ne_string, "domain-min-logw": number,
-        "perplexity": one_of("trained", "trained3"),
+        "perplexity": one_of("trained", "trained2", "trained3"),
         "perplexity-max-bpt": pos_number,
         "perplexity-min-bigrams": pos_int,
         "near-dup": boolean, "near-dup-bands": pos_int,

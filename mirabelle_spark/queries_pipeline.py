@@ -2995,8 +2995,9 @@ def curate_head_lm_docs(spark, sf):
     bits/token over ≥16 pairs (exact integer cross-multiplication
     against the pinned micro-bit model) → min-id exact dedup → PII
     mask. DSL: {"action": "curate", "params": [{"rules": [...],
-    "perplexity": "trained"}]}; streaming twin via
-    stream_curate(lm_gate=...). r14: the batch head routes this
+    "perplexity": "trained2"}]} (r15: "trained" now defaults to the
+    smoothed trigram gate; the bigram model is the opt-in
+    "trained2"); streaming twin via stream_curate(lm_gate=...). r14: the batch head routes this
     962-entry model through the BROADCAST-JOIN scorer + left-semi
     (2.3× the fold here, PERF §82); the streaming twin keeps the
     row-local fold expression — the two are output-identical
@@ -3086,7 +3087,9 @@ def curate_head_lm3_docs(spark, sf):
     left-semi on ids — a trigram model is always past the fold
     crossover) → min-id exact dedup → PII mask. DSL: {"action":
     "curate", "params": [{"rules": [...], "perplexity":
-    "trained3"}]}; streaming twin via stream_curate(lm3_gate=...)
+    "trained3"}]} — also the {"perplexity": "trained"} DEFAULT
+    since r15 (the unsmoothed bigram gate is the opt-in
+    "trained2"); streaming twin via stream_curate(lm3_gate=...)
     — the row-local lm3_gate_expr fold, output-identical to this
     join path (parity pytest)."""
     from mirabelle_spark.pipeline import sampling as smp

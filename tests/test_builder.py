@@ -508,8 +508,9 @@ def test_curate_dsl_dsir_domain(spark):
 
 
 def test_curate_dsl_lm_perplexity(spark):
-    """{"perplexity": "trained"} (r13) adds the pinned bigram-LM
-    perplexity gate between quality and dedup; the batch
+    """{"perplexity": "trained2"} (r13 as "trained"; renamed r15 when
+    the default became the smoothed trigram) adds the pinned
+    bigram-LM perplexity gate between quality and dedup; the batch
     realization matches curate_head(lm_gate=(pinned, bpt, n)), the
     gate actually drops documents at a tight threshold, and a
     non-positive threshold is rejected by the spec."""
@@ -524,7 +525,7 @@ def test_curate_dsl_lm_perplexity(spark):
     d = docs(spark, "/root/testdata/sf0.001").limit(80)
     cfg = {"min-words": 30,
            "rules": ["word_count_ok", "word_len_ok", "alpha_ok"],
-           "perplexity": "trained", "perplexity-max-bpt": 4.91,
+           "perplexity": "trained2", "perplexity-max-bpt": 4.91,
            "perplexity-min-bigrams": 16}
     tree = {
         "action": "curate", "params": [cfg],
@@ -551,7 +552,7 @@ def test_curate_dsl_lm_perplexity(spark):
 
     with _pytest.raises(InvalidActionParams, match="perplexity-max-bpt"):
         b.compile_stream(d, {"action": "curate",
-                             "params": [{"perplexity": "trained",
+                             "params": [{"perplexity": "trained2",
                                          "perplexity-max-bpt": -1}],
                              "children": []})
 
@@ -745,3 +746,43 @@ def test_curate_dsl_trained3_perplexity(spark):
             "params": [{"perplexity": "kenlm"}],
             "children": [],
         })
+
+
+def test_curate_default_perplexity_rejects_bigram_spam(spark):
+    """The zero-cost-spam loophole is CLOSED on the default DSL path
+    (VERDICT r14 #3): a document spamming the one deterministic
+    pinned bigram ('dup dup dup ...') cost exactly 0 bits under the
+    r13 bigram artifact, so NO threshold could ever reject it. Since
+    r15 {"perplexity": "trained"} resolves to the add-one-smoothed
+    trigram artifact, under which every token costs real bits — the
+    same spam doc FAILS the default gate at a strict threshold,
+    while the opt-in "trained2" bigram path still passes it at the
+    identical threshold (the documented residual caveat at
+    lm.lm_quality)."""
+    from mirabelle_spark.plans import builder as b
+
+    # long enough to clear min-words=30 and the >=16-pairs floor;
+    # mean word length 3.0 and all-alpha keep the quality rules green
+    spam = " ".join(["dup"] * 64)
+    d = spark.createDataFrame(
+        [(1, spam, "en")], "doc_id bigint, text string, lang string"
+    )
+    base = {"min-words": 30,
+            "rules": ["word_count_ok", "word_len_ok", "alpha_ok"],
+            "perplexity-max-bpt": 2.0}
+
+    def survivors(kind):
+        tree = {"action": "curate",
+                "params": [dict(base, perplexity=kind)],
+                "children": [{"action": "tap", "params": ["cur"]}]}
+        return b.build_stream(d, tree)["cur"].count()
+
+    # sanity: the doc passes the quality rules — only the LM gate
+    # can reject it
+    no_lm = {"action": "curate",
+             "params": [{"min-words": 30, "rules": base["rules"]}],
+             "children": [{"action": "tap", "params": ["cur"]}]}
+    assert b.build_stream(d, no_lm)["cur"].count() == 1
+    assert survivors("trained") == 0      # default = smoothed trigram
+    assert survivors("trained3") == 0     # explicit alias, same gate
+    assert survivors("trained2") == 1     # opt-in bigram: ~0-cost spam
