@@ -322,6 +322,11 @@ def curate_head(
     from mirabelle_spark.pipeline.dedup import dedup_exact
     from mirabelle_spark.pipeline.text import gopher_rules, quality_gate_expr
 
+    # precondition, validated before any gate is built (ADVICE r14:
+    # the check used to sit inside the lm3 branch, after the lm
+    # branch had already shaped the plan)
+    if lm_gate is not None and lm3_gate is not None:
+        raise ValueError("pass lm_gate or lm3_gate, not both")
     if model is not None:
         w, b = model
         passed = df.filter(
@@ -379,8 +384,6 @@ def curate_head(
             ).select(id_col)
             passed = passed.join(keep, id_col, "left_semi")
     if lm3_gate is not None:
-        if lm_gate is not None:
-            raise ValueError("pass lm_gate or lm3_gate, not both")
         from mirabelle_spark.pipeline.lm3 import lm3_quality
 
         l3model, max_bpt3, min_tg = lm3_gate
@@ -796,10 +799,18 @@ def contamination_gate_expr(
     probability ≤ C(s, min_shared) · fpr^min_shared (~s²·1e-6/2 at
     the default 0.1% fpr and min_shared=2) — size ``m_bits`` to the
     benchmark (m ≈ 23·n_distinct, k=3 → ~0.1%) and the loss is
-    negligible against the benchmark-leak risk of NOT gating."""
+    negligible against the benchmark-leak risk of NOT gating.
+
+    NULL text scores as the EMPTY document (zero shingles → keep),
+    matching the lm gates' documented NULL-as-empty contract
+    (``lm._toks``) — without the coalesce the predicate itself is
+    NULL, and whether the row survives then depends on session ANSI
+    mode (ADVICE r14)."""
     hashes = F.array_distinct(
         F.transform(
-            word_shingles(F.col(text_col), shingle_n),
+            word_shingles(
+                F.coalesce(F.col(text_col), F.lit("")), shingle_n
+            ),
             lambda s: F.xxhash64(s),
         )
     )

@@ -119,13 +119,19 @@ def _plan_has_exchange(plan_str: str) -> bool:
       whose descriptors lie — falling through to arms 1/2 merely
       costs one cheap narrow shuffle when wrong, while trusting the
       count re-opens the measured one-core trap (PERF §80).
+    - any ``Union`` in the plan → False, same reasoning (ADVICE
+      r14): a linear scan of the plan string can't tell WHICH
+      branch an exchange node sits in — an Aggregate in one unioned
+      corpus would vouch for the other branch's raw one-row-group
+      scan. Union output partitioning is the concatenation of its
+      children's, so one lying child means the count lies.
     - plain ``Repartition`` counts only with ``true`` (shuffle) on
       the line: ``coalesce()`` prints ``Repartition n, false`` and
       does NOT redistribute rows."""
     found = False
     for line in plan_str.splitlines():
         head = line.lstrip(" +-:*'(0123456789)")
-        if head.startswith("Join"):
+        if head.startswith(("Join", "Union")):
             return False
         if head.startswith(_EXCHANGE_NODES):
             found = True

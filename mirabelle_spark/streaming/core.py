@@ -521,6 +521,11 @@ def stream_curate(
     from mirabelle_spark.pipeline.sampling import mask_pii
     from mirabelle_spark.pipeline.text import gopher_rules, quality_gate_expr
 
+    # precondition, validated before any gate is built (ADVICE r14:
+    # the check used to sit inside the lm3 branch, after the lm
+    # branch had already shaped the plan)
+    if lm_gate is not None and lm3_gate is not None:
+        raise ValueError("pass lm_gate or lm3_gate, not both")
     if model is not None:
         w, b = model
         passed = df.filter(
@@ -574,8 +579,6 @@ def stream_curate(
         # form, bit-equal to the batch head's lm3_quality join path
         # (parity pytest) and priced as measured-slower (its
         # docstring); batch pipelines use the join
-        if lm_gate is not None:
-            raise ValueError("pass lm_gate or lm3_gate, not both")
         from mirabelle_spark.pipeline.lm3 import lm3_gate_expr
 
         l3model, max_bpt3, min_tg = lm3_gate

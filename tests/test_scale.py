@@ -114,6 +114,18 @@ def test_needs_rebalance_trusts_post_shuffle_plans(spark, tmp_path):
     assert scale.needs_rebalance(joined, 1)
     plan = joined._jdf.queryExecution().optimizedPlan().toString()
     assert not scale._plan_has_exchange(plan)
+    # same conservatism for Union (ADVICE r14): an Aggregate in ONE
+    # unioned branch must not vouch for the other branch's raw
+    # one-row-group scan — a linear plan-string walk can't prove the
+    # exchange dominates every leaf, so any Union falls through
+    agged_branch = scan.groupBy("k").agg(
+        F.count("*").cast("long").alias("id2")
+    ).selectExpr("k", "id2 AS id")
+    unioned = scan.select("k", "id").union(agged_branch)
+    assert scale.needs_rebalance(unioned, 1)
+    uplan = unioned._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in uplan and "Aggregate" in uplan
+    assert not scale._plan_has_exchange(uplan)
 
 
 def test_plan_has_exchange_never_matches_expression_text(spark):

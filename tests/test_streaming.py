@@ -3948,6 +3948,62 @@ def test_stream_curate_contamination_parity(spark, tmp_path):
         assert n_pos >= MS  # the over-drop is bloom-explained
 
 
+def test_contamination_gate_null_text_kept_any_ansi_mode(spark):
+    """NULL text scores as the EMPTY document (zero shingles →
+    keep), matching the lm gates' NULL-as-empty contract — and the
+    outcome must NOT depend on session ANSI mode (ADVICE r14:
+    without the coalesce the predicate itself was NULL, kept under
+    default Spark, silently dropped under ANSI)."""
+    from mirabelle_spark.pipeline import sampling
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "bid bigint, text string"
+    )
+    words = sampling.benchmark_bloom(bench, shingle_n=3, m_bits=1024, k=3)
+    df = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    gate = sampling.contamination_gate_expr(
+        words, 1024, k=3, shingle_n=3, min_shared=2
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            kept = {r.doc_id for r in df.filter(gate).collect()}
+            assert kept == {1}, (mode, kept)  # NULL kept, leak dropped
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_curate_lm_gates_mutually_exclusive(spark):
+    """The lm_gate/lm3_gate precondition is validated at function
+    ENTRY on both heads (ADVICE r14: it used to fire only inside the
+    lm3 branch, after the lm branch had already been built)."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import sampling
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+    from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+    from mirabelle_spark.streaming import core
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="not both"):
+        sampling.curate_head(
+            df, lm_gate=(TRAINED_LM, 4.91, 16),
+            lm3_gate=(TRAINED_LM3, 8.57, 16),
+        )
+    with _pytest.raises(ValueError, match="not both"):
+        core.stream_curate(
+            df, lm_gate=(TRAINED_LM, 4.91, 16),
+            lm3_gate=(TRAINED_LM3, 8.57, 16),
+        )
+
+
 def test_stream_curate_lm3_parity(spark, tmp_path):
     """Streaming trigram perplexity gate (r14): stream_curate's
     lm3_gate (the row-local lm3_gate_expr fold) must produce the
