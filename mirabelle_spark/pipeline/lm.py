@@ -257,6 +257,33 @@ def lm_gate_expr(
     )
 
 
+def _validate_unique_keys(
+    df: DataFrame, id_col: str, keep_cols: tuple, fn_name: str
+) -> None:
+    """Loud form of the scorer id contract (r15, VERDICT r14 ask
+    #7): raise if any ``(id_col, *keep_cols)`` tuple repeats,
+    naming one offender. One bounded aggregate job — the groupBy
+    combines map-side and ``limit(1)`` stops at the first
+    duplicate — run ONLY under the opt-in ``validate=True`` (the
+    silent-merge failure mode it guards is otherwise invisible:
+    the join strategy would sum duplicate ids into one row)."""
+    dup = (
+        df.groupBy(id_col, *[F.col(c) for c in keep_cols])
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {f: dup[0][f] for f in (id_col, *keep_cols)}
+        raise ValueError(
+            f"{fn_name}(validate=True): ({id_col}, {keep_cols}) is not "
+            f"row-unique — e.g. {key} appears {dup[0]['__n__']} times; the "
+            "join strategy would silently merge these rows into one summed "
+            "score. Deduplicate or add a surrogate key before scoring."
+        )
+
+
 def lm_bits(
     df: DataFrame,
     model: dict,
@@ -264,6 +291,7 @@ def lm_bits(
     id_col: str = "doc_id",
     keep_cols: tuple = (),
     strategy: str = "auto",
+    validate: bool = False,
 ) -> DataFrame:
     """Per-document LM cost under a trained pruned bigram model:
     ``bits_e9`` = Σ over token pairs of the pinned integer
@@ -276,10 +304,15 @@ def lm_bits(
 
     CONTRACT (ADVICE r13): ``(id_col, *keep_cols)`` must be
     row-unique — the join strategy re-aggregates on that tuple, so
-    duplicate ids would merge into one summed row while the fold
-    strategy keeps them separate. Every engine id column
+    duplicate ids would SILENTLY merge into one summed row while
+    the fold strategy keeps them separate. Every engine id column
     (``doc_id``) satisfies this; pre-aggregate or add a surrogate
-    key before scoring anything that doesn't.
+    key before scoring anything that doesn't. ``validate=True``
+    (r15, VERDICT r14 ask #7) makes the violation LOUD instead:
+    one opt-in bounded aggregate job over the key tuple up front,
+    raising ``ValueError`` naming an offending key if any tuple
+    repeats — pay it on untrusted inputs; pinned pipelines whose
+    id provenance is known skip it.
 
     ``strategy`` picks the PHYSICAL lookup plan (both behind one
     input-rebalance insurance — the pair explode/probe work is
@@ -307,6 +340,8 @@ def lm_bits(
         raise ValueError(
             f"strategy must be 'auto', 'fold' or 'join', got {strategy!r}"
         )
+    if validate:
+        _validate_unique_keys(df, id_col, keep_cols, "lm_bits")
     n_entries = len(model["bigrams"]) + len(model["unigrams"])
     if strategy == "auto":
         strategy = "fold" if n_entries <= FOLD_MAX_ENTRIES else "join"
@@ -377,6 +412,7 @@ def lm_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple = (),
+    validate: bool = False,
 ) -> DataFrame:
     """The CCNet-style perplexity GATE: keep documents whose LM cost
     is at most ``max_bits_per_token`` (perplexity ≤ 2^t) and that
@@ -399,7 +435,8 @@ def lm_quality(
     ``"trained2"``). Prefer lm3 for adversarial corpora."""
     t_e9 = round(max_bits_per_token * 1_000_000_000)
     scored = lm_bits(
-        df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols
+        df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols,
+        validate=validate,
     )
     return scored.filter(
         (F.col("n_bigrams") >= min_bigrams)

@@ -261,6 +261,7 @@ def lm3_bits(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple = (),
+    validate: bool = False,
 ) -> DataFrame:
     """Per-document trigram-LM cost: ``bits_e9`` = Σ over token
     triples of the pinned integer micro-bit cost (trigram hit, else
@@ -271,7 +272,10 @@ def lm3_bits(
     text — score 0/0).
 
     CONTRACT (the lm module's, inherited): ``(id_col, *keep_cols)``
-    must be row-unique — the re-aggregate groups on that tuple.
+    must be row-unique — the re-aggregate groups on that tuple, so
+    duplicates silently merge. ``validate=True`` (r15) runs the lm
+    module's opt-in bounded uniqueness check up front and raises
+    loudly on the first offender.
 
     Plan: input rebalance insurance (scale.needs_rebalance, PERF
     §80) → triple explode to narrow (id, a, b, c) rows → three
@@ -282,6 +286,10 @@ def lm3_bits(
     the input, never a join against the corpus)."""
     from mirabelle_spark.scale import ensure_parallelism
 
+    if validate:
+        from mirabelle_spark.pipeline.lm import _validate_unique_keys
+
+        _validate_unique_keys(df, id_col, keep_cols, "lm3_bits")
     df = ensure_parallelism(df)
     spark = df.sparkSession
     oov = F.lit(int(model["oov_e9"])).cast("long")
@@ -353,6 +361,7 @@ def lm3_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple = (),
+    validate: bool = False,
 ) -> DataFrame:
     """The trigram perplexity GATE: keep documents with at least
     ``min_trigrams`` token triples whose LM cost is at most
@@ -365,7 +374,8 @@ def lm3_quality(
     :func:`lm3_bits` plus one filter."""
     t_e9 = round(max_bits_per_token * 1_000_000_000)
     scored = lm3_bits(
-        df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols
+        df, model, text_col=text_col, id_col=id_col, keep_cols=keep_cols,
+        validate=validate,
     )
     return scored.filter(
         (F.col("n_trigrams") >= min_trigrams)

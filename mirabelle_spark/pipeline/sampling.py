@@ -292,7 +292,11 @@ def curate_head(
     groupBy(id)) pulled back by a LEFT SEMI join on ``id_col`` —
     only narrow (id) rows cross, the same shape as the dedup-winner
     join below. Both plans gate the identical survivor set (the
-    strategies are output-identical; parity pytest).
+    strategies are output-identical; parity pytest). Inherited id
+    contract: ``id_col`` must be row-unique here (duplicates would
+    silently merge in the join-path scorer AND pick one winner in
+    the dedup stage below) — score untrusted inputs with
+    ``lm.lm_bits(validate=True)`` first to make a violation loud.
 
     ``lm3_gate=(model, max_bits_per_token, min_trigrams)`` (r14)
     swaps in the TRIGRAM perplexity gate

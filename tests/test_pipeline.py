@@ -1042,6 +1042,65 @@ def test_stratified_topk_partitioning_independent(spark):
         assert got1 == exp and got2 == exp
 
 
+def test_bounded_topk_matches_window_and_partials_before_rank(spark):
+    """The shared ANN rank tail (r15, VERDICT r14 ask #8):
+    bounded_topk returns value- and rank-identical rows to the naive
+    per-query window form in BOTH orders, is partitioning-
+    independent, and its physical plan shows the bounded map-side
+    partial (collect_list aggregate) feeding ONE final window over
+    survivors — never the candidate mass through one task per
+    query."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from mirabelle_spark.pipeline import ann
+
+    # 3 queries x 300 candidates with deliberate distance TIES
+    # (dist = hash % 40) so the id tie-break is exercised
+    scored = spark.range(900).selectExpr(
+        "id % 3 AS query_id",
+        "id AS vec_id",
+        "CAST(pmod(hash(id), 40) AS DOUBLE) / 7.0 AS dist",
+    )
+
+    def reference(desc):
+        o = F.col("dist").desc() if desc else F.col("dist").asc()
+        w = W.partitionBy("query_id").orderBy(o, F.col("vec_id"))
+        return {
+            (r.query_id, r.vec_id, r.dist, r.rank)
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 5").collect()
+        }
+
+    for desc in (True, False):
+        exp = reference(desc)
+        got = {
+            (r.query_id, r.vec_id, r.dist, r.rank)
+            for r in ann.bounded_topk(
+                scored, 5, "dist", "query_id", "vec_id", descending=desc
+            ).collect()
+        }
+        got_rep = {
+            (r.query_id, r.vec_id, r.dist, r.rank)
+            for r in ann.bounded_topk(
+                scored.repartition(13), 5, "dist", "query_id", "vec_id",
+                descending=desc,
+            ).collect()
+        }
+        assert got == exp and got_rep == exp
+
+    plan = (
+        ann.bounded_topk(scored, 5, "dist", "query_id", "vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one window exec node ("Window [" — Spark 4 also prints
+    # WindowGroupLimit rank-pushdown nodes around it, a further
+    # bound), fed by the bounded partial aggregate
+    assert plan.count("Window [") == 1, plan
+    assert "collect_list" in plan, plan
+    assert plan.index("Window [") < plan.index("collect_list"), plan
+
+
 def test_token_chunks_content_defined(spark):
     """CDC chunker invariants: chunks partition the token stream in
     order, boundaries are content-local (editing the tail re-chunks
@@ -2666,6 +2725,56 @@ def test_trained_bigram_lm_match_pinned(spark):
         backoff_bits=TRAIN_BACKOFF_BITS,
     )
     assert m2 == TRAINED_LM
+
+
+def test_lm_validate_makes_duplicate_ids_loud(spark):
+    """The scorer id contract's loud form (r15, VERDICT r14 ask #7):
+    without validate, the join strategy SILENTLY merges duplicate
+    (id, keep_cols) rows into one summed score (the documented
+    failure mode); with validate=True the same input raises a
+    ValueError naming an offender, on lm_bits and lm3_bits alike. A
+    unique input passes validation unchanged."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import lm, lm3
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+    from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+
+    dup = spark.createDataFrame(
+        [(1, "the data stream"), (1, "a window value"), (2, "agg fast batch")],
+        "doc_id bigint, text string",
+    )
+    # the silent merge: doc 1's two rows come back as ONE summed row
+    merged = lm.lm_bits(dup, TRAINED_LM, strategy="join").collect()
+    assert len(merged) == 2
+    one = {r.doc_id: r.n_bigrams for r in merged}
+    assert one[1] == 4  # 2 + 2 pairs summed across the duplicates
+
+    with _pytest.raises(ValueError, match="not .*row-unique|row-unique"):
+        lm.lm_bits(dup, TRAINED_LM, strategy="join", validate=True)
+    with _pytest.raises(ValueError, match="row-unique"):
+        lm3.lm3_bits(dup, TRAINED_LM3, validate=True)
+    with _pytest.raises(ValueError, match="row-unique"):
+        lm.lm_quality(dup, TRAINED_LM, 4.91, validate=True)
+    with _pytest.raises(ValueError, match="row-unique"):
+        lm3.lm3_quality(dup, TRAINED_LM3, 8.57, validate=True)
+
+    uniq = spark.createDataFrame(
+        [(1, "the data stream"), (2, "a window value")],
+        "doc_id bigint, text string",
+    )
+    got = lm.lm_bits(uniq, TRAINED_LM, strategy="join", validate=True)
+    assert got.count() == 2
+    # keep_cols participate in the key: duplicates disambiguated by a
+    # keep column pass validation
+    keyed = spark.createDataFrame(
+        [(1, "en", "the data stream"), (1, "fr", "a window value")],
+        "doc_id bigint, lang string, text string",
+    )
+    assert lm.lm_bits(
+        keyed, TRAINED_LM, keep_cols=("lang",), strategy="join",
+        validate=True,
+    ).count() == 2
 
 
 def test_lm_bits_matches_python_reference(spark):
