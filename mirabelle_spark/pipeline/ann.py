@@ -597,9 +597,11 @@ def ivf_probe_index(
     ``__cell__ IN (...)`` partition filter, so pruning is static and
     visible in the plan (``PartitionFilters``). Files in unprobed
     cells are never opened. ``path`` also accepts a pre-opened index
-    DataFrame, and the top-k exchange is sized to the query batch —
-    the same warm-probe amortizations as :func:`ivfpq_probe_index`
-    (PERF §42).
+    DataFrame — the same warm-probe amortization as
+    :func:`ivfpq_probe_index` (PERF §42). Since r15 the rank tail
+    is the two-phase :func:`bounded_topk`, whose map-side partial
+    bounds the top-k exchange by construction (it retired §42's
+    explicit query-batch-sized repartition).
     """
     spark = queries.sparkSession
     probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
@@ -621,9 +623,7 @@ def ivf_probe_index(
     # structs per (query, scan-partition) BEFORE any exchange, so the
     # shuffle is sized by construction — this replaces both the old
     # full-candidate repartition (which moved the whole probed mass
-    # to ≤ 16 tasks, PERF §42) and the per-query funnel window;
-    # n_queries still sizes the driver-side probe stats above
-    del n_queries  # kept in the stats probe for the cells action
+    # to ≤ 16 tasks, PERF §42) and the per-query funnel window
     return bounded_topk(
         scored, k, "cosine", query_id_col, id_col, descending=True
     )
