@@ -87,35 +87,35 @@ def bounded_topk(
     id_col: str = "vec_id",
     descending: bool = False,
 ) -> DataFrame:
-    """Two-phase bounded top-k per query over a scored candidate
-    set — the shared rank tail of EVERY ANN entry point (r15,
-    VERDICT r14 asks #2/#8; the PERF §21 pattern
-    :func:`~mirabelle_spark.pipeline.sampling.stratified_topk`
-    established, here keeping the score column instead of joining
-    survivors back):
+    """EXPLICIT two-phase bounded top-k per query — kept as the
+    measured CONTROL for the rank-tail scale question, NOT wired
+    into the rankers (r15, VERDICT r14 ask #8, executed then
+    reverted on evidence):
 
-    1. per (query, input-partition) keep the k best (dist, id)
-       structs map-side — a bounded sorted-array aggregate whose
-       partial combine runs before the exchange, so what shuffles
-       is ≤ k·partitions small structs per query, never the
-       candidate mass;
-    2. exact-rank the survivors with the one window, over a
-       trivially small set.
+    Spark ≥3.5 already compiles every ranker's
+    ``row_number() over partitionBy(query) … filter(rank <= k)``
+    tail with WindowGroupLimit pushdown — a ``Partial`` sort-limit
+    BELOW the exchange keeps ≤ k rows per (query, input-partition)
+    map-side, then one ``Final`` limit ranks the survivors
+    (plan-pinned in pytest). That is exactly the two-phase bound
+    this helper hand-rolls, minus one exchange and with a
+    spillable streaming sort-limit where this form buffers a
+    ``collect_list`` array per group. Measured on a 1M-row × 64-dim
+    corpus, 2 queries (the adversarial few-queries-huge-mass
+    shape, fresh JVM per configuration, min-of-3,
+    tools/bench_topk.py): window 25.2 s vs this form 29.4 s — the
+    optimizer's plan wins, so the rankers keep the declarative
+    window and this helper documents (and continuously re-checks,
+    via its equivalence pytest) the alternative. PERF §87.
 
-    The old single-window form (``row_number() over
-    partitionBy(query_id)``) funneled each query's FULL candidate
-    mass through one task — fine when #queries ≫ cores, a hard
-    parallelism ceiling for a small query batch over a 100 TB
-    corpus. Output is value- and rank-identical (a global top-k row
-    is a top-k row of its own partition slice, and the final window
-    applies the same (dist, id) order), partitioning-independent,
-    and the distance values pass through untouched.
-
-    ``descending`` ranks best-first by negating the score INSIDE
-    the sort struct (exact for IEEE doubles; Spark normalizes ±0.0
-    before comparisons, so the sign flip cannot reorder zero ties).
-    Assumes non-null, non-NaN distances — every caller computes
-    them as arithmetic folds over non-null vectors.
+    Phase 1 keeps the k best (dist, id) structs per (query,
+    input-partition) with a bounded sorted-array aggregate; phase 2
+    exact-ranks the ≤ k·partitions survivors per query with the
+    one window. Output is value- and rank-identical to the naive
+    window in both orders and partitioning-independent;
+    ``descending`` negates the score inside the sort struct (exact
+    for IEEE doubles; distances here are fold-sums from +0.0, so
+    -0.0 never occurs). Assumes non-null, non-NaN distances.
 
     Returns (query_id, id, dist, rank), rank 1-based by
     (dist asc|desc, id asc)."""
@@ -165,8 +165,9 @@ def brute_force_topk(
 
     ``queries`` needs (query_id_col, vec_col). Returns
     (query_id, vec_id, cosine, rank). Self-matches (same id) are
-    kept — filter upstream if undesired. Ranked via the two-phase
-    :func:`bounded_topk` (no per-query funnel task).
+    kept — filter upstream if undesired. The rank tail's scale
+    story (why the window form is already bounded map-side by
+    WindowGroupLimit pushdown) lives at :func:`bounded_topk`.
     """
     q = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
@@ -174,8 +175,11 @@ def brute_force_topk(
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
     joined = c.crossJoin(F.broadcast(q))
     scored = joined.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
-    return bounded_topk(
-        scored, k, "cosine", query_id_col, id_col, descending=True
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
     )
 
 
@@ -204,7 +208,12 @@ def brute_force_l2_topk(
         lambda acc, x: acc + x,
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn("l2_dist", sq)
-    return bounded_topk(scored, k, "l2_dist", query_id_col, id_col)
+    w = W.partitionBy(query_id_col).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_dist", "rank")
+    )
 
 
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
@@ -278,8 +287,11 @@ def lsh_bucketed_topk(
         cand = part if cand is None else cand.unionByName(part)
     cand = cand.dropDuplicates([query_id_col, id_col])
     scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
-    return bounded_topk(
-        scored, k, "cosine", query_id_col, id_col, descending=True
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
     )
 
 
@@ -597,35 +609,36 @@ def ivf_probe_index(
     ``__cell__ IN (...)`` partition filter, so pruning is static and
     visible in the plan (``PartitionFilters``). Files in unprobed
     cells are never opened. ``path`` also accepts a pre-opened index
-    DataFrame — the same warm-probe amortization as
-    :func:`ivfpq_probe_index` (PERF §42). Since r15 the rank tail
-    is the two-phase :func:`bounded_topk`, whose map-side partial
-    bounds the top-k exchange by construction (it retired §42's
-    explicit query-batch-sized repartition).
+    DataFrame, and the top-k exchange is sized to the query batch —
+    the same warm-probe amortizations as :func:`ivfpq_probe_index`
+    (PERF §42).
     """
     spark = queries.sparkSession
     probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
-    # one bounded driver action yields the pruning cells — a single
-    # collect_set row of ≤ nlist ints, never the corpus (the query
-    # count it also carried pre-r15 sized the retired full-candidate
-    # repartition; bounded_topk needs no sizing input)
-    cells = sorted(
-        probes.agg(F.collect_set("__cell__").alias("cells"))
-        .collect()[0]["cells"]
-    )
+    # one bounded driver action yields both the pruning cells and the
+    # query count — a single aggregate row (collect_set ≤ nlist ints +
+    # one count), never the O(n_queries × nprobe) pair set
+    stat = probes.agg(
+        F.collect_set("__cell__").alias("cells"),
+        F.countDistinct(query_id_col).alias("nq"),
+    ).collect()[0]
+    cells = sorted(stat["cells"])
+    n_queries = int(stat["nq"])
     idx = spark.read.parquet(path) if isinstance(path, str) else path
     idx = idx.filter(F.col("__cell__").isin(cells))
     cand = idx.withColumn("__cv__", as_double_vec(F.col(vec_col))).join(
         F.broadcast(probes), "__cell__"
     )
     scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
-    # two-phase bounded top-k (r15): the map-side partial keeps ≤ k
-    # structs per (query, scan-partition) BEFORE any exchange, so the
-    # shuffle is sized by construction — this replaces both the old
-    # full-candidate repartition (which moved the whole probed mass
-    # to ≤ 16 tasks, PERF §42) and the per-query funnel window
-    return bounded_topk(
-        scored, k, "cosine", query_id_col, id_col, descending=True
+    # size the top-k exchange to the query batch (ivfpq_probe_index's
+    # rule), not the session default — 32+ tasks over a few thousand
+    # candidate rows is pure scheduling overhead (PERF §42)
+    scored = scored.repartition(max(1, min(n_queries, 16)), F.col(query_id_col))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
     )
 
 
@@ -688,8 +701,11 @@ def ivf_topk(
     # probe join: corpus rows only from the probed cells
     cand = assigned.join(F.broadcast(probes), "__cell__")
     scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
-    return bounded_topk(
-        scored, k, "cosine", query_id_col, id_col, descending=True
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
     )
 
 
@@ -848,11 +864,18 @@ def pq_topk(
     scored = codes.crossJoin(F.broadcast(luts)).selectExpr(
         query_id_col, id_col, f"({score}) AS adc_dist"
     )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     if not rerank:
-        return bounded_topk(scored, k, "adc_dist", query_id_col, id_col)
-    cands = bounded_topk(
-        scored, rerank, "adc_dist", query_id_col, id_col
-    ).select(query_id_col, id_col)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "adc_dist", "rank")
+        )
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select(query_id_col, id_col)
+    )
     cvec = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__")
     )
@@ -869,10 +892,12 @@ def pq_topk(
         .join(F.broadcast(qvec), query_id_col)
         .withColumn("l2_dist", sq)
     )
-    # refinement tail: input is ≤ |queries|·rerank rows by
-    # construction, so the two-phase pass bounds the exact-rank
-    # window the same way it bounds the ADC one
-    return bounded_topk(exact, k, "l2_dist", query_id_col, id_col)
+    w2 = W.partitionBy(query_id_col).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_dist", "rank")
+    )
 
 
 def cell_centroid_update(
@@ -1131,7 +1156,12 @@ def sq_topk(
             lambda acc, x: acc + x,
         ),
     )
-    return bounded_topk(scored, k, "sq_dist", query_id_col, id_col)
+    w = W.partitionBy(query_id_col).orderBy(F.col("sq_dist"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sq_dist", "rank")
+    )
 
 
 def ivfpq_topk(
@@ -1213,11 +1243,18 @@ def ivfpq_topk(
     scored = enc.join(F.broadcast(probe_luts), "__cell__").selectExpr(
         query_id_col, id_col, f"({_pq_score_sql(m_count)}) AS adc_dist"
     )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     if not rerank:
-        return bounded_topk(scored, k, "adc_dist", query_id_col, id_col)
-    cands = bounded_topk(
-        scored, rerank, "adc_dist", query_id_col, id_col
-    ).select(query_id_col, id_col)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "adc_dist", "rank")
+        )
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select(query_id_col, id_col)
+    )
     qvec = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
     )
@@ -1231,7 +1268,12 @@ def ivfpq_topk(
         .join(F.broadcast(qvec), query_id_col)
         .withColumn("l2_dist", sq)
     )
-    return bounded_topk(exact, k, "l2_dist", query_id_col, id_col)
+    w2 = W.partitionBy(query_id_col).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_dist", "rank")
+    )
 
 
 def ivfpq_write_index(
@@ -1390,12 +1432,10 @@ def ivfpq_probe_index(
     ``path`` also accepts a pre-opened index DataFrame
     (``spark.read.parquet(path)`` held across a query-batch loop) —
     the production handle pattern: parquet listing/footer work is
-    paid once per index open instead of once per probe. Since r15
-    the rank tail is the two-phase :func:`bounded_topk`: its
-    map-side partial bounds the top-k exchange by construction,
-    retiring the explicit query-batch-sized repartition PERF §42
-    used for the same purpose (a 32-wide shuffle of a few thousand
-    candidate rows was pure task-scheduling overhead). Measured at
+    paid once per index open instead of once per probe. The top-k
+    exchange is sized to the query batch (``repartition(|q|,
+    query_id)`` bounded at 16) — a 32-wide shuffle of a few thousand
+    candidate rows is pure task-scheduling overhead. Measured at
     sf0.1 (20k codes, 10 queries, nprobe 3): 2.3 s → 0.52 s warm
     with a handle, 0.65 s re-opening per probe (PERF §42).
 
@@ -1455,14 +1495,22 @@ def ivfpq_probe_index(
     scored = idx.join(F.broadcast(probe_luts), "__cell__").selectExpr(
         query_id_col, id_col, f"({_pq_score_sql(m_count)}) AS adc_dist"
     )
-    # two-phase bounded top-k (r15): the map-side partial replaces
-    # the old bounded-width repartition — nothing wider than
-    # k·partitions structs per query ever shuffles
+    if qrows:
+        scored = scored.repartition(
+            min(len(qrows), 16), F.col(query_id_col)
+        )
+    w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     if not rerank:
-        return bounded_topk(scored, k, "adc_dist", query_id_col, id_col)
-    cands = bounded_topk(
-        scored, rerank, "adc_dist", query_id_col, id_col
-    ).select(query_id_col, id_col)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "adc_dist", "rank")
+        )
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select(query_id_col, id_col)
+    )
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
     qvec = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
@@ -1477,7 +1525,12 @@ def ivfpq_probe_index(
         .join(F.broadcast(qvec), query_id_col)
         .withColumn("l2_dist", sq)
     )
-    return bounded_topk(exact, k, "l2_dist", query_id_col, id_col)
+    w2 = W.partitionBy(query_id_col).orderBy(F.col("l2_dist"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_dist", "rank")
+    )
 
 
 def train_pq(

@@ -1043,13 +1043,17 @@ def test_stratified_topk_partitioning_independent(spark):
 
 
 def test_bounded_topk_matches_window_and_partials_before_rank(spark):
-    """The shared ANN rank tail (r15, VERDICT r14 ask #8):
-    bounded_topk returns value- and rank-identical rows to the naive
-    per-query window form in BOTH orders, is partitioning-
-    independent, and its physical plan shows the bounded map-side
-    partial (collect_list aggregate) feeding ONE final window over
-    survivors — never the candidate mass through one task per
-    query."""
+    """The ANN rank-tail scale question (r15, VERDICT r14 ask #8 —
+    executed, measured, reverted on evidence; PERF §87): the
+    rankers ship the DECLARATIVE window form because Spark ≥3.5
+    compiles its rank<=k filter with WindowGroupLimit pushdown — a
+    Partial sort-limit BELOW the exchange bounds the shuffle to
+    ≤ k rows per (query, input-partition) map-side, which this test
+    PINS so a regression (plan no longer bounded) is loud. The
+    explicit two-phase control (ann.bounded_topk) must stay value-
+    and rank-identical to that window form in BOTH orders,
+    partitioning-independent, with its collect_list partial feeding
+    one final window."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window as W
 
@@ -1099,6 +1103,24 @@ def test_bounded_topk_matches_window_and_partials_before_rank(spark):
     assert plan.count("Window [") == 1, plan
     assert "collect_list" in plan, plan
     assert plan.index("Window [") < plan.index("collect_list"), plan
+
+    # the SHIPPED form's bound: the naive window+filter(rank<=k)
+    # tail must compile with a Partial WindowGroupLimit BELOW the
+    # exchange (map-side ≤ k rows per query per partition) — the
+    # optimizer fact the rankers rely on instead of hand-rolling
+    # the two-phase plan
+    w = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("vec_id"))
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+    )
+    nplan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in nplan, nplan
+    partial = nplan.index(", Partial")
+    exch = nplan.index("Exchange hashpartitioning(query_id")
+    # tree prints parent-first: the Partial limit is DEEPER than
+    # (below) the exchange, so it appears after it in the dump
+    assert partial > exch, nplan
 
 
 def test_token_chunks_content_defined(spark):

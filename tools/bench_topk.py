@@ -1,17 +1,22 @@
-"""Measure the ANN rank tail: two-phase bounded_topk vs the retired
-single-window form (r15, VERDICT r14 ask #8's "demonstrate it"
-follow-through, same protocol as tools/bench_prefilter.py: fork one
-fresh python per CONFIGURATION, one untimed warm-up, min-of-N).
+"""Measure the ANN rank tail: the SHIPPED single-window form vs the
+explicit two-phase ``ann.bounded_topk`` control (r15, VERDICT r14
+ask #8 — executed, measured, REVERTED on this tool's evidence; PERF
+§87. Protocol: tools/bench_prefilter.py's — fork one fresh python
+per CONFIGURATION, one untimed warm-up, min-of-N).
 
-The claim under test: ``row_number() over partitionBy(query_id)``
-funnels each query's FULL candidate mass through one task, so with a
-small query batch the rank tail serializes no matter how many cores
-exist; the two-phase form's map-side partial keeps <= k structs per
-(query, input-partition) and parallelizes with the SCAN, not with
-the query count. The probe scores a replicated sf1 embeddings corpus
-(REP x 20k rows x 64 dims, exact cosine) for NQ queries — candidate
-mass per query grows with REP while NQ pins the old form's
-parallelism ceiling.
+The claim under test was that ``row_number() over
+partitionBy(query_id) … rank <= k`` funnels each query's FULL
+candidate mass through one task. It does NOT on Spark >= 3.5:
+WindowGroupLimit pushdown puts a Partial sort-limit BELOW the
+exchange (<= k rows per query per input partition move), which is
+the same two-phase bound with one fewer exchange and a spillable
+sort-limit instead of a per-group collect_list array. Measured on
+the adversarial shape (1M-row corpus, nq=2): window 25.2 s,
+two-phase 29.4 s — the optimizer's plan wins and the rankers keep
+the declarative window. The probe scores a replicated sf1
+embeddings corpus (REP x 20k rows x 64 dims, exact cosine) for NQ
+queries — candidate mass per query grows with REP while NQ would
+pin a genuinely-funneling form's parallelism.
 
 Run:  python tools/bench_topk.py            # the sweep (forks children)
       BENCH_TOPK_CHILD="<form>:<rep>:<nq>" python tools/bench_topk.py
@@ -66,7 +71,7 @@ def _rank(scored, form: str, k: int = 5):
         return ann.bounded_topk(
             scored, k, "cosine", "query_id", "vec_id", descending=True
         )
-    # the retired single-window form, reconstructed verbatim
+    # the shipped single-window form (WindowGroupLimit-bounded)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -100,9 +105,11 @@ def main() -> None:
     if spec:
         _child(spec)
         return
-    # rep=50 -> 1M corpus rows per query's candidate set; nq=2 pins
-    # the old form at 2 tasks, nq=32 lets it use the machine
-    for rep, nq in ((50, 2), (50, 32)):
+    # rep=50 -> 1M corpus rows per query's candidate set; nq=2 is
+    # the adversarial point (a genuinely-funneling form would have
+    # 2 tasks of 1M rows each). nq=32 uses rep=10 so total scored
+    # mass (#rows x #queries) stays comparable between the points.
+    for rep, nq in ((50, 2), (10, 32)):
         for form in ("window", "bounded"):
             env = dict(os.environ, BENCH_TOPK_CHILD=f"{form}:{rep}:{nq}")
             proc = subprocess.run(
