@@ -201,22 +201,29 @@ def _make_spark():
     )
 
 
-def _cpu_steal() -> tuple[int, int]:
-    """(steal_jiffies, total_jiffies) from /proc/stat — the
-    hypervisor-steal counter that turns "the record is the record"
+def _cpu_times() -> tuple[int, int, int, int]:
+    """(steal, idle, iowait, total) jiffies from /proc/stat — the
+    machine-level counters that turn "the record is the record"
     into a diagnosable record (r15: the 73.9 s ann_ivfpq_topk
     mystery reproduced ONLY inside full-bench runs, with healthy
-    5 s JVM-overhead probes and flat isolated reruns minutes later;
-    this machine shows 1-9 % steal at idle — episodic noisy-
-    neighbor steal inflates whichever child is running, uniformly
-    and for minutes). Returns (0, 0) when unreadable."""
+    5 s JVM-overhead probes and flat isolated reruns minutes
+    later). Two distinct interference classes were measured: (a)
+    hypervisor-steal storms (this VM shows 1-9 % steal at idle,
+    episodes reach 18 %) that inflate whichever child they
+    overlap; (b) zero-steal spikes where a run goes ~6-10× with
+    the CPU nominally ours — the idle/iowait split recorded here
+    separates genuine CPU burn from blocked-waiting for those.
+    Returns zeros when unreadable."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(x) for x in parts[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        steal = vals[7] if len(vals) > 7 else 0
+        idle = vals[3] if len(vals) > 3 else 0
+        iowait = vals[4] if len(vals) > 4 else 0
+        return steal, idle, iowait, sum(vals)
     except Exception:
-        return 0, 0
+        return 0, 0, 0, 0
 
 
 def _sf1_child(name: str) -> None:
@@ -271,16 +278,22 @@ def _sf1_child(name: str) -> None:
         sf1_runs = max(sf1_runs, 8)
     runs_vec: list[float] = []
     steal_vec: list[float] = []
+    busy_vec: list[float] = []
+    iowait_vec: list[float] = []
 
     def timed_run() -> None:
-        s0, j0 = _cpu_steal()
+        s0, id0, io0, j0 = _cpu_times()
         t0 = time.perf_counter()
         fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
         runs_vec.append(round(time.perf_counter() - t0, 3))
-        s1, j1 = _cpu_steal()
-        steal_vec.append(
-            round(100.0 * (s1 - s0) / (j1 - j0), 1) if j1 > j0 else 0.0
+        s1, id1, io1, j1 = _cpu_times()
+        dj = j1 - j0
+        steal_vec.append(round(100.0 * (s1 - s0) / dj, 1) if dj > 0 else 0.0)
+        iowait_vec.append(
+            round(100.0 * (io1 - io0) / dj, 1) if dj > 0 else 0.0
         )
+        busy = dj - (id1 - id0) - (io1 - io0) - (s1 - s0)
+        busy_vec.append(round(100.0 * busy / dj, 1) if dj > 0 else 0.0)
 
     for _ in range(sf1_runs):
         timed_run()
@@ -302,6 +315,8 @@ def _sf1_child(name: str) -> None:
         # steal%, which separates neighbor noise from plan cost
         "sf1_runs_sec": runs_vec,
         "sf1_steal_pct": steal_vec,
+        "sf1_busy_pct": busy_vec,
+        "sf1_iowait_pct": iowait_vec,
         "sf1_median": round(statistics.median(runs_vec), 3),
         "overhead": round(overhead, 3),
         "runs": sf1_runs + extra,
@@ -327,6 +342,8 @@ def _run_sf1_block() -> dict:
     overheads: dict[str, float] = {}
     run_vecs: dict[str, list[float]] = {}
     steal_vecs: dict[str, list[float]] = {}
+    busy_vecs: dict[str, list[float]] = {}
+    iowait_vecs: dict[str, list[float]] = {}
     block: dict = {}
     for name in SF1_QUERIES:
         env = dict(os.environ, SPARK_GRAFT_SF1_CHILD=name)
@@ -351,6 +368,8 @@ def _run_sf1_block() -> dict:
         overheads[name] = child["overhead"]
         run_vecs[name] = child["sf1_runs_sec"]
         steal_vecs[name] = child.get("sf1_steal_pct", [])
+        busy_vecs[name] = child.get("sf1_busy_pct", [])
+        iowait_vecs[name] = child.get("sf1_iowait_pct", [])
         print(
             f"# sf1 {name}: {child['sf1']:.3f}s "
             f"({ratios[name]}x sf0.1 base {child['base']:.3f}s, "
@@ -372,6 +391,8 @@ def _run_sf1_block() -> dict:
         child_overhead=overheads,
         runs_sec=run_vecs,
         steal_pct=steal_vecs,
+        busy_pct=busy_vecs,
+        iowait_pct=iowait_vecs,
         runs_per_query=max(int(os.environ.get("BENCH_SF1_RUNS", "3")), 1),
         fresh_jvm_per_query=True,
     )
