@@ -418,25 +418,40 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     total = 0.0
+    suite_steal: list[float] = []
     for name in BENCH_QUERIES:
         fn = qs[name]
         samples: list[float] = []
+        st: list[float] = []
         for _ in range(max(runs, 1)):
+            s0, _, _, j0 = _cpu_times()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
+            s1, _, _, j1 = _cpu_times()
+            st.append(
+                round(100.0 * (s1 - s0) / (j1 - j0), 1) if j1 > j0 else 0.0
+            )
+        # pair each steal reading with its sample BEFORE sorting, so
+        # the spread's min/median/max stay attributable
+        order = sorted(range(len(samples)), key=samples.__getitem__)
+        samples = [samples[i] for i in order]
+        st = [st[i] for i in order]
+        suite_steal.append(max(st))
         dt = round(samples[0], 3)
         timings[name] = dt
         spread[name] = [
             dt,
             round(statistics.median(samples), 3),
             round(samples[-1], 3),
+            st[0],       # steal% during the MIN run — the one recorded
+            max(st),     # worst steal% any run of this query saw
         ]
         total += dt
         print(
             f"# {name}: {dt:.3f}s (min of {runs}; "
-            f"med {spread[name][1]:.3f}, max {spread[name][2]:.3f})",
+            f"med {spread[name][1]:.3f}, max {spread[name][2]:.3f}, "
+            f"steal@min {st[0]:.1f}%)",
             file=sys.stderr,
         )
 
@@ -483,6 +498,10 @@ def main() -> None:
         "spread": payload.pop("spread"),
     }
     payload["n_queries"] = len(detail["queries"])
+    # one number on stdout attributes a hot suite total: the worst
+    # steal% any suite run saw (per-query vectors in the sidecar —
+    # spread rows carry [min, med, max, steal@min, steal_max])
+    payload["suite_steal_pct_max"] = max(suite_steal, default=0.0)
     sf1 = payload.pop("sf1", None)
     if isinstance(sf1, dict) and "queries" in sf1:
         worst5 = dict(
