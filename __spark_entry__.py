@@ -27,23 +27,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries,
-# so ordering is coverage policy. Round-15 rotation (VERDICT r14 ask
-# #1, executed as written): (a) queries CHANGED in round 15 lead —
-# the bigram-LM pair, whose default gate gains a cost floor this
-# round (both were last gated r13, so re-gating them is legal under
-# the "no r14 repeats" rule); (b) the 18-query r10 tail — last
-# driver-gated in round 10, the oldest cohort; (c) the first 30 of
-# the 50-entry r12 cohort, registry order, filling to exactly 50.
-# After this gate no query's last-green is older than r12; the r12
-# tail of 20 (text_quality, text_lang_id, text_fingerprint,
-# text_rolling_fp, neardup_degree_histogram, soft_dedup_docs,
-# corpus_split_docs, search_quality_docs, doc_length_profile,
-# split_token_budget, bpe_segment_trained, scrubbed_corpus_docs,
-# curate_head_logreg_docs, logreg_quality_docs, curate_head_docs,
-# dup_span_removed_docs, dup_span_removed_char_docs,
-# order_priority_counts, returned_item_customers,
-# large_order_customers) leads r16 together with r16's own adds,
-# then the oldest r13-gated entries in registry order.
+# so ordering is coverage policy. Round-16 rotation (VERDICT r15 ask
+# #1, executed as written): (a) queries ADDED in round 16 lead — the
+# image perceptual-hash pair (dHash over the real netpbm codec +
+# Hamming-band near-dup resolution); (b) the 20-query r12 tail — last
+# driver-gated in round 12, the oldest cohort; (c) the first 28 of
+# the 47-entry r13 cohort, registry order, filling to exactly 50.
+# After this gate no query's last-green is older than r13; the
+# remaining 19 r13-gated entries (by_sum_daily, smax_running,
+# semdedup_survivors, semdedup_arrow_survivors,
+# semdedup_prod_survivors, semdedup_prod_arrow_survivors,
+# ngram_containment_pairs, contamination_bloom_docs,
+# dsir_logweight_docs, dsir_top_docs, temperature_sample_docs,
+# bpe_fertility_by_lang, curate_head_dsir_docs,
+# dup_span_removed_prefilter_docs, dup_span_removed_char_prefilter_docs,
+# dup_span_removed_twophase_docs, vocab_cardinality_by_lang,
+# corpus_datasheet, volume_shipping) lead r17 together with r17's own
+# adds, then the oldest r14-gated entries in registry order.
 #
 # winnow_dedup_pairs_fast is rows-only BY DESIGN (no xxhash64 in
 # DuckDB; overlap vs the portable path is pytest-pinned) — it must
@@ -51,28 +51,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # an `err` for its missing oracle. It stays below slot 50 because
 # this list holds exactly 50 oracle-backed names.
 GATE_PRIORITY = [
-    # (a) changed in round 15 (bigram gate cost floor; last gated r13)
-    "lm_bits_docs", "lm_quality_docs",
-    # (b) the 18-query r10 tail (registry order; 5 rounds since last gate)
-    "gopher_quality_docs", "vocab_top100", "token_rarity_docs",
-    "mixture_sample_docs", "clean_corpus_docs", "paragraph_dedup_docs",
-    "multimodal_features", "video_frame_sample", "linear_quality_docs",
-    "ivf_centroid_update", "best_docs_per_lang", "token_chunks_docs",
-    "ann_sq_topk", "ann_ivfpq_topk", "ann_ivfpq_rerank_topk",
-    "ann_ivfpq_cosine_topk", "tpch_pricing_summary",
-    "revenue_by_nation",
-    # (c) first 30 of the 50-entry r12 cohort (registry order)
-    "increment_metric", "decrement_metric", "sformat_label",
-    "to_string_field", "base64_roundtrip", "from_json_props",
-    "rename_keys_proj", "keep_keys_proj", "sdissoc_proj", "tag_untag",
-    "iterate_on_explode", "fixed_time_window_ids",
-    "fixed_event_window_ids", "moving_event_window_vals",
-    "ssort_sorted", "project_correlate", "smin_running",
-    "ddt_pos_rate", "below_dt_alert", "between_dt_alert",
-    "critical_dt_alert", "dsl_pipeline", "coalesce_fill",
-    "ann_ivf_trained_topk", "ann_pq_trained_topk", "hash_sample_docs",
-    "mask_pii_docs", "text_token_count", "text_bpe_token_count",
-    "text_repetition",
+    # (a) added in round 16 (image dHash + Hamming-band near-dup)
+    "image_dhash_docs", "image_near_dups",
+    # (b) the 20-query r12 tail (registry order; 4 rounds since last gate)
+    "text_quality", "text_lang_id", "text_fingerprint",
+    "text_rolling_fp", "neardup_degree_histogram", "soft_dedup_docs",
+    "corpus_split_docs", "search_quality_docs", "doc_length_profile",
+    "split_token_budget", "bpe_segment_trained", "scrubbed_corpus_docs",
+    "curate_head_logreg_docs", "logreg_quality_docs", "curate_head_docs",
+    "dup_span_removed_docs", "dup_span_removed_char_docs",
+    "order_priority_counts", "returned_item_customers",
+    "large_order_customers",
+    # (c) first 28 of the 47-entry r13 cohort (registry order)
+    "where_not", "where_regex", "under_filter", "expired_events",
+    "not_expired_events", "changed_transitions", "above_dt_alert",
+    "outside_dt_alert", "extract_nested", "sflatten_roundtrip",
+    "moving_time_window_count", "coalesce_latest", "agg_sum_hourly",
+    "agg_sum_delayed_hourly", "agg_mean_hourly", "agg_top_event",
+    "agg_bottom_event", "agg_rate_hourly", "agg_ratio_error_click",
+    "agg_percentiles_hourly", "coll_count_hourly", "coll_max_hourly",
+    "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
+    "coll_top3", "coll_bottom3", "coll_sort_ids",
 ]
 
 

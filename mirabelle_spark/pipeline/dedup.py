@@ -925,6 +925,73 @@ def simhash_near_dups(
     )
 
 
+def band_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over an ALREADY-BANDED signature (e.g. the
+    four 16-bit dHash bands from :func:`mirabelle_spark.pipeline.
+    multimodal.image_dhash`): pigeonhole banding on the given
+    columns, exact popcount verify.
+
+    With ``n`` bands, any pair within ``n − 1`` bit flips must agree
+    on at least one whole band → equi-join on (band_idx, band_val),
+    then ``Σ bit_count(xor(band_a, band_b)) ≤ max_hamming`` keeps
+    recall exact. ``max_hamming > len(band_cols) − 1`` would lose
+    pairs silently, so it raises.
+
+    Same scale shape as :func:`simhash_near_dups`: signature table
+    is localCheckpoint-pinned (both join sides read the checkpoint,
+    not a re-run of the upstream decode), candidates stream through
+    a self-join (never a collect_set bucket materialization), the
+    popcount filter runs map-side BEFORE the distinct shuffle. Rows
+    with any NULL band (decode failures upstream) are excluded.
+    """
+    n = len(band_cols)
+    if max_hamming > n - 1:
+        raise ValueError(
+            f"{n} bands only guarantee recall up to hamming {n - 1}; "
+            f"got max_hamming={max_hamming} — re-band the signature"
+        )
+    from mirabelle_spark.scale import ensure_parallelism
+
+    cols = [id_col, *band_cols]
+    sig = df.select(*cols)
+    for c in band_cols:
+        sig = sig.filter(F.col(c).isNotNull())
+    sig = ensure_parallelism(sig.localCheckpoint(eager=True))
+    keys = [
+        f"struct({i} AS pid, CAST({c} AS BIGINT) AS pv)"
+        for i, c in enumerate(band_cols)
+    ]
+    entries = sig.selectExpr(
+        *cols, f"explode(array({', '.join(keys)})) AS __p__"
+    ).select(*cols, "__p__.pid", "__p__.pv")
+    a, b = entries.alias("a"), entries.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        for c in band_cols
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.pid") == F.col("b.pid"))
+            & (F.col("a.pv") == F.col("b.pv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
 def resolve_clusters(
     pairs: DataFrame,
     ids: DataFrame,
@@ -1192,7 +1259,7 @@ def dup_span_removed(
     id_col: str = "doc_id",
     gram_hash: str = "portable",
     grain: str = "word",
-    prefilter_w: int | None = None,
+    prefilter_w: int | None | str = None,
     detect: str = "auto",
     _pos_bits: int = 20,
 ) -> DataFrame:
@@ -1284,7 +1351,12 @@ def dup_span_removed(
     ``test_dup_span_removed_fast_mode``.
 
     ``prefilter_w`` (r12, the char-grain 100 TB fix — VERDICT r11
-    "What's wrong" #1): when set, a WINNOWING candidate pass
+    "What's wrong" #1): an int enables it, ``None`` disables, and
+    ``"auto"`` (r16) delegates to :func:`prefilter_auto` — a
+    hash-sampled selectivity probe that mirrors ``detect="auto"``'s
+    measure-then-choose shape (enable at ≥20k docs and sampled
+    selectivity ≤0.5; byte-identical output either way, so a wrong
+    choice is a perf wobble). When set, a WINNOWING candidate pass
     (:func:`winnow_fingerprints` at the same ``grain``, window
     ``prefilter_w``, gram size ``k_f = n - prefilter_w + 1``)
     restricts the per-token occurrence explode to documents that
@@ -1372,6 +1444,22 @@ def dup_span_removed(
     if detect == "auto":
         discriminative = n >= (4 if grain == "word" else 12)
         detect = "window" if discriminative else "two_phase"
+    if isinstance(prefilter_w, str):
+        if prefilter_w != "auto":
+            raise ValueError(
+                f"prefilter_w must be an int, None or 'auto', "
+                f"got {prefilter_w!r}"
+            )
+        # auto needs min_docs >= 2 like the explicit arm; rather than
+        # raising, the decision is simply "don't prefilter" (enabling
+        # is OUR choice here, not the caller's)
+        prefilter_w = (
+            prefilter_auto(
+                df, n, grain=grain, text_col=text_col, id_col=id_col
+            )
+            if min_docs >= 2
+            else None
+        )
     sep = " " if grain == "word" else ""
     # In-row cost here is ~L gram constructions + an O(L log L) sort
     # per document — orders of magnitude more CPU per input byte than
@@ -1667,6 +1755,62 @@ def dup_span_removed(
         F.size("__w__").cast("long").alias("n_tokens"),
         (F.size("__w__") - F.size("__kept__")).cast("long").alias("n_removed"),
     )
+
+
+# prefilter_w="auto" decision thresholds (r16, VERDICT r15 ask #6;
+# PERF §84/§74 economics): the winnow prefilter pays only when the
+# candidate fraction is well below 1 AND the corpus is large enough
+# to amortize the sketch pass's fixed cost (it LOSES at 5k docs even
+# at selectivity 0.05, wins 0.60× at 50k and 0.43× at 200k).
+_PREFILTER_AUTO_SEL_MAX = 0.5
+_PREFILTER_AUTO_MIN_DOCS = 20_000
+_PREFILTER_AUTO_PROBE_PCT = 25
+
+
+def prefilter_auto(
+    df: DataFrame,
+    n: int,
+    grain: str = "word",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int | None:
+    """The ``prefilter_w="auto"`` arm of :func:`dup_span_removed`
+    (r16): probe candidate selectivity on a DETERMINISTIC doc
+    hash-sample (xxhash64(id) % 100 < 25 — partition-independent,
+    stable across runs), then enable the winnow prefilter (w=3 word
+    / w=8 char, the gated/benched configs) iff the estimated corpus
+    is ≥ 20k docs and sampled selectivity ≤ 0.5.
+
+    KNOWN BIAS, priced: selectivity is a cross-doc property, so a
+    25% doc-sample keeps only ~25% of a sparse pair's partners and
+    UNDERESTIMATES selectivity on pair-structured duplication
+    (clique-structured duplication — boilerplate, mirrored sites,
+    this repo's testdata — survives sampling essentially unbiased).
+    The error is asymmetric in our favor: a false ENABLE costs the
+    bounded 1.3-1.5× sketch overhead with byte-identical output
+    (PERF §74), while a true enable saves 2-3× at crawl-scale
+    selectivity — so the probe leans cheap rather than exact. Probe
+    cost: two scalar counts + one narrow (id, fp) shuffle over ~25%
+    of docs; corpus size is estimated from the same sample (no full
+    count). Output of the chosen plan is byte-identical either way
+    (parity-pytested), so a wrong choice is a perf wobble, never a
+    correctness event."""
+    w = 3 if grain == "word" else 8
+    w = min(w, n)
+    if w < 2:
+        return None
+    probe = df.filter(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(100))
+        < F.lit(_PREFILTER_AUTO_PROBE_PCT)
+    )
+    n_probe = probe.select(id_col).distinct().count()
+    est_docs = n_probe * 100 // _PREFILTER_AUTO_PROBE_PCT
+    if est_docs < _PREFILTER_AUTO_MIN_DOCS:
+        return None
+    sel = prefilter_selectivity(
+        probe, n, w, text_col=text_col, id_col=id_col, grain=grain
+    )
+    return w if sel <= _PREFILTER_AUTO_SEL_MAX else None
 
 
 def prefilter_selectivity(

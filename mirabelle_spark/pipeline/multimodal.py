@@ -268,6 +268,78 @@ def sample_frames(
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
+DHASH_SCHEMA = "id BIGINT, band0 INT, band1 INT, band2 INT, band3 INT"
+
+
+def image_dhash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over real decoded pixels —
+    the standard LAION-style image near-dup signature: decode →
+    nearest-neighbor resize to a 9×8 grayscale grid → 64 bits, one
+    per horizontal neighbor pair (``bit(y,x) = p(y,x) > p(y,x+1)``).
+
+    Emitted as FOUR 16-bit row-pair bands (band ``b`` packs rows
+    ``2b, 2b+1``, MSB-first) instead of one 64-bit long, so the
+    Hamming-band bucketing downstream (:func:`mirabelle_spark.
+    pipeline.dedup.band_hamming_pairs`) is a plain equi-join column
+    and the DuckDB oracle can rebuild every band with integer SQL
+    (no 64-bit sign-bit gymnastics).
+
+    Integer-exact by construction: the NN gather uses the same
+    ``(i·src)//dst`` floor indexing as :func:`resize_images`, so a
+    resize that doubles each axis (or any 2^k NN upscale) commutes
+    with the hash — ``floor(floor(2a)/2) = floor(a)`` — and a
+    re-encoded/upscaled copy hashes IDENTICALLY (pytest-pinned).
+    RGB inputs are grayscaled with integer mean ``(r+g+b)//3``.
+
+    Scale shape: one Arrow pass over the blobs (``mapInPandas``),
+    20-byte rows out — blobs never survive to a shuffle. Decode
+    failures yield NULL bands (dead-letter routing upstream decides).
+    """
+    import numpy as np
+
+    def _dhash_bands(payload: bytes) -> list[int] | None:
+        try:
+            arr, w, h = decode_netpbm(payload)
+        except ValueError:
+            return None
+        px = arr.astype(np.int64)
+        if px.ndim == 3:
+            px = px.sum(axis=2) // 3
+        ys = np.minimum(np.arange(8) * h // 8, h - 1)
+        xs = np.minimum(np.arange(9) * w // 9, w - 1)
+        small = px[ys][:, xs]
+        bits = (small[:, :-1] > small[:, 1:]).astype(np.int64)  # 8×8
+        weights = 1 << (15 - np.arange(16, dtype=np.int64))
+        return [
+            int((bits[2 * b : 2 * b + 2].reshape(16) * weights).sum())
+            for b in range(4)
+        ]
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            bands = [
+                _dhash_bands(bytes(b)) if b is not None else None
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    **{
+                        f"band{k}": [bb[k] if bb is not None else None for bb in bands]
+                        for k in range(4)
+                    },
+                }
+            )
+
+    return df.mapInPandas(_run, schema=DHASH_SCHEMA)
+
+
 # -- netpbm: a REAL image codec in pure stdlib ------------------------------
 # The container has no PIL/pyav, but the netpbm family (PGM P2/P5,
 # PPM P3/P6) is a public, trivial format — so at least one genuine

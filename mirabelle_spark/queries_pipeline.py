@@ -1645,6 +1645,160 @@ def video_frame_sample(spark, sf):
     )
 
 
+_IMG_SOURCES = 48  # near-dup group count: sf0.01's 500 docs → ~10 docs/source
+
+
+def _image_corpus(spark, sf) -> DataFrame:
+    """Deterministic per-doc 16×16 P5 image corpus with PLANTED image
+    near-dups, built entirely in Catalyst (concat/unhex/md5 — no
+    Python): source ``s = doc_id % 48`` picks one of 48 md5-derived
+    base rasters (16 digests = 256 bytes), so each source group is a
+    clique of image duplicates; variant ``v = (doc_id div 48) % 3``
+    perturbs the copy the way real corpora do:
+
+    - v=0 — the base image verbatim;
+    - v=1 — a REAL 2× nearest-neighbor upscale RE-ENCODE through
+      :func:`multimodal.resize_images` (decoder="netpbm"): different
+      bytes, different dims, same dHash (the (i·src)//dst floor
+      gather commutes with 2× upscaling);
+    - v=2 — the base with raster byte 0 (pixel (0,0)) forced to
+      0x00: a near-duplicate at Hamming ≤ 1.
+    """
+    header = b"P5\n16 16\n255\n"
+    s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
+    v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
+    parts = [F.lit(header)]
+    for d_idx in range(16):
+        hx = F.md5(F.concat(F.lit("img:"), s, F.lit(f":{d_idx}")))
+        if d_idx == 0:
+            hx = F.when(
+                v == 2, F.concat(F.lit("00"), F.substring(hx, 3, 30))
+            ).otherwise(hx)
+        parts.append(F.unhex(hx))
+    imgs = docs(spark, sf).select(
+        F.col("doc_id").alias("id"), F.concat(*parts).alias("media"), v.alias("v")
+    )
+    base = imgs.filter(F.col("v") != 1).select("id", "media")
+    meta = F.struct(
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.lit("netpbm").alias("codec"),
+    )
+    upscaled = multimodal.resize_images(
+        imgs.filter(F.col("v") == 1).select("id", "media", meta.alias("meta")),
+        width=32,
+        height=32,
+        decoder="netpbm",
+    ).select("id", "media")
+    return base.unionByName(upscaled)
+
+
+def _image_dhash_cte() -> str:
+    """DuckDB twin of decode→9×8 NN resize→dHash over the planted
+    corpus: recomputes every sampled pixel straight from the md5 hex
+    (sampled source pixel (2y, (16x)//9) = byte (16x)//9 of digest
+    2y), so a codec that mis-walks a header, a resize that gathers
+    the wrong index, or a band that packs bits in the wrong order
+    all fail the gate. The v=1 upscale needs no special casing: its
+    dHash provably equals the base's (floor(floor(2a)/2)=floor(a))."""
+    return f"""
+WITH px AS (
+  SELECT doc_id, CAST(y.g AS INT) AS y, CAST(x.g AS INT) AS x,
+         CASE WHEN y.g = 0 AND x.g = 0 AND (doc_id // {_IMG_SOURCES}) % 3 = 2
+              THEN 0
+              ELSE ('0x' || substr(
+                      md5('img:' || (doc_id % {_IMG_SOURCES})::VARCHAR
+                          || ':' || (y.g * 2)::VARCHAR),
+                      ((x.g * 16) // 9) * 2 + 1, 2))::INT
+         END AS pval
+  FROM documents, generate_series(0, 7) AS y(g), generate_series(0, 8) AS x(g)
+), bits AS (
+  SELECT doc_id, y, x,
+         CASE WHEN pval > lead(pval) OVER (PARTITION BY doc_id, y ORDER BY x)
+              THEN 1 ELSE 0 END AS bit
+  FROM px
+), bandrows AS (
+  SELECT doc_id, y // 2 AS band_idx,
+         CAST(sum(bit << (15 - (8 * (y % 2) + x))) AS INT) AS band_val
+  FROM bits WHERE x < 8 GROUP BY doc_id, y // 2
+), dh AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN band_idx = 0 THEN band_val END) AS INT) AS band0,
+         CAST(max(CASE WHEN band_idx = 1 THEN band_val END) AS INT) AS band1,
+         CAST(max(CASE WHEN band_idx = 2 THEN band_val END) AS INT) AS band2,
+         CAST(max(CASE WHEN band_idx = 3 THEN band_val END) AS INT) AS band3
+  FROM bandrows GROUP BY doc_id
+)"""
+
+
+@q(
+    "image_dhash_docs",
+    _image_dhash_cte()
+    + """
+SELECT doc_id, band0, band1, band2, band3 FROM dh
+""",
+)
+def image_dhash_docs(spark, sf):
+    """Perceptual dHash over REAL decoded pixels (r16): Catalyst
+    builds each doc's P5 bytes (v=1 docs additionally round-trip the
+    real netpbm resize codec), :func:`multimodal.image_dhash` decodes
+    → 9×8 NN-resizes → packs 64 difference bits into four 16-bit
+    bands, and the oracle rebuilds every band with integer SQL. The
+    v=1 rows are the teeth: a RE-ENCODED, UPSCALED copy must hash
+    bit-identically to its base. Scale shape: blobs live and die
+    inside one Arrow pass; 20-byte rows reach the output."""
+    return multimodal.image_dhash(_image_corpus(spark, sf)).select(
+        F.col("id").alias("doc_id"), "band0", "band1", "band2", "band3"
+    )
+
+
+@q(
+    "image_near_dups",
+    _image_dhash_cte()
+    + """
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dh a JOIN dh b
+    ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1
+        OR a.band2 = b.band2 OR a.band3 = b.band3)
+  WHERE bit_count(CAST(xor(a.band0, b.band0) AS BIGINT))
+      + bit_count(CAST(xor(a.band1, b.band1) AS BIGINT))
+      + bit_count(CAST(xor(a.band2, b.band2) AS BIGINT))
+      + bit_count(CAST(xor(a.band3, b.band3) AS BIGINT)) <= 3
+), nbrs AS (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb FROM pairs
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(n.nb), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN nbrs n ON n.id = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def image_near_dups(spark, sf):
+    """LAION-style image near-dup resolution end-to-end (r16):
+    dHash bands → :func:`dedup.band_hamming_pairs` (pigeonhole
+    band equi-join, exact popcount ≤ 3 verify, never all-pairs) →
+    :func:`dedup.resolve_clusters` (min-label + pointer jumping) →
+    one canonical image per cluster. The oracle recomputes bands in
+    SQL, enumerates pairs, and resolves components with a single
+    neighbor-min round — exact here because every planted source
+    group is a Hamming-≤1 CLIQUE (diameter 1: v0≡v1, v2 one bit
+    away from both), while cross-source md5 rasters sit ~32 bits
+    apart; the Spark side still runs the general iterative
+    propagation. Scale shape: only 20-byte signature rows shuffle;
+    the candidate stream is band-bucketed."""
+    corpus = _image_corpus(spark, sf)
+    hashes = multimodal.image_dhash(corpus)
+    pairs = dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=3)
+    clusters = dedup.resolve_clusters(pairs, hashes.select("id"), id_col="id")
+    return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 @q(
     "linear_quality_docs",
     """

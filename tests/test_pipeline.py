@@ -264,6 +264,56 @@ def test_netpbm_codec_end_to_end(spark):
     assert arr2.shape == (2, 2) and arr2[0, 0] == 0 and arr2[0, 1] == 255
 
 
+def test_image_dhash_near_dup_crafted_corpus(spark):
+    """Image perceptual-hash near-dup on a crafted corpus: a base
+    image, its 2× NN-upscale RE-ENCODE (must hash identically —
+    the floor gather commutes), a one-pixel perturbation (Hamming
+    ≤ 1, caught by the band join), and a structurally distinct
+    image (NOT caught). Clusters resolve {base, upscale, perturbed}
+    to one representative."""
+    import numpy as np
+
+    from mirabelle_spark.pipeline import dedup, multimodal
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    upscale = base[np.arange(32) // 2][:, np.arange(32) // 2]
+    perturbed = base.copy()
+    perturbed[0, 0] = 255 if base[0, 0] < 128 else 0
+    distinct = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rows = [
+        (1, bytearray(multimodal.encode_netpbm(base))),
+        (2, bytearray(multimodal.encode_netpbm(upscale))),
+        (3, bytearray(multimodal.encode_netpbm(perturbed))),
+        (4, bytearray(multimodal.encode_netpbm(distinct))),
+        (5, None),  # decode failure → NULL bands, excluded from pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    hashes = multimodal.image_dhash(df)
+    by_id = {r.id: r for r in hashes.collect()}
+    bands = lambda r: (r.band0, r.band1, r.band2, r.band3)
+    assert bands(by_id[1]) == bands(by_id[2])  # re-encode/upscale invariant
+    ham = lambda a, b: sum(
+        bin(x ^ y).count("1") for x, y in zip(bands(a), bands(b))
+    )
+    assert ham(by_id[1], by_id[3]) <= 1
+    assert ham(by_id[1], by_id[4]) > 3  # random 16×16s sit far apart
+    assert by_id[5].band0 is None
+
+    pairs = dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    clusters = {
+        r.id: r.cluster_id
+        for r in dedup.resolve_clusters(
+            pairs, df.select("id"), id_col="id"
+        ).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    with pytest.raises(ValueError, match="re-band"):
+        dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=4)
+
+
 def test_ivf_topk_recall_and_exhaustive_exactness(spark):
     """IVF coarse-quantizer ANN: probing ALL cells reproduces the
     exact brute-force top-k; probing a fraction keeps high recall on
@@ -2081,6 +2131,61 @@ def test_dup_span_removed_prefilter_parity(spark):
     assert dedup.prefilter_selectivity(nodup, n=4, prefilter_w=3) == 0.0
     with _pytest.raises(ValueError):
         dedup.prefilter_selectivity(df, n=4, prefilter_w=1)
+
+
+def test_dup_span_removed_prefilter_auto(spark, monkeypatch):
+    """prefilter_w="auto" (r16, VERDICT r15 ask #6): probes
+    selectivity on a hash-sample and picks the arm — small corpus →
+    no prefilter (fixed cost unamortized), large low-dup → enable,
+    large dup-heavy → skip; output is byte-identical to both
+    explicit arms regardless of the choice, and a bogus string
+    raises."""
+    import pytest as _pytest
+
+    from mirabelle_spark.pipeline import dedup
+
+    rows = [
+        (1, "The quick   brown fox jumps over the lazy dog"),
+        (2, "intro words the QUICK brown fox trailing tail here"),
+        (3, "quick brown fox"),
+        (4, "the quick brown fox and again the quick brown fox"),
+        (5, "totally unrelated text with no shared spans at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def run(**kw):
+        return sorted(
+            (r.doc_id, r.text_clean, r.n_tokens, r.n_removed)
+            for r in dedup.dup_span_removed(df, n=4, min_docs=2, **kw).collect()
+        )
+
+    # tiny corpus: auto decides None (est_docs << 20k) — and parity
+    # holds by construction since it IS the None plan
+    assert dedup.prefilter_auto(df, n=4) is None
+    assert run(prefilter_w="auto") == run()
+
+    # force the size gate open to exercise the selectivity probe on
+    # small fixtures: a low-dup corpus ENABLES (w=3 word), the
+    # dup-heavy fixture above SKIPS (sampled selectivity ~1)
+    monkeypatch.setattr(dedup, "_PREFILTER_AUTO_MIN_DOCS", 1)
+    lowdup = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(40)]
+        + [(100, "shared span alpha beta gamma delta"),
+           (101, "shared span alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    # deterministic: the hash-sample is fixed, low-dup enables w=3
+    assert dedup.prefilter_auto(lowdup, n=4) == 3
+    dupheavy = spark.createDataFrame(
+        [(i, "the exact same boilerplate sentence every time") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    assert dedup.prefilter_auto(dupheavy, n=4) is None  # selectivity ~1
+    # parity with the size gate open too (whichever arm it picked)
+    assert run(prefilter_w="auto") == run()
+
+    with _pytest.raises(ValueError, match="'auto'"):
+        dedup.dup_span_removed(df, n=4, prefilter_w="fastest")
 
 
 def test_dup_span_removed_detect_parity(spark):

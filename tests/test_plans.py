@@ -128,6 +128,22 @@ def test_gate_priority_covers_first_fifty():
     assert missing == []
 
 
+def test_gate_priority_is_exactly_fifty_oracle_backed():
+    """Backstop for the comment's invariant (r15 VERDICT ask #8):
+    the list holds EXACTLY 50 names — the driver gates the first 50
+    registry entries, so a 51st entry would silently never gate and
+    a 49th would pull an unplanned query into the sample — and the
+    rows-only-by-design winnow_dedup_pairs_fast must never appear
+    (inside the head the driver would record an err for its missing
+    oracle)."""
+    import __spark_entry__ as E
+
+    assert len(E.GATE_PRIORITY) == 50
+    assert "winnow_dedup_pairs_fast" not in E.GATE_PRIORITY
+    oracles = E.oracle_sql()
+    assert all(n in oracles for n in E.GATE_PRIORITY)
+
+
 def test_gate_priority_names_are_registered():
     """Every GATE_PRIORITY name must exist in the registry (a typo
     would silently rotate a nonexistent query into the driver gate's
