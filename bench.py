@@ -1,7 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE JSON line (r15 shape — per-query maps live in
+BENCH_DETAIL.json, stdout carries totals + compact sf1 block):
+  {"metric": "headline_queries_total", "value": N, "unit": "sec",
+   "n_queries": 51, "suite_steal_pct_max": S, "events_per_sec": R,
+   "sf1": {"total": T, "n_queries": 26, "worst5": {...},
+           "child_overhead_median": O, "steal_pct_max": S1}, "sf": 0.1}
 
 The stdout line is kept UNDER 1,900 BYTES (asserted): the driver
 records only a 2,000-byte stdout tail, and every fat payload
@@ -299,10 +303,16 @@ def _sf1_child(name: str) -> None:
         timed_run()
     # hypervisor-steal episodes last minutes and inflate EVERY run
     # they overlap (min-of-N can't see through them); when the
-    # steal counter says a run was disturbed, buy up to 2 extra
-    # samples for an honest minimum instead of recording the noise
+    # steal counter says the MINIMUM run was disturbed, buy up to 2
+    # extra samples for an honest minimum instead of recording the
+    # noise (r16: folded from any-run>3% to steal@min — a steal-free
+    # minimum already IS the plan's cost, extra samples bought
+    # nothing; VERDICT r15 "what's wrong" #3)
     extra = 0
-    while extra < 2 and any(s > 3.0 for s in steal_vec[-sf1_runs:]):
+    while (
+        extra < 2
+        and steal_vec[min(range(len(runs_vec)), key=runs_vec.__getitem__)] > 3.0
+    ):
         timed_run()
         extra += 1
     out = {
@@ -372,7 +382,8 @@ def _run_sf1_block() -> dict:
         iowait_vecs[name] = child.get("sf1_iowait_pct", [])
         print(
             f"# sf1 {name}: {child['sf1']:.3f}s "
-            f"({ratios[name]}x sf0.1 base {child['base']:.3f}s, "
+            f"({ratios[name] if ratios[name] is not None else 'n/a'}x "
+            f"sf0.1 base {child['base']:.3f}s, "
             f"min of {child['runs']}, own JVM, "
             f"overhead {child['overhead']:.2f}s, "
             f"steal {max(steal_vecs[name] or [0.0]):.1f}%)",
@@ -399,6 +410,112 @@ def _run_sf1_block() -> dict:
     return block
 
 
+def _run_streaming_block() -> dict | None:
+    """Streaming-path throughput row for the round-over-round record
+    (r16, VERDICT r15 ask #4): the reference is a STREAMING engine,
+    but no BENCH_DETAIL entry tracked any streaming number, so a
+    regression there was invisible to the driver record. One child
+    run of tools/bench_streaming_state.py measures (a) the flagship
+    micro-batch pipeline (windowed sum over 10M events — the JVM
+    state tier) and (b) the sharded ewma keyed-state tier at 10M
+    events / 1M keys. Goes to BENCH_DETAIL ONLY — the stdout line
+    stays inside the driver's 2,000-byte tail window (ask #7).
+    Failures degrade to an "error" field, never kill the bench."""
+    import subprocess
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "bench_streaming_state.py",
+    )
+    events = int(os.environ.get("BENCH_STREAM_EVENTS", "10000000"))
+    s0, _, _, j0 = _cpu_times()
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [
+            sys.executable, tool,
+            "--events", str(events),
+            "--keys", "1000000",
+            "--modes", "jvm,sharded",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    elapsed = round(time.perf_counter() - t0, 1)
+    s1, _, _, j1 = _cpu_times()
+    steal = round(100.0 * (s1 - s0) / (j1 - j0), 1) if j1 > j0 else 0.0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:])
+        return {"error": proc.stderr[-300:], "elapsed_sec": elapsed}
+    try:
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return {"error": "unparseable tool output", "elapsed_sec": elapsed}
+    modes = res.get("modes", {})
+    out = {
+        "events": res.get("events"),
+        "keys": res.get("keys"),
+        "pipeline_ev_s": modes.get("jvm", {}).get("ev_per_s"),
+        "pipeline_sec": modes.get("jvm", {}).get("sec"),
+        "state_tier_ev_s": modes.get("sharded", {}).get("ev_per_s"),
+        "state_tier_sec": modes.get("sharded", {}).get("sec"),
+        "steal_pct": steal,
+        "elapsed_sec": elapsed,
+    }
+    print(
+        f"# streaming: pipeline {out['pipeline_ev_s']} ev/s, "
+        f"sharded state tier {out['state_tier_ev_s']} ev/s "
+        f"({events} events, steal {steal:.1f}%)",
+        file=sys.stderr,
+    )
+    return out
+
+
+def compact_stdout_line(payload: dict) -> str:
+    """Serialize the stdout payload UNDER the driver's 2,000-byte
+    tail window. The 1,900-byte budget is a hard guarantee, but
+    TRIM-TO-FIT, not fail-closed (r16, ADVICE r15): the compact
+    payload still carries unbounded content (up to one error string
+    per sf1 child, worst5 names), and the old bare assert crashed
+    AFTER writing the sidecar — exactly in a degraded round, the
+    driver got NO stdout record at all. Shed detail in priority
+    order (error values → error entries → worst5 entries →
+    totals-only) until the line fits; the full data is already in
+    BENCH_DETAIL.json. Mutates payload; returns the final line."""
+
+    def _fits() -> bool:
+        return len(json.dumps(payload, separators=(",", ":"))) < 1900
+
+    sf1c = payload.get("sf1")
+    if not _fits() and isinstance(sf1c, dict):
+        if "errors" in sf1c:
+            sf1c["n_errors"] = len(sf1c["errors"])
+            sf1c["errors"] = {k: v[-24:] for k, v in sf1c["errors"].items()}
+            for k in list(sf1c["errors"]):
+                if _fits():
+                    break
+                del sf1c["errors"][k]
+            if not sf1c["errors"]:
+                del sf1c["errors"]
+        for k in list(sf1c.get("worst5", {})):
+            if _fits():
+                break
+            del sf1c["worst5"][k]
+    if not _fits():
+        payload = {
+            k: payload[k]
+            for k in (
+                "metric", "value", "unit", "sf", "n_queries",
+                "suite_steal_pct_max", "events_per_sec",
+            )
+            if k in payload
+        }
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1900, f"bench stdout line {len(line)}B > budget"
+    return line
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -423,7 +540,8 @@ def main() -> None:
         fn = qs[name]
         samples: list[float] = []
         st: list[float] = []
-        for _ in range(max(runs, 1)):
+
+        def one_sample() -> None:
             s0, _, _, j0 = _cpu_times()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -432,6 +550,24 @@ def main() -> None:
             st.append(
                 round(100.0 * (s1 - s0) / (j1 - j0), 1) if j1 > j0 else 0.0
             )
+
+        for _ in range(max(runs, 1)):
+            one_sample()
+        # steal-aware minima for the SUITE too (r16, VERDICT r15 ask
+        # #2): r15 only RECORDED steal here, so the driver's one-shot
+        # record kept minima that ran under a storm — its own record
+        # showed sessionize_user_events 1.215 s at 7.4% steal@min and
+        # tpch_pricing_summary 2.296 s at 6.7% as phantom 1.4-2.2×
+        # "regressions" on untouched code. Same policy as the sf1
+        # children: while the MIN run carries >3% steal, buy up to 2
+        # extra samples so the recorded minimum can land in clear air.
+        extra = 0
+        while (
+            extra < 2
+            and st[min(range(len(samples)), key=samples.__getitem__)] > 3.0
+        ):
+            one_sample()
+            extra += 1
         # pair each steal reading with its sample BEFORE sorting, so
         # the spread's min/median/max stay attributable
         order = sorted(range(len(samples)), key=samples.__getitem__)
@@ -449,7 +585,7 @@ def main() -> None:
         ]
         total += dt
         print(
-            f"# {name}: {dt:.3f}s (min of {runs}; "
+            f"# {name}: {dt:.3f}s (min of {len(samples)}; "
             f"med {spread[name][1]:.3f}, max {spread[name][2]:.3f}, "
             f"steal@min {st[0]:.1f}%)",
             file=sys.stderr,
@@ -470,9 +606,11 @@ def main() -> None:
     # minima depended on list position). The parent session stops
     # first so each child gets the machine to itself. Linear
     # scaling on 32 local cores shows as ratio <= ~10.
+    streaming_block = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
         spark.stop()
         block = _run_sf1_block()
+        streaming_block = _run_streaming_block()
         if "events_per_sec" in block:
             payload["events_per_sec"] = block.pop("events_per_sec")
             payload["n_events"] = block.pop("events_per_sec_n_events")
@@ -526,16 +664,18 @@ def main() -> None:
         detail["sf1"] = sf1
     elif sf1 is not None:
         payload["sf1"] = sf1
+    if streaming_block is not None:
+        # round-over-round streaming guard (r16): BENCH_DETAIL only,
+        # never stdout — the line budget is for the driver record
+        detail["streaming"] = streaming_block
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"),
         "w",
     ) as fh:
         json.dump(detail, fh, indent=1)
-    line = json.dumps(payload, separators=(",", ":"))
-    # hard guarantee, not a hope: the driver's window is 2,000 bytes
-    assert len(line) < 1900, f"bench stdout line {len(line)}B > budget"
-    print(line)
+
+    print(compact_stdout_line(payload))
 
 
 if __name__ == "__main__":

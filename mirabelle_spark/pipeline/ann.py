@@ -109,7 +109,10 @@ def bounded_topk(
     via its equivalence pytest) the alternative. PERF §87.
 
     Phase 1 keeps the k best (dist, id) structs per (query,
-    input-partition) with a bounded sorted-array aggregate; phase 2
+    input-partition) via collect-then-slice — the ``collect_list``
+    buffer is O(group rows) in memory, only the aggregate's OUTPUT
+    is k-bounded (one reason the pushdown's spillable sort-limit
+    wins); phase 2
     exact-ranks the ≤ k·partitions survivors per query with the
     one window. Output is value- and rank-identical to the naive
     window in both orders and partitioning-independent;

@@ -353,23 +353,52 @@ def _curate_lm(cfg):
     artifact stays reachable as the OPT-IN "trained2" (default
     max-bpt 4.91), with its floor-hardened but still near-free
     deterministic pairs documented at
-    :func:`mirabelle_spark.pipeline.lm.lm_quality`. Returns the
+    :func:`mirabelle_spark.pipeline.lm.lm_quality` — choosing it
+    emits a UserWarning restating that caveat, as does combining
+    "trained" with an explicit max-bpt below the trigram model's
+    plausible range (a bigram-scale threshold would silently
+    over-filter; r16, VERDICT r15 #5 + ADVICE). Returns the
     (lm_gate, lm3_gate) pair for curate_head / stream_curate — at
     most one is non-None."""
+    import warnings
+
     kind = cfg.get("perplexity")
     min_n = int(cfg.get("perplexity-min-bigrams", 16))
     if kind == "trained2":
+        # the caveat, surfaced where a DSL user actually sees it
+        # (r16, VERDICT r15 #5 — decided: KEEP the opt-in, warn):
+        warnings.warn(
+            "perplexity 'trained2' is the UNSMOOTHED bigram gate: "
+            "deterministic token pairs are floored at 1 µbit, so a "
+            "long-enough repeated-pair spam document still scores "
+            "~0 bits/token and passes ANY threshold. The default "
+            "'trained' (smoothed trigram) is immune; choose "
+            "'trained2' only to reproduce the r13 bigram scale.",
+            stacklevel=2,
+        )
         from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
 
         return (
             TRAINED_LM, float(cfg.get("perplexity-max-bpt", 4.91)), min_n,
         ), None
     if kind in ("trained", "trained3"):
+        max_bpt = float(cfg.get("perplexity-max-bpt", 8.57))
+        if "perplexity-max-bpt" in cfg and max_bpt < 6.0:
+            # a threshold tuned to the r13 bigram scale (median
+            # ~4.91) silently over-filters under the trigram model
+            # (median 8.57) — warn instead of drifting (ADVICE r15)
+            warnings.warn(
+                f"perplexity-max-bpt={max_bpt} looks tuned to the "
+                "bigram scale (median ~4.91), but 'trained' resolves "
+                "to the SMOOTHED TRIGRAM model since r15 (median "
+                "8.57 bits/token) — this will drastically "
+                "over-filter. Raise the threshold, or pin "
+                "'trained2' to keep the bigram model.",
+                stacklevel=2,
+            )
         from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
 
-        return None, (
-            TRAINED_LM3, float(cfg.get("perplexity-max-bpt", 8.57)), min_n,
-        )
+        return None, (TRAINED_LM3, max_bpt, min_n)
     return None, None
 
 

@@ -557,6 +557,36 @@ def test_curate_dsl_lm_perplexity(spark):
                              "children": []})
 
 
+def test_curate_dsl_perplexity_warnings(spark):
+    """The trained2 caveat is surfaced where a DSL user sees it
+    (r16, VERDICT r15 #5: KEEP the opt-in bigram gate, warn on use),
+    and a bigram-scale max-bpt under the default trigram gate warns
+    instead of silently over-filtering (ADVICE r15). The default
+    'trained' path with its own default threshold stays silent."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from mirabelle_spark.plans import builder as b
+    from mirabelle_spark.queries_pipeline import docs
+
+    d = docs(spark, "/root/testdata/sf0.001").limit(5)
+
+    def compile_cfg(cfg):
+        return b.compile_stream(
+            d, {"action": "curate", "params": [cfg], "children": []}
+        )
+
+    with _pytest.warns(UserWarning, match="UNSMOOTHED bigram"):
+        compile_cfg({"perplexity": "trained2"})
+    with _pytest.warns(UserWarning, match="over-filter"):
+        compile_cfg({"perplexity": "trained", "perplexity-max-bpt": 4.91})
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        compile_cfg({"perplexity": "trained"})
+        compile_cfg({"perplexity": "trained3", "perplexity-max-bpt": 7.5})
+
+
 def test_curate_dsl_neardup(spark, tmp_path):
     """{"near-dup": true} (r13) wires the incremental banded-MinHash
     near-dup stage into the streaming curate dispatch: the DSL tree

@@ -60,3 +60,48 @@ def test_canon_catches_sign_of_negative_zero_collapse():
     a = pd.DataFrame({"v": [0.0]})
     b = pd.DataFrame({"v": [-0.0]})
     assert CHK.canon(a) != CHK.canon(b)
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench_mod", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_stdout_trims_to_fit_degraded_rounds():
+    """The driver records a 2,000-byte stdout tail; a DEGRADED round
+    (many sf1 child errors) must still emit one parseable line (r16,
+    ADVICE r15: the old bare assert crashed after the sidecar write,
+    losing the whole record exactly when it mattered). Sheds error
+    values -> error entries -> worst5 -> totals-only, never the
+    suite totals."""
+    import json
+
+    bench = _load_bench()
+    payload = {
+        "metric": "headline_queries_total", "value": 67.77, "unit": "sec",
+        "n_queries": 51, "suite_steal_pct_max": 15.3,
+        "events_per_sec": 734214, "sf": 0.1,
+        "sf1": {
+            "total": 186.4, "n_queries": 26,
+            "worst5": {f"a_rather_long_query_name_{i}": 70.0 - i
+                       for i in range(5)},
+            "child_overhead_median": 4.96, "steal_pct_max": 9.9,
+            "errors": {f"failing_query_with_long_name_{i}": "x" * 300
+                       for i in range(26)},
+        },
+    }
+    line = bench.compact_stdout_line(payload)
+    parsed = json.loads(line)
+    assert len(line) < 1900
+    assert parsed["value"] == 67.77 and parsed["n_queries"] == 51
+    assert parsed["sf1"]["n_errors"] == 26  # drop count stays visible
+
+    # a healthy payload passes through byte-identical
+    small = {"metric": "headline_queries_total", "value": 1.0,
+             "unit": "sec", "sf": 0.1}
+    assert json.loads(bench.compact_stdout_line(dict(small))) == small
