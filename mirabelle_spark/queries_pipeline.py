@@ -1799,6 +1799,156 @@ def image_near_dups(spark, sf):
     return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def _video_corpus(spark, sf) -> DataFrame:
+    """Deterministic 12-frame 8×8 P5 "videos" with PLANTED video
+    near-dups (r16): source ``s = doc_id % 48`` picks the frame set,
+    variant ``v = (doc_id div 48) % 3`` perturbs the copy the way
+    re-posted videos do — v=0 the base cut; v=1 the SAME frames
+    rotated one position (re-cut: identical content set, different
+    order/timestamps); v=2 frame 0 replaced by a doc-unique frame
+    (intro card swap: 11/12 frames shared). Frame rasters are four
+    md5 chunks of (s, frame-key) built in Catalyst — no Python."""
+    s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
+    v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
+    header = b"P5\n8 8\n255\n"
+    parts = []
+    for k in range(12):
+        parts.append(F.lit(header))
+        # content key: v=1 shifts the frame set by one position;
+        # v=2 swaps frame 0 for a doc-unique raster
+        fk = F.when(v == 1, F.lit((k + 1) % 12)).otherwise(F.lit(k))
+        for c in range(4):
+            unique = F.md5(
+                F.concat(
+                    F.lit("vidu:"), F.col("doc_id").cast("string"),
+                    F.lit(f":{c}"),
+                )
+            )
+            shared = F.md5(
+                F.concat(
+                    F.lit("vid:"), s, F.lit(":"), fk.cast("string"),
+                    F.lit(f":{c}"),
+                )
+            )
+            hx = F.when((v == 2) & F.lit(k == 0), unique).otherwise(shared)
+            parts.append(F.unhex(hx))
+    return docs(spark, sf).select(
+        F.col("doc_id").alias("id"), F.concat(*parts).alias("media")
+    )
+
+
+def _video_dhash_cte() -> str:
+    """DuckDB twin of the per-frame dHash over the planted video
+    corpus: frame k's content key is (k+1)%12 for v=1, a doc-unique
+    raster for (v=2, k=0), else k; pixel (y, (8x)//9) of the 8×8
+    raster is byte flat = y*8 + (8x)//9 → hex pair 2*(flat%16) of
+    md5 chunk flat//16. Ends with per-video DISTINCT frame-hash
+    rows (vid, band0..band3)."""
+    return f"""
+WITH fr AS (
+  SELECT doc_id, CAST(k.g AS INT) AS k,
+         CASE WHEN (doc_id // {_IMG_SOURCES}) % 3 = 2 AND k.g = 0
+              THEN 'vidu:' || doc_id::VARCHAR
+              ELSE 'vid:' || (doc_id % {_IMG_SOURCES})::VARCHAR || ':' ||
+                   (CASE WHEN (doc_id // {_IMG_SOURCES}) % 3 = 1
+                         THEN (k.g + 1) % 12 ELSE k.g END)::VARCHAR
+         END AS fkey
+  FROM documents, generate_series(0, 11) AS k(g)
+), px AS (
+  SELECT doc_id, k, CAST(y.g AS INT) AS y, CAST(x.g AS INT) AS x,
+         ('0x' || substr(
+             md5(fkey || ':' || ((y.g * 8 + (x.g * 8) // 9) // 16)::VARCHAR),
+             ((y.g * 8 + (x.g * 8) // 9) % 16) * 2 + 1, 2))::INT AS pval
+  FROM fr, generate_series(0, 7) AS y(g), generate_series(0, 8) AS x(g)
+), bits AS (
+  SELECT doc_id, k, y, x,
+         CASE WHEN pval > lead(pval) OVER (PARTITION BY doc_id, k, y ORDER BY x)
+              THEN 1 ELSE 0 END AS bit
+  FROM px
+), bandrows AS (
+  SELECT doc_id, k, y // 2 AS band_idx,
+         CAST(sum(bit << (15 - (8 * (y % 2) + x))) AS INT) AS band_val
+  FROM bits WHERE x < 8 GROUP BY doc_id, k, y // 2
+), vsig AS (
+  SELECT DISTINCT doc_id,
+         CAST(max(CASE WHEN band_idx = 0 THEN band_val END) AS INT) AS band0,
+         CAST(max(CASE WHEN band_idx = 1 THEN band_val END) AS INT) AS band1,
+         CAST(max(CASE WHEN band_idx = 2 THEN band_val END) AS INT) AS band2,
+         CAST(max(CASE WHEN band_idx = 3 THEN band_val END) AS INT) AS band3
+  FROM bandrows GROUP BY doc_id, k
+)"""
+
+
+@q(
+    "video_near_dups",
+    _video_dhash_cte()
+    + """
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM vsig a JOIN vsig b
+    ON a.band0 = b.band0 AND a.band1 = b.band1
+   AND a.band2 = b.band2 AND a.band3 = b.band3
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 8
+), nbrs AS (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb FROM pairs
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(n.nb), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN nbrs n ON n.id = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def video_near_dups(spark, sf):
+    """Video near-dup resolution by frame-dHash SET signature (r16,
+    the video grain of the LAION-style dedup family): the REAL
+    container parse (:func:`multimodal.sample_frames`,
+    netpbm-stream) explodes each video into frames, each frame runs
+    the REAL decode→resize→dHash (:func:`multimodal.image_dhash` on
+    multi-row-per-id input), and two videos pair when they share ≥ 8
+    DISTINCT frame hashes — an order/timestamp-insensitive
+    containment test (re-cut v=1 shares 12/12 out of order; intro
+    swap v=2 shares 11/12), resolved to one canonical video per
+    clique via :func:`dedup.resolve_clusters`. The oracle rebuilds
+    every frame's dHash from md5 hex and mirrors the shared-count
+    join; components are exact via one neighbor-min round (planted
+    groups are diameter-1 cliques). Scale shape: blobs die inside
+    the two Arrow passes; the pair join runs on 20-byte distinct
+    (vid, hash) signature rows, grouped map-side-combinable —
+    a shared-frame count, never a frame-content shuffle."""
+    frames = multimodal.sample_frames(
+        _video_corpus(spark, sf),
+        every_ms=40,
+        decoder="netpbm-stream",
+        frame_ms=40,
+    )
+    sig = multimodal.image_dhash(
+        frames.select("id", F.col("frame").alias("media"))
+    ).distinct()
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band0") == F.col("b.band0"))
+            & (F.col("a.band1") == F.col("b.band1"))
+            & (F.col("a.band2") == F.col("b.band2"))
+            & (F.col("a.band3") == F.col("b.band3"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 8)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.resolve_clusters(
+        pairs, sig.select("id").distinct(), id_col="id"
+    )
+    return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 @q(
     "linear_quality_docs",
     """
