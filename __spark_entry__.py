@@ -30,12 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # so ordering is coverage policy. Round-16 rotation (VERDICT r15 ask
 # #1, executed as written): (a) queries ADDED in round 16 lead — the
 # image perceptual-hash pair (dHash over the real netpbm codec +
-# Hamming-band near-dup resolution) and the video frame-dHash
-# near-dup; (b) the 20-query r12 tail — last driver-gated in round
-# 12, the oldest cohort; (c) the first 27 of the 47-entry r13
+# Hamming-band near-dup resolution), the video frame-dHash near-dup,
+# and the audio envelope-dHash pair (stdlib WAV codec + the same
+# band machinery); (b) the 20-query r12 tail — last driver-gated in
+# round 12, the oldest cohort; (c) the first 25 of the 47-entry r13
 # cohort, registry order, filling to exactly 50.
 # After this gate no query's last-green is older than r13; the
-# remaining 20 r13-gated entries (coll_sort_ids, by_sum_daily,
+# remaining 22 r13-gated entries (coll_top3, coll_bottom3,
+# coll_sort_ids, by_sum_daily,
 # smax_running, semdedup_survivors, semdedup_arrow_survivors,
 # semdedup_prod_survivors, semdedup_prod_arrow_survivors,
 # ngram_containment_pairs, contamination_bloom_docs,
@@ -52,8 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # an `err` for its missing oracle. It stays below slot 50 because
 # this list holds exactly 50 oracle-backed names.
 GATE_PRIORITY = [
-    # (a) added in round 16 (image dHash near-dup + video frame-dHash)
+    # (a) added in round 16 (image/video/audio perceptual-hash near-dup)
     "image_dhash_docs", "image_near_dups", "video_near_dups",
+    "audio_dhash_docs", "audio_near_dups",
     # (b) the 20-query r12 tail (registry order; 4 rounds since last gate)
     "text_quality", "text_lang_id", "text_fingerprint",
     "text_rolling_fp", "neardup_degree_histogram", "soft_dedup_docs",
@@ -63,7 +66,7 @@ GATE_PRIORITY = [
     "dup_span_removed_docs", "dup_span_removed_char_docs",
     "order_priority_counts", "returned_item_customers",
     "large_order_customers",
-    # (c) first 27 of the 47-entry r13 cohort (registry order)
+    # (c) first 25 of the 47-entry r13 cohort (registry order)
     "where_not", "where_regex", "under_filter", "expired_events",
     "not_expired_events", "changed_transitions", "above_dt_alert",
     "outside_dt_alert", "extract_nested", "sflatten_roundtrip",
@@ -72,7 +75,6 @@ GATE_PRIORITY = [
     "agg_bottom_event", "agg_rate_hourly", "agg_ratio_error_click",
     "agg_percentiles_hourly", "coll_count_hourly", "coll_max_hourly",
     "coll_min_hourly", "coll_rate_hourly", "coll_quotient_daily",
-    "coll_top3", "coll_bottom3",
 ]
 
 

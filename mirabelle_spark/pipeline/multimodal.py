@@ -340,6 +340,130 @@ def image_dhash(
     return df.mapInPandas(_run, schema=DHASH_SCHEMA)
 
 
+def audio_dhash(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    segments: int = 65,
+    samples_per_segment: int = 16,
+) -> DataFrame:
+    """Perceptual difference-hash for AUDIO (r16 — the audio grain
+    of the near-dup family): REAL stdlib ``wave`` PCM decode →
+    integer energy per fixed-width segment (Σ x², exact in int64:
+    1040 × 32768² < 2⁶³) → one bit per adjacent-segment comparison
+    (``e[i] > e[i+1]``) → 64 bits packed as four 16-bit bands, the
+    same band shape :func:`mirabelle_spark.pipeline.dedup.
+    band_hamming_pairs` buckets on.
+
+    GAIN-INVARIANT BY CONSTRUCTION for exact rescalings: an
+    amplitude change that multiplies every sample by the same
+    rational (e.g. the >>1 of :func:`audio_gain` on samples that
+    divide exactly) scales every segment energy by the same factor
+    and preserves every comparison sign — so a volume-normalized
+    re-encode hashes identically, the audio analogue of the
+    dHash/NN-resize commutation. A localized dropout (one segment
+    zeroed) flips at most 2 bits. 16-bit mono PCM; only the first
+    ``segments × samples_per_segment`` samples are hashed (fixed
+    window, so trailing-padding re-encodes are also invariant).
+    Decode failures yield NULL bands. One Arrow pass; 20-byte rows
+    out, blobs never shuffle."""
+    import numpy as np
+
+    n_bits = segments - 1
+    if n_bits % 4:
+        raise ValueError("segments - 1 must split into 4 equal bands")
+    per_band = n_bits // 4
+
+    def _bands(payload: bytes) -> list[int] | None:
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    return None
+                raw = w.readframes(w.getnframes())
+        except Exception:
+            return None
+        need = segments * samples_per_segment
+        x = np.frombuffer(raw[: 2 * need], dtype="<i2").astype(np.int64)
+        if x.size < need:
+            return None
+        e = (x * x).reshape(segments, samples_per_segment).sum(axis=1)
+        bits = (e[:-1] > e[1:]).astype(np.int64)
+        weights = 1 << (per_band - 1 - np.arange(per_band, dtype=np.int64))
+        return [
+            int((bits[b * per_band : (b + 1) * per_band] * weights).sum())
+            for b in range(4)
+        ]
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            bands = [
+                _bands(bytes(b)) if b is not None else None
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    **{
+                        f"band{k}": [bb[k] if bb is not None else None for bb in bands]
+                        for k in range(4)
+                    },
+                }
+            )
+
+    return df.mapInPandas(_run, schema=DHASH_SCHEMA)
+
+
+def audio_gain(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    shift: int = 1,
+) -> DataFrame:
+    """REAL audio transform through the stdlib ``wave`` codec: PCM
+    decode → arithmetic right-shift by ``shift`` (volume ÷ 2^shift;
+    numpy's >> on int16 is arithmetic, and on samples that are
+    multiples of 2^shift the rescale is EXACT — the property
+    :func:`audio_dhash` is invariant under) → WAV re-encode with the
+    original rate. Different bytes out, same fingerprint in: the
+    audio twin of the netpbm upscale re-encode."""
+    import numpy as np
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                if blob is None:
+                    continue
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    nch, sw, rate = (
+                        w.getnchannels(), w.getsampwidth(), w.getframerate()
+                    )
+                    raw = w.readframes(w.getnframes())
+                if sw != 2:
+                    raise ValueError("audio_gain supports 16-bit PCM only")
+                x = np.frombuffer(raw, dtype="<i2") >> shift
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(nch)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(x.astype("<i2").tobytes())
+                out.append({"id": rid, "media": buf.getvalue()})
+            yield pd.DataFrame(out, columns=["id", "media"])
+
+    return df.mapInPandas(_run, schema="id BIGINT, media BINARY")
+
+
 # -- netpbm: a REAL image codec in pure stdlib ------------------------------
 # The container has no PIL/pyav, but the netpbm family (PGM P2/P5,
 # PPM P3/P6) is a public, trivial format — so at least one genuine

@@ -1949,6 +1949,155 @@ def video_near_dups(spark, sf):
     return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+_AUDIO_SEGS = 65  # 64 adjacent-energy bits -> four 16-bit bands
+
+
+def _audio_corpus(spark, sf) -> DataFrame:
+    """Deterministic 16-bit mono PCM WAV corpus with PLANTED audio
+    near-dups (r16): source ``s = doc_id % 48`` picks the waveform
+    (65 segments × 16 samples; sample = signed(md5 byte) · 256, so
+    every sample is an exact multiple of 256), variant
+    ``v = (doc_id div 48) % 3`` perturbs the copy the way re-posted
+    audio does — v=0 verbatim; v=1 a REAL volume-halving WAV
+    re-encode through :func:`multimodal.audio_gain` (>>1 is exact on
+    ×256 samples → fingerprint-identical); v=2 segment 0 zeroed (a
+    leading dropout: flips at most dHash bit 0). Canonical 44-byte
+    RIFF header + PCM built in Catalyst (md5/regexp/unhex)."""
+    import struct
+
+    n_data = _AUDIO_SEGS * 16 * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + n_data) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", n_data)
+    )
+    s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
+    v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
+    parts = [F.lit(hdr)]
+    for seg in range(_AUDIO_SEGS):
+        # 16 little-endian int16 samples per segment: low byte 0x00,
+        # high byte = the md5 byte -> sample = signed(byte) * 256
+        hx = F.regexp_replace(
+            F.md5(F.concat(F.lit("aud:"), s, F.lit(f":{seg}"))),
+            "(..)",
+            "00$1",
+        )
+        if seg == 0:
+            hx = F.when(v == 2, F.lit("0" * 64)).otherwise(hx)
+        parts.append(F.unhex(hx))
+    wavs = docs(spark, sf).select(
+        F.col("doc_id").alias("id"), F.concat(*parts).alias("media"),
+        v.alias("v"),
+    )
+    base = wavs.filter(F.col("v") != 1).select("id", "media")
+    gained = multimodal.audio_gain(
+        wavs.filter(F.col("v") == 1).select("id", "media"), shift=1
+    )
+    return base.unionByName(gained)
+
+
+def _audio_dhash_cte() -> str:
+    """DuckDB twin of the WAV decode→segment-energy→dHash: sample j
+    of segment g is signed(md5 hex pair j)·256; energies compare
+    scale-free, so the oracle sums signed² directly (the ×256² and
+    the v=1 ÷2² factors cancel inside each comparison)."""
+    return f"""
+WITH hv AS (
+  SELECT doc_id, CAST(g.g AS INT) AS seg,
+         ('0x' || substr(
+             md5('aud:' || (doc_id % {_IMG_SOURCES})::VARCHAR
+                 || ':' || g.g::VARCHAR),
+             j.g * 2 + 1, 2))::INT AS v
+  FROM documents, generate_series(0, {_AUDIO_SEGS - 1}) AS g(g),
+       generate_series(0, 15) AS j(g)
+), sv AS (
+  SELECT doc_id, seg,
+         CASE WHEN (doc_id // {_IMG_SOURCES}) % 3 = 2 AND seg = 0 THEN 0
+              WHEN v < 128 THEN v ELSE v - 256 END AS s
+  FROM hv
+), e AS (
+  SELECT doc_id, seg, sum(s * s) AS energy
+  FROM sv GROUP BY doc_id, seg
+), abits AS (
+  SELECT doc_id, seg,
+         CASE WHEN energy > lead(energy) OVER (PARTITION BY doc_id ORDER BY seg)
+              THEN 1 ELSE 0 END AS bit
+  FROM e
+), abands AS (
+  SELECT doc_id, seg // 16 AS band_idx,
+         CAST(sum(bit << (15 - seg % 16)) AS INT) AS bv
+  FROM abits WHERE seg < {_AUDIO_SEGS - 1} GROUP BY doc_id, seg // 16
+), adh AS (
+  SELECT doc_id,
+         CAST(max(CASE WHEN band_idx = 0 THEN bv END) AS INT) AS band0,
+         CAST(max(CASE WHEN band_idx = 1 THEN bv END) AS INT) AS band1,
+         CAST(max(CASE WHEN band_idx = 2 THEN bv END) AS INT) AS band2,
+         CAST(max(CASE WHEN band_idx = 3 THEN bv END) AS INT) AS band3
+  FROM abands GROUP BY doc_id
+)"""
+
+
+@q(
+    "audio_dhash_docs",
+    _audio_dhash_cte()
+    + """
+SELECT doc_id, band0, band1, band2, band3 FROM adh
+""",
+)
+def audio_dhash_docs(spark, sf):
+    """Audio perceptual dHash over REAL decoded PCM (r16): Catalyst
+    builds each doc's WAV bytes (v=1 docs additionally round-trip
+    the real volume-halving re-encode), :func:`multimodal.
+    audio_dhash` decodes with the stdlib wave codec, sums exact
+    int64 segment energies, and packs 64 comparison bits into four
+    16-bit bands; the oracle rebuilds every band with integer SQL.
+    The v=1 rows are the teeth: a RE-ENCODED, volume-halved copy
+    must hash bit-identically."""
+    return multimodal.audio_dhash(_audio_corpus(spark, sf)).select(
+        F.col("id").alias("doc_id"), "band0", "band1", "band2", "band3"
+    )
+
+
+@q(
+    "audio_near_dups",
+    _audio_dhash_cte()
+    + """
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM adh a JOIN adh b
+    ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1
+        OR a.band2 = b.band2 OR a.band3 = b.band3)
+  WHERE bit_count(CAST(xor(a.band0, b.band0) AS BIGINT))
+      + bit_count(CAST(xor(a.band1, b.band1) AS BIGINT))
+      + bit_count(CAST(xor(a.band2, b.band2) AS BIGINT))
+      + bit_count(CAST(xor(a.band3, b.band3) AS BIGINT)) <= 3
+), nbrs AS (
+  SELECT id_a AS id, id_b AS nb FROM pairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb FROM pairs
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(n.nb), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN nbrs n ON n.id = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def audio_near_dups(spark, sf):
+    """Audio near-dup resolution end-to-end (r16, completing the
+    image/video/audio near-dup trio): envelope dHash bands →
+    :func:`dedup.band_hamming_pairs` (the same pigeonhole band
+    machinery as images — recall-exact at Hamming ≤ 3) →
+    :func:`dedup.resolve_clusters`. Planted groups are diameter-1
+    cliques (v1 hash-identical to v0 by the exact-gain invariance,
+    v2 one bit away), so the oracle's single neighbor-min round is
+    exact; the Spark side runs the general iterative propagation."""
+    hashes = multimodal.audio_dhash(_audio_corpus(spark, sf))
+    pairs = dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=3)
+    clusters = dedup.resolve_clusters(pairs, hashes.select("id"), id_col="id")
+    return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 @q(
     "linear_quality_docs",
     """

@@ -314,6 +314,71 @@ def test_image_dhash_near_dup_crafted_corpus(spark):
         dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=4)
 
 
+def test_audio_dhash_near_dup_crafted_corpus(spark):
+    """Audio envelope-dHash on a crafted corpus: a base 16-bit PCM
+    WAV, its REAL volume-halved re-encode through audio_gain (must
+    hash identically — exact >>1 on ×256 samples preserves every
+    energy comparison), a one-segment dropout (Hamming ≤ 2), and a
+    distinct waveform (NOT caught); stereo/undecodable rows yield
+    NULL bands."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from mirabelle_spark.pipeline import dedup, multimodal
+
+    def wav(samples: np.ndarray, nch: int = 1) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(11)
+    base = (rng.integers(-128, 128, size=65 * 16, dtype=np.int64) * 256).astype(
+        np.int16
+    )
+    dropped = base.copy()
+    dropped[5 * 16 : 6 * 16] = 0  # one mid segment -> flips <= 2 bits
+    distinct = (rng.integers(-128, 128, size=65 * 16, dtype=np.int64) * 256).astype(
+        np.int16
+    )
+    rows = [
+        (1, bytearray(wav(base))),
+        (3, bytearray(wav(dropped))),
+        (4, bytearray(wav(distinct))),
+        (5, bytearray(wav(base, nch=2))),  # stereo -> NULL bands
+        (6, bytearray(b"not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    # id 2: the REAL gain round-trip of id 1 (different bytes out)
+    halved = multimodal.audio_gain(
+        spark.createDataFrame([(2, bytearray(wav(base)))], "id long, media binary"),
+        shift=1,
+    )
+    raw2 = bytes(halved.collect()[0].media)
+    assert raw2 != bytes(wav(base))
+    hashes = multimodal.audio_dhash(df.unionByName(
+        spark.createDataFrame([(2, bytearray(raw2))], "id long, media binary")
+    ))
+    by_id = {r.id: r for r in hashes.collect()}
+    bands = lambda r: (r.band0, r.band1, r.band2, r.band3)
+    assert bands(by_id[1]) == bands(by_id[2])  # gain-invariant
+    ham = lambda a, b: sum(
+        bin(x ^ y).count("1") for x, y in zip(bands(a), bands(b))
+    )
+    assert ham(by_id[1], by_id[3]) <= 2
+    assert ham(by_id[1], by_id[4]) > 3
+    assert by_id[5].band0 is None and by_id[6].band0 is None
+
+    pairs = dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_ivf_topk_recall_and_exhaustive_exactness(spark):
     """IVF coarse-quantizer ANN: probing ALL cells reproduces the
     exact brute-force top-k; probing a fraction keeps high recall on
