@@ -271,6 +271,88 @@ def sample_frames(
 DHASH_SCHEMA = "id BIGINT, band0 INT, band1 INT, band2 INT, band3 INT"
 
 
+def _dhash_bands(payload: bytes) -> list[int] | None:
+    """The dHash kernel shared by the batch (:func:`image_dhash`)
+    and streaming (:func:`image_dhash_band_col`) paths: netpbm
+    decode → 9×8 NN grayscale → four 16-bit row-pair bands.
+    None on undecodable payloads."""
+    import numpy as np
+
+    try:
+        arr, w, h = decode_netpbm(payload)
+    except ValueError:
+        return None
+    px = arr.astype(np.int64)
+    if px.ndim == 3:
+        px = px.sum(axis=2) // 3
+    ys = np.minimum(np.arange(8) * h // 8, h - 1)
+    xs = np.minimum(np.arange(9) * w // 9, w - 1)
+    small = px[ys][:, xs]
+    bits = (small[:, :-1] > small[:, 1:]).astype(np.int64)  # 8×8
+    weights = 1 << (15 - np.arange(16, dtype=np.int64))
+    return [
+        int((bits[2 * b : 2 * b + 2].reshape(16) * weights).sum())
+        for b in range(4)
+    ]
+
+
+def image_dhash_band_col(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "id",
+    out_col: str = "__bands__",
+) -> DataFrame:
+    """Attach the four dHash bands IN-ROW as the (band_id, band_key)
+    struct array :func:`mirabelle_spark.pipeline.dedup.
+    minhash_band_keys` emits for text — the band source for the
+    STREAMING image near-dup twin (every other column passes
+    through, so the keyed-state shell can carry the original row).
+    band_key packs (band_id << 16) | band_value so the four bands
+    occupy disjoint key spaces in one state store. Undecodable
+    media gets the never-dup sentinel (band_id −1), mirroring the
+    short-document convention of the text path."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField(
+                out_col,
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("band_id", IntegerType()),
+                            StructField("band_key", LongType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            col = []
+            for b in pdf[media_col]:
+                bb = _dhash_bands(bytes(b)) if b is not None else None
+                if bb is None:
+                    col.append([{"band_id": -1, "band_key": 0}])
+                else:
+                    col.append(
+                        [
+                            {"band_id": k, "band_key": (k << 16) | bb[k]}
+                            for k in range(4)
+                        ]
+                    )
+            out = pdf.copy()
+            out[out_col] = col
+            yield out
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
 def image_dhash(
     df: DataFrame,
     media_col: str = "media",
@@ -299,25 +381,6 @@ def image_dhash(
     20-byte rows out — blobs never survive to a shuffle. Decode
     failures yield NULL bands (dead-letter routing upstream decides).
     """
-    import numpy as np
-
-    def _dhash_bands(payload: bytes) -> list[int] | None:
-        try:
-            arr, w, h = decode_netpbm(payload)
-        except ValueError:
-            return None
-        px = arr.astype(np.int64)
-        if px.ndim == 3:
-            px = px.sum(axis=2) // 3
-        ys = np.minimum(np.arange(8) * h // 8, h - 1)
-        xs = np.minimum(np.arange(9) * w // 9, w - 1)
-        small = px[ys][:, xs]
-        bits = (small[:, :-1] > small[:, 1:]).astype(np.int64)  # 8×8
-        weights = 1 << (15 - np.arange(16, dtype=np.int64))
-        return [
-            int((bits[2 * b : 2 * b + 2].reshape(16) * weights).sum())
-            for b in range(4)
-        ]
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

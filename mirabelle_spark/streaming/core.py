@@ -689,7 +689,6 @@ def stream_neardup_dedup(
     convention)."""
     from mirabelle_spark.pipeline.dedup import minhash_band_keys, normalized
 
-    cols = list(df.columns)
     bk = minhash_band_keys(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         bands=bands, shingle_n=shingle_n, shingle_hash=shingle_hash,
@@ -706,12 +705,65 @@ def stream_neardup_dedup(
         arr = F.concat(
             F.filter(arr, lambda b: b["band_id"] >= 0), F.array(exact_band)
         )
+    return _stream_band_dedup(
+        bk.withColumn("__bands__", arr), df, id_col, time_col, shards,
+        state_ttl_s,
+    )
+
+
+def stream_image_neardup_dedup(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    time_col: str = "time",
+    shards: int = 64,
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming IMAGE near-dup dedup (r16 — the perceptual-hash
+    twin of :func:`stream_neardup_dedup`): first-arrival survivors
+    at dHash band grain. A media row is dropped iff ANY of its four
+    16-bit dHash bands (:func:`mirabelle_spark.pipeline.multimodal.
+    image_dhash_band_col` — real netpbm decode, in-row, one Arrow
+    pass) was seen earlier, by any earlier row, kept or dropped —
+    the transitive any-band rule, which upper-bounds the batch
+    pigeonhole candidacy (Hamming ≤ 3 implies a shared band, so
+    every batch near-dup is caught; a lone-band collision with a
+    far image can additionally drop — the same band-grain
+    divergence the text twin documents). State = band keys + last
+    event time, NEVER media bytes; undecodable media carries the
+    never-dup sentinel and always survives. Same shell, same
+    sharded state tier, same TTL semantics as the text twin; batch
+    parity on an id-ordered replay is pytest-pinned."""
+    from mirabelle_spark.pipeline.multimodal import image_dhash_band_col
+
+    return _stream_band_dedup(
+        image_dhash_band_col(df, media_col=media_col, id_col=id_col),
+        df, id_col, time_col, shards, state_ttl_s,
+    )
+
+
+def _stream_band_dedup(
+    bk: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    time_col: str,
+    shards: int,
+    state_ttl_s: float | None,
+) -> DataFrame:
+    """The shared keyed-state shell of the streaming near-dup twins
+    (text MinHash bands, image dHash bands): posexplode the in-row
+    ``__bands__`` struct array (original row rides the pos-0 row
+    only), one sharded keyed-state pass marking band keys seen in
+    any earlier batch (band_id < 0 = never-dup sentinel), then
+    batch-local reassembly of zero-duplicate-band rows. ``bk`` must
+    be ``df`` plus ``__bands__``; output schema == ``df``'s."""
+    cols = list(df.columns)
     ex = (
         bk.select(
             F.col(id_col),
             F.col(time_col),
             F.struct(*[F.col(c) for c in cols]).alias("__row__"),
-            F.posexplode(arr).alias("__p__", "__b__"),
+            F.posexplode(F.col("__bands__")).alias("__p__", "__b__"),
         ).select(
             F.col(id_col),
             F.col(time_col),

@@ -3730,6 +3730,108 @@ def test_stream_neardup_dedup_parity(spark, tmp_path):
     assert got_t == {1, 3}, got_t
 
 
+def test_stream_image_neardup_dedup_parity(spark, tmp_path):
+    """Streaming image near-dup (r16): first-arrival survivors at
+    dHash band grain through the same keyed-state shell as the text
+    twin. On an id-ordered replay (dups only in later files) the
+    survivors equal the batch derivation (all ids minus every id_b
+    of band_hamming_pairs — on this corpus every band-sharing pair
+    is also a Hamming≤3 pair, so the band-grain rule coincides);
+    the REAL upscale re-encode and the one-pixel perturbation both
+    drop, the distinct image and the undecodable blob (never-dup
+    sentinel) survive, full rows pass through, and band state
+    evicts on the event-clock TTL."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.pipeline import dedup, multimodal
+    from mirabelle_spark.streaming import core
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    upscale = base[np.arange(32) // 2][:, np.arange(32) // 2]
+    perturbed = base.copy()
+    perturbed[0, 0] = 255 if base[0, 0] < 128 else 0
+    distinct = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    base_t = 1704067200
+    rows = [
+        (1, base_t + 0, bytearray(multimodal.encode_netpbm(base))),
+        (2, base_t + 1, bytearray(multimodal.encode_netpbm(distinct))),
+        (3, base_t + 2, bytearray(b"not an image")),  # sentinel
+        # later files: the duplicates
+        (4, base_t + 3, bytearray(multimodal.encode_netpbm(upscale))),
+        (5, base_t + 4, bytearray(multimodal.encode_netpbm(perturbed))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, t bigint, media binary"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+
+    # batch derivation: min-id-first means every id_b drops
+    pairs = dedup.band_hamming_pairs(
+        multimodal.image_dhash(df, media_col="media", id_col="doc_id"),
+        id_col="id",
+    ).collect()
+    dropped = {r.id_b for r in pairs}
+    assert dropped == {4, 5}
+    expect = {1, 2, 3}
+
+    src = str(tmp_path / "ind_in")
+    df.where("doc_id <= 3").coalesce(1).write.mode("append").parquet(src)
+    df.where("doc_id >= 4").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = core.stream_image_neardup_dedup(stream, shards=8)
+    assert out.columns == df.columns  # pass-through schema
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ind_plain")
+        .option("checkpointLocation", str(tmp_path / "ck_ind"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, bytes(r.media))
+        for r in spark.sql("SELECT doc_id, media FROM ind_plain").collect()
+    }
+    assert {i for i, _ in got} == expect, got
+    assert got == {(i, bytes(m)) for i, _, m in rows if i in expect}
+
+    # TTL: the same image re-posted past the horizon survives
+    rows2 = [
+        (1, base_t + 0, bytearray(multimodal.encode_netpbm(base))),
+        (2, base_t + 1800, bytearray(multimodal.encode_netpbm(upscale))),
+        (3, base_t + 7200, bytearray(multimodal.encode_netpbm(base))),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id bigint, t bigint, media binary"
+    ).withColumn("time", F.timestamp_micros(F.col("t") * 1_000_000)).drop("t")
+    src2 = str(tmp_path / "ind_ttl_in")
+    for i in (1, 2, 3):
+        df2.where(f"doc_id = {i}").coalesce(1).write.mode("append").parquet(src2)
+    stream2 = (
+        spark.readStream.schema(df2.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src2)
+    )
+    out2 = core.stream_image_neardup_dedup(stream2, shards=8, state_ttl_s=3600.0)
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("ind_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck_ind_ttl"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got_t = {r.doc_id for r in spark.sql("SELECT doc_id FROM ind_ttl").collect()}
+    assert got_t == {1, 3}, got_t
+
+
 def test_stream_curate_neardup_parity(spark, tmp_path):
     """stream_curate(neardup=True) vs the batch compose: Gopher
     quality gate -> exact ∪ near dedup -> PII masking, on an
