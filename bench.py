@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     # r14 additions
     "lm3_quality_docs",       # trigram-LM gate (3-level broadcast probe)
     "curate_head_lm_docs",    # curation head with join-routed LM gate
+    # r16 additions: the perceptual near-dup trio end-to-end (real
+    # codec decode in Arrow passes + band join + label propagation)
+    "image_near_dups",        # netpbm dHash -> band pairs -> clusters
+    "video_near_dups",        # container parse -> frame dHash set sig
+    "audio_near_dups",        # WAV envelope dHash -> band pairs
 ]
 
 
@@ -429,44 +434,73 @@ def _run_streaming_block() -> dict | None:
         "bench_streaming_state.py",
     )
     events = int(os.environ.get("BENCH_STREAM_EVENTS", "10000000"))
-    s0, _, _, j0 = _cpu_times()
-    t0 = time.perf_counter()
-    proc = subprocess.run(
-        [
-            sys.executable, tool,
-            "--events", str(events),
-            "--keys", "1000000",
-            "--modes", "jvm,sharded",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=1200,
+
+    def attempt() -> dict:
+        s0, _, _, j0 = _cpu_times()
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [
+                sys.executable, tool,
+                "--events", str(events),
+                "--keys", "1000000",
+                "--modes", "jvm,sharded",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        elapsed = round(time.perf_counter() - t0, 1)
+        s1, _, _, j1 = _cpu_times()
+        steal = round(100.0 * (s1 - s0) / (j1 - j0), 1) if j1 > j0 else 0.0
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:])
+            return {"error": proc.stderr[-300:], "elapsed_sec": elapsed,
+                    "steal_pct": steal}
+        try:
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            return {"error": "unparseable tool output",
+                    "elapsed_sec": elapsed, "steal_pct": steal}
+        modes = res.get("modes", {})
+        return {
+            "events": res.get("events"),
+            "keys": res.get("keys"),
+            "pipeline_ev_s": modes.get("jvm", {}).get("ev_per_s"),
+            "pipeline_sec": modes.get("jvm", {}).get("sec"),
+            "state_tier_ev_s": modes.get("sharded", {}).get("ev_per_s"),
+            "state_tier_sec": modes.get("sharded", {}).get("sec"),
+            "steal_pct": steal,
+            "elapsed_sec": elapsed,
+        }
+
+    # same steal policy as every other timed child (r16): a run under
+    # a measured storm buys ONE retry, and the best per-mode readings
+    # win — the first committed streaming row must not be a storm
+    # sample (the r16 dry-run caught sharded ewma at 89k ev/s under
+    # 9.3% steal vs 665k standalone minutes later)
+    runs = [attempt()]
+    if runs[0].get("error") is None and runs[0]["steal_pct"] > 3.0:
+        runs.append(attempt())
+    ok = [r for r in runs if r.get("error") is None]
+    if not ok:
+        return runs[0]
+    out = max(
+        ok,
+        key=lambda r: (r.get("pipeline_ev_s") or 0)
+        + (r.get("state_tier_ev_s") or 0),
     )
-    elapsed = round(time.perf_counter() - t0, 1)
-    s1, _, _, j1 = _cpu_times()
-    steal = round(100.0 * (s1 - s0) / (j1 - j0), 1) if j1 > j0 else 0.0
-    if proc.returncode != 0:
-        sys.stderr.write(proc.stderr[-2000:])
-        return {"error": proc.stderr[-300:], "elapsed_sec": elapsed}
-    try:
-        res = json.loads(proc.stdout.strip().splitlines()[-1])
-    except (ValueError, IndexError):
-        return {"error": "unparseable tool output", "elapsed_sec": elapsed}
-    modes = res.get("modes", {})
-    out = {
-        "events": res.get("events"),
-        "keys": res.get("keys"),
-        "pipeline_ev_s": modes.get("jvm", {}).get("ev_per_s"),
-        "pipeline_sec": modes.get("jvm", {}).get("sec"),
-        "state_tier_ev_s": modes.get("sharded", {}).get("ev_per_s"),
-        "state_tier_sec": modes.get("sharded", {}).get("sec"),
-        "steal_pct": steal,
-        "elapsed_sec": elapsed,
-    }
+    out["pipeline_ev_s"] = max((r.get("pipeline_ev_s") or 0) for r in ok)
+    out["state_tier_ev_s"] = max((r.get("state_tier_ev_s") or 0) for r in ok)
+    out["runs"] = [
+        {k: r.get(k) for k in
+         ("pipeline_ev_s", "state_tier_ev_s", "steal_pct", "elapsed_sec")}
+        for r in runs
+    ]
     print(
         f"# streaming: pipeline {out['pipeline_ev_s']} ev/s, "
         f"sharded state tier {out['state_tier_ev_s']} ev/s "
-        f"({events} events, steal {steal:.1f}%)",
+        f"({events} events, {len(runs)} run(s), "
+        f"steal {max(r['steal_pct'] for r in runs):.1f}%)",
         file=sys.stderr,
     )
     return out
