@@ -699,11 +699,42 @@ def ivf_topk(
         nlist = len(centroids)
 
     assigned = _cell_assign(c, centroids)
-    probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
-
+    # probes on the DRIVER from the collected query batch (broadcast-
+    # scale by contract — the PERF §42 pattern, extended r16 to the
+    # inline entry point): same (0.0-init left-assoc fold, cell)
+    # order as _probe_cells' window, Python doubles are IEEE-exact.
+    # The isin prunes unprobed cells before the join; the query
+    # vectors ride the literal probe table, so the probe-cell
+    # window job and the LUT projection disappear from the plan.
+    spark = queries.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    ).collect()
+    probe_rows = []
+    cells_set: set = set()
+    for r in qrows:
+        qv = [float(x) for x in r["__qv__"]]
+        ds = sorted(
+            (_sq_fold(qv, ctr), cell) for cell, ctr in enumerate(centroids)
+        )
+        for _, cell in ds[:nprobe]:
+            cells_set.add(cell)
+            probe_rows.append((r[query_id_col], qv, cell))
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"{query_id_col} {qid_type}, __qv__ array<double>, __cell__ int",
+    )
     # probe join: corpus rows only from the probed cells
-    cand = assigned.join(F.broadcast(probes), "__cell__")
+    cand = assigned.filter(
+        F.col("__cell__").isin(sorted(cells_set))
+    ).join(F.broadcast(probes), "__cell__")
     scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
+    if qrows:
+        # size the top-k exchange to the query batch (PERF §42)
+        scored = scored.repartition(
+            min(len(qrows), 16), F.col(query_id_col)
+        )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -716,16 +747,78 @@ def ivf_topk(
 # Product quantization (PQ): the faiss-style compressed-scan path.
 
 
-def _pq_dist_sql(vec: str, ctr: list[float], off: int) -> str:
-    """Unrolled squared L2 between ``vec[off+1 .. off+d]`` and a
-    centroid literal, left-associated addition — the exact fold
-    order the DuckDB oracle's list_reduce reproduces. Literals go
-    through repr() so both engines parse identical doubles."""
-    return " + ".join(
-        f"(element_at({vec}, {off + i + 1}) - {v!r}) * "
-        f"(element_at({vec}, {off + i + 1}) - {v!r})"
-        for i, v in enumerate(ctr)
-    )
+def _pq_fallback_codes(vec, codebooks, m_count: int, sub: int) -> list:
+    """Per-row exact emulation of the old unrolled-expression
+    semantics for ILL-FORMED vectors (null vector, short vector,
+    null element, NaN): left-associated squared-L2 per centroid,
+    array_min skips nulls / treats NaN as largest, array_position
+    takes the first equal entry, null min → null code. Reached only
+    off the vectorized path; gated corpora never hit it."""
+    import math
+
+    if vec is None:
+        return [None] * m_count
+    codes: list = []
+    for m in range(m_count):
+        dists: list = []
+        for ctr in codebooks[m]:
+            acc = None
+            bad = False
+            for i, cv in enumerate(ctr):
+                off = m * sub + i
+                x = vec[off] if off < len(vec) else None  # OOB → null
+                if x is None:
+                    bad = True
+                    break
+                t = (float(x) - cv) * (float(x) - cv)
+                acc = t if acc is None else acc + t
+            dists.append(None if bad else acc)
+        usable = [d for d in dists if d is not None]
+        if not usable:
+            codes.append(None)
+            continue
+        finite = [d for d in usable if not math.isnan(d)]
+        mn = min(finite) if finite else float("nan")
+        code = None
+        for j, d in enumerate(dists):
+            if d is not None and (
+                d == mn or (math.isnan(d) and math.isnan(mn))
+            ):
+                code = j
+                break
+        codes.append(code)
+    return codes
+
+
+def _cell_fallback(vec, centroids, dim: int):
+    """Per-row exact emulation of :func:`_cell_assign` for
+    ill-formed vectors: zip_with pads unequal lengths with nulls
+    (→ every distance null → null cell), a null element poisons
+    every fold, array_min/array_position as in the PQ fallback."""
+    import math
+
+    if vec is None or len(vec) != dim:
+        return None
+    dists: list = []
+    for ctr in centroids:
+        acc = 0.0
+        bad = False
+        for x, cv in zip(vec, ctr):
+            if x is None:
+                bad = True
+                break
+            d = float(x) - cv
+            acc = acc + d * d
+        dists.append(None if bad else acc)
+    usable = [d for d in dists if d is not None]
+    if not usable:
+        return None
+    finite = [d for d in usable if not math.isnan(d)]
+    mn = min(finite) if finite else float("nan")
+    for j, d in enumerate(dists):
+        if d is not None and (d == mn or (math.isnan(d) and math.isnan(mn))):
+            return j
+    return None
 
 
 def pq_encode(
@@ -734,70 +827,225 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     keep_cols: tuple = (),
+    centroids: list[list[float]] | None = None,
+    probe_cells: "list[int] | set[int] | None" = None,
 ) -> DataFrame:
     """Product-quantization encode: split each vector into M
     subspaces, snap each sub-vector to its nearest codebook entry
-    (first-minimum tie rule) → (id, codes ARRAY<INT>). With K=16
-    codes a 64-dim float vector compresses 64× (8 nibbles) — the
-    representation a 100 TB ANN corpus actually stores; the
-    codebooks ship as plan literals exactly like the IVF coarse
-    quantizer (write-once, engine-portable).
+    (first-minimum tie rule) → (id [, keep…][, __cell__], codes
+    ARRAY<INT>). With K=16 codes a 64-dim float vector compresses
+    64× (8 nibbles) — the representation a 100 TB ANN corpus
+    actually stores.
 
-    Two selectExpr stages: (1) M×K SCALAR distance columns — each
-    unrolled squared-L2 computed exactly once; (2) argmin via
-    array_position over column references. The 129-field
-    intermediate schema deliberately crosses
-    spark.sql.codegen.maxFields (100): whole-stage codegen turns
-    OFF for the stage, which here is the FAST path — WSCG fuses the
-    2048-op projection into one janino method that overflows the
-    method budget and falls back to fully interpreted evaluation
-    (measured 1.6 s at sf0.1), while plain per-operator expression
-    codegen splits the same expressions into many small compiled
-    methods (0.9 s). A higher-order fold would interpret
-    ~M·K·subdim ops per row either way (PERF.md §29). No shuffle,
-    no UDF, no Python loop.
+    One Arrow pass with a vectorized numpy kernel (r16; guide §4.2).
+    The previous form built M×K unrolled distance COLUMNS (~2048
+    expression nodes): measured costs were ~0.6 s of py4j/parse per
+    plan build, a 187 KB physical plan, 2–2.7 MB task binaries
+    broadcast per stage, and per-stage runtime codegen — ~85 % of an
+    ANN query run was that fixed, single-threaded overhead (PERF
+    §29/§34, r15 phase split). The kernel does the identical
+    arithmetic batch-vectorized: per subspace, squared L2 to each
+    centroid accumulated in ELEMENT ORDER (left-associated IEEE
+    adds, starting from the first term — bit-equal to the unrolled
+    ``t0 + t1 + …`` column because ``0.0 + t0 == t0`` for squares),
+    then ``np.argmin``'s first-minimum ≡ ``array_position(dists,
+    array_min(dists))``. Ill-formed rows (null/short vector, null
+    element, NaN) take a per-row Python path that replicates the
+    old expression's null semantics exactly (:func:`_pq_fallback_codes`).
+
+    ``centroids`` fuses the IVF coarse assignment
+    (:func:`_cell_assign` semantics, same exactness argument) into
+    the same pass, emitting ``__cell__`` before ``codes``; with
+    ``probe_cells`` the kernel additionally drops rows whose cell is
+    not probed BEFORE encoding them — the r16 pushdown that stops
+    encoding corpus rows a later ``__cell__`` equi-join would
+    discard (an inner join on a null/non-probed cell drops the row
+    either way, so output is unchanged).
     """
+    import numpy as np
+
     m_count = len(codebooks)
     sub = len(codebooks[0][0])
-    keep = list(keep_cols)
-    base = corpus.selectExpr(
-        id_col, *keep, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __v__"
+    need = m_count * sub
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else None
     )
-    dist_cols = [
-        f"({_pq_dist_sql('__v__', ctr, m * sub)}) AS __d{m}_{j}__"
-        for m in range(m_count)
-        for j, ctr in enumerate(codebooks[m])
-    ]
-    dists = base.selectExpr(id_col, *keep, *dist_cols)
-    codes = [
-        "CAST(array_position(array({ds}), array_min(array({ds}))) - 1 AS INT)".format(
-            ds=", ".join(f"__d{m}_{j}__" for j in range(len(codebooks[m])))
-        )
-        for m in range(m_count)
-    ]
-    return dists.selectExpr(id_col, *keep, f"array({', '.join(codes)}) AS codes")
+    dim = cents.shape[1] if cents is not None else None
+    cent_list = (
+        [[float(v) for v in ctr] for ctr in centroids]
+        if centroids is not None
+        else None
+    )
+    cellset = set(int(c) for c in probe_cells) if probe_cells is not None else None
+    keep = list(keep_cols)
+    in_cols = [id_col, *keep, vec_col]
+    src = corpus.select(*in_cols)
+    from pyspark.sql import types as T
+
+    out_fields = [src.schema[id_col], *[src.schema[k] for k in keep]]
+    if cents is not None:
+        out_fields.append(T.StructField("__cell__", T.IntegerType()))
+    out_fields.append(T.StructField("codes", T.ArrayType(T.IntegerType())))
+    out_schema = T.StructType(out_fields)
+    vec_idx = len(in_cols) - 1
+
+    def _run(batches):
+        import pyarrow as pa
+        from pyarrow import compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            arr = batch.column(vec_idx)
+            valid = (
+                arr.is_valid().to_numpy(zero_copy_only=False)
+                if arr.null_count
+                else np.ones(n, dtype=bool)
+            )
+            offs = arr.offsets.to_numpy()
+            lens = offs[1:] - offs[:-1]
+            vals = arr.values
+            ok = valid & (lens >= need)
+            if cents is not None:
+                ok &= lens == dim
+            if vals.null_count:
+                # rows touching a null element leave the fast path
+                nulls = pc.is_null(vals).to_numpy(zero_copy_only=False)
+                cum = np.concatenate(([0], np.cumsum(nulls)))
+                ok &= (cum[offs[1:]] - cum[offs[:-1]]) == 0
+                vnp = vals.fill_null(float("nan")).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+            else:
+                vnp = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+            if np.isnan(vnp).any():
+                nan = np.isnan(vnp)
+                cum = np.concatenate(([0], np.cumsum(nan)))
+                span = max(need, dim or 0)
+                ends = np.minimum(offs[:-1] + span, offs[1:])
+                ok &= (cum[ends] - cum[offs[:-1]]) == 0
+            idx = np.flatnonzero(ok)
+            cells_all: list = [None] * n
+            codes_all: list = [None] * n
+            if idx.size:
+                gather = offs[idx][:, None] + np.arange(need)[None, :]
+                M = vnp[gather]  # (k, need) float64
+                if cents is not None:
+                    acc = np.zeros((idx.size, cents.shape[0]))
+                    for i in range(dim):
+                        d = M[:, i][:, None] - cents[None, :, i]
+                        acc = acc + d * d
+                    cell_v = np.argmin(acc, axis=1)
+                codes_v = np.empty((idx.size, m_count), dtype=np.int64)
+                for m in range(m_count):
+                    S = M[:, m * sub : (m + 1) * sub]
+                    B = books[m]
+                    acc = np.zeros((idx.size, B.shape[0]))
+                    for i in range(sub):
+                        d = S[:, i][:, None] - B[None, :, i]
+                        acc = acc + d * d
+                    codes_v[:, m] = np.argmin(acc, axis=1)
+                for r, i in enumerate(idx):
+                    codes_all[i] = [int(x) for x in codes_v[r]]
+                if cents is not None:
+                    for r, i in enumerate(idx):
+                        cells_all[i] = int(cell_v[r])
+            for i in np.flatnonzero(~ok):
+                vec = arr[int(i)].as_py()  # preserves None elements
+                codes_all[i] = _pq_fallback_codes(vec, codebooks, m_count, sub)
+                if cents is not None:
+                    cells_all[i] = _cell_fallback(vec, cent_list, dim)
+            if cellset is not None:
+                sel = [
+                    i
+                    for i in range(n)
+                    if cells_all[i] is not None and cells_all[i] in cellset
+                ]
+            else:
+                sel = list(range(n))
+            take = pa.array(sel, type=pa.int64())
+            cols = [batch.column(j).take(take) for j in range(vec_idx)]
+            names = in_cols[:vec_idx]
+            if cents is not None:
+                cols.append(
+                    pa.array([cells_all[i] for i in sel], type=pa.int32())
+                )
+                names = names + ["__cell__"]
+            cols.append(
+                pa.array(
+                    [codes_all[i] for i in sel],
+                    type=pa.list_(pa.int32()),
+                )
+            )
+            names = names + ["codes"]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return src.mapInArrow(_run, schema=out_schema)
 
 
-def _pq_lut_exprs(codebooks: list[list[list[float]]]) -> list[str]:
-    """Per-subspace LUT selectExpr strings over a ``__qv__`` column
-    (see pq_topk's docstring for why the lambda form, not unrolled
-    per-centroid projections, is right on the query side)."""
+def _sq_fold(qv, ctr, off: int = 0) -> float:
+    """Left-associated squared L2 in pure Python — the exact IEEE
+    fold the relational ``_sqdist`` / LUT expressions computed
+    (Python floats ARE doubles; ``0.0 + t0 == t0`` for squares)."""
+    s = 0.0
+    for i, c in enumerate(ctr):
+        d = qv[off + i] - c
+        s += d * d
+    return s
+
+
+def _driver_probe_luts(
+    qrows,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]] | None,
+    nprobe: int,
+    query_id_col: str,
+):
+    """Driver-side ADC lookup tables (and probe cells when
+    ``centroids`` is given) for a COLLECTED query batch — the PERF
+    §42 amortization generalized to the inline top-k entry points
+    (r16): a query batch is broadcast-scale by contract, so the M×K
+    LUT arithmetic runs as plain Python doubles instead of a
+    catalyst projection whose codebook literals cost ~0.2-1.4 s of
+    parse/janino per plan run. Probe order is (distance, cell) —
+    identical to :func:`_probe_cells`'s row_number window.
+
+    Returns ``(rows, cells)``: one row per (query [, probed cell])
+    with the M LUT arrays, and the sorted distinct probed cells
+    (``None`` without centroids)."""
+    m_count = len(codebooks)
     sub = len(codebooks[0][0])
-
-    def lut(m: int) -> str:
-        ctrs = ", ".join(
-            "array({})".format(", ".join(repr(v) for v in ctr))
-            for ctr in codebooks[m]
+    rows = []
+    cells_set: set = set()
+    for r in qrows:
+        qv = [float(x) for x in r["__qv__"]]
+        luts = tuple(
+            [_sq_fold(qv, ctr, mi * sub) for ctr in codebooks[mi]]
+            for mi in range(m_count)
         )
-        off = m * sub
-        terms = " + ".join(
-            f"(element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
-            f" * (element_at(__qv__, {off + i + 1}) - element_at(c, {i + 1}))"
-            for i in range(sub)
+        if centroids is None:
+            rows.append((r[query_id_col],) + luts)
+            continue
+        ds = sorted(
+            (_sq_fold(qv, ctr), cell) for cell, ctr in enumerate(centroids)
         )
-        return f"transform(array({ctrs}), c -> {terms}) AS __lut{m}__"
+        for _, cell in ds[:nprobe]:
+            cells_set.add(cell)
+            rows.append((r[query_id_col], cell) + luts)
+    return rows, (sorted(cells_set) if centroids is not None else None)
 
-    return [lut(m) for m in range(len(codebooks))]
+
+def _lut_schema(
+    queries: DataFrame, query_id_col: str, m_count: int, with_cell: bool
+) -> str:
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    cols = [f"{query_id_col} {qid_type}"]
+    if with_cell:
+        cols.append("__cell__ int")
+    cols += [f"__lut{mi}__ array<double>" for mi in range(m_count)]
+    return ", ".join(cols)
 
 
 def _pq_score_sql(m_count: int) -> str:
@@ -848,25 +1096,31 @@ def pq_topk(
         queries = _unit_normalized(queries, query_id_col, vec_col)
     m_count = len(codebooks)
     codes = pq_encode(corpus, codebooks, vec_col, id_col)
-    qbase = queries.selectExpr(
-        query_id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __qv__"
+    # LUTs computed ON THE DRIVER from the collected query batch
+    # (broadcast-scale by contract — the PERF §42 pattern the probe
+    # path already used; r16 extends it to the inline entry point):
+    # pure-Python doubles reproduce the relational left-assoc sums
+    # bit-exactly, and the codebook-literal projection plus its
+    # parse/janino cost vanish from the plan.
+    spark = queries.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    ).collect()
+    lut_rows, _ = _driver_probe_luts(
+        qrows, codebooks, None, 0, query_id_col
     )
-    # LUTs as a transform over codebook array literals, NOT the
-    # unrolled per-centroid form the corpus side uses: unrolling
-    # 8×16 eight-term sums in one projection overflows janino's
-    # method budget, and the failed compile + interpreted fallback
-    # costs ~1.4 s PER PLAN RUN (measured — on a 10-row stage!).
-    # The lambda is interpreted per row, but only query rows exist
-    # here; the arithmetic (element ops, left-assoc sum) is
-    # bit-identical to the unrolled form, so the oracle still
-    # matches exactly. Corpus-grain stages keep unrolled codegen.
-    luts = qbase.selectExpr(
-        query_id_col, *_pq_lut_exprs(codebooks)
+    luts = spark.createDataFrame(
+        lut_rows, _lut_schema(queries, query_id_col, m_count, with_cell=False)
     )
     score = _pq_score_sql(m_count)
     scored = codes.crossJoin(F.broadcast(luts)).selectExpr(
         query_id_col, id_col, f"({score}) AS adc_dist"
     )
+    if qrows:
+        # size the top-k exchange to the query batch (PERF §42)
+        scored = scored.repartition(
+            min(len(qrows), 16), F.col(query_id_col)
+        )
     w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     if not rerank:
         return (
@@ -1232,20 +1486,35 @@ def ivfpq_topk(
         queries = _unit_normalized(queries, query_id_col, vec_col)
     m_count = len(codebooks)
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
-    assigned = _cell_assign(c, centroids)
+    # probes + ADC LUTs on the DRIVER from the collected query batch
+    # (broadcast-scale by contract; the PERF §42 pattern, extended
+    # r16 to the inline entry point — see pq_topk). The distinct
+    # probed cells feed pq_encode's fused assign+encode pass, which
+    # skips encoding any corpus row outside them (the old plan
+    # PQ-encoded the WHOLE corpus and only then dropped unprobed
+    # cells at the __cell__ join).
+    spark = queries.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
+    ).collect()
+    lut_rows, cells = _driver_probe_luts(
+        qrows, codebooks, centroids, nprobe, query_id_col
+    )
+    probe_luts = spark.createDataFrame(
+        lut_rows, _lut_schema(queries, query_id_col, m_count, with_cell=True)
+    )
     enc = pq_encode(
-        assigned, codebooks, vec_col="__cv__", id_col=id_col,
-        keep_cols=("__cell__",),
+        c, codebooks, vec_col="__cv__", id_col=id_col,
+        centroids=centroids, probe_cells=cells,
     )
-    probes = _probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
-    qbase = queries.selectExpr(
-        query_id_col, f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __qv__"
-    )
-    luts = qbase.selectExpr(query_id_col, *_pq_lut_exprs(codebooks))
-    probe_luts = probes.select(query_id_col, "__cell__").join(luts, query_id_col)
     scored = enc.join(F.broadcast(probe_luts), "__cell__").selectExpr(
         query_id_col, id_col, f"({_pq_score_sql(m_count)}) AS adc_dist"
     )
+    if qrows:
+        # size the top-k exchange to the query batch (PERF §42)
+        scored = scored.repartition(
+            min(len(qrows), 16), F.col(query_id_col)
+        )
     w = W.partitionBy(query_id_col).orderBy(F.col("adc_dist"), F.col(id_col))
     if not rerank:
         return (
@@ -1301,10 +1570,8 @@ def ivfpq_write_index(
     a single task's output; `spark.sql.files.maxRecordsPerFile`
     splits it without changing the layout contract."""
     c = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
-    assigned = _cell_assign(c, centroids)
     enc = pq_encode(
-        assigned, codebooks, vec_col="__cv__", id_col=id_col,
-        keep_cols=("__cell__",),
+        c, codebooks, vec_col="__cv__", id_col=id_col, centroids=centroids
     )
     enc.repartition(F.col("__cell__")).write.mode("overwrite").partitionBy(
         "__cell__"
@@ -1340,10 +1607,8 @@ def ivfpq_append_stream(
     written yesterday remain valid tomorrow — retraining means
     reindexing, exactly like faiss."""
     c = stream.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__"))
-    assigned = _cell_assign(c, centroids)
     enc = pq_encode(
-        assigned, codebooks, vec_col="__cv__", id_col=id_col,
-        keep_cols=("__cell__",),
+        c, codebooks, vec_col="__cv__", id_col=id_col, centroids=centroids
     )
     return (
         enc.repartition(F.col("__cell__"))
@@ -1466,35 +1731,14 @@ def ivfpq_probe_index(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
     ).collect()
 
-    def sq_fold(qv, ctr, off=0):
-        s = 0.0
-        for i, c in enumerate(ctr):
-            d = qv[off + i] - c
-            s += d * d
-        return s
-
-    lut_rows = []
-    cells_set: set = set()
-    for r in qrows:
-        qv = [float(x) for x in r["__qv__"]]
-        ds = sorted(
-            (sq_fold(qv, ctr), cell) for cell, ctr in enumerate(centroids)
-        )
-        luts = tuple(
-            [sq_fold(qv, ctr, mi * sub) for ctr in codebooks[mi]]
-            for mi in range(m_count)
-        )
-        for _, cell in ds[:nprobe]:
-            cells_set.add(cell)
-            lut_rows.append((r[query_id_col], cell) + luts)
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    lut_schema = ", ".join(
-        [f"{query_id_col} {qid_type}", "__cell__ int"]
-        + [f"__lut{mi}__ array<double>" for mi in range(m_count)]
+    lut_rows, cells = _driver_probe_luts(
+        qrows, codebooks, centroids, nprobe, query_id_col
     )
-    probe_luts = spark.createDataFrame(lut_rows, lut_schema)
+    probe_luts = spark.createDataFrame(
+        lut_rows, _lut_schema(queries, query_id_col, m_count, with_cell=True)
+    )
     idx = spark.read.parquet(path) if isinstance(path, str) else path
-    idx = idx.filter(F.col("__cell__").isin(sorted(cells_set)))
+    idx = idx.filter(F.col("__cell__").isin(cells))
     scored = idx.join(F.broadcast(probe_luts), "__cell__").selectExpr(
         query_id_col, id_col, f"({_pq_score_sql(m_count)}) AS adc_dist"
     )

@@ -930,6 +930,7 @@ def band_hamming_pairs(
     id_col: str = "id",
     band_cols: tuple[str, ...] = ("band0", "band1", "band2", "band3"),
     max_hamming: int = 3,
+    pinned: bool = False,
 ) -> DataFrame:
     """Near-dup pairs over an ALREADY-BANDED signature (e.g. the
     four 16-bit dHash bands from :func:`mirabelle_spark.pipeline.
@@ -948,6 +949,13 @@ def band_hamming_pairs(
     a self-join (never a collect_set bucket materialization), the
     popcount filter runs map-side BEFORE the distinct shuffle. Rows
     with any NULL band (decode failures upstream) are excluded.
+
+    ``pinned=True`` says the CALLER already localCheckpoint'ed (and
+    parallelized) ``df`` — e.g. because the cluster-resolution step
+    needs the same signature table and one pin should serve both
+    (r16: the unpinned trio queries recomputed the whole Arrow
+    decode pipeline once per consumer). The null-band filter still
+    applies; only the pin is skipped.
     """
     n = len(band_cols)
     if max_hamming > n - 1:
@@ -961,7 +969,8 @@ def band_hamming_pairs(
     sig = df.select(*cols)
     for c in band_cols:
         sig = sig.filter(F.col(c).isNotNull())
-    sig = ensure_parallelism(sig.localCheckpoint(eager=True))
+    if not pinned:
+        sig = ensure_parallelism(sig.localCheckpoint(eager=True))
     keys = [
         f"struct({i} AS pid, CAST({c} AS BIGINT) AS pv)"
         for i, c in enumerate(band_cols)
@@ -1021,39 +1030,59 @@ def resolve_clusters(
     by the context cleaner; the driver holds one decimal per round
     (the monotone label-sum fixpoint probe), never the labels.
     """
+    # pin the PAIR table ONCE before symmetrizing (r16): the
+    # two-direction union references ``pairs`` twice, so an unpinned
+    # candidate plan — usually the most expensive subtree of the
+    # whole query — executed twice inside the edge build. Eager, so
+    # both union arms are guaranteed to read the one materialization.
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    # labels materialize lazily: the label-sum probe right below is
+    # the first action and doubles as the materializer — one job,
+    # not two (r16: every extra driver action here is paid per
+    # query run).
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    # the src semi-join pins the old contract — output rows come
+    # from ``ids`` ONLY, a pair id outside ``ids`` never injects a
+    # row (the fused union step below would otherwise emit it).
+    # Lazy persist: materializes from the p-checkpoint inside round
+    # 0 and is cached for every later round.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
-            pairs.select(
+            p.select(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
         .distinct()
+        .join(
+            labels.select(F.col("id").alias("src")), "src", "left_semi"
+        )
         .persist()
     )
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
     label_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     try:
         for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.id)
-                .groupBy("src")
-                .agg(F.min("label").alias("nmin"))
-            )
+            # neighbor-min step fused into ONE join + ONE aggregate
+            # (r16; was join + groupBy + a second left join): every
+            # node's own label rides the union, so min(own ∪ neighbor
+            # labels) ≡ least(own, coalesce(min(neighbors), own)).
             stepped = (
-                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                    ).alias("label"),
-                )
+                edges.join(labels, edges.dst == labels.id)
+                .select(F.col("src").alias("id"), "label")
+                .unionByName(labels)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
             )
-            # pointer jump: label ← label(label) (path halving)
+            # pointer jump: label ← label(label) (path halving).
+            # stepped is referenced on BOTH sides; the persist()
+            # makes the round job compute it once and read the cache
+            # for the second reference (measured r16: the duplicated
+            # subtree was the bulk of each round's cost).
             lmap = stepped.select(
                 F.col("id").alias("__lid__"), F.col("label").alias("__ll__")
             )
@@ -1062,28 +1091,30 @@ def resolve_clusters(
                 .select(
                     "id",
                     F.least(
-                        F.col("label"), F.coalesce(F.col("__ll__"), F.col("label"))
+                        F.col("label"),
+                        F.coalesce(F.col("__ll__"), F.col("label")),
                     ).alias("label"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             # fixpoint probe: labels are per-node monotone non-
             # increasing, so the label sum strictly decreases iff ANY
-            # node changed — one narrow aggregate over the persisted
-            # generation (no join, no shuffle) replaces the old
-            # join+filter+limit probe. DECIMAL(38,0) keeps the sum
-            # exact at any corpus size (10^12 ids × 10^12 docs
-            # overflows a bigint).
+            # node changed — one narrow aggregate over the new
+            # generation. It is ALSO the generation's materializing
+            # action (eager=False checkpoint): one job per round
+            # computes step + jump + checkpoint + probe. DECIMAL(38,0)
+            # keeps the sum exact at any corpus size (10^12 ids ×
+            # 10^12 docs overflows a bigint).
             new_sum = jumped.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
+            stepped.unpersist()
             labels = jumped
             if new_sum == label_sum:
                 break
             label_sum = new_sum
-        # pin the converged labels outside the persist lifecycle so the
-        # final generation can be dropped too (no leaked cache survives
-        # the call)
+        # the converged generation is checkpoint-pinned; old
+        # generations' blocks are freed by the context cleaner
         return labels.select(
             F.col("id").alias(id_col), F.col("label").alias("cluster_id")
         )

@@ -248,21 +248,29 @@ def sample_frames(
         import pandas as pd
 
         for pdf in batches:
-            rows = []
+            # columnar accumulation: a dict-per-row list made pandas
+            # re-infer 4 columns over 60k frame rows per task on the
+            # video corpus — pure Python/pandas overhead, same rows
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            shas: list = []
             for rid, blob in zip(pdf[id_col], pdf[media_col]):
                 if blob is None:
                     continue
                 for idx, frame in enumerate(_frames(bytes(blob))):
-                    rows.append(
-                        {
-                            "id": rid,
-                            "frame_idx": idx,
-                            "frame": frame,
-                            "frame_sha256": hashlib.sha256(frame).hexdigest(),
-                        }
-                    )
+                    ids.append(rid)
+                    idxs.append(idx)
+                    frames.append(frame)
+                    shas.append(hashlib.sha256(frame).hexdigest())
             yield pd.DataFrame(
-                rows, columns=["id", "frame_idx", "frame", "frame_sha256"]
+                {
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_sha256": shas,
+                },
+                columns=["id", "frame_idx", "frame", "frame_sha256"],
             )
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
@@ -276,24 +284,46 @@ def _dhash_bands(payload: bytes) -> list[int] | None:
     and streaming (:func:`image_dhash_band_col`) paths: netpbm
     decode → 9×8 NN grayscale → four 16-bit row-pair bands.
     None on undecodable payloads."""
+    return _dhash_bands_batch([payload])[0]
+
+
+def _dhash_bands_batch(payloads) -> list:
+    """Batch dHash: same integer arithmetic as the one-payload form
+    but vectorized across every same-shaped raster in the batch —
+    per-frame numpy dispatch overhead (~25 tiny-array ops per call)
+    was the dominant cost of the video near-dup signature pass at
+    60k frames (guide §4.2: hand whole batches to vectorized
+    kernels). Rasters are grouped by (w, h, channels); each group
+    runs ONE gather/compare/pack pipeline. Returns a list aligned
+    with ``payloads`` (None for undecodable entries). Integer-exact:
+    the NN gather, (r+g+b)//3 grayscale, strict > compare and
+    MSB-first band packing are element-for-element the operations
+    the scalar kernel performed."""
     import numpy as np
 
-    try:
-        arr, w, h = decode_netpbm(payload)
-    except ValueError:
-        return None
-    px = arr.astype(np.int64)
-    if px.ndim == 3:
-        px = px.sum(axis=2) // 3
-    ys = np.minimum(np.arange(8) * h // 8, h - 1)
-    xs = np.minimum(np.arange(9) * w // 9, w - 1)
-    small = px[ys][:, xs]
-    bits = (small[:, :-1] > small[:, 1:]).astype(np.int64)  # 8×8
+    out: list = [None] * len(payloads)
+    groups: dict = {}
+    for i, p in enumerate(payloads):
+        if p is None:
+            continue
+        try:
+            arr, w, h = decode_netpbm(bytes(p))
+        except ValueError:
+            continue
+        groups.setdefault((w, h, arr.ndim == 3), []).append((i, arr))
     weights = 1 << (15 - np.arange(16, dtype=np.int64))
-    return [
-        int((bits[2 * b : 2 * b + 2].reshape(16) * weights).sum())
-        for b in range(4)
-    ]
+    for (w, h, rgb), items in groups.items():
+        px = np.stack([a for _, a in items]).astype(np.int64)
+        if rgb:
+            px = px.sum(axis=3) // 3
+        ys = np.minimum(np.arange(8) * h // 8, h - 1)
+        xs = np.minimum(np.arange(9) * w // 9, w - 1)
+        small = px[:, ys][:, :, xs]                      # (n, 8, 9)
+        bits = (small[:, :, :-1] > small[:, :, 1:]).astype(np.int64)
+        bands = bits.reshape(len(items), 4, 16) @ weights  # (n, 4)
+        for (i, _), row in zip(items, bands):
+            out[i] = [int(x) for x in row]
+    return out
 
 
 def image_dhash_band_col(
@@ -335,8 +365,7 @@ def image_dhash_band_col(
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             col = []
-            for b in pdf[media_col]:
-                bb = _dhash_bands(bytes(b)) if b is not None else None
+            for bb in _dhash_bands_batch(list(pdf[media_col])):
                 if bb is None:
                     col.append([{"band_id": -1, "band_key": 0}])
                 else:
@@ -386,15 +415,60 @@ def image_dhash(
         import pandas as pd
 
         for pdf in batches:
-            bands = [
-                _dhash_bands(bytes(b)) if b is not None else None
-                for b in pdf[media_col]
-            ]
+            bands = _dhash_bands_batch(list(pdf[media_col]))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     **{
                         f"band{k}": [bb[k] if bb is not None else None for bb in bands]
+                        for k in range(4)
+                    },
+                }
+            )
+
+    return df.mapInPandas(_run, schema=DHASH_SCHEMA)
+
+
+def video_dhash(
+    df: DataFrame,
+    every_ms: int,
+    media_col: str = "media",
+    id_col: str = "id",
+    frame_ms: int = 40,
+) -> DataFrame:
+    """Fused container-parse + per-frame dHash: one Arrow pass from
+    video blob to (id, band0..band3) frame-signature rows — result-
+    identical to :func:`sample_frames` (netpbm-stream) piped into
+    :func:`image_dhash`, minus the intermediate Arrow round trip of
+    every frame blob and the sha256 column the near-dup path never
+    reads (r16 optimization: the two-pass form re-serialized ~5 MB
+    of frames per task and hashed 60k frames for nothing). Same
+    stride rule (every ``ceil(every_ms/frame_ms)``-th frame), same
+    NULL-band convention for undecodable frames; blobs die inside
+    the single pass."""
+    stride = max(1, -(-every_ms // max(1, frame_ms)))  # ceil
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            frames: list = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                if blob is None:
+                    continue
+                for k, frame in enumerate(split_netpbm_stream(bytes(blob))):
+                    if k % stride == 0:
+                        ids.append(rid)
+                        frames.append(frame)
+            bands = _dhash_bands_batch(frames)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    **{
+                        f"band{k}": [
+                            bb[k] if bb is not None else None for bb in bands
+                        ]
                         for k in range(4)
                     },
                 }
@@ -437,7 +511,10 @@ def audio_dhash(
         raise ValueError("segments - 1 must split into 4 equal bands")
     per_band = n_bits // 4
 
-    def _bands(payload: bytes) -> list[int] | None:
+    def _decode(payload: bytes):
+        """WAV → the first segments×samples_per_segment int16 samples
+        (None on codec/shape rejects) — the per-row half; the energy
+        and band math runs batch-vectorized below (guide §4.2)."""
         import io
         import wave
 
@@ -449,25 +526,40 @@ def audio_dhash(
         except Exception:
             return None
         need = segments * samples_per_segment
-        x = np.frombuffer(raw[: 2 * need], dtype="<i2").astype(np.int64)
+        x = np.frombuffer(raw[: 2 * need], dtype="<i2")
         if x.size < need:
             return None
-        e = (x * x).reshape(segments, samples_per_segment).sum(axis=1)
-        bits = (e[:-1] > e[1:]).astype(np.int64)
+        return x
+
+    def _bands_batch(payloads) -> list:
+        """Vectorized across the batch: stack every decoded clip and
+        run ONE energy/compare/pack pipeline — arithmetic identical
+        to the per-clip form (int64-exact Σx² per segment, strict >
+        compare, MSB-first band packing)."""
+        out: list = [None] * len(payloads)
+        decoded = []
+        for i, p in enumerate(payloads):
+            if p is None:
+                continue
+            x = _decode(bytes(p))
+            if x is not None:
+                decoded.append((i, x))
+        if not decoded:
+            return out
+        X = np.stack([x for _, x in decoded]).astype(np.int64)
+        e = (X * X).reshape(len(decoded), segments, samples_per_segment).sum(axis=2)
+        bits = (e[:, :-1] > e[:, 1:]).astype(np.int64)
         weights = 1 << (per_band - 1 - np.arange(per_band, dtype=np.int64))
-        return [
-            int((bits[b * per_band : (b + 1) * per_band] * weights).sum())
-            for b in range(4)
-        ]
+        bands = bits.reshape(len(decoded), 4, per_band) @ weights
+        for (i, _), row in zip(decoded, bands):
+            out[i] = [int(x) for x in row]
+        return out
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            bands = [
-                _bands(bytes(b)) if b is not None else None
-                for b in pdf[media_col]
-            ]
+            bands = _bands_batch(list(pdf[media_col]))
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],

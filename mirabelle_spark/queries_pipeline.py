@@ -1664,6 +1664,8 @@ def _image_corpus(spark, sf) -> DataFrame:
     - v=2 — the base with raster byte 0 (pixel (0,0)) forced to
       0x00: a near-duplicate at Hamming ≤ 1.
     """
+    from mirabelle_spark.scale import ensure_parallelism
+
     header = b"P5\n16 16\n255\n"
     s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
     v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
@@ -1675,6 +1677,13 @@ def _image_corpus(spark, sf) -> DataFrame:
                 v == 2, F.concat(F.lit("00"), F.substring(hx, 3, 30))
             ).otherwise(hx)
         parts.append(F.unhex(hx))
+    # NOTE on parallelism (r16): unlike the video corpus (60k-frame
+    # decode, genuinely parallel work) this corpus is 5k thumb-size
+    # rasters whose vectorized dHash costs ~0.2 s single-core — an
+    # up-front repartition to cores was MEASURED SLOWER end-to-end
+    # (the 64 post-union micro-partitions taxed every downstream
+    # stage of the pair join and cluster rounds more than the decode
+    # saved), so the scan's natural split stands
     imgs = docs(spark, sf).select(
         F.col("doc_id").alias("id"), F.concat(*parts).alias("media"), v.alias("v")
     )
@@ -1793,8 +1802,14 @@ def image_near_dups(spark, sf):
     propagation. Scale shape: only 20-byte signature rows shuffle;
     the candidate stream is band-bucketed."""
     corpus = _image_corpus(spark, sf)
-    hashes = multimodal.image_dhash(corpus)
-    pairs = dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=3)
+    # pin the 20-byte signature table ONCE: the pair join and the
+    # cluster resolution both consume it, and unpinned each re-ran
+    # the whole corpus build + Arrow decode (r16 measurement: the
+    # signature pipeline executed twice per run)
+    hashes = multimodal.image_dhash(corpus).localCheckpoint(eager=True)
+    pairs = dedup.band_hamming_pairs(
+        hashes, id_col="id", max_hamming=3, pinned=True
+    )
     clusters = dedup.resolve_clusters(pairs, hashes.select("id"), id_col="id")
     return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -1832,7 +1847,13 @@ def _video_corpus(spark, sf) -> DataFrame:
             )
             hx = F.when((v == 2) & F.lit(k == 0), unique).otherwise(shared)
             parts.append(F.unhex(hx))
-    return docs(spark, sf).select(
+    from mirabelle_spark.scale import ensure_parallelism
+
+    # rebalance the bare id scan BEFORE the 48-md5 frame projection
+    # and the two Arrow passes it feeds — the one-row-group local
+    # file otherwise serializes the whole container parse + dHash
+    # on one core (scale.needs_rebalance; only 8-byte ids move)
+    return ensure_parallelism(docs(spark, sf).select("doc_id")).select(
         F.col("doc_id").alias("id"), F.concat(*parts).alias("media")
     )
 
@@ -1919,15 +1940,25 @@ def video_near_dups(spark, sf):
     the two Arrow passes; the pair join runs on 20-byte distinct
     (vid, hash) signature rows, grouped map-side-combinable —
     a shared-frame count, never a frame-content shuffle."""
-    frames = multimodal.sample_frames(
-        _video_corpus(spark, sf),
-        every_ms=40,
-        decoder="netpbm-stream",
-        frame_ms=40,
+    # fused parse+dHash (r16): one Arrow pass from blob to 20-byte
+    # signature rows — result-identical to sample_frames →
+    # image_dhash but without re-serializing every frame blob
+    # through Arrow or computing the sha256 column this query never
+    # reads (multimodal.video_dhash docstring).
+    # Pin the distinct signature rows ONCE: the pair join reads it
+    # twice (self-join) and the cluster resolution again — unpinned,
+    # each consumer re-ran corpus build + container parse + 60k-
+    # frame dHash (r16 measurement: ~4.5 s recomputed twice).
+    # The repartition matters: AQE coalesces the tiny distinct to
+    # ONE partition, and an eager checkpoint would pin that as the
+    # physical layout of every downstream join (measured: the whole
+    # pair+cluster phase serialized on one core)
+    sig = (
+        multimodal.video_dhash(_video_corpus(spark, sf), every_ms=40, frame_ms=40)
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
-    sig = multimodal.image_dhash(
-        frames.select("id", F.col("frame").alias("media"))
-    ).distinct()
     a, b = sig.alias("a"), sig.alias("b")
     pairs = (
         a.join(
@@ -1973,20 +2004,26 @@ def _audio_corpus(spark, sf) -> DataFrame:
     )
     s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
     v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
-    parts = [F.lit(hdr)]
+    hexes = []
     for seg in range(_AUDIO_SEGS):
-        # 16 little-endian int16 samples per segment: low byte 0x00,
-        # high byte = the md5 byte -> sample = signed(byte) * 256
-        hx = F.regexp_replace(
-            F.md5(F.concat(F.lit("aud:"), s, F.lit(f":{seg}"))),
-            "(..)",
-            "00$1",
-        )
+        hx = F.md5(F.concat(F.lit("aud:"), s, F.lit(f":{seg}")))
         if seg == 0:
-            hx = F.when(v == 2, F.lit("0" * 64)).otherwise(hx)
-        parts.append(F.unhex(hx))
+            hx = F.when(v == 2, F.lit("0" * 32)).otherwise(hx)
+        hexes.append(hx)
+    # 16 little-endian int16 samples per segment: low byte 0x00,
+    # high byte = the md5 byte -> sample = signed(byte) * 256.
+    # ONE regexp_replace over the concatenated 2080-char hex string
+    # inserts every low byte (r16; was 65 per-segment regex calls
+    # per row — the regex engine, not md5, dominated corpus build)
+    pcm = F.unhex(
+        F.regexp_replace(F.concat(*hexes), "(..)", "00$1")
+    )
+    # natural scan split on purpose — see the parallelism note in
+    # :func:`_image_corpus` (the vectorized batch decode makes the
+    # per-core win smaller than the micro-partition tax downstream)
     wavs = docs(spark, sf).select(
-        F.col("doc_id").alias("id"), F.concat(*parts).alias("media"),
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit(hdr), pcm).alias("media"),
         v.alias("v"),
     )
     base = wavs.filter(F.col("v") != 1).select("id", "media")
@@ -2092,8 +2129,13 @@ def audio_near_dups(spark, sf):
     cliques (v1 hash-identical to v0 by the exact-gain invariance,
     v2 one bit away), so the oracle's single neighbor-min round is
     exact; the Spark side runs the general iterative propagation."""
-    hashes = multimodal.audio_dhash(_audio_corpus(spark, sf))
-    pairs = dedup.band_hamming_pairs(hashes, id_col="id", max_hamming=3)
+    # one pin serves both consumers (see image_near_dups)
+    hashes = multimodal.audio_dhash(
+        _audio_corpus(spark, sf)
+    ).localCheckpoint(eager=True)
+    pairs = dedup.band_hamming_pairs(
+        hashes, id_col="id", max_hamming=3, pinned=True
+    )
     clusters = dedup.resolve_clusters(pairs, hashes.select("id"), id_col="id")
     return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
 
