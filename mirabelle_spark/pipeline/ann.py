@@ -333,6 +333,131 @@ def embedding_near_dups(
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def _assign_csim(
+    c: DataFrame,
+    centroids: list[list[float]],
+    keep_cols: tuple = (),
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Arrow pass computing BOTH the coarse-cell assignment
+    (:func:`_cell_assign` semantics) and the cosine similarity to
+    the assigned centroid — the two per-row quantities
+    :func:`semdedup` needs. Bit-identical to the relational form:
+    squared-L2 and dot/norm folds accumulate in element order with
+    a 0.0 initial value (exactly ``F.aggregate``'s fold), the
+    argmin is first-minimum, ``cosine``'s zero denominator yields
+    NULL (Spark's Divide), and ill-formed rows (null/short vector,
+    null element, NaN) take a per-row Python path replicating the
+    expression null semantics. Input needs ``__cv__``; all input
+    columns pass through, ``__cell__``/``__csim__`` are appended."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_list = [[float(v) for v in ctr] for ctr in centroids]
+    nlist, dim = cents.shape
+    # per-centroid norms via the same fold the per-row expression
+    # used (acc + x*x in element order, then sqrt)
+    acc = np.zeros(nlist)
+    for i in range(dim):
+        acc = acc + cents[:, i] * cents[:, i]
+    cent_norms = np.sqrt(acc)
+    in_cols = [f.name for f in c.schema.fields]
+    vec_idx = in_cols.index("__cv__")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(c.schema.fields)
+        + [
+            T.StructField("__cell__", T.IntegerType()),
+            T.StructField("__csim__", T.DoubleType()),
+        ]
+    )
+
+    def _csim_fallback(vec, cell):
+        import math
+
+        if cell is None or vec is None:
+            return None
+        ctr = cent_list[cell]
+        if len(vec) != dim:
+            return None  # zip_with pads -> null fold
+        d = 0.0
+        s = 0.0
+        for x, cv in zip(vec, ctr):
+            if x is None:
+                return None
+            d = d + float(x) * cv
+            s = s + float(x) * float(x)
+        den = math.sqrt(s) * cent_norms[cell]
+        return None if den == 0.0 else d / den
+
+    def _run(batches):
+        import pyarrow as pa
+        from pyarrow import compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            arr = batch.column(vec_idx)
+            valid = (
+                arr.is_valid().to_numpy(zero_copy_only=False)
+                if arr.null_count
+                else np.ones(n, dtype=bool)
+            )
+            offs = arr.offsets.to_numpy()
+            lens = offs[1:] - offs[:-1]
+            vals = arr.values
+            ok = valid & (lens == dim)
+            if vals.null_count:
+                nulls = pc.is_null(vals).to_numpy(zero_copy_only=False)
+                cum = np.concatenate(([0], np.cumsum(nulls)))
+                ok &= (cum[offs[1:]] - cum[offs[:-1]]) == 0
+                vnp = vals.fill_null(float("nan")).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+            else:
+                vnp = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+            if np.isnan(vnp).any():
+                nan = np.isnan(vnp)
+                cum = np.concatenate(([0], np.cumsum(nan)))
+                ok &= (cum[offs[1:]] - cum[offs[:-1]]) == 0
+            cells_all: list = [None] * n
+            csim_all: list = [None] * n
+            idx = np.flatnonzero(ok)
+            if idx.size:
+                gather = offs[idx][:, None] + np.arange(dim)[None, :]
+                M = vnp[gather]
+                accd = np.zeros((idx.size, nlist))
+                for i in range(dim):
+                    d = M[:, i][:, None] - cents[None, :, i]
+                    accd = accd + d * d
+                cell_v = np.argmin(accd, axis=1)
+                C = cents[cell_v]
+                dots = np.zeros(idx.size)
+                sq = np.zeros(idx.size)
+                for i in range(dim):
+                    dots = dots + M[:, i] * C[:, i]
+                    sq = sq + M[:, i] * M[:, i]
+                den = np.sqrt(sq) * cent_norms[cell_v]
+                for r, i in enumerate(idx):
+                    cells_all[i] = int(cell_v[r])
+                    csim_all[i] = (
+                        None if den[r] == 0.0 else float(dots[r] / den[r])
+                    )
+            for i in np.flatnonzero(~ok):
+                vec = arr[int(i)].as_py()
+                cell = _cell_fallback(vec, cent_list, dim)
+                cells_all[i] = cell
+                csim_all[i] = _csim_fallback(vec, cell)
+            cols = [batch.column(j) for j in range(len(in_cols))]
+            cols.append(pa.array(cells_all, type=pa.int32()))
+            cols.append(pa.array(csim_all, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=in_cols + ["__cell__", "__csim__"]
+            )
+
+    return c.mapInArrow(_run, schema=out_schema)
+
+
 def semdedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -406,16 +531,29 @@ def semdedup(
         *[F.col(k) for k in keep],
         as_double_vec(F.col(vec_col)).alias("__cv__"),
     )
-    a = _cell_assign(c, centroids)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in ctr]) for ctr in centroids]
-    )
-    a = a.withColumn(
-        "__csim__",
-        cosine(F.col("__cv__"), F.element_at(cent_lit, F.col("__cell__") + 1)),
-    )
+    # fused assign + centroid-cosine Arrow kernel (r16): the old
+    # plan carried TWO nlist×dim centroid literal copies (the
+    # transform-fold assignment and the element_at csim) — at the
+    # production nlist=64 that is ~8k interpreted ops per row and a
+    # six-figure plan string per run; the kernel computes both with
+    # bit-identical left-associated folds in one vectorized pass.
+    a = _assign_csim(c, centroids, keep_cols=tuple(keep), id_col=id_col)
     order = W.partitionBy("__cell__").orderBy(F.col("__csim__").asc(), F.col(id_col).asc())
-    ranked = a.withColumn("__rn__", F.row_number().over(order))
+    # pin the ranked table ONCE: both pair engines consume it twice
+    # (pair generation + the survivor join back), and unpinned each
+    # consumer re-ran the corpus scan + assignment (r16 measurement;
+    # same fix as the near-dup trio). Vector rows pin locally —
+    # at corpus scale this is the 'write the fingerprint table
+    # once' move of the dedup playbook.
+    # keyless repartition before the pin: AQE coalesces the rank
+    # window's tiny shuffle output, and pinning ~1 partition would
+    # serialize the quadratic pair engines downstream (same trap as
+    # the video signature pin)
+    ranked = (
+        a.withColumn("__rn__", F.row_number().over(order))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     if pairs == "arrow":
         import pandas as pd
 
