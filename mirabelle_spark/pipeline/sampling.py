@@ -396,6 +396,17 @@ def curate_head(
             text_col=text_col, id_col=id_col,
         ).select(id_col)
         passed = passed.join(keep3, id_col, "left_semi")
+    # pin the fully-gated survivors ONCE (r16): the dedup-winner
+    # stage references ``passed`` twice (hash aggregate + the winner
+    # pull-back join), and unpinned the ENTIRE gate pipeline —
+    # corpus scan, gopher/classifier/DSIR/Bloom projections, any LM
+    # scoring subtree — executed twice per run (measured: the
+    # curate_head plans were two identical copies glued by the final
+    # join; sf1 curate_head_dsir spent ~half its 12.7 s there). At
+    # corpus scale the equivalent move is writing the gated
+    # intermediate to storage once (the decide-on-small/move-once
+    # discipline); localCheckpoint is its single-node form.
+    passed = passed.localCheckpoint(eager=True)
     winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
         id_col
     )
