@@ -1006,6 +1006,7 @@ def resolve_clusters(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    clean_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs → connected components → canonical doc per
     cluster: (id, cluster_id = min id in the component). The step a
@@ -1048,19 +1049,24 @@ def resolve_clusters(
     # row (the fused union step below would otherwise emit it).
     # Lazy persist: materializes from the p-checkpoint inside round
     # 0 and is cached for every later round.
-    edges = (
-        p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            p.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
-        .distinct()
-        .join(
+    # ``clean_pairs=True`` asserts the caller's pair table is
+    # already DISTINCT with both endpoints drawn from ``ids`` (true
+    # for every candidate generator in this repo — they all end in
+    # distinct()/groupBy over the id table) and skips the dedup
+    # shuffle + semi-join of the edge build (r16: one less exchange
+    # and one less stage wave before round 0; duplicates/foreign ids
+    # would only cost redundant min() inputs / extra rows, so the
+    # flag trades validation, not correctness of honest input).
+    edges = p.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    if not clean_pairs:
+        edges = edges.distinct().join(
             labels.select(F.col("id").alias("src")), "src", "left_semi"
         )
-        .persist()
-    )
+    edges = edges.persist()
     label_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]

@@ -36,8 +36,24 @@ def q(name: str, sql: str | None = None):
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table, normalizing TIMESTAMP(NANOS) columns to
-    µs exactly like DuckDB does (see queries.events)."""
+    µs exactly like DuckDB does (see queries.events).
+
+    The big fact table (lineitem) is rebalanced when the scan
+    under-splits (r16): the local testdata files hold ONE parquet
+    row group, so every decimal rollup and every broadcast-join
+    probe side in this module executed on a single core regardless
+    of the split-descriptor count. The rebalance HASH-partitions on
+    l_orderkey instead of a keyless repartition — round-robin pays
+    sort-before-repartition, a single-threaded sort of the whole
+    table on the one real input split (measured at sf1: Q1 rollup
+    13.7 s raw, 5.2 s round-robin, 4.2 s hash). Projection and
+    filter pushdown pass through the repartition, and
+    needs_rebalance makes it a no-op on a genuinely well-split
+    table (the 100 TB case). orders stays as scanned: it is the
+    broadcast/build side in every query here, and an exchange below
+    a broadcast build is pure waste (measured in the revenue plan)."""
     from mirabelle_spark.queries import _normalize_ts
+    from mirabelle_spark.scale import needs_rebalance
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -45,6 +61,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_cols = {"lineitem": ["l_shipdate"], "orders": ["o_orderdate"]}.get(name, [])
     for c in ts_cols:
         df = _normalize_ts(df, c)
+    if name == "lineitem":
+        target = spark.sparkContext.defaultParallelism
+        if needs_rebalance(df, target):
+            df = df.repartition(target, F.col("l_orderkey"))
     return df
 
 

@@ -213,7 +213,7 @@ def dedup_clusters(spark, sf):
     per CHAIN of near-dups, not per pair."""
     d = docs(spark, sf)
     pairs = dedup.minhash_lsh_candidates(d, num_hashes=64, bands=8)
-    return dedup.resolve_clusters(pairs, d.select("doc_id"))
+    return dedup.resolve_clusters(pairs, d.select("doc_id"), clean_pairs=True)
 
 
 def _dedup_survivors_oracle(num_hashes: int = 64, bands: int = 8) -> str:
@@ -235,7 +235,7 @@ def dedup_survivors_docs(spark, sf):
     hash-semi-join that never moves document bodies."""
     d = docs(spark, sf)
     pairs = dedup.minhash_lsh_candidates(d, num_hashes=64, bands=8)
-    clusters = dedup.resolve_clusters(pairs, d.select("doc_id"))
+    clusters = dedup.resolve_clusters(pairs, d.select("doc_id"), clean_pairs=True)
     survivors = clusters.filter(
         F.col("doc_id") == F.col("cluster_id")
     ).select("doc_id")
@@ -694,7 +694,9 @@ def semantic_dedup_survivors(spark, sf):
     pairs = ann.embedding_near_dups(
         e, threshold=0.3, planes=6, tables=3, dim=64
     )
-    clusters = dedup.resolve_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+    clusters = dedup.resolve_clusters(
+        pairs, e.select("vec_id"), id_col="vec_id", clean_pairs=True
+    )
     survivors = clusters.filter(
         F.col("vec_id") == F.col("cluster_id")
     ).select("vec_id")
@@ -1499,7 +1501,7 @@ def clean_corpus_docs(spark, sf):
     )
     pairs = dedup.minhash_lsh_candidates(d, num_hashes=64, bands=8)
     survivors = (
-        dedup.resolve_clusters(pairs, d.select("doc_id"))
+        dedup.resolve_clusters(pairs, d.select("doc_id"), clean_pairs=True)
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
     )
@@ -1810,7 +1812,9 @@ def image_near_dups(spark, sf):
     pairs = dedup.band_hamming_pairs(
         hashes, id_col="id", max_hamming=3, pinned=True
     )
-    clusters = dedup.resolve_clusters(pairs, hashes.select("id"), id_col="id")
+    clusters = dedup.resolve_clusters(
+        pairs, hashes.select("id"), id_col="id", clean_pairs=True
+    )
     return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -1975,7 +1979,7 @@ def video_near_dups(spark, sf):
         .select("id_a", "id_b")
     )
     clusters = dedup.resolve_clusters(
-        pairs, sig.select("id").distinct(), id_col="id"
+        pairs, sig.select("id").distinct(), id_col="id", clean_pairs=True
     )
     return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -2136,7 +2140,9 @@ def audio_near_dups(spark, sf):
     pairs = dedup.band_hamming_pairs(
         hashes, id_col="id", max_hamming=3, pinned=True
     )
-    clusters = dedup.resolve_clusters(pairs, hashes.select("id"), id_col="id")
+    clusters = dedup.resolve_clusters(
+        pairs, hashes.select("id"), id_col="id", clean_pairs=True
+    )
     return clusters.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -30,6 +30,19 @@ CHARACTERISTICS scale ~linearly instead of degenerately:
 Everything is deterministic (no RNG, no clock): re-running produces
 byte-identical inputs. Output lands in ``.cache/sf1`` (gitignored);
 a ``_DONE`` marker skips rebuilds.
+
+Write layout (r16, guide §6): every synthesized table is written as
+``SPLITS`` hash-bucketed files (deterministic key hash, rows sorted
+by key within each file — still byte-identical across rebuilds).
+The v2 cache wrote ONE row group per table, and parquet cannot
+split below row-group granularity — so every sf1 bench child
+decoded its whole fact/doc/event table on a single core before any
+parallelism existed (measured: the 6M-row lineitem scan alone cost
+~7 s of the 8.8 s revenue_by_nation record; the Q1-shaped rollup
+read 13.7 s raw vs 4.2 s hash-rebalanced, and a well-split file
+needs no rebalance at all). A real 100 TB table has thousands of
+row groups and never hits this; the layout here just stops the
+local cache from hiding scan parallelism the plans already have.
 """
 
 from __future__ import annotations
@@ -42,6 +55,23 @@ from pyspark.sql import functions as F
 
 BASE = 10**9  # replica key offset: far above any sf0.1 key
 REPLICAS = 10
+
+
+SPLITS = 32  # files per synthesized table (hash-bucketed, sorted)
+
+
+def _write_split(df: DataFrame, path: str, key: str, *sort_cols: str) -> None:
+    """Deterministic multi-file write: hash-partition on ``key``
+    (no round-robin — its sort-before-repartition pays a single-
+    threaded sort of the whole table, and its row placement depends
+    on input order), sort rows within each file by the primary key
+    so rebuilds stay byte-identical."""
+    (
+        df.repartition(SPLITS, F.col(key))
+        .sortWithinPartitions(*(sort_cols or (key,)))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def _with_replicas(df: DataFrame) -> DataFrame:
@@ -67,7 +97,7 @@ def _documents(spark: SparkSession, src: str, dst: str) -> None:
         "lang",
         "source",
     ).withColumn("n_chars", F.length("text"))
-    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    _write_split(out, f"{dst}/documents.parquet", "doc_id")
 
 
 def _embeddings(spark: SparkSession, src: str, dst: str) -> None:
@@ -87,14 +117,17 @@ def _embeddings(spark: SparkSession, src: str, dst: str) -> None:
         .alias("embedding"),
         "label",
     )
-    out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    _write_split(out, f"{dst}/embeddings.parquet", "vec_id")
 
 
 def _fact(spark: SparkSession, src: str, dst: str, name: str,
           key: str) -> None:
     df = _with_replicas(spark.read.parquet(f"{src}/{name}.parquet"))
     out = df.withColumn(key, F.col(key) + F.col("__r__") * BASE).drop("__r__")
-    out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+    sort_cols = (
+        ("l_orderkey", "l_linenumber") if name == "lineitem" else (key,)
+    )
+    _write_split(out, f"{dst}/{name}.parquet", key, *sort_cols)
 
 
 def _events(spark: SparkSession, src: str, dst: str) -> None:
@@ -111,7 +144,7 @@ def _events(spark: SparkSession, src: str, dst: str) -> None:
         .withColumn("user_id", F.col("user_id") + F.col("__r__") * BASE)
         .drop("__r__")
     )
-    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    _write_split(out, f"{dst}/events.parquet", "event_id")
 
 
 def ensure_sf1(spark: SparkSession, src: str = "/root/testdata/sf0.1",
@@ -120,9 +153,9 @@ def ensure_sf1(spark: SparkSession, src: str = "/root/testdata/sf0.1",
     if dst is None:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         dst = os.path.join(repo, ".cache", "sf1")
-    # v2: events now replicate 10× (were copied); version the marker
-    # so pre-r13 caches rebuild instead of serving the stale table
-    marker = os.path.join(dst, "_DONE_v2")
+    # v3: split write layout (r16) — see the module docstring; the
+    # marker version forces one-row-group v2 caches to rebuild
+    marker = os.path.join(dst, "_DONE_v3")
     if os.path.exists(marker):
         return dst
     os.makedirs(dst, exist_ok=True)
