@@ -406,13 +406,19 @@ def curate_head(
     # corpus scale the equivalent move is writing the gated
     # intermediate to storage once (the decide-on-small/move-once
     # discipline); localCheckpoint is its single-node form.
+    pre_pin = passed
     passed = passed.localCheckpoint(eager=True)
     winners = dedup_exact(passed, text_col=text_col, id_col=id_col).select(
         id_col
     )
-    return mask_pii(passed.join(winners, id_col), text_col=text_col).select(
+    out = mask_pii(passed.join(winners, id_col), text_col=text_col).select(
         id_col, "text_masked"
     )
+    # test hook: the checkpoint truncates the returned plan, so the
+    # gate-routing plan assertions (test_plans) read the pre-pin
+    # lineage from here instead of the visible (post-pin) plan
+    out._curate_gate_lineage = pre_pin
+    return out
 
 
 def pack_documents(

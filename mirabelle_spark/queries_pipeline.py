@@ -1666,8 +1666,6 @@ def _image_corpus(spark, sf) -> DataFrame:
     - v=2 — the base with raster byte 0 (pixel (0,0)) forced to
       0x00: a near-duplicate at Hamming ≤ 1.
     """
-    from mirabelle_spark.scale import ensure_parallelism
-
     header = b"P5\n16 16\n255\n"
     s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
     v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")

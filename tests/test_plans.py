@@ -181,11 +181,17 @@ def test_top_suppliers_take_ordered(spark, qs):
 
 
 def test_ivf_topk_broadcasts_and_stays_jvm(spark, qs):
-    """IVF probe joins must broadcast the tiny sides (centroids,
-    query probes) and the whole query must stay in the JVM — the
-    fixed-quantizer assignment is Catalyst arithmetic, not a UDF."""
+    """The IVF probe table (query vectors × probed cells, computed
+    on the driver from the collected broadcast-scale query batch —
+    r16, the PERF §42 pattern) must join in as a broadcast, the
+    unprobed cells must be pruned by a literal __cell__ filter
+    BEFORE the join, and the whole query must stay in the JVM — the
+    fixed-quantizer assignment is Catalyst arithmetic, not a UDF.
+    (Pre-r16 the probe cells were a window job over a second
+    broadcast join; that exchange is gone by design.)"""
     plan = _plan(qs["ann_ivf_topk"](spark, SF_DIR))
-    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("BroadcastExchange") >= 1
+    assert "__cell__# IN" in plan or "__cell__#" in plan
     assert "Python" not in plan
 
 
@@ -356,7 +362,11 @@ def test_curate_head_lm_gate_takes_join_strategy(spark, qs):
 
     n = len(TRAINED_LM["bigrams"]) + len(TRAINED_LM["unigrams"])
     assert n > lm.FOLD_MAX_ENTRIES  # the premise of the routing
-    plan = _plan(qs["curate_head_lm_docs"](spark, SF_DIR))
+    # r16: the head pins its gated survivors (localCheckpoint), so
+    # the RETURNED plan is truncated at the pin — the gate-routing
+    # subtree is read from the pre-pin lineage hook instead
+    head = qs["curate_head_lm_docs"](spark, SF_DIR)
+    plan = _plan(head._curate_gate_lineage)
     assert "map(keys:" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "LeftSemi" in plan, plan
@@ -378,7 +388,7 @@ def test_curate_head_lm_gate_takes_join_strategy(spark, qs):
             d,
             rules=("word_count_ok", "word_len_ok", "alpha_ok"),
             lm_gate=(small, 8.0, 4),
-        )
+        )._curate_gate_lineage
     )
     assert "map(keys:" in plan_small, plan_small
 

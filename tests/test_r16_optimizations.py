@@ -1,0 +1,189 @@
+"""Focused tests for the r16 optimization round's internal changes:
+each optimization that rewrote an operator's internals gets a pin
+here proving the rewrite preserved the old semantics on the edges
+the fast path does not exercise."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mirabelle_spark.pipeline import ann, dedup, multimodal
+
+
+def test_pq_encode_kernel_ill_formed_rows(spark):
+    """The Arrow kernel's per-row fallback must replicate the old
+    unrolled-expression null semantics: null vector → all-null
+    codes; short vector → null codes for out-of-range subspaces
+    only; a null element poisons exactly its subspace's code."""
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    m = len(PQ_CODEBOOKS)
+    sub = len(PQ_CODEBOOKS[0][0])
+    good = [float(i % 7) / 7.0 for i in range(m * sub)]
+    short = good[: sub + 2]  # subspace 0 complete, 1 partial, rest absent
+    holed = list(good)
+    holed[sub] = None  # poisons subspace 1 only
+    df = spark.createDataFrame(
+        [(0, good), (1, None), (2, short), (3, holed)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = {
+        r["vec_id"]: r["codes"]
+        for r in ann.pq_encode(df, PQ_CODEBOOKS).collect()
+    }
+    assert all(c is not None for c in rows[0]), rows[0]
+    assert rows[1] == [None] * m
+    # short vector: subspace 0 complete → real code; all later
+    # subspaces touch a null/absent element → null codes
+    assert rows[2][0] is not None and rows[2][1:] == [None] * (m - 1)
+    assert rows[3][1] is None
+    assert all(
+        c is not None for i, c in enumerate(rows[3]) if i != 1
+    ), rows[3]
+
+
+def test_pq_encode_probe_cell_filter_matches_join(spark):
+    """pq_encode(centroids=…, probe_cells=…) must emit exactly the
+    rows an unfiltered encode + inner equi-join on the probed cells
+    would keep, with identical cells and codes."""
+    from mirabelle_spark.pipeline.ivf_centroids import IVF_CENTROIDS
+    from mirabelle_spark.pipeline.pq_codebooks import PQ_CODEBOOKS
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c = e.select(
+        F.col("vec_id"), ann.as_double_vec(F.col("embedding")).alias("__cv__")
+    )
+    full = {
+        r["vec_id"]: (r["__cell__"], tuple(r["codes"]))
+        for r in ann.pq_encode(
+            c, PQ_CODEBOOKS, vec_col="__cv__", centroids=IVF_CENTROIDS
+        ).collect()
+    }
+    cells = [0, 3, 5]
+    pruned = {
+        r["vec_id"]: (r["__cell__"], tuple(r["codes"]))
+        for r in ann.pq_encode(
+            c,
+            PQ_CODEBOOKS,
+            vec_col="__cv__",
+            centroids=IVF_CENTROIDS,
+            probe_cells=cells,
+        ).collect()
+    }
+    expected = {k: v for k, v in full.items() if v[0] in cells}
+    assert pruned == expected
+    assert 0 < len(pruned) < len(full)
+
+
+def test_resolve_clusters_foreign_pair_ids_still_dropped(spark):
+    """The validated (clean_pairs=False) path must keep the old
+    contract: a pair id absent from ``ids`` never injects an output
+    row, and duplicate pairs are harmless."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 99)],  # 99 is foreign, (1,2) duplicated
+        "id_a BIGINT, id_b BIGINT",
+    )
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id BIGINT")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.resolve_clusters(pairs, ids).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_resolve_clusters_clean_pairs_equivalent_on_honest_input(spark):
+    """clean_pairs=True must produce identical clusters when the
+    caller's guarantee (distinct pairs within ids) holds — a chain
+    exercises >1 round of propagation."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a BIGINT, id_b BIGINT"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 7, 8)], "doc_id BIGINT"
+    )
+    ref = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.resolve_clusters(pairs, ids).collect()
+    )
+    fast = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.resolve_clusters(pairs, ids, clean_pairs=True).collect()
+    )
+    assert ref == fast
+    assert dict(ref)[4] == 1 and dict(ref)[8] == 7 and dict(ref)[5] == 5
+
+
+def test_dhash_batch_kernel_mixed_shapes_and_failures():
+    """_dhash_bands_batch must equal the per-payload kernel across
+    mixed raster shapes in ONE batch, and keep the None convention
+    for undecodable/missing payloads."""
+    import numpy as np
+
+    rng = [
+        multimodal.encode_netpbm(
+            np.arange(h * w, dtype=np.uint8).reshape(h, w) * 3 % 251
+        )
+        for (h, w) in ((16, 16), (8, 9), (32, 32), (16, 16))
+    ]
+    payloads = [rng[0], None, b"not-an-image", rng[1], rng[2], rng[3]]
+    got = multimodal._dhash_bands_batch(payloads)
+    assert got[1] is None and got[2] is None
+    for i in (0, 3, 4, 5):
+        single = multimodal._dhash_bands_batch([payloads[i]])[0]
+        assert got[i] == single and single is not None
+    # identical rasters hash identically regardless of batch position
+    assert got[0] == got[5]
+
+
+def test_video_dhash_equals_sample_frames_pipeline(spark):
+    """The fused parse+dHash pass must be row-identical to
+    sample_frames → image_dhash (the composition it replaced)."""
+    import numpy as np
+
+    frames = [
+        multimodal.encode_netpbm(
+            (np.arange(64, dtype=np.uint8).reshape(8, 8) * (k + 2)) % 241
+        )
+        for k in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(1, b"".join(frames)), (2, b"".join(frames[:2])), (3, None)],
+        "id BIGINT, media BINARY",
+    )
+    two_pass = sorted(
+        tuple(r)
+        for r in multimodal.image_dhash(
+            multimodal.sample_frames(
+                df, every_ms=40, decoder="netpbm-stream", frame_ms=40
+            ).select("id", F.col("frame").alias("media"))
+        ).collect()
+    )
+    fused = sorted(
+        tuple(r)
+        for r in multimodal.video_dhash(df, every_ms=40, frame_ms=40).collect()
+    )
+    assert fused == two_pass and len(fused) == 7
+
+
+def test_make_sf1_layout_split_and_keys(spark):
+    """The sf1 cache must be written as multiple hash-bucketed files
+    (the r16 layout fix) with row counts exactly 10× the source."""
+    from tools.make_sf1 import SPLITS, ensure_sf1
+
+    # testdata parquet stores TIMESTAMP(NANOS); plain reads need the
+    # legacy conf (the loaders set this; a bare test must too)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    sf1 = ensure_sf1(spark, "/root/testdata/sf0.1")
+    files = glob.glob(os.path.join(sf1, "lineitem.parquet", "*.parquet"))
+    assert len(files) > 4, files
+    n = spark.read.parquet(os.path.join(sf1, "lineitem.parquet")).count()
+    n0 = spark.read.parquet(
+        "/root/testdata/sf0.1/lineitem.parquet"
+    ).count()
+    assert n == 10 * n0
+    assert SPLITS >= 16
