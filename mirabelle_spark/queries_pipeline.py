@@ -1667,8 +1667,19 @@ def _image_corpus(spark, sf) -> DataFrame:
       0x00: a near-duplicate at Hamming ≤ 1.
     """
     header = b"P5\n16 16\n255\n"
-    s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
-    v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
+    # media is a pure function of (s, v): build the 144 distinct
+    # blobs once off a one-partition range (the v=1 rows still
+    # round-trip the REAL resize_images re-encode, 48 times instead
+    # of corpus/3 times) and broadcast-join them to the id scan
+    # (r16 post-close — same dedupe-then-broadcast shape as
+    # :func:`_audio_corpus`; per-doc this replaces 16 md5+unhex
+    # calls with a join probe)
+    rows = spark.range(_IMG_SOURCES * 3, numPartitions=1).select(
+        (F.col("id") % _IMG_SOURCES).alias("__s__"),
+        F.expr(f"id div {_IMG_SOURCES}").alias("__v__"),
+    )
+    s = F.col("__s__").cast("string")
+    v = F.col("__v__")
     parts = [F.lit(header)]
     for d_idx in range(16):
         hx = F.md5(F.concat(F.lit("img:"), s, F.lit(f":{d_idx}")))
@@ -1677,17 +1688,10 @@ def _image_corpus(spark, sf) -> DataFrame:
                 v == 2, F.concat(F.lit("00"), F.substring(hx, 3, 30))
             ).otherwise(hx)
         parts.append(F.unhex(hx))
-    # NOTE on parallelism (r16): unlike the video corpus (60k-frame
-    # decode, genuinely parallel work) this corpus is 5k thumb-size
-    # rasters whose vectorized dHash costs ~0.2 s single-core — an
-    # up-front repartition to cores was MEASURED SLOWER end-to-end
-    # (the 64 post-union micro-partitions taxed every downstream
-    # stage of the pair join and cluster rounds more than the decode
-    # saved), so the scan's natural split stands
-    imgs = docs(spark, sf).select(
-        F.col("doc_id").alias("id"), F.concat(*parts).alias("media"), v.alias("v")
+    imgs = rows.select(
+        "__s__", "__v__", F.concat(*parts).alias("media")
     )
-    base = imgs.filter(F.col("v") != 1).select("id", "media")
+    base = imgs.filter(v != 1)
     meta = F.struct(
         F.lit("image/x-portable-graymap").alias("media_type"),
         F.lit(16).alias("width"),
@@ -1696,12 +1700,34 @@ def _image_corpus(spark, sf) -> DataFrame:
         F.lit("netpbm").alias("codec"),
     )
     upscaled = multimodal.resize_images(
-        imgs.filter(F.col("v") == 1).select("id", "media", meta.alias("meta")),
+        imgs.filter(v == 1).withColumn("id", F.col("__s__")).select(
+            "id", "media", meta.alias("meta")
+        ),
         width=32,
         height=32,
         decoder="netpbm",
-    ).select("id", "media")
-    return base.unionByName(upscaled)
+    ).select(
+        F.col("id").alias("__s__"), F.lit(1).cast("bigint").alias("__v__"),
+        "media",
+    )
+    variants = base.unionByName(upscaled)
+    # NOTE on parallelism (r16): unlike the video corpus (60k-frame
+    # decode, genuinely parallel work) this corpus is 5k thumb-size
+    # rasters whose vectorized dHash costs ~0.2 s single-core — an
+    # up-front repartition to cores was MEASURED SLOWER end-to-end
+    # (the 64 post-union micro-partitions taxed every downstream
+    # stage of the pair join and cluster rounds more than the decode
+    # saved), so the scan's natural split stands
+    return (
+        docs(spark, sf)
+        .select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % _IMG_SOURCES).alias("__s__"),
+            F.expr(f"(doc_id div {_IMG_SOURCES}) % 3").alias("__v__"),
+        )
+        .join(F.broadcast(variants), ["__s__", "__v__"])
+        .select("id", "media")
+    )
 
 
 def _image_dhash_cte() -> str:
@@ -1825,38 +1851,83 @@ def _video_corpus(spark, sf) -> DataFrame:
     order/timestamps); v=2 frame 0 replaced by a doc-unique frame
     (intro card swap: 11/12 frames shared). Frame rasters are four
     md5 chunks of (s, frame-key) built in Catalyst — no Python."""
-    s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
-    v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
     header = b"P5\n8 8\n255\n"
-    parts = []
-    for k in range(12):
-        parts.append(F.lit(header))
-        # content key: v=1 shifts the frame set by one position;
-        # v=2 swaps frame 0 for a doc-unique raster
-        fk = F.when(v == 1, F.lit((k + 1) % 12)).otherwise(F.lit(k))
+    # All SHARED frame bytes are a pure function of (s, v) — only
+    # the v=2 intro card is doc-unique — so the 12-frame blob is
+    # assembled from a 144-row broadcast variant table: __f0__ is
+    # frame 0 for v≠2 (content key 1 under the v=1 rotation, else
+    # 0), __rest__ is frames 1..11 under the variant's key shift.
+    # Per doc that leaves a join probe plus, for v=2 rows only, the
+    # 4 md5s of the doc-unique intro frame (r16 post-close — the
+    # per-doc construction re-ran 48 md5+unhex per row; same
+    # dedupe-then-broadcast shape as :func:`_audio_corpus`).
+    rows = spark.range(_IMG_SOURCES * 3, numPartitions=1).select(
+        (F.col("id") % _IMG_SOURCES).alias("__s__"),
+        F.expr(f"id div {_IMG_SOURCES}").alias("__v__"),
+    )
+    sv = F.col("__s__").cast("string")
+    vv = F.col("__v__")
+
+    def shared_frame(k):
+        # content key: v=1 shifts the frame set by one position
+        fk = F.when(vv == 1, F.lit((k + 1) % 12)).otherwise(F.lit(k))
+        chunks = [F.lit(header)]
         for c in range(4):
-            unique = F.md5(
-                F.concat(
-                    F.lit("vidu:"), F.col("doc_id").cast("string"),
-                    F.lit(f":{c}"),
+            chunks.append(
+                F.unhex(
+                    F.md5(
+                        F.concat(
+                            F.lit("vid:"), sv, F.lit(":"),
+                            fk.cast("string"), F.lit(f":{c}"),
+                        )
+                    )
                 )
             )
-            shared = F.md5(
-                F.concat(
-                    F.lit("vid:"), s, F.lit(":"), fk.cast("string"),
-                    F.lit(f":{c}"),
+        return F.concat(*chunks)
+
+    variants = rows.select(
+        "__s__",
+        "__v__",
+        F.when(vv != 2, shared_frame(0)).alias("__f0__"),
+        F.concat(*[shared_frame(k) for k in range(1, 12)]).alias("__rest__"),
+    )
+    unique_f0 = F.concat(
+        F.lit(header),
+        *[
+            F.unhex(
+                F.md5(
+                    F.concat(
+                        F.lit("vidu:"), F.col("doc_id").cast("string"),
+                        F.lit(f":{c}"),
+                    )
                 )
             )
-            hx = F.when((v == 2) & F.lit(k == 0), unique).otherwise(shared)
-            parts.append(F.unhex(hx))
+            for c in range(4)
+        ],
+    )
     from mirabelle_spark.scale import ensure_parallelism
 
-    # rebalance the bare id scan BEFORE the 48-md5 frame projection
-    # and the two Arrow passes it feeds — the one-row-group local
-    # file otherwise serializes the whole container parse + dHash
-    # on one core (scale.needs_rebalance; only 8-byte ids move)
-    return ensure_parallelism(docs(spark, sf).select("doc_id")).select(
-        F.col("doc_id").alias("id"), F.concat(*parts).alias("media")
+    # rebalance the bare id scan BEFORE the frame assembly and the
+    # two Arrow passes it feeds — the one-row-group local file
+    # otherwise serializes the whole container parse + dHash on one
+    # core (scale.needs_rebalance; only 8-byte ids move)
+    return (
+        ensure_parallelism(docs(spark, sf).select("doc_id"))
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _IMG_SOURCES).alias("__s__"),
+            F.expr(f"(doc_id div {_IMG_SOURCES}) % 3").alias("__v__"),
+        )
+        .join(F.broadcast(variants), ["__s__", "__v__"])
+        .select(
+            F.col("doc_id").alias("id"),
+            F.concat(
+                F.when(F.col("__v__") == 2, unique_f0).otherwise(
+                    F.col("__f0__")
+                ),
+                F.col("__rest__"),
+            ).alias("media"),
+        )
     )
 
 
@@ -1995,7 +2066,18 @@ def _audio_corpus(spark, sf) -> DataFrame:
     re-encode through :func:`multimodal.audio_gain` (>>1 is exact on
     ×256 samples → fingerprint-identical); v=2 segment 0 zeroed (a
     leading dropout: flips at most dHash bit 0). Canonical 44-byte
-    RIFF header + PCM built in Catalyst (md5/regexp/unhex)."""
+    RIFF header + PCM built in Catalyst (md5/regexp/unhex).
+
+    Media bytes are a pure function of (s, v), so the blobs are
+    built ONCE per distinct (s, v) — a 144-row ``spark.range``
+    variant table (the v=1 rows still round-trip the REAL
+    :func:`multimodal.audio_gain` re-encode, just 48 times instead
+    of corpus/3 times) — and broadcast-joined to the id scan
+    (r16 post-close: the per-doc construction re-ran 65 md5s + a
+    2080-char regex per row; measured ~1.4 s of each bench sample
+    at sf0.1 for bytes the corpus repeats every ~48 docs). At 100 TB
+    the same dedupe-then-broadcast shape holds: the variant table
+    stays O(sources × variants) regardless of corpus size."""
     import struct
 
     n_data = _AUDIO_SEGS * 16 * 2
@@ -2004,8 +2086,15 @@ def _audio_corpus(spark, sf) -> DataFrame:
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", n_data)
     )
-    s = (F.col("doc_id") % _IMG_SOURCES).cast("string")
-    v = F.expr(f"(doc_id div {_IMG_SOURCES}) % 3")
+    # one partition: 144 rows across 32 range splits would run 32
+    # scheduling waves (and 32 one-row Arrow tasks for the gain arm)
+    # just to build a broadcast
+    rows = spark.range(_IMG_SOURCES * 3, numPartitions=1).select(
+        (F.col("id") % _IMG_SOURCES).alias("__s__"),
+        F.expr(f"id div {_IMG_SOURCES}").alias("__v__"),
+    )
+    s = F.col("__s__").cast("string")
+    v = F.col("__v__")
     hexes = []
     for seg in range(_AUDIO_SEGS):
         hx = F.md5(F.concat(F.lit("aud:"), s, F.lit(f":{seg}")))
@@ -2020,19 +2109,32 @@ def _audio_corpus(spark, sf) -> DataFrame:
     pcm = F.unhex(
         F.regexp_replace(F.concat(*hexes), "(..)", "00$1")
     )
+    wavs = rows.select(
+        "__s__", "__v__", F.concat(F.lit(hdr), pcm).alias("media")
+    )
+    base = wavs.filter(v != 1)
+    gained = multimodal.audio_gain(
+        wavs.filter(v == 1).withColumn(
+            "id", F.col("__s__")
+        ).select("id", "media"), shift=1
+    ).select(
+        F.col("id").alias("__s__"), F.lit(1).cast("bigint").alias("__v__"),
+        "media",
+    )
+    variants = base.unionByName(gained)
     # natural scan split on purpose — see the parallelism note in
     # :func:`_image_corpus` (the vectorized batch decode makes the
     # per-core win smaller than the micro-partition tax downstream)
-    wavs = docs(spark, sf).select(
-        F.col("doc_id").alias("id"),
-        F.concat(F.lit(hdr), pcm).alias("media"),
-        v.alias("v"),
+    return (
+        docs(spark, sf)
+        .select(
+            F.col("doc_id").alias("id"),
+            (F.col("doc_id") % _IMG_SOURCES).alias("__s__"),
+            F.expr(f"(doc_id div {_IMG_SOURCES}) % 3").alias("__v__"),
+        )
+        .join(F.broadcast(variants), ["__s__", "__v__"])
+        .select("id", "media")
     )
-    base = wavs.filter(F.col("v") != 1).select("id", "media")
-    gained = multimodal.audio_gain(
-        wavs.filter(F.col("v") == 1).select("id", "media"), shift=1
-    )
-    return base.unionByName(gained)
 
 
 def _audio_dhash_cte() -> str:
