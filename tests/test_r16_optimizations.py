@@ -187,3 +187,118 @@ def test_make_sf1_layout_split_and_keys(spark):
     ).count()
     assert n == 10 * n0
     assert SPLITS >= 16
+
+
+def test_media_corpora_match_hashlib_twin(spark):
+    """The (source, variant) broadcast restructure of the media
+    corpora (r16 post-close) must keep every doc's media bytes
+    EXACTLY what the per-doc builders produced. Pin against an
+    INDEPENDENT twin: pure hashlib/struct for every Catalyst-built
+    byte (audio v0/v2, image v0/v2, video all three variants), and
+    the real stdlib ``wave`` codec for the audio v=1 re-encode. The
+    image v=1 rows (netpbm upscale re-encode) route the twin BASE
+    raster through the same resize_images call the corpus uses,
+    pinning the (s, v) join routing that the restructure made
+    load-bearing."""
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    from mirabelle_spark import queries_pipeline as qp
+
+    SF = "/root/testdata/sf0.001"
+    SRC = qp._IMG_SOURCES
+
+    def audio_twin(doc_id):
+        s, v = doc_id % SRC, (doc_id // SRC) % 3
+        n_data = qp._AUDIO_SEGS * 16 * 2
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + n_data) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", n_data)
+        )
+        pcm = bytearray()
+        for seg in range(qp._AUDIO_SEGS):
+            hx = (
+                "0" * 32
+                if v == 2 and seg == 0
+                else hashlib.md5(f"aud:{s}:{seg}".encode()).hexdigest()
+            )
+            for j in range(16):
+                pcm += bytes([0, int(hx[j * 2 : j * 2 + 2], 16)])
+        media = hdr + bytes(pcm)
+        if v == 1:
+            import numpy as np
+
+            with wave.open(io.BytesIO(media), "rb") as w:
+                rate = w.getframerate()
+                raw = w.readframes(w.getnframes())
+            x = np.frombuffer(raw, dtype="<i2") >> 1
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(x.astype("<i2").tobytes())
+            media = buf.getvalue()
+        return media
+
+    def image_base_twin(doc_id):
+        s, v = doc_id % SRC, (doc_id // SRC) % 3
+        raster = b"".join(
+            hashlib.md5(f"img:{s}:{d}".encode()).digest() for d in range(16)
+        )
+        if v == 2:
+            raster = b"\x00" + raster[1:]
+        return b"P5\n16 16\n255\n" + raster
+
+    def video_twin(doc_id):
+        s, v = doc_id % SRC, (doc_id // SRC) % 3
+        out = bytearray()
+        for k in range(12):
+            out += b"P5\n8 8\n255\n"
+            for c in range(4):
+                if v == 2 and k == 0:
+                    key = f"vidu:{doc_id}:{c}"
+                else:
+                    fk = (k + 1) % 12 if v == 1 else k
+                    key = f"vid:{s}:{fk}:{c}"
+                out += hashlib.md5(key.encode()).digest()
+        return bytes(out)
+
+    audio = {r["id"]: bytes(r["media"]) for r in qp._audio_corpus(spark, SF).collect()}
+    video = {r["id"]: bytes(r["media"]) for r in qp._video_corpus(spark, SF).collect()}
+    image = {r["id"]: bytes(r["media"]) for r in qp._image_corpus(spark, SF).collect()}
+    n_docs = qp.docs(spark, SF).count()
+    assert len(audio) == len(video) == len(image) == n_docs
+    for did, blob in audio.items():
+        assert blob == audio_twin(did), f"audio doc {did}"
+    for did, blob in video.items():
+        assert blob == video_twin(did), f"video doc {did}"
+    # image v0/v2: straight twin; v=1: twin base routed through the
+    # SAME resize re-encode the corpus uses, keyed per doc — pins
+    # that the join delivered the right source's raster
+    from mirabelle_spark.pipeline import multimodal
+
+    v1_ids = [d for d in image if (d // SRC) % 3 == 1]
+    meta = F.struct(
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.lit("netpbm").alias("codec"),
+    )
+    bases = spark.createDataFrame(
+        [(d, image_base_twin(d)) for d in v1_ids], "id BIGINT, media BINARY"
+    ).select("id", "media", meta.alias("meta"))
+    upscaled = {
+        r["id"]: bytes(r["media"])
+        for r in multimodal.resize_images(
+            bases, width=32, height=32, decoder="netpbm"
+        ).collect()
+    }
+    for did, blob in image.items():
+        v = (did // SRC) % 3
+        want = upscaled[did] if v == 1 else image_base_twin(did)
+        assert blob == want, f"image doc {did} v={v}"
