@@ -1647,37 +1647,42 @@ def dup_span_removed(
     # without a million-token document).
     if gram_hash == "fast":
         grams = F.transform(grams, lambda s: F.xxhash64(s))
-    gtype = "bigint" if gram_hash == "fast" else "string"
     z = F.transform(grams, lambda s, i: F.struct(s.alias("g"), i.alias("p")))
     srt = F.sort_array(z)
-    sentinel = F.array(
-        F.struct(F.lit(None).cast(gtype).alias("g"), F.lit(-1).alias("p"))
-    )
-    # prev[i] = srt[i-1], prev[0] = sentinel — sliced to EXACTLY
-    # size(srt) so a zero-gram doc yields an empty zip (zip_with
-    # null-pads mismatched lengths, which would leak a null pos
-    # into the pack guard)
-    prev = F.slice(
-        F.concat(sentinel, srt), 1, F.greatest(F.size(srt), F.lit(0))
-    )
-    flagged = F.zip_with(
-        srt,
-        prev,
-        lambda a, b: F.struct(
+    # first-flags via ONE indexed transform over the sorted array
+    # (r16): prev = get(srt, i-1) is an O(1) array access, null only
+    # at i=0, so flag = coalesce(prev.g != g, true) — grams are never
+    # null (substr/concat_ws/xxhash64 of non-null input). The r12
+    # sentinel-concat + slice + zip_with form materialized THREE
+    # array copies per row (concat'd, sliced, zipped) and walked two
+    # of them; this builds one. The sorted array is pinned in its own
+    # projection first: CollapseProject keeps a non-cheap alias that
+    # is referenced twice (transform input + get), so the O(L log L)
+    # sort runs once — inlined, the get() reference would re-sort
+    # per element. Measured at sf1 char grain (the heaviest arm):
+    # the occurrence-explode stage's flag term was the pipeline's
+    # single largest in-row cost (piecewise: 4.18 s wall with zip
+    # vs 1.92 s for sort+explode alone).
+    flagged = F.transform(
+        F.col("__srt__"),
+        lambda a, i: F.struct(
             a["g"].alias("g"),
             a["p"].alias("p"),
-            F.when(b["p"] < 0, F.lit(True))
-            .otherwise(b["g"] != a["g"])
-            .alias("f"),
+            F.coalesce(
+                F.get(F.col("__srt__"), i - F.lit(1))["g"] != a["g"],
+                F.lit(True),
+            ).alias("f"),
         ),
     )
-    occ = occ_src.select(
-        F.col(id_col), F.explode(flagged).alias("__o__")
-    ).select(
-        F.col(id_col),
-        F.col("__o__.g").alias("__g__"),
-        F.col("__o__.p").alias("__pos__"),
-        F.col("__o__.f").alias("__f__"),
+    occ = (
+        occ_src.select(F.col(id_col), srt.alias("__srt__"))
+        .select(F.col(id_col), F.explode(flagged).alias("__o__"))
+        .select(
+            F.col(id_col),
+            F.col("__o__.g").alias("__g__"),
+            F.col("__o__.p").alias("__pos__"),
+            F.col("__o__.f").alias("__f__"),
+        )
     )
 
     id_type = dict(df.dtypes)[id_col]

@@ -302,3 +302,31 @@ def test_media_corpora_match_hashlib_twin(spark):
         v = (did // SRC) % 3
         want = upscaled[did] if v == 1 else image_base_twin(did)
         assert blob == want, f"image doc {did} v={v}"
+
+
+def test_dup_span_flag_pipeline_single_sort_plan(spark):
+    """The r16 first-flag rewrite pins the sorted (gram, pos) array
+    in its own projection (``AS __srt__``) and computes flags with
+    one indexed transform whose prev access is ``__srt__[i-1]``.
+    CollapseProject must NOT inline the sort into the transform —
+    inlined, the get() reference would re-run the O(L log L)
+    sort_array once per element. Pin the plan shape: exactly one
+    ``AS __srt__`` alias, and the explode's Generate line reads the
+    attribute, never a fresh sort_array."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g a b c d e"), (2, "a b c d e x y z w v u t")],
+        "doc_id BIGINT, text STRING",
+    )
+    for grain, n in (("word", 4), ("char", 12)):
+        out = dedup.dup_span_removed(df, n=n, min_docs=2, grain=grain)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("AS __srt__") == 1, grain
+        gen_lines = [
+            ln for ln in plan.splitlines() if "explode(transform(__srt__" in ln
+        ]
+        assert gen_lines, f"{grain}: flag explode not found in plan"
+        assert all("sort_array" not in ln for ln in gen_lines), (
+            f"{grain}: sort_array inlined into the flag transform"
+        )
