@@ -430,17 +430,23 @@ def ngram_jaccard_pairs(
     # twice, and xxhash64 narrows those rows ~10× at corpus scale;
     # distinct strings keep distinct hashes (collisions negligible),
     # so |∩| and |∪| — hence Jaccard — are unchanged. The table is
-    # referenced by both join sides and deliberately NOT checkpointed:
-    # recomputing the Catalyst-side shingle pass streams in parallel
-    # with the join and measured FASTER (4.8 s vs 5.3-6.1 s at sf0.1)
-    # than an eager-checkpoint barrier — the opposite call from the
-    # SimHash path, whose signature shuffle dominates.
+    # referenced by both join sides: a LAZY persist() lets whichever
+    # exchange-map stage runs first materialize the blocks while the
+    # other side reads the cache — no barrier, shingles computed
+    # once (r16 interleaved A/B: 1.79→1.22 s sf0.1, 2.82→2.24 s
+    # sf1). An EAGER checkpoint was measured SLOWER here (4.8 s
+    # unpinned vs 5.3-6.1 s at sf0.1, r13) — the barrier serializes
+    # what the cache overlaps; the opposite call from the SimHash
+    # path, whose signature shuffle dominates. Blocks are freed by
+    # the context cleaner when the plan is dropped (MEMORY_AND_DISK,
+    # spills — never OOMs — if a 100 TB shingle table outgrows
+    # executor storage).
     sh = df.select(
         F.col(id_col),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("__sh__"),
-    )
+    ).persist()
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh__", "__sa__"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh__", "__sb__"), "id_b")
@@ -482,6 +488,12 @@ def ngram_containment_pairs(
     shingle AND containment ≥ t", the documented candidate cap —
     the oracle encodes the identical rule. Returns
     (id_a, id_b, containment)."""
+    # ``sh`` is referenced THREE times (the occurrence explode + both
+    # verify-join sides); a lazy persist() computes the distinct'd
+    # shingle-hash table once with no materialization barrier (r16
+    # interleaved A/B: 5.49→2.44 s sf0.1, 5.43→3.33 s sf1 — the
+    # same call as ngram_jaccard_pairs, ×1.5 because of the third
+    # reference). MEMORY_AND_DISK, freed by the context cleaner.
     sh = df.select(
         F.col(id_col),
         F.array_distinct(
@@ -489,7 +501,7 @@ def ngram_containment_pairs(
                 word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
             )
         ).alias("__sh__"),
-    )
+    ).persist()
     occ = sh.select(F.col(id_col), F.explode("__sh__").alias("__h__"))
     rare = (
         occ.groupBy("__h__")

@@ -330,3 +330,31 @@ def test_dup_span_flag_pipeline_single_sort_plan(spark):
         assert all("sort_array" not in ln for ln in gen_lines), (
             f"{grain}: sort_array inlined into the flag transform"
         )
+
+
+def test_ngram_pair_shingle_table_cached_once(spark):
+    """The r16 lazy-persist change: the shingle-hash table feeding
+    the exact-verify joins must read from ONE cached relation on
+    every reference (2 in jaccard, 3 in containment) instead of
+    re-running the scan+shingle transform per side. Pin the plan:
+    every reference is an InMemoryTableScan and the verify side adds
+    no duplicate document scans. Results are oracle-gated; this pins
+    the compute-once shape."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    for fn, n_refs in (
+        (lambda d: dedup.ngram_jaccard_pairs(d, threshold=0.1), 2),
+        (lambda d: dedup.ngram_containment_pairs(d, threshold=0.1), 3),
+    ):
+        out = fn(df)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("InMemoryTableScan") >= n_refs, plan[:2000]
+        spark.catalog.clearCache()
