@@ -1210,10 +1210,14 @@ def neardup_degree_histogram(pairs: DataFrame) -> DataFrame:
     means boilerplate cliques (size-c clique ⇒ c docs of degree
     c-1), i.e. run :func:`dedup_exact` first and/or set
     ``max_bucket``. Two tiny aggregations over the pair list; the
-    corpus itself is never touched."""
+    corpus itself is never touched. Both endpoints come from ONE
+    explode, not a self-union (r16: the union referenced ``pairs``
+    twice, so an unpinned candidate plan — usually the expensive
+    subtree — executed twice; same multiplicity either way)."""
     deg = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+        )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

@@ -327,12 +327,12 @@ def lm_bits(
       exchange beyond the input rebalance. But Spark's map-literal
       access is a LINEAR scan per probe — right only for small
       pinned models.
-    - ``"join"`` — the large-model path: pairs explode to narrow
-      rows, two BROADCAST hash joins price each pair in O(1), one
-      map-side-combining groupBy(doc) re-aggregates, and the
-      zero-pair docs come back via a union (no join against the
-      corpus). One shuffle of narrow (id, cost) rows; the model
-      broadcasts once per executor, which is exactly where a
+    - ``"join"`` — the large-model path: pairs explode_outer to
+      narrow rows (zero-pair docs ride along as one null-pair row —
+      no second input scan, no union), two BROADCAST hash joins
+      price each pair in O(1), one map-side-combining groupBy(doc)
+      re-aggregates. One shuffle of narrow (id, cost) rows; the
+      model broadcasts once per executor, which is exactly where a
       200k-entry production LM belongs.
     - ``"auto"`` (default) — fold iff the model carries at most
       ``FOLD_MAX_ENTRIES`` entries."""
@@ -369,10 +369,15 @@ def lm_bits(
         spark, model["bigrams"], "__ba string, __bb string, __cb long"
     )
     ug = model_table(spark, model["unigrams"], "__uw string, __cu long")
+    # ONE pass (r16, same rewrite as lm3_bits): explode_outer keeps
+    # zero-pair docs as a single null-pair row instead of a second
+    # scan + union (_toks coalesces NULL text to the empty array, so
+    # ``pairs`` is never null); null probe keys match no model row
+    # and the aggregate counts/sums only real rows.
     exploded = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.explode(pairs).alias("__p__"),
+        F.explode_outer(pairs).alias("__p__"),
     ).select(
         id_col, *keep_cols,
         F.col("__p__.a").alias("__a__"), F.col("__p__.b").alias("__b__"),
@@ -387,21 +392,18 @@ def lm_bits(
         .join(F.broadcast(ug), F.col("__b__") == F.col("__uw"), "left")
         .select(
             id_col, *keep_cols,
+            F.col("__a__").isNotNull().alias("__real__"),
             F.coalesce("__cb", "__cu", oov).alias("__c__"),
         )
     )
-    scored = costed.groupBy(id_col, *keep_cols).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("__c__").alias("bits_e9"),
+    return costed.groupBy(id_col, *keep_cols).agg(
+        F.sum(F.col("__real__").cast("long")).alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("__real__"), F.col("__c__")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("bits_e9"),
     )
-    zeros = (
-        df.select(
-            F.col(id_col), *[F.col(c) for c in keep_cols], n_pairs
-        )
-        .filter(F.col("n_bigrams") == 0)
-        .withColumn("bits_e9", F.lit(0).cast("long"))
-    )
-    return scored.unionByName(zeros)
 
 
 def lm_quality(

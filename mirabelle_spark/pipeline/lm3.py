@@ -278,12 +278,12 @@ def lm3_bits(
     loudly on the first offender.
 
     Plan: input rebalance insurance (scale.needs_rebalance, PERF
-    §80) → triple explode to narrow (id, a, b, c) rows → three
-    BROADCAST hash joins (the model is constant and
-    executor-resident; probes are O(1) — the join strategy only,
-    see the module docstring) → one map-side-combining
-    groupBy(id) → union of the sub-3-token zero rows (computed from
-    the input, never a join against the corpus)."""
+    §80) → triple explode_outer to narrow (id, a, b, c) rows
+    (sub-3-token docs ride along as one null-triple row — no second
+    input scan, no union) → three BROADCAST hash joins (the model is
+    constant and executor-resident; probes are O(1) — the join
+    strategy only, see the module docstring) → one
+    map-side-combining groupBy(id)."""
     from mirabelle_spark.scale import ensure_parallelism
 
     if validate:
@@ -306,11 +306,18 @@ def lm3_bits(
     ug = model_table(spark, model["unigrams"], "__uw string, __cu long")
 
     triples = _triple_structs(text_col)
-    n_triples = F.size(triples).cast("long").alias("n_trigrams")
+    # ONE pass (r16): explode_outer keeps sub-3-token docs as a
+    # single null-triple row, so the zero-doc arm needs no second
+    # scan of ``df`` (the old union recomputed the token triples per
+    # row just to size them; _toks coalesces NULL text to the empty
+    # array, so ``triples`` is never null and the null-struct row is
+    # exactly the empty document). Null probe keys match no model
+    # row; the aggregate counts/sums only the real rows — output
+    # identical including NULL-text and short docs (pytest-pinned).
     exploded = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.explode(triples).alias("__t__"),
+        F.explode_outer(triples).alias("__t__"),
     ).select(
         id_col,
         *keep_cols,
@@ -336,21 +343,18 @@ def lm3_bits(
         .select(
             id_col,
             *keep_cols,
+            F.col("__a__").isNotNull().alias("__real__"),
             F.coalesce("__ct", "__cb", "__cu", oov).alias("__cost__"),
         )
     )
-    scored = costed.groupBy(id_col, *keep_cols).agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        F.sum("__cost__").alias("bits_e9"),
+    return costed.groupBy(id_col, *keep_cols).agg(
+        F.sum(F.col("__real__").cast("long")).alias("n_trigrams"),
+        F.sum(
+            F.when(F.col("__real__"), F.col("__cost__")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("bits_e9"),
     )
-    zeros = (
-        df.select(
-            F.col(id_col), *[F.col(c) for c in keep_cols], n_triples
-        )
-        .filter(F.col("n_trigrams") == 0)
-        .withColumn("bits_e9", F.lit(0).cast("long"))
-    )
-    return scored.unionByName(zeros)
 
 
 def lm3_quality(

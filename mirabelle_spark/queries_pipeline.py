@@ -3277,8 +3277,18 @@ def scrubbed_corpus_docs(spark, sf):
     total (once into the mask projection, once into the in-row
     rebuild) and every pairwise structure is bucket- or
     vocabulary-bounded. Returns (doc_id, text_clean, n_tokens,
-    n_removed) over the cleaned corpus."""
-    cleaned = clean_corpus_docs(spark, sf).select("doc_id", "text_masked")
+    n_removed) over the cleaned corpus.
+
+    The cleaned intermediate is persisted (r16): dup_span_removed
+    references its input TWICE (occurrence explode + rebuild join),
+    so unpinned the ENTIRE clean_corpus pipeline — contamination,
+    cluster resolution, quality rules, mask — executed twice per run
+    (interleaved A/B: 8.95→3.73 s at sf0.1). At corpus scale this is
+    the guide's decide-small/move-once discipline: write the cleaned
+    corpus once, then scrub it."""
+    cleaned = (
+        clean_corpus_docs(spark, sf).select("doc_id", "text_masked").persist()
+    )
     return dedup.dup_span_removed(
         cleaned, n=4, min_docs=2, text_col="text_masked"
     )

@@ -358,3 +358,38 @@ def test_ngram_pair_shingle_table_cached_once(spark):
         )
         assert plan.count("InMemoryTableScan") >= n_refs, plan[:2000]
         spark.catalog.clearCache()
+
+
+def test_lm_bits_one_pass_keeps_null_and_short_docs(spark):
+    """The explode_outer rewrite must keep returning one (0, 0) row
+    for NULL-text and sub-n-token docs (the lm module's contract —
+    previously supplied by a second-scan union, now by the
+    null-tuple row), and the plan must scan the input ONCE (no
+    union arm)."""
+    from mirabelle_spark.pipeline import lm, lm3
+    from mirabelle_spark.pipeline.bigram_lm_trained import TRAINED_LM
+    from mirabelle_spark.pipeline.trigram_lm_trained import TRAINED_LM3
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "one two"),
+         (5, "one two three four five")],
+        "doc_id BIGINT, text STRING",
+    )
+    got2 = {r.doc_id: (r.n_bigrams, r.bits_e9)
+            for r in lm.lm_bits(df, TRAINED_LM, strategy="join").collect()}
+    got3 = {r.doc_id: (r.n_trigrams, r.bits_e9)
+            for r in lm3.lm3_bits(df, TRAINED_LM3).collect()}
+    assert got2[1] == (0, 0) and got2[2] == (0, 0) and got2[3] == (0, 0)
+    assert got3[1] == (0, 0) and got3[2] == (0, 0) and got3[4] == (0, 0)
+    assert got2[4][0] == 1 and got2[5][0] == 4
+    assert got3[5][0] == 3
+    for out in (lm.lm_bits(df, TRAINED_LM, strategy="join"),
+                lm3.lm3_bits(df, TRAINED_LM3)):
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # single-scan shape: the zero-row union arm is gone (the
+        # physical Generate prints plain "explode" with an
+        # outer=true argument, so pin on the Union's absence)
+        assert "Union" not in plan
+        assert plan.count("Generate") >= 1
