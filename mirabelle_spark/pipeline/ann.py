@@ -271,18 +271,29 @@ def lsh_bucketed_topk(
     broadcast needed when queries are large, no all-pairs ever.
     """
     dim = _vec_dim(corpus, vec_col, dim)
-    # ``c``/``q`` are referenced once per hash table: lazily persist
-    # so the scan+cast runs once and every table's bucket projection
-    # reads the cache (r16 interleaved A/B, tables=3: 2.88→0.48 s
-    # sf0.1, 3.83→1.15 s sf1 — the query side often derives from the
-    # same scan, so unpinned each table paid TWO corpus scans).
-    # MEMORY_AND_DISK; blocks freed by the context cleaner.
+    # ``c``/``q`` are referenced once per hash table: a lazy
+    # RDD-level localCheckpoint computes the scan+cast once and
+    # later table stages read the pinned blocks instead of
+    # re-scanning (with tables=3 and a query side derived from the
+    # same scan, unpinned plans paid SIX scans). Fair interleaved
+    # A/B (build+exec timed, fresh JVM): 3.37→3.09 s sf0.1,
+    # 3.12→3.01 s sf1 — modest wall deltas locally because the
+    # early table stages race the pin's materialization on an idle
+    # box, but every stage after the first-completed one reads the
+    # pin, and at 100 TB the (tables−1)+ avoided corpus scans are
+    # the dominant saving. Eager measured within noise of lazy at
+    # this scale (2.35 vs 2.39 s same-session); lazy keeps the
+    # no-extra-job shape. NOT .persist(): that registers in the
+    # session CacheManager, which substitutes the fragment into
+    # other queries' matching plans and leaks without an explicit
+    # unpersist (the r10 minhash lesson); the lazy pin is
+    # plan-scoped and context-cleaned.
     c = corpus.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv__")
-    ).persist()
+    ).localCheckpoint(eager=False)
     q = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
-    ).persist()
+    ).localCheckpoint(eager=False)
     cand = None
     for t in range(tables):
         ps = hyperplanes(dim, planes, seed=seed + t)
@@ -319,12 +330,17 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold)
     via self-LSH bucketing — the embedding flavor of MinHash dedup."""
     dim = _vec_dim(df, vec_col, dim)
-    # referenced 2×tables times (both self-join sides per table):
-    # lazy persist computes the scan+cast once (r16 interleaved A/B,
-    # tables=3: 2.39→0.92 s sf0.1, 28.5→17.4 s sf1).
+    # referenced 2×tables times (both self-join sides per table): a
+    # lazy RDD-level localCheckpoint computes the scan+cast once and
+    # later table stages read the pin (fair interleaved A/B,
+    # build+exec timed: 1.79→1.70 s sf0.1, 15.6→14.8 s sf1 — wall
+    # deltas are modest locally where the duplicate scans overlap
+    # idle cores; the pin's real effect is collapsing 2×tables
+    # corpus scans to ~1, the dominant term at 100 TB. See
+    # lsh_bucketed_topk for why NOT .persist()).
     base = df.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v__")
-    ).persist()
+    ).localCheckpoint(eager=False)
     cand = None
     for t in range(tables):
         ps = hyperplanes(dim, planes, seed=seed + t)

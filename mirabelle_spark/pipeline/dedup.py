@@ -430,23 +430,31 @@ def ngram_jaccard_pairs(
     # twice, and xxhash64 narrows those rows ~10× at corpus scale;
     # distinct strings keep distinct hashes (collisions negligible),
     # so |∩| and |∪| — hence Jaccard — are unchanged. The table is
-    # referenced by both join sides: a LAZY persist() lets whichever
-    # exchange-map stage runs first materialize the blocks while the
-    # other side reads the cache — no barrier, shingles computed
-    # once (r16 interleaved A/B: 1.79→1.22 s sf0.1, 2.82→2.24 s
-    # sf1). An EAGER checkpoint was measured SLOWER here (4.8 s
-    # unpinned vs 5.3-6.1 s at sf0.1, r13) — the barrier serializes
-    # what the cache overlaps; the opposite call from the SimHash
-    # path, whose signature shuffle dominates. Blocks are freed by
-    # the context cleaner when the plan is dropped (MEMORY_AND_DISK,
-    # spills — never OOMs — if a 100 TB shingle table outgrows
-    # executor storage).
+    # referenced by both join sides: a LAZY localCheckpoint pins the
+    # table at the RDD level with NO materialization barrier — the
+    # first stage to touch it populates the MEMORY_AND_DISK blocks
+    # later readers reuse, so the shingle pass computes once instead
+    # of twice. Fair interleaved A/B (build+exec timed, fresh JVMs):
+    # wall-clock is 1.63→1.33 s or flat (1.51 vs 1.53 s) at sf0.1
+    # depending on the session, flat at sf1 (2.46 vs 2.41 s) — on an
+    # idle local box the duplicate subtree overlaps across spare
+    # cores, so the pin's real effect is halving the shingle CPU,
+    # the resource that matters on a saturated 100 TB cluster. An
+    # EAGER checkpoint was measured SLOWER here (4.8 s unpinned vs
+    # 5.3-6.1 s at sf0.1, r13) — its barrier serializes what the
+    # lazy pin overlaps. NOT .persist(): that registers the logical
+    # plan in the session CacheManager, which (a) silently
+    # substitutes the cached fragment into OTHER queries' matching
+    # plans and (b) is never freed without an explicit unpersist —
+    # the r10 minhash self-join leaked exactly this way. The RDD pin
+    # is scoped to this plan object and context-cleaned when it
+    # drops.
     sh = df.select(
         F.col(id_col),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("__sh__"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh__", "__sa__"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh__", "__sb__"), "id_b")
@@ -489,11 +497,14 @@ def ngram_containment_pairs(
     the oracle encodes the identical rule. Returns
     (id_a, id_b, containment)."""
     # ``sh`` is referenced THREE times (the occurrence explode + both
-    # verify-join sides); a lazy persist() computes the distinct'd
-    # shingle-hash table once with no materialization barrier (r16
-    # interleaved A/B: 5.49→2.44 s sf0.1, 5.43→3.33 s sf1 — the
-    # same call as ngram_jaccard_pairs, ×1.5 because of the third
-    # reference). MEMORY_AND_DISK, freed by the context cleaner.
+    # verify-join sides); a lazy RDD-level localCheckpoint computes
+    # the distinct'd shingle-hash table once with no materialization
+    # barrier. Unlike the jaccard case this wins WALL time outright
+    # (fair interleaved A/B, build+exec timed: 4.24→2.27 s sf0.1,
+    # 4.85→3.41 s sf1): the rare-shingle aggregate consumes the pin
+    # in an EARLIER stage wave, so the blocks are materialized before
+    # the two verify joins read them — no race, full reuse. See
+    # ngram_jaccard_pairs for why NOT .persist().
     sh = df.select(
         F.col(id_col),
         F.array_distinct(
@@ -501,7 +512,7 @@ def ngram_containment_pairs(
                 word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
             )
         ).alias("__sh__"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     occ = sh.select(F.col(id_col), F.explode("__sh__").alias("__h__"))
     rare = (
         occ.groupBy("__h__")

@@ -3279,15 +3279,26 @@ def scrubbed_corpus_docs(spark, sf):
     vocabulary-bounded. Returns (doc_id, text_clean, n_tokens,
     n_removed) over the cleaned corpus.
 
-    The cleaned intermediate is persisted (r16): dup_span_removed
-    references its input TWICE (occurrence explode + rebuild join),
-    so unpinned the ENTIRE clean_corpus pipeline — contamination,
-    cluster resolution, quality rules, mask — executed twice per run
-    (interleaved A/B: 8.95→3.73 s at sf0.1). At corpus scale this is
-    the guide's decide-small/move-once discipline: write the cleaned
-    corpus once, then scrub it."""
+    The cleaned intermediate is pinned with an EAGER RDD-level
+    localCheckpoint (r16): dup_span_removed references its input
+    TWICE (occurrence explode + rebuild join), so unpinned the
+    ENTIRE clean_corpus pipeline — contamination, cluster
+    resolution, quality rules, mask — executed twice per run. Eager,
+    not lazy: the two referencing map stages launch CONCURRENTLY, so
+    a lazy pin races its own materialization and shares little
+    (three-arm interleaved A/B at sf0.1, build+exec timed: unpinned
+    6.22 / lazy 5.83 / eager 5.59 s — wall deltas are modest on an
+    idle 32-core box where the duplicate subtree overlaps, but the
+    eager pin halves the pipeline's CPU, which is the resource that
+    matters on a saturated cluster). Not .persist(): the
+    CacheManager registration would substitute into other queries'
+    plans and leak without an explicit unpersist. At corpus scale
+    this is the guide's decide-small/move-once discipline: write the
+    cleaned corpus once, then scrub it."""
     cleaned = (
-        clean_corpus_docs(spark, sf).select("doc_id", "text_masked").persist()
+        clean_corpus_docs(spark, sf)
+        .select("doc_id", "text_masked")
+        .localCheckpoint(eager=True)
     )
     return dedup.dup_span_removed(
         cleaned, n=4, min_docs=2, text_col="text_masked"

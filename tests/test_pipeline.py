@@ -452,9 +452,25 @@ def test_dedup_leaves_no_persistent_rdds(doc_df, spark):
         _time.sleep(0.5)
     base = persistent_count()
 
+    # The verify path's shingle-hash table rides a lazy
+    # localCheckpoint (r16): its blocks are OWNED BY THE LIVE HANDLE
+    # — the same allowance as resolve_clusters' result below — so
+    # while ``pairs`` is alive one pinned RDD may show; the leak
+    # contract is that dropping the handle releases it (no
+    # session-lifetime CacheManager entry, no accumulation).
     pairs = dedup.ngram_jaccard_pairs(doc_df, threshold=0.3)
     pairs.collect()
-    assert persistent_count() <= base, "LSH verify path cached something"
+    assert persistent_count() <= base + 1, "LSH verify path leaked beyond its handle-owned pin"
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "LSH verify path registered a CacheManager entry"
+    )
+    del pairs
+    deadline = _time.time() + 60
+    while persistent_count() > base and _time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(0.5)
+    assert persistent_count() <= base, "handle-owned pin survived its handle"
 
     # resolve_clusters: per-round generation caches must all be
     # released; the ONLY residual allowed is the returned result's

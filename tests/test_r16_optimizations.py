@@ -332,14 +332,16 @@ def test_dup_span_flag_pipeline_single_sort_plan(spark):
         )
 
 
-def test_ngram_pair_shingle_table_cached_once(spark):
-    """The r16 lazy-persist change: the shingle-hash table feeding
-    the exact-verify joins must read from ONE cached relation on
+def test_ngram_pair_shingle_table_pinned_once(spark):
+    """The r16 lazy-localCheckpoint change: the shingle-hash table
+    feeding the exact-verify joins must read from ONE pinned RDD on
     every reference (2 in jaccard, 3 in containment) instead of
-    re-running the scan+shingle transform per side. Pin the plan:
-    every reference is an InMemoryTableScan and the verify side adds
-    no duplicate document scans. Results are oracle-gated; this pins
-    the compute-once shape."""
+    re-running the scan+shingle transform per side. The pin must be
+    RDD-scoped, NOT a .persist(): a CacheManager registration would
+    substitute the fragment into other queries' matching plans
+    session-wide and leak without an explicit unpersist. Results are
+    oracle-gated; this pins the compute-once shape and the empty
+    cache registry."""
     df = spark.createDataFrame(
         [
             (1, "alpha beta gamma delta epsilon zeta"),
@@ -348,6 +350,7 @@ def test_ngram_pair_shingle_table_cached_once(spark):
         ],
         "doc_id BIGINT, text STRING",
     )
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
     for fn, n_refs in (
         (lambda d: dedup.ngram_jaccard_pairs(d, threshold=0.1), 2),
         (lambda d: dedup.ngram_containment_pairs(d, threshold=0.1), 3),
@@ -356,8 +359,8 @@ def test_ngram_pair_shingle_table_cached_once(spark):
         plan = out._sc._jvm.PythonSQLUtils.explainString(
             out._jdf.queryExecution(), "formatted"
         )
-        assert plan.count("InMemoryTableScan") >= n_refs, plan[:2000]
-        spark.catalog.clearCache()
+        assert plan.count("Scan ExistingRDD") >= n_refs, plan[:2000]
+        assert cache_manager.isEmpty(), "pin leaked into the CacheManager"
 
 
 def test_lm_bits_one_pass_keeps_null_and_short_docs(spark):
