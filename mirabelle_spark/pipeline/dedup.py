@@ -1024,6 +1024,60 @@ def band_hamming_pairs(
     )
 
 
+def collapse_exact_signatures(
+    sig: DataFrame,
+    key_cols: tuple[str, ...],
+    id_col: str = "id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse BEFORE near-dup pair enumeration
+    (guide §8 "decide with small rows, move big rows once"; r16).
+
+    Rows whose signature columns are IDENTICAL are near-dups of each
+    other by definition (Hamming 0 ≤ any threshold), so enumerating
+    their within-group pairs feeds the cluster resolution Θ(|group|²)
+    edges that a |group|−1 star to the group's min-id representative
+    replaces with IDENTICAL connected components — and the near-dup
+    pair join then runs over one row per DISTINCT signature instead
+    of one per document. On a corpus where re-posts/re-encodes hash
+    identically (the planted media corpora: byte-identical and
+    gain-halved copies), that is the difference between a pair
+    stream quadratic in clique size and one linear in corpus size;
+    at sf0.1 the image pair table is 257,920 rows from 65 distinct
+    signatures where reps+stars total ~5k. Exactness: any member
+    pairs with a third row iff its representative does (the
+    signature is the pair predicate's only input), and within-group
+    stars keep every member connected to the group min, so min-label
+    components — hence (id, cluster_id = min of component) — are
+    unchanged. This is also the honest 100 TB shape: exact dedup
+    before near-dup is the standard production ladder, and the
+    collapse is one groupBy over the signature table the pair join
+    already needs.
+
+    Rows with a NULL in any key column are EXCLUDED from both
+    outputs, mirroring :func:`band_hamming_pairs` (NULL bands never
+    equi-join, so such rows never pair; leaving them out of the star
+    keeps them the singletons they already were — callers still list
+    them in ``ids`` for cluster resolution).
+
+    Returns ``(reps, star_edges)``: ``reps`` — one min-id row per
+    distinct signature, same (id, *key_cols) schema as the cleaned
+    input, ready for the pair join; ``star_edges`` — (id_a = rep,
+    id_b = member) for every non-representative member, distinct by
+    construction and disjoint from any rep-rep pair table (id_b is
+    never a representative).
+    """
+    clean = sig.select(id_col, *key_cols)
+    for c in key_cols:
+        clean = clean.filter(F.col(c).isNotNull())
+    reps = clean.groupBy(*list(key_cols)).agg(F.min(id_col).alias(id_col))
+    star = (
+        clean.join(reps.withColumnRenamed(id_col, "__rep__"), list(key_cols))
+        .filter(F.col(id_col) != F.col("__rep__"))
+        .select(F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return reps.select(id_col, *key_cols), star
+
+
 def resolve_clusters(
     pairs: DataFrame,
     ids: DataFrame,

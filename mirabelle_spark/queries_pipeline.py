@@ -1833,9 +1833,19 @@ def image_near_dups(spark, sf):
     # the whole corpus build + Arrow decode (r16 measurement: the
     # signature pipeline executed twice per run)
     hashes = multimodal.image_dhash(corpus).localCheckpoint(eager=True)
-    pairs = dedup.band_hamming_pairs(
-        hashes, id_col="id", max_hamming=3, pinned=True
+    # exact-signature collapse (r16): identical dHashes are Hamming-0
+    # near-dups, so the band join runs on one row per DISTINCT
+    # signature and every duplicate doc rides a star edge to its
+    # group's min id — components (and the gated output) identical,
+    # pair stream linear instead of clique-quadratic (258k pair rows
+    # → ~5k at sf0.1; see dedup.collapse_exact_signatures)
+    reps, star = dedup.collapse_exact_signatures(
+        hashes, key_cols=("band0", "band1", "band2", "band3"), id_col="id"
     )
+    near = dedup.band_hamming_pairs(
+        reps, id_col="id", max_hamming=3, pinned=True
+    )
+    pairs = near.select("id_a", "id_b").unionByName(star)
     clusters = dedup.resolve_clusters(
         pairs, hashes.select("id"), id_col="id", clean_pairs=True
     )
@@ -2032,8 +2042,40 @@ def video_near_dups(spark, sf):
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (
+    # exact-SET collapse (r16, the video grain of
+    # dedup.collapse_exact_signatures): videos whose DISTINCT frame-
+    # hash sets are identical pair with exactly the same partners
+    # (the shared-count predicate reads nothing but the set), so the
+    # shared-frame join runs once per distinct set and every other
+    # copy rides a star edge to the set's min id — components, hence
+    # the gated output, identical. Two exactness guards: NULL-band
+    # frame rows never equi-join, so they are dropped before the set
+    # is formed; and a set smaller than the shared-count threshold
+    # can never reach it against ANY partner (shared ≤ |set|), so
+    # such videos skip the pair join and stay the singletons they
+    # already were. At sf0.1 this cuts the join's pair stream ~3×
+    # (the re-cut v=1 copies share the v=0 set; only the intro-swap
+    # v=2 sets stay doc-unique).
+    shared_min = 8
+    nn = sig
+    for c in ("band0", "band1", "band2", "band3"):
+        nn = nn.filter(F.col(c).isNotNull())
+    grouped = nn.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("band0", "band1", "band2", "band3"))
+        ).alias("__sig__")
+    ).filter(F.size("__sig__") >= shared_min)
+    reps = grouped.groupBy("__sig__").agg(F.min("id").alias("id"))
+    star = (
+        grouped.join(reps.withColumnRenamed("id", "__rep__"), "__sig__")
+        .filter(F.col("id") != F.col("__rep__"))
+        .select(F.col("__rep__").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    rep_rows = reps.select("id", F.explode("__sig__").alias("__f__")).select(
+        "id", "__f__.*"
+    )
+    a, b = rep_rows.alias("a"), rep_rows.alias("b")
+    near = (
         a.join(
             b,
             (F.col("a.band0") == F.col("b.band0"))
@@ -2044,9 +2086,10 @@ def video_near_dups(spark, sf):
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 8)
+        .filter(F.col("shared") >= shared_min)
         .select("id_a", "id_b")
     )
+    pairs = near.unionByName(star)
     clusters = dedup.resolve_clusters(
         pairs, sig.select("id").distinct(), id_col="id", clean_pairs=True
     )
@@ -2233,13 +2276,18 @@ def audio_near_dups(spark, sf):
     cliques (v1 hash-identical to v0 by the exact-gain invariance,
     v2 one bit away), so the oracle's single neighbor-min round is
     exact; the Spark side runs the general iterative propagation."""
-    # one pin serves both consumers (see image_near_dups)
+    # one pin serves both consumers, and the exact-signature collapse
+    # keeps the pair stream linear in the corpus (see image_near_dups)
     hashes = multimodal.audio_dhash(
         _audio_corpus(spark, sf)
     ).localCheckpoint(eager=True)
-    pairs = dedup.band_hamming_pairs(
-        hashes, id_col="id", max_hamming=3, pinned=True
+    reps, star = dedup.collapse_exact_signatures(
+        hashes, key_cols=("band0", "band1", "band2", "band3"), id_col="id"
     )
+    near = dedup.band_hamming_pairs(
+        reps, id_col="id", max_hamming=3, pinned=True
+    )
+    pairs = near.select("id_a", "id_b").unionByName(star)
     clusters = dedup.resolve_clusters(
         pairs, hashes.select("id"), id_col="id", clean_pairs=True
     )

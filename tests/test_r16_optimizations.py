@@ -396,3 +396,93 @@ def test_lm_bits_one_pass_keeps_null_and_short_docs(spark):
         # outer=true argument, so pin on the Union's absence)
         assert "Union" not in plan
         assert plan.count("Generate") >= 1
+
+
+def test_collapse_exact_signatures_components_identical(spark):
+    """The exact-signature collapse (reps + star edges) must yield
+    the SAME clusters as enumerating every pairwise near-dup —
+    including duplicate-signature groups, a near-pair of groups
+    (Hamming 1), NULL-band rows (excluded from pairing, singleton
+    clusters), and a far-apart signature."""
+    rows = [
+        # group A: three identical signatures (clique) — min id 1
+        (1, 10, 20, 30, 40), (5, 10, 20, 30, 40), (9, 10, 20, 30, 40),
+        # group B: two identical, one bit from A (band0 10^2=8) —
+        # same component as A
+        (3, 8, 20, 30, 40), (7, 8, 20, 30, 40),
+        # C: far away (band values differ in >3 bits) — own cluster
+        (4, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF),
+        # D: NULL band — never pairs, singleton
+        (6, None, 20, 30, 40),
+    ]
+    sig = spark.createDataFrame(
+        rows, "id BIGINT, band0 INT, band1 INT, band2 INT, band3 INT"
+    )
+    ids = sig.select("id")
+    direct = dedup.resolve_clusters(
+        dedup.band_hamming_pairs(sig, id_col="id", max_hamming=3),
+        ids, id_col="id",
+    )
+    reps, star = dedup.collapse_exact_signatures(
+        sig, key_cols=("band0", "band1", "band2", "band3"), id_col="id"
+    )
+    near = dedup.band_hamming_pairs(
+        reps, id_col="id", max_hamming=3, pinned=True
+    )
+    collapsed = dedup.resolve_clusters(
+        near.select("id_a", "id_b").unionByName(star), ids,
+        id_col="id", clean_pairs=True,
+    )
+    got = sorted(map(tuple, collapsed.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+    assert got == [(1, 1), (3, 1), (4, 4), (5, 1), (6, 6), (7, 1), (9, 1)]
+    # the star edges and the rep-level pairs never overlap (id_b of a
+    # star edge is by construction not a representative), so the
+    # union stays distinct — the clean_pairs precondition
+    star_rows = set(map(tuple, star.collect()))
+    near_rows = set(map(tuple, near.select("id_a", "id_b").collect()))
+    assert star_rows == {(1, 5), (1, 9), (3, 7)}
+    assert not star_rows & near_rows
+    # reps: one min-id row per distinct non-null signature
+    assert sorted(r.id for r in reps.collect()) == [1, 3, 4]
+
+
+def test_video_set_collapse_small_sets_stay_singletons(spark):
+    """video_near_dups' set collapse is gated on |set| >= shared_min:
+    two videos with IDENTICAL but tiny frame sets can never reach the
+    shared-count threshold against any partner, so they must NOT be
+    star-linked — they stay singletons exactly as the direct
+    pairwise join leaves them. Mirrors the query's inline guard with
+    the same shapes: big identical sets pair, small identical sets
+    do not."""
+    from pyspark.sql import functions as F
+
+    shared_min = 8
+    frames = []
+    # videos 1 and 2: identical 8-frame sets -> pair (shared = 8)
+    for vid in (1, 2):
+        frames += [(vid, k, k + 1, k + 2, k + 3) for k in range(8)]
+    # videos 3 and 4: identical 3-frame sets -> shared 3 < 8, no pair
+    for vid in (3, 4):
+        frames += [(vid, 100 + k, k, k, k) for k in range(3)]
+    sig = spark.createDataFrame(
+        frames, "id BIGINT, band0 INT, band1 INT, band2 INT, band3 INT"
+    )
+    grouped = sig.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("band0", "band1", "band2", "band3"))
+        ).alias("__sig__")
+    ).filter(F.size("__sig__") >= shared_min)
+    reps = grouped.groupBy("__sig__").agg(F.min("id").alias("id"))
+    star = (
+        grouped.join(reps.withColumnRenamed("id", "__rep__"), "__sig__")
+        .filter(F.col("id") != F.col("__rep__"))
+        .select(F.col("__rep__").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    clusters = dedup.resolve_clusters(
+        star, sig.select("id").distinct(), id_col="id", clean_pairs=True
+    )
+    got = sorted(map(tuple, clusters.collect()))
+    # 1-2 collapse to min id 1; 3 and 4 remain singletons
+    assert got == [(1, 1), (2, 1), (3, 3), (4, 4)]
