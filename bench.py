@@ -1,20 +1,28 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line (r15 shape — per-query maps live in
-BENCH_DETAIL.json, stdout carries totals + compact sf1 block):
+Prints ONE JSON line (r17 shape — per-query sf0.1 MINIMA are back on
+stdout; VERDICT r16 ask #1: the r15/r16 totals-only line left the
+driver's PERF record with ``per_query: {}``, a null geomean and an
+empty scaling table, so every round-over-round judgment had to be
+scraped from stderr):
   {"metric": "headline_queries_total", "value": N, "unit": "sec",
-   "n_queries": 51, "suite_steal_pct_max": S, "events_per_sec": R,
+   "queries": {name: sec, ...}, "n_queries": 54,
+   "suite_steal_pct_max": S, "events_per_sec": R,
    "sf1": {"total": T, "n_queries": 26, "worst5": {...},
            "child_overhead_median": O, "steal_pct_max": S1}, "sf": 0.1}
 
 The stdout line is kept UNDER 1,900 BYTES (asserted): the driver
 records only a 2,000-byte stdout tail, and every fat payload
 r12-r14 shipped truncated into an unparseable record (VERDICT r14
-ask #3). Stdout carries totals, the sustained-throughput block with
-its per-run vector, and the sf1 worst-5; ALL per-query maps — sf0.1
-minima and [min, median, max] spreads, sf1 timings, same-JVM sf0.1
-bases, ratios, per-child JVM-overhead baselines, per-run vectors —
-go to the ``BENCH_DETAIL.json`` sidecar next to this script.
+ask #3). Measured at 54 queries the full line is ~1,850 B; the
+budget is preserved by dropping ``events_per_sec_runs_sec`` from
+stdout (VERDICT r16's designated shed) and by trim-to-fit logic
+that sheds sf1 detail BEFORE ever touching the queries map (the
+driver's per-query contract outranks the sf1 worst-5). Everything
+else — [min, median, max, steal] spreads, sf1 timings, same-JVM
+sf0.1 bases, ratios, per-child JVM-overhead baselines, per-run
+vectors, the streaming guard row — stays in the
+``BENCH_DETAIL.json`` sidecar next to this script.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collection). Timings include Spark job execution, not
@@ -514,9 +522,13 @@ def compact_stdout_line(payload: dict) -> str:
     per sf1 child, worst5 names), and the old bare assert crashed
     AFTER writing the sidecar — exactly in a degraded round, the
     driver got NO stdout record at all. Shed detail in priority
-    order (error values → error entries → worst5 entries →
-    totals-only) until the line fits; the full data is already in
-    BENCH_DETAIL.json. Mutates payload; returns the final line."""
+    order (error values → error entries → worst5 entries → optional
+    throughput fields → sf1 compact block → non-queries extras)
+    until the line fits; the ``queries`` per-query map is the LAST
+    thing to go (r17: it is the driver's per_query/scaling source —
+    VERDICT r16 ask #1) and survives every realistic degradation.
+    The full data is already in BENCH_DETAIL.json. Mutates payload;
+    returns the final line."""
 
     def _fits() -> bool:
         return len(json.dumps(payload, separators=(",", ":"))) < 1900
@@ -536,15 +548,23 @@ def compact_stdout_line(payload: dict) -> str:
             if _fits():
                 break
             del sf1c["worst5"][k]
+    # shed optional scalars, then the whole sf1 compact block, before
+    # ever touching the queries map
+    for k in ("events_per_sec_elapsed", "n_events", "sf1"):
+        if _fits():
+            break
+        payload.pop(k, None)
     if not _fits():
         payload = {
             k: payload[k]
             for k in (
-                "metric", "value", "unit", "sf", "n_queries",
+                "metric", "value", "unit", "sf", "queries", "n_queries",
                 "suite_steal_pct_max", "events_per_sec",
             )
             if k in payload
         }
+    if not _fits():
+        payload.pop("queries", None)
     line = json.dumps(payload, separators=(",", ":"))
     assert len(line) < 1900, f"bench stdout line {len(line)}B > budget"
     return line
@@ -651,22 +671,23 @@ def main() -> None:
             payload["events_per_sec_elapsed"] = block.pop(
                 "events_per_sec_elapsed"
             )
-            payload["events_per_sec_runs_sec"] = block.pop(
-                "events_per_sec_runs_sec"
-            )
+            # the per-run vector stays in the sf1 detail block only
+            # (r17: VERDICT r16's designated shed — stdout budget now
+            # carries the per-query map instead)
         payload["sf1"] = block
 
     # The driver records only a 2,000-BYTE TAIL of stdout; r12-r14's
     # payloads all truncated into "parsed": null (VERDICT r14 ask
-    # #3, third round of asking — even r14's 2.3 KB "compact" line
-    # missed the window). Stdout now carries ONLY totals, the
-    # throughput block, and the sf1 worst-5; EVERY per-query map —
-    # sf0.1 minima, spreads, the sf1 timings/bases/ratios/overheads/
-    # run vectors — lives in the BENCH_DETAIL.json sidecar.
+    # #3). r17 (VERDICT r16 ask #1): the per-query sf0.1 MINIMA map
+    # is back on stdout — it is the driver's per_query / geomean /
+    # scaling source and fits the budget now that
+    # events_per_sec_runs_sec moved to the sidecar (full line
+    # measured ~1,850 B at 54 queries). Spreads, sf1 vectors and the
+    # streaming guard row stay in the BENCH_DETAIL.json sidecar.
     detail = {
         "sf": payload["sf"],
         "runs_per_query": payload["runs_per_query"],
-        "queries": payload.pop("queries"),
+        "queries": dict(payload["queries"]),
         "spread": payload.pop("spread"),
     }
     payload["n_queries"] = len(detail["queries"])

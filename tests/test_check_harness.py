@@ -105,3 +105,40 @@ def test_bench_stdout_trims_to_fit_degraded_rounds():
     small = {"metric": "headline_queries_total", "value": 1.0,
              "unit": "sec", "sf": 0.1}
     assert json.loads(bench.compact_stdout_line(dict(small))) == small
+
+
+def test_bench_stdout_carries_per_query_map_within_budget():
+    """r17 contract (VERDICT r16 ask #1): the one-line JSON must carry
+    the full per-query minima map — it is the driver's per_query /
+    geomean / scaling source — and still fit the 1,900-byte budget at
+    the current 54-query suite. The map must survive degradation (sf1
+    errors) ahead of every sf1 detail field."""
+    import json
+
+    bench = _load_bench()
+    qmap = {name: round(0.5 + i * 0.137, 3)
+            for i, name in enumerate(bench.BENCH_QUERIES)}
+    payload = {
+        "metric": "headline_queries_total", "value": 51.9, "unit": "sec",
+        "queries": qmap, "runs_per_query": 5, "n_queries": len(qmap),
+        "suite_steal_pct_max": 3.2, "events_per_sec": 1639344,
+        "n_events": 1000000, "events_per_sec_elapsed": 0.61, "sf": 0.1,
+        "sf1": {
+            "total": 94.1, "n_queries": 26,
+            "worst5": {f"a_rather_long_query_name_{i}": 10.0 - i
+                       for i in range(5)},
+            "child_overhead_median": 4.66, "steal_pct_max": 9.9,
+        },
+    }
+    line = bench.compact_stdout_line(json.loads(json.dumps(payload)))
+    parsed = json.loads(line)
+    assert len(line) < 1900
+    assert parsed["queries"] == qmap  # full map, 3-decimal values
+
+    # degraded round: 26 child errors — queries map still survives
+    payload["sf1"]["errors"] = {f"failing_query_with_long_name_{i}": "x" * 300
+                                for i in range(26)}
+    line2 = bench.compact_stdout_line(json.loads(json.dumps(payload)))
+    parsed2 = json.loads(line2)
+    assert len(line2) < 1900
+    assert parsed2["queries"] == qmap
