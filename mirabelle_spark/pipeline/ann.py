@@ -812,6 +812,179 @@ def ivf_probe_index(
     )
 
 
+def _ivf_probe_scores(
+    c: DataFrame,
+    centroids: list[list[float]],
+    probes_by_cell: dict[int, list[tuple]],
+    id_col: str,
+    query_id_col: str,
+    qid_type,
+) -> DataFrame:
+    """One Arrow pass over the corpus computing :func:`ivf_topk`'s
+    probe join end to end: coarse-cell assignment (bit-identical to
+    :func:`_cell_assign` — same 0.0-init element-order squared-L2
+    folds, first-minimum argmin), the probed-cell FILTER (a corpus
+    row whose cell no collected query probes is dropped before any
+    cosine is evaluated — guide §2.3/§4: never score what you throw
+    away), and the cosine of each surviving row against every query
+    probing its cell (same left-associated dot/norm folds as the
+    relational :func:`cosine`; zero denominator yields NULL,
+    matching :func:`_assign_csim`'s pinned Divide semantics).
+
+    Replaces the ``_cell_assign → isin → broadcast join → cosine``
+    subtree whose per-row cost was nlist×dim + ~|probes/cell|×3×dim
+    interpreted Catalyst HOF ops — the same §4.2 move measured on
+    the PQ/IVFPQ family in r16 (the Python boundary pays for itself
+    because the work per row is two orders of magnitude cheaper
+    vectorized). Ill-formed corpus rows (null/short vector, null
+    element, NaN) take a per-row Python path replicating the
+    expression semantics exactly: null-element rows assign no cell
+    (every distance null) and are dropped by the filter like the
+    relational ``isin(null)``; NaN rows keep their NaN cosine.
+
+    ``probes_by_cell``: cell → [(query_id, query_vec doubles)] from
+    the collected query batch (broadcast-scale by contract).
+    Returns (query_id, id, cosine) — cardinality changes, hence
+    mapInArrow rather than a pandas UDF."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_list = [[float(v) for v in ctr] for ctr in centroids]
+    nlist, dim = cents.shape
+    in_cols = [f.name for f in c.schema.fields]
+    vec_idx = in_cols.index("__cv__")
+    id_idx = in_cols.index(id_col)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_type),
+            c.schema[id_col],
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    # per-cell query matrices + their l2 norms, both folded in
+    # element order exactly like the relational l2norm (0.0 init,
+    # acc + x*x per element)
+    cell_q: dict[int, tuple] = {}
+    for cell, lst in probes_by_cell.items():
+        Qm = np.asarray([qv for _, qv in lst], dtype=np.float64)
+        accq = np.zeros(Qm.shape[0])
+        for i in range(dim):
+            accq = accq + Qm[:, i] * Qm[:, i]
+        cell_q[int(cell)] = ([qid for qid, _ in lst], Qm, np.sqrt(accq))
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    pa_qid = to_arrow_type(qid_type)
+
+    def _cos_fallback(vec, qv):
+        # exact emulation of cosine(__qv__, __cv__) for a row the
+        # vectorized path rejected: the cell fallback already
+        # guarantees len == dim and no null elements (either would
+        # have poisoned every distance → no cell → filtered), so
+        # only NaN lanes reach here
+        d = 0.0
+        s = 0.0
+        for x, y in zip(vec, qv):
+            fx = float(x)
+            d = d + fx * y
+            s = s + fx * fx
+        qs = 0.0
+        for y in qv:
+            qs = qs + y * y
+        import math
+
+        den = math.sqrt(s) * math.sqrt(qs)
+        return None if den == 0.0 else d / den
+
+    def _run(batches):
+        import pyarrow as pa
+        from pyarrow import compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            arr = batch.column(vec_idx)
+            ids = batch.column(id_idx)
+            valid = (
+                arr.is_valid().to_numpy(zero_copy_only=False)
+                if arr.null_count
+                else np.ones(n, dtype=bool)
+            )
+            offs = arr.offsets.to_numpy()
+            lens = offs[1:] - offs[:-1]
+            vals = arr.values
+            ok = valid & (lens == dim)
+            if vals.null_count:
+                nulls = pc.is_null(vals).to_numpy(zero_copy_only=False)
+                cum = np.concatenate(([0], np.cumsum(nulls)))
+                ok &= (cum[offs[1:]] - cum[offs[:-1]]) == 0
+                vnp = vals.fill_null(float("nan")).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+            else:
+                vnp = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+            if np.isnan(vnp).any():
+                nan = np.isnan(vnp)
+                cum = np.concatenate(([0], np.cumsum(nan)))
+                ok &= (cum[offs[1:]] - cum[offs[:-1]]) == 0
+            out_qids: list = []
+            out_idx: list = []
+            out_cos: list = []
+            idx = np.flatnonzero(ok)
+            if idx.size:
+                gather = offs[idx][:, None] + np.arange(dim)[None, :]
+                M = vnp[gather]
+                accd = np.zeros((idx.size, nlist))
+                for i in range(dim):
+                    d = M[:, i][:, None] - cents[None, :, i]
+                    accd = accd + d * d
+                cell_v = np.argmin(accd, axis=1)
+                for cell, (qids, Qm, qn) in cell_q.items():
+                    sel = np.flatnonzero(cell_v == cell)
+                    if not sel.size:
+                        continue
+                    Mc = M[sel]
+                    dots = np.zeros((sel.size, len(qids)))
+                    sq = np.zeros(sel.size)
+                    for i in range(dim):
+                        dots = dots + Mc[:, i][:, None] * Qm[None, :, i]
+                        sq = sq + Mc[:, i] * Mc[:, i]
+                    den = np.sqrt(sq)[:, None] * qn[None, :]
+                    rows = idx[sel]
+                    for qj, qid in enumerate(qids):
+                        out_qids.extend([qid] * rows.size)
+                        out_idx.extend(rows.tolist())
+                        col = dots[:, qj]
+                        dcol = den[:, qj]
+                        out_cos.extend(
+                            None if dcol[r] == 0.0 else float(col[r])
+                            / float(dcol[r])
+                            for r in range(rows.size)
+                        )
+            for i in np.flatnonzero(~ok):
+                vec = arr[int(i)].as_py()
+                cell = _cell_fallback(vec, cent_list, dim)
+                if cell is None or cell not in cell_q:
+                    continue
+                qids, Qm, _ = cell_q[cell]
+                for qj, qid in enumerate(qids):
+                    out_qids.append(qid)
+                    out_idx.append(int(i))
+                    out_cos.append(_cos_fallback(vec, Qm[qj].tolist()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_qids, type=pa_qid),
+                    ids.take(pa.array(out_idx, type=pa.int64()))
+                    if out_idx
+                    else ids.slice(0, 0),
+                    pa.array(out_cos, type=pa.float64()),
+                ],
+                names=[query_id_col, id_col, "cosine"],
+            )
+
+    return c.mapInArrow(_run, schema=out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -865,38 +1038,36 @@ def ivf_topk(
             )
         nlist = len(centroids)
 
-    assigned = _cell_assign(c, centroids)
     # probes on the DRIVER from the collected query batch (broadcast-
     # scale by contract — the PERF §42 pattern, extended r16 to the
     # inline entry point): same (0.0-init left-assoc fold, cell)
     # order as _probe_cells' window, Python doubles are IEEE-exact.
-    # The isin prunes unprobed cells before the join; the query
-    # vectors ride the literal probe table, so the probe-cell
-    # window job and the LUT projection disappear from the plan.
-    spark = queries.sparkSession
+    # r17 (VERDICT r16 ask #4): the whole assign → probed-cell
+    # filter → cosine subtree is ONE fused Arrow pass
+    # (_ivf_probe_scores) — the relational form evaluated
+    # nlist×dim interpreted HOF ops per corpus row just to assign
+    # the cell, then ~3×dim more per (row, probing query) pair for
+    # the cosine; the kernel vectorizes both and never scores a row
+    # outside the probed cells.
     qrows = queries.select(
         F.col(query_id_col), as_double_vec(F.col(vec_col)).alias("__qv__")
     ).collect()
-    probe_rows = []
-    cells_set: set = set()
+    probes_by_cell: dict[int, list[tuple]] = {}
     for r in qrows:
         qv = [float(x) for x in r["__qv__"]]
         ds = sorted(
             (_sq_fold(qv, ctr), cell) for cell, ctr in enumerate(centroids)
         )
         for _, cell in ds[:nprobe]:
-            cells_set.add(cell)
-            probe_rows.append((r[query_id_col], qv, cell))
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    probes = spark.createDataFrame(
-        probe_rows,
-        f"{query_id_col} {qid_type}, __qv__ array<double>, __cell__ int",
+            probes_by_cell.setdefault(cell, []).append((r[query_id_col], qv))
+    scored = _ivf_probe_scores(
+        c,
+        centroids,
+        probes_by_cell,
+        id_col,
+        query_id_col,
+        queries.schema[query_id_col].dataType,
     )
-    # probe join: corpus rows only from the probed cells
-    cand = assigned.filter(
-        F.col("__cell__").isin(sorted(cells_set))
-    ).join(F.broadcast(probes), "__cell__")
-    scored = cand.withColumn("cosine", cosine(F.col("__qv__"), F.col("__cv__")))
     if qrows:
         # size the top-k exchange to the query batch (PERF §42)
         scored = scored.repartition(

@@ -38,6 +38,7 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--no-plan-file", action="store_true")
+    ap.add_argument("--round", default="r17")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -48,7 +49,7 @@ def main() -> None:
     names = args.names or bench.BENCH_QUERIES
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r16",
+        "plans", args.round,
     )
     os.makedirs(plans_dir, exist_ok=True)
 
