@@ -1118,9 +1118,33 @@ def resolve_clusters(
     # the first action and doubles as the materializer — one job,
     # not two (r16: every extra driver action here is paid per
     # query run).
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=False)
+    #
+    # r17 (VERDICT r16 ask #3): with ``clean_pairs=True`` the rounds
+    # run over the TOUCHED subgraph only — a node in no pair keeps
+    # label = id through every round (neighbor-min of an isolated
+    # node is its own label; its jump is the identity), so ids
+    # outside the pair table ride one final anti-join union instead
+    # of paying every round's join/aggregate shuffles and the
+    # per-round label-sum probe. Near-dup pair graphs touch a small
+    # fraction of a real corpus, so at scale this shrinks each
+    # round from corpus-size to pair-graph-size; measured sf1
+    # (50k ids, 2.5k pairs): rounds 1.46+0.90 → sub-second, full
+    # dedup_clusters 4.27 → 4.09 warm. The distinct is required:
+    # duplicate label rows would inflate the initial label_sum and
+    # could coincidentally equal a post-dedup round sum.
+    touched = None
+    if clean_pairs:
+        touched = (
+            p.select(F.col("id_a").alias("id"))
+            .unionByName(p.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        seed = touched.select("id", F.col("id").alias("label"))
+    else:
+        seed = ids.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("label")
+        )
+    labels = seed.localCheckpoint(eager=False)
     # the src semi-join pins the old contract — output rows come
     # from ``ids`` ONLY, a pair id outside ``ids`` never injects a
     # row (the fused union step below would otherwise emit it).
@@ -1198,6 +1222,15 @@ def resolve_clusters(
             label_sum = new_sum
         # the converged generation is checkpoint-pinned; old
         # generations' blocks are freed by the context cleaner
+        if touched is not None:
+            # untouched ids (the corpus majority) self-label via one
+            # broadcast anti-join — they never entered a round
+            untouched = ids.select(F.col(id_col).alias("id")).join(
+                touched, "id", "left_anti"
+            )
+            labels = labels.unionByName(
+                untouched.select("id", F.col("id").alias("label"))
+            )
         return labels.select(
             F.col("id").alias(id_col), F.col("label").alias("cluster_id")
         )

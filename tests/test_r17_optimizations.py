@@ -124,6 +124,56 @@ def test_ivf_probe_scores_kernel_matches_relational(spark):
         assert len(got) > 0
 
 
+def test_resolve_clusters_touched_subgraph_identical(spark):
+    """r17 ask #3: with clean_pairs=True the rounds run over pair
+    endpoints only and untouched ids ride a final anti-join union —
+    output must be row-identical to the validated full-graph path
+    (clean_pairs=False) on a graph with chains, cliques, and a
+    majority of untouched nodes."""
+    from mirabelle_spark.pipeline import dedup
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(30)], "doc_id bigint"
+    )
+    # chain 1-2-3-4, clique {10,11,12}, pair (20, 21); 0,5..9,13..19,
+    # 22..29 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.resolve_clusters(
+            pairs, ids, clean_pairs=True
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dedup.resolve_clusters(
+            pairs, ids, clean_pairs=False
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 30
+    as_map = dict(got)
+    assert as_map[4] == 1 and as_map[12] == 10 and as_map[21] == 20
+    assert as_map[7] == 7  # untouched self-label
+
+
+def test_resolve_clusters_touched_subgraph_empty_pairs(spark):
+    from mirabelle_spark.pipeline import dedup
+
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id bigint")
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = sorted(
+        tuple(r)
+        for r in dedup.resolve_clusters(
+            pairs, ids, clean_pairs=True
+        ).collect()
+    )
+    assert got == [(i, i) for i in range(5)]
+
+
 def test_ivf_probe_scores_kernel_empty_query_batch(spark):
     from mirabelle_spark.pipeline import ann
 
