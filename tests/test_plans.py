@@ -181,18 +181,19 @@ def test_top_suppliers_take_ordered(spark, qs):
 
 
 def test_ivf_topk_broadcasts_and_stays_jvm(spark, qs):
-    """The IVF probe table (query vectors × probed cells, computed
-    on the driver from the collected broadcast-scale query batch —
-    r16, the PERF §42 pattern) must join in as a broadcast, the
-    unprobed cells must be pruned by a literal __cell__ filter
-    BEFORE the join, and the whole query must stay in the JVM — the
-    fixed-quantizer assignment is Catalyst arithmetic, not a UDF.
-    (Pre-r16 the probe cells were a window job over a second
-    broadcast join; that exchange is gone by design.)"""
+    """r17 shape: the whole assign → probed-cell filter → cosine
+    subtree is ONE fused Arrow kernel (_ivf_probe_scores) fed by a
+    two-column projection of the corpus scan — no broadcast join, no
+    unrolled centroid literals (the r16 relational plan was 69 KB),
+    no row-at-a-time Python. Exactly one MapInArrow, a pruned scan
+    under it, and no BatchEvalPython anywhere; the only exchanges
+    left are the query-batch-sized top-k repartition and the rank
+    window's."""
     plan = _plan(qs["ann_ivf_topk"](spark, SF_DIR))
-    assert plan.count("BroadcastExchange") >= 1
-    assert "__cell__# IN" in plan or "__cell__#" in plan
-    assert "Python" not in plan
+    assert plan.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+    assert len(plan) < 20_000
 
 
 def test_hash_sample_pushes_to_scan(spark, qs):
