@@ -2109,6 +2109,13 @@ _SHARD_COL = "__shard__"
 _NULL_KEY = "\x00null"
 _KEY_SEP = "\x1f"
 
+# stream_ewma_sharded: key runs longer than this take the scalar
+# loop — the vectorized stepper costs O(max run) numpy dispatches
+# per batch, so one hot key must not set the step count for the
+# whole shard. At the tier's design point (high cardinality, short
+# runs) every run is far below this.
+_EWMA_VEC_CAP = 512
+
 
 def _shard_key_strings(pdf, key_cols, key_dtypes):
     """Composite string key per row (JSON-map-safe); nulls fold
@@ -2256,29 +2263,88 @@ def stream_ewma_sharded(
     fold, bit-identical per key (parity pytest vs the batch
     operator), through the sharded shell above. PERF §39: 214k ev/s
     at 1M keys vs 7.9k per-key — 27×, above the JVM windowed agg at
-    that cardinality."""
+    that cardinality.
+
+    r17 (guide §4.2; VERDICT r16 ask #8): the fold is VECTORIZED
+    across keys instead of looping per row — a clean-machine cost
+    split measured the per-row Python loop at ~62 % of the whole
+    tier (2M events / 1M keys: 6.34 s real vs 2.40 s with a
+    passthrough fold). The shard slice arrives sorted by (key,
+    time), so key runs are contiguous segments; step j updates
+    every key's j-th event at once with the SAME scalar expression
+    ``r*v + (1.0-r)*m`` (numpy float64 scalar ops are IEEE doubles
+    — each key's value sequence sees the identical op order as the
+    scalar loop, pinned by the existing batch-parity pytest). A NaN
+    event emits NaN and leaves the key's state unchanged, exactly
+    the scalar branch. Keys whose run exceeds ``_EWMA_VEC_CAP``
+    (one hot key would make the step loop O(run) numpy dispatches)
+    take the original scalar loop over just their rows — identical
+    semantics, never slower than the old path."""
     import numpy as np
     import pandas as pd
 
-    def shard_fold(carry, ks, pdf):
-        vals = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
-        out = np.empty(len(vals))
-        unset = object()
-        prev = unset
-        m = None
-        for i, (k, v) in enumerate(zip(ks, vals.tolist())):
-            if k != prev:
-                if prev is not unset and m is not None:
-                    carry[prev] = m
-                m = carry.get(k)
-                prev = k
+    cap = _EWMA_VEC_CAP
+
+    def _scalar_run(carry, k, vals, out, lo, hi):
+        m = carry.get(k)
+        for i in range(lo, hi):
+            v = vals[i]
             if v != v:
                 out[i] = np.nan
             else:
                 m = r * v + (1.0 - r) * (m if m is not None else 0.0)
                 out[i] = m
-        if prev is not unset and m is not None:
-            carry[prev] = m
+        if m is not None:
+            carry[k] = m
+
+    def shard_fold(carry, ks, pdf):
+        n = len(pdf)
+        vals = pdf[metric_col].to_numpy(dtype="float64", na_value=np.nan)
+        out = np.empty(n)
+        if n:
+            ks_arr = np.asarray(ks, dtype=object)
+            starts = np.flatnonzero(
+                np.concatenate(([True], ks_arr[1:] != ks_arr[:-1]))
+            )
+            lens = np.diff(np.concatenate((starts, [n])))
+            short = lens <= cap
+            s_starts = starts[short]
+            s_lens = lens[short]
+            if s_starts.size:
+                keys_list = ks_arr[s_starts].tolist()
+                m0 = [carry.get(k) for k in keys_list]
+                seen = np.array([v is not None for v in m0], dtype=bool)
+                m = np.array(
+                    [v if v is not None else 0.0 for v in m0],
+                    dtype=np.float64,
+                )
+                # length-descending order → the keys still active at
+                # step j are a prefix; total work is Σ lens, no padding
+                order = np.argsort(-s_lens, kind="stable")
+                s_starts = s_starts[order]
+                s_lens = s_lens[order]
+                m = m[order]
+                seen = seen[order]
+                # active count per step: s_lens sorted desc, so keys
+                # with len > j form the prefix
+                for j in range(int(s_lens[0])):
+                    a = int(np.searchsorted(-s_lens, -(j + 1), side="right"))
+                    pos = s_starts[:a] + j
+                    v = vals[pos]
+                    real = v == v
+                    stepped = r * v + (1.0 - r) * m[:a]
+                    m[:a] = np.where(real, stepped, m[:a])
+                    out[pos] = np.where(real, stepped, np.nan)
+                    seen[:a] |= real
+                for i in np.flatnonzero(seen).tolist():
+                    carry[ks_arr[s_starts[i]]] = float(m[i])
+            if not short.all():
+                vl = vals.tolist()
+                for si in np.flatnonzero(~short).tolist():
+                    lo = int(starts[si])
+                    _scalar_run(
+                        carry, ks_arr[lo], vl, out, lo, lo + int(lens[si])
+                    )
         res = pdf.copy()
         res[metric_col] = pd.array(out, dtype="float64")
         return res

@@ -174,6 +174,79 @@ def test_resolve_clusters_touched_subgraph_empty_pairs(spark):
     assert got == [(i, i) for i in range(5)]
 
 
+def test_stream_ewma_sharded_vectorized_hot_key_parity(spark, tmp_path):
+    """r17 ask #8: the vectorized shard fold must stay bit-identical
+    to the batch operator across its own internal boundary — a hot
+    key whose run exceeds _EWMA_VEC_CAP (scalar fallback) sharing a
+    shard with short vectorized keys, NaN/null metrics on both
+    sides, and carry across two micro-batches."""
+    import pyspark.sql.functions as F
+
+    from mirabelle_spark.operators import aggregations as agg
+    from mirabelle_spark.streaming import core
+
+    assert core._EWMA_VEC_CAP == 512
+    rows = []
+    eid = 0
+    # hot key: 1200 events (crosses the cap in both batches)
+    for j in range(1200):
+        v = None if j % 97 == 13 else float((j * 31) % 223) / 9.0
+        rows.append((eid, "hot", float(j), v))
+        eid += 1
+    # short keys: 40 keys x 7 events
+    for i in range(40):
+        for j in range(7):
+            v = None if (i + j) % 11 == 3 else float(i) + j * 0.125
+            rows.append((eid, f"k{i:02d}", float(j * 3), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, host string, t double, metric double"
+    ).withColumn(
+        "time", F.timestamp_micros((F.col("t") * 1e6).cast("long"))
+    ).drop("t")
+
+    batch = {
+        r.event_id: r.metric
+        for r in agg.ewma_timeless(
+            df, 0.3, by=["host"], time_col="time", metric_col="metric",
+            order_cols=("event_id",),
+        ).collect()
+    }
+    # time-PREFIX split per key (batch order must respect each key's
+    # time order for the fold to be comparable): hot key's first 600
+    # events in batch 1, short keys' first 3 — both batches give the
+    # hot key a run over the cap and the short keys vectorized runs
+    src_dir = str(tmp_path / "ewvec_in")
+    first = (
+        "(host = 'hot' AND unix_micros(time) < 600000000) "
+        "OR (host <> 'hot' AND unix_micros(time) < 9000000)"
+    )
+    df.where(first).coalesce(1).write.mode("append").parquet(src_dir)
+    df.where(f"NOT ({first})").coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = core.stream_ewma_sharded(
+        stream, 0.3, by=["host"], time_col="time", metric_col="metric",
+        shards=2,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ewvec_parity")
+        .option("checkpointLocation", str(tmp_path / "ewvec_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: r.metric
+        for r in spark.sql("SELECT * FROM ewvec_parity").collect()
+    }
+    assert set(got) == set(batch)
+    diff = {k for k in batch if got[k] != batch[k]}
+    assert not diff, sorted(diff)[:10]
+
+
 def test_ivf_probe_scores_kernel_empty_query_batch(spark):
     from mirabelle_spark.pipeline import ann
 
