@@ -484,7 +484,10 @@ def test_dedup_leaves_no_persistent_rdds(doc_df, spark):
         )
         clusters.collect()
         # async context-cleaner may lag a previous iteration's release
-        deadline = _time.time() + 60
+        # (r17: one observed flake where the drain needed >60 s under
+        # transient load — the pin is about accumulation, not cleaner
+        # latency, so give the async release a longer window)
+        deadline = _time.time() + 180
         while persistent_count() > base + 1 and _time.time() < deadline:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
